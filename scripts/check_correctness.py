@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Dev-only mirror of the driver's correctness gate (NOT part of the
+shipped library): compares graft.Verify parquet dumps against the DuckDB
+oracle SQL, as multisets and with exact value equality.
+
+Usage: python3 scripts/check_correctness.py <verify_out_dir> <sf_dir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols, got_rows = [d[0] for d in got.description], got.fetchall()
+            exp = con.execute(sql)
+            exp_cols, exp_rows = [d[0] for d in exp.description], exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            ok = False
+        else:
+            # align column order by name, like the driver does
+            gi = [got_cols.index(c) for c in sorted(got_cols)]
+            ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+            g = sorted((tuple(norm(r[i]) for i in gi) for r in got_rows), key=repr)
+            e = sorted((tuple(norm(r[i]) for i in ei) for r in exp_rows), key=repr)
+            if g != e:
+                print(f"FAIL {name}: rows differ (got {len(g)}, exp {len(e)})")
+                for a, b in list(zip(g, e))[:200]:
+                    if a != b:
+                        print(f"  got: {a}\n  exp: {b}")
+                        break
+                if len(g) != len(e):
+                    only_g = [r for r in g if r not in e][:3]
+                    only_e = [r for r in e if r not in g][:3]
+                    print(f"  only-in-got: {only_g}\n  only-in-exp: {only_e}")
+                ok = False
+        if ok:
+            n_pass += 1
+            print(f"PASS {name} ({len(got_rows)} rows)")
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place all entry points (Verify, Bench, tests) build their
+  * SparkSession, so correctness runs, benchmarks and specs agree on the
+  * semantics-bearing config.
+  *
+  * The knobs mirror the reference harness's tuned settings
+  * (reference: flink-dist conf/flink-conf-online.yaml:26-73 — parallelism 32,
+  * blocking shuffle; TpcDsBatchExecITCase.scala:71-78 — join reorder +
+  * subplan reuse on), re-expressed as their Spark equivalents. AQE stays on:
+  * at 100 TB it is what converts static shuffle-partition guesses into
+  * runtime-sized partitions, demotes shuffles to broadcasts when the built
+  * side turns out small, and splits skewed join partitions.
+  */
+object SessionFactory {
+
+  def defaultParallelism: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def local(appName: String, cpus: String = defaultParallelism): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS) — no Spark type; read as long.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // CBO join reorder parity with the reference bench knobs.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
