@@ -597,13 +597,13 @@ object Relational {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM customer
       |GROUP BY c_nationkey
-      |HAVING COUNT(*) > 50
+      |HAVING COUNT(*) > 5
       |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
     val t = Tables(spark, dir)
     t.customer
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n"), sumD(col("c_acctbal")).as("total_bal"))
-      .filter(col("n") > 50)
+      .filter(col("n") > 5)
       .orderBy(col("c_nationkey"))
   }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+
+import graft.SparkSpec
+
+/** Behavior + plan-shape specs for the relational core. Values are checked
+  * by the DuckDB oracle gate; here we assert the *plans* — the part that
+  * decides whether the same query survives a 100 TB cluster. */
+class RelationalSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan = {
+    val df = graft.SparkEntry.queries(name)(spark, sf())
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan
+  }
+
+  /** Full physical-plan traversal: AQE hides subtrees behind
+    * AdaptiveSparkPlanExec / QueryStageExec whose `children` are empty. */
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case _ => Nil
+    }
+    p +: (p.children ++ extra).flatMap(collectAll)
+  }
+
+  test("every declared query runs and returns rows at sf0.001") {
+    val empty = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val n = graft.SparkEntry.queries(name)(spark, sf()).count()
+      if (n == 0 && name != "q18_except") Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with zero rows: $empty")
+  }
+
+  test("entry flagship query returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q05 star join broadcasts the small dimensions") {
+    val bhj = collectAll(plan("q05_region_revenue"))
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "expected broadcast hash joins for nation/region dims")
+  }
+
+  test("q25 top-n per group uses WindowGroupLimit pushdown") {
+    val wgl = collectAll(plan("q25_topn_per_group"))
+      .collect { case w: WindowGroupLimitExec => w }
+    assert(wgl.nonEmpty, "rank<=k filter should push into WindowGroupLimit")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.core.Catalog.load(spark, sf(), "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"scan missing pushed filter: $scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more columns than projected: $scan")
+  }
+
+  test("q01 aggregation is two-phase (partial before shuffle)") {
+    val p = collectAll(plan("q01_pricing_summary"))
+    val aggs = p.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.size >= 2, "expected partial+final HashAggregateExec pair")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+  }
+}
