@@ -29,8 +29,11 @@ def main(out_dir, sf_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    prefix = sys.argv[3] if len(sys.argv) > 3 else ""
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if not name.startswith(prefix):
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
