@@ -15,7 +15,9 @@ object SparkEntry {
   /** All declared capabilities, one QueryDef per SURVEY.md §2 operator. */
   def all: Seq[QueryDef] =
     graft.operators.Relational.defs ++
-      graft.operators.FunctionSurface.defs
+      graft.operators.FunctionSurface.defs ++
+      graft.operators.TextAnalysis.defs ++
+      graft.operators.Dedup.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting (whitespace + BPE-ish regex),
+  * language-ID (stopword n-gram heuristic), quality scoring
+  * (length/stopword/uniqueness ratios) and document fingerprinting
+  * (polynomial rolling hash, winnowing-style minimum shingle hash).
+  *
+  * All of it is pure column algebra over built-ins (+ the codegen'd
+  * [[graft.functions.JavaHashCode]]) — no UDFs, no collect: each query is
+  * one scan + one aggregation, embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  def defs: Seq[QueryDef] = Seq(q40TokenCount, q41LangQuality, q42Fingerprint)
+
+  /** Whitespace tokens, BPE-ish regex tokens, distinct tokens, chars. */
+  val q40TokenCount: QueryDef = QueryDef("q40_token_count",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+      |  length(text) AS n_chars,
+      |  length(replace(text, ' ', '')) AS n_nonspace_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.documents.select(
+      col("doc_id"),
+      size(split(col("text"), " ", -1)).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
+      size(array_distinct(split(col("text"), " ", -1))).as("n_uniq_tokens"),
+      length(col("text")).as("n_chars"),
+      length(regexp_replace(col("text"), " ", "")).as("n_nonspace_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // tiny per-language marker lists for the n-gram language-ID heuristic
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "data", "fast"),
+    "qy" -> Seq("query", "table", "scan"),
+    "sp" -> Seq("spark", "stream", "batch"))
+
+  private def markerCount(words: Column, markers: Seq[String]): Column =
+    markers.map(m => size(filter(words, w => w === m)).cast(LongType))
+      .reduce(_ + _)
+
+  /** Language-ID heuristic + quality scoring. The "languages" are marker
+    * vocabularies (the fixture text is synthetic); the operator shape —
+    * per-class marker counts, argmax with deterministic tie-break, ratio
+    * features, weighted quality score — is the real pipeline pattern. */
+  val q41LangQuality: QueryDef = QueryDef("q41_lang_quality",
+    """WITH f AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w, length(text) AS nc
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang, len(w) AS n_words,
+      |    len(list_distinct(w)) AS n_uniq,
+      |    CAST(len(list_filter(w, x -> x IN ('the', 'a', 'data', 'fast'))) AS BIGINT) AS c_en,
+      |    CAST(len(list_filter(w, x -> x IN ('query', 'table', 'scan'))) AS BIGINT) AS c_qy,
+      |    CAST(len(list_filter(w, x -> x IN ('spark', 'stream', 'batch'))) AS BIGINT) AS c_sp,
+      |    CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |    nc
+      |  FROM f)
+      |SELECT doc_id, lang, n_words,
+      |  CASE WHEN c_en >= c_qy AND c_en >= c_sp THEN 'en'
+      |       WHEN c_qy >= c_sp THEN 'qy' ELSE 'sp' END AS pred_lang,
+      |  CAST(n_uniq AS DOUBLE) / n_words AS uniq_ratio,
+      |  CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+      |  CAST(nc AS DOUBLE) / n_words AS avg_tok_len,
+      |  0.5 * (CAST(n_uniq AS DOUBLE) / n_words)
+      |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
+      |    + 0.2 * (CASE WHEN n_words BETWEEN 20 AND 90 THEN 1.0 ELSE 0.0 END) AS quality
+      |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val w = split(col("text"), " ", -1)
+    val base = t.documents.select(
+      col("doc_id"), col("lang"),
+      size(w).cast(LongType).as("n_words"),
+      size(array_distinct(w)).cast(LongType).as("n_uniq"),
+      markerCount(w, langMarkers(0)._2).as("c_en"),
+      markerCount(w, langMarkers(1)._2).as("c_qy"),
+      markerCount(w, langMarkers(2)._2).as("c_sp"),
+      markerCount(w, Seq("the", "a")).as("n_stop"),
+      length(col("text")).cast(LongType).as("nc"))
+    base.select(
+      col("doc_id"), col("lang"), col("n_words"),
+      when(col("c_en") >= col("c_qy") && col("c_en") >= col("c_sp"), "en")
+        .when(col("c_qy") >= col("c_sp"), "qy").otherwise("sp").as("pred_lang"),
+      (col("n_uniq").cast(DoubleType) / col("n_words")).as("uniq_ratio"),
+      (col("n_stop").cast(DoubleType) / col("n_words")).as("stop_ratio"),
+      (col("nc").cast(DoubleType) / col("n_words")).as("avg_tok_len"),
+      (lit(0.5) * (col("n_uniq").cast(DoubleType) / col("n_words"))
+        + lit(0.3) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_words"))
+        + lit(0.2) * when(col("n_words").between(20, 90), 1.0).otherwise(0.0)).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle-side replica of [[graft.functions.JavaHashCode]]: 31-poly hash
+    * with int32 wraparound, written with DuckDB list_reduce. */
+  def duckJavaHash(expr: String): String =
+    s"""list_reduce(
+       |    list_transform(range(1, length($expr)+1),
+       |                   i -> CAST(unicode(substr($expr, CAST(i AS INT), 1)) AS BIGINT)),
+       |    (a, c) -> ((((31*a + c + 2147483648) % 4294967296) + 4294967296) % 4294967296) - 2147483648)""".stripMargin
+
+  /** Document fingerprinting: whole-text 31-poly hash plus a
+    * winnowing-style fingerprint (minimum Java-hash over 5-gram word
+    * shingles — robust to local edits, the standard near-dup sketch
+    * primitive). */
+  val q42Fingerprint: QueryDef = QueryDef("q42_fingerprint",
+    s"""WITH words AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS i
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+       |    lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS shingle
+       |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i))
+       |SELECT d.doc_id,
+       |  ${duckJavaHash("d.text")} AS text_hash,
+       |  m.min_shingle_hash
+       |FROM documents d
+       |JOIN (SELECT doc_id, min(${duckJavaHash("shingle")}) AS min_shingle_hash
+       |      FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id) m
+       |  ON d.doc_id = m.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val docs = t.documents
+    val shingles = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("i", "w")))
+      .withColumn("shingle",
+        concat_ws(" ", (0 to 4).map(k =>
+          lead(col("w"), k).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("i")))): _*))
+      // concat_ws skips NULLs, so trailing windows shrink — keep full 5-grams
+      .filter(size(split(col("shingle"), " ", -1)) === 5)
+    val minShingle = shingles
+      .groupBy(col("doc_id"))
+      .agg(min(GraftFunctions.hashCode(col("shingle")).cast(LongType)).as("min_shingle_hash"))
+    docs.select(col("doc_id"),
+        GraftFunctions.hashCode(col("text")).cast(LongType).as("text_hash"))
+      .join(minShingle, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+}
