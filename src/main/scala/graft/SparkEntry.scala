@@ -18,7 +18,8 @@ object SparkEntry {
       graft.operators.FunctionSurface.defs ++
       graft.operators.TextAnalysis.defs ++
       graft.operators.Dedup.defs ++
-      graft.operators.Similarity.defs
+      graft.operators.Similarity.defs ++
+      graft.operators.Windows.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Catalog, QueryDef, Tables}
+
+/** Group-window aggregations (SURVEY.md §2.9 — reference
+  * WindowOperator.java:97 with Tumbling/Sliding/SessionWindowAssigner):
+  * tumble, hop and session windows over the `events` table, expressed with
+  * Spark's `window`/`session_window` grouping expressions. The same
+  * expressions run unchanged under Structured Streaming with a watermark
+  * (see graft.streaming specs); here they run batch so the DuckDB oracle
+  * can check them.
+  *
+  * `events.ts` is nanos-since-epoch; [[Catalog.tsFromNanos]] converts with
+  * integral division so both engines see identical microsecond instants.
+  */
+object Windows {
+
+  def defs: Seq[QueryDef] = Seq(q60Tumble, q61Hop, q62Session)
+
+  private val tsCol = Catalog.tsFromNanos("ts")
+
+  /** 1-hour tumbling windows per event type (reference
+    * TumblingWindowAssigner.java:34). */
+  val q60Tumble: QueryDef = QueryDef("q60_tumble",
+    """SELECT time_bucket(INTERVAL 1 HOUR, make_timestamp(epoch_us(ts))) AS w_start,
+      |  event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(window(tsCol, "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  /** 1-hour windows sliding every 30 minutes (reference
+    * SlidingWindowAssigner.java:40); the oracle unions the two candidate
+    * window starts per row — a row at time t belongs to the windows
+    * starting at bucket30(t) and bucket30(t) - 30 min. */
+  val q61Hop: QueryDef = QueryDef("q61_hop",
+    """WITH placed AS (
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, make_timestamp(epoch_us(ts))) AS w_start, value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, make_timestamp(epoch_us(ts))) - INTERVAL 30 MINUTE, value
+      |  FROM events)
+      |SELECT w_start, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM placed
+      |GROUP BY 1
+      |ORDER BY w_start""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(window(tsCol, "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(col("window.start").as("w_start"), col("n"), col("total"))
+      .orderBy(col("w_start"))
+  }
+
+  /** Session windows with a 30-minute gap per user (reference
+    * SessionWindowAssigner.java:37 + MergingWindowSet.java); the oracle
+    * reproduces merge semantics with the lag-gap / running-count idiom:
+    * a new session starts when the gap from the previous event is ≥ the
+    * timeout. */
+  val q62Session: QueryDef = QueryDef("q62_session",
+    """WITH e AS (
+      |  SELECT user_id, make_timestamp(epoch_us(ts)) AS t, value FROM events),
+      |marked AS (
+      |  SELECT user_id, t, value,
+      |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      |              >= INTERVAL 30 MINUTE
+      |         OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, t, value,
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY t
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(t) AS session_start, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("t", tsCol)
+      .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+      .agg(min(col("t")).as("session_start"), count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(col("user_id"), col("session_start"), col("n"), col("total"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+}
