@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The stateful streaming operators Spark lacks as primitives (SURVEY.md
+  * §7.3 "custom Catalyst work"): streaming top-n, keep-last deduplication
+  * and streaming OVER (per-key running aggregates), each implemented with
+  * `flatMapGroupsWithState` over a keyed event stream — the Spark-native
+  * equivalent of the reference's keyed-state ProcessFunctions.
+  *
+  * Reference semantics reproduced:
+  *  - top-n:   AbstractTopNFunction.java:51 / UpdatableTopNFunction.java:61
+  *             (emit the new top-n whenever it changes)
+  *  - dedup:   DeduplicateKeepLastRowFunction.java:34 (latest row per key
+  *             wins, updates re-emitted downstream)
+  *  - OVER:    ProcTimeUnboundedPrecedingFunction.java (running aggregates
+  *             over everything seen so far per key)
+  *
+  * State scale: per-key state is bounded by n for top-n and O(1) for
+  * keep-last / running aggregates — fine with millions of keys sharded
+  * across executors. Idle-state cleanup (reference: CleanupState idle
+  * retention) is opt-in via `idleTtl`: a processing-time timeout makes
+  * Spark schedule continuous empty micro-batches to evaluate expiry, so
+  * it should be enabled only on long-running jobs that need it.
+  */
+object StatefulOps {
+
+  /** One keyed event of the stream (events table shape). */
+  case class Event(user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String, value: Double)
+
+  /** Emitted top-n entry: rank refreshed on every change. */
+  case class Ranked(user_id: Long, rank: Int, event_id: Long, value: Double)
+
+  /** Top-n state: best (value desc, id asc) entries seen so far. */
+  case class TopEntry(value: Double, event_id: Long)
+  case class TopState(entries: Seq[TopEntry])
+
+  /** Latest row per (user, event_type). */
+  case class Latest(user_id: Long, event_type: String, event_id: Long,
+      value: Double, ts: Timestamp)
+
+  /** Running per-key aggregates (streaming OVER ... UNBOUNDED PRECEDING). */
+  case class Running(user_id: Long, event_id: Long, running_count: Long,
+      running_sum: Double, running_max: Double)
+
+  case class RunState(count: Long, sum: Double, max: Double)
+
+  private def timeoutConf(idleTtl: Option[String]): GroupStateTimeout =
+    if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** Handle TTL bookkeeping; returns true when the group timed out and was
+    * cleared (caller emits nothing). */
+  private def handleTtl[S](state: GroupState[S], idleTtl: Option[String]): Boolean =
+    if (state.hasTimedOut) { state.remove(); true }
+    else { idleTtl.foreach(state.setTimeoutDuration); false }
+
+  /** Streaming top-n by value per user: whenever the per-key top-n set
+    * changes, re-emit the full refreshed ranking (the reference's
+    * UpdatableTopNFunction contract, minus per-row retractions — downstream
+    * consumers treat each emission as the new ranking). */
+  def topNPerKey(events: Dataset[Event], n: Int,
+      idleTtl: Option[String] = None): Dataset[Ranked] = {
+    implicit val rankedEnc = Encoders.product[Ranked]
+    implicit val stateEnc = Encoders.product[TopState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+        (user: Long, rows: Iterator[Event], state: GroupState[TopState]) => {
+          if (handleTtl(state, idleTtl)) Iterator.empty
+          else {
+            val prev = state.getOption.getOrElse(TopState(Nil)).entries
+            val merged = (prev ++ rows.map(e => TopEntry(e.value, e.event_id)))
+              .sortBy(t => (-t.value, t.event_id)).take(n)
+            if (merged != prev) {
+              state.update(TopState(merged))
+              merged.zipWithIndex.iterator.map { case (t, i) =>
+                Ranked(user, i + 1, t.event_id, t.value)
+              }
+            } else Iterator.empty
+          }
+        })
+  }
+
+  /** Keep-last dedup per (user, event_type): latest event (by ts, then
+    * event_id) wins; re-emits on every change. */
+  def keepLastDedup(events: Dataset[Event],
+      idleTtl: Option[String] = None): Dataset[Latest] = {
+    implicit val latestEnc = Encoders.product[Latest]
+    events
+      .groupByKey(e => (e.user_id, e.event_type))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+        (key: (Long, String), rows: Iterator[Event], state: GroupState[Latest]) => {
+          if (handleTtl(state, idleTtl)) Iterator.empty
+          else {
+            var cur = state.getOption.orNull
+            rows.foreach { e =>
+              val newer = cur == null ||
+                e.ts.after(cur.ts) ||
+                (e.ts.equals(cur.ts) && e.event_id > cur.event_id)
+              if (newer) cur = Latest(e.user_id, e.event_type, e.event_id, e.value, e.ts)
+            }
+            if (cur != null) { state.update(cur); Iterator.single(cur) }
+            else Iterator.empty
+          }
+        })
+  }
+
+  /** Streaming OVER — per-key running count/sum/max over everything seen so
+    * far, one output row per input row (ROWS UNBOUNDED PRECEDING frame). */
+  def runningAggregates(events: Dataset[Event],
+      idleTtl: Option[String] = None): Dataset[Running] = {
+    implicit val runEnc = Encoders.product[Running]
+    implicit val stEnc = Encoders.product[RunState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+        (user: Long, rows: Iterator[Event], state: GroupState[RunState]) => {
+          if (handleTtl(state, idleTtl)) Iterator.empty
+          else {
+            var s = state.getOption.getOrElse(RunState(0L, 0.0, Double.MinValue))
+            // sort the micro-batch's rows by event time for deterministic
+            // running values (within-batch order is not guaranteed)
+            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+              s = RunState(s.count + 1, s.sum + e.value, math.max(s.max, e.value))
+              Running(user, e.event_id, s.count, s.sum, s.max)
+            }
+            state.update(s)
+            out.iterator
+          }
+        })
+  }
+
+  /** Batch events table → typed stream-shaped Dataset (micro-batch specs
+    * feed the same rows through MemoryStream). */
+  def typedEvents(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    graft.core.Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        graft.core.Catalog.tsFromNanos("ts").as("ts"),
+        col("event_type"), col("value"))
+      .as[Event]
+  }
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.StatefulOps._
+
+/** Structured-Streaming behavior specs: the flatMapGroupsWithState trio
+  * (top-n, keep-last dedup, streaming OVER) fed through MemoryStream in
+  * micro-batches, verified against the equivalent batch computation over
+  * the same rows — plus watermarked windowed aggregation and a
+  * stream-stream join (built-in operators, exercised for semantics). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val batch1 = Seq(
+    Event(1, 101, ts(0), "view", 5.0),
+    Event(1, 102, ts(1), "view", 9.0),
+    Event(1, 103, ts(2), "click", 3.0),
+    Event(2, 201, ts(1), "view", 7.0))
+  private val batch2 = Seq(
+    Event(1, 104, ts(3), "view", 8.0),
+    Event(1, 105, ts(4), "click", 1.0),
+    Event(2, 202, ts(5), "view", 2.0))
+
+  test("streaming top-n re-emits the refreshed per-key ranking") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = topNPerKey(input.toDS(), 2).writeStream
+      .format("memory").queryName("topn").outputMode("append").start()
+    input.addData(batch1)
+    query.processAllAvailable()
+    input.addData(batch2)
+    query.processAllAvailable()
+    query.stop()
+    // last emission per user must equal the batch top-2 by value
+    val all = spark.table("topn").as[Ranked].collect()
+    val finalUser1 = all.filter(_.user_id == 1).takeRight(2).sortBy(_.rank)
+    assert(finalUser1.map(_.event_id).toSeq == Seq(102, 104)) // values 9.0, 8.0
+    assert(finalUser1.map(_.value).toSeq == Seq(9.0, 8.0))
+  }
+
+  test("keep-last dedup emits the latest row per key") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = keepLastDedup(input.toDS()).writeStream
+      .format("memory").queryName("keeplast").outputMode("append").start()
+    input.addData(batch1)
+    query.processAllAvailable()
+    input.addData(batch2)
+    query.processAllAvailable()
+    query.stop()
+    val all = spark.table("keeplast").as[Latest].collect()
+    // final emission for (1, view) must be event 104 (latest ts)
+    val last1view = all.filter(r => r.user_id == 1 && r.event_type == "view").last
+    assert(last1view.event_id == 104)
+    // final emission for (2, view) must be event 202
+    assert(all.filter(r => r.user_id == 2 && r.event_type == "view").last.event_id == 202)
+  }
+
+  test("streaming OVER produces per-row running aggregates") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = runningAggregates(input.toDS()).writeStream
+      .format("memory").queryName("running").outputMode("append").start()
+    input.addData(batch1)
+    query.processAllAvailable()
+    input.addData(batch2)
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("running").as[Running].collect()
+      .filter(_.user_id == 1).sortBy(_.event_id)
+    // user 1 events in ts order: 101(5.0) 102(9.0) 103(3.0) 104(8.0) 105(1.0)
+    assert(rows.map(_.running_count).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(rows.map(_.running_sum).toSeq == Seq(5.0, 14.0, 17.0, 25.0, 26.0))
+    assert(rows.map(_.running_max).toSeq == Seq(5.0, 9.0, 9.0, 9.0, 9.0))
+  }
+
+  test("watermarked tumbling-window aggregation closes windows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val counts = input.toDS()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "2 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("n"), col("total"))
+    val query = counts.writeStream
+      .format("memory").queryName("wmagg").outputMode("append").start()
+    input.addData(batch1)
+    query.processAllAvailable()
+    // late-arriving watermark push: event far in the future closes all prior windows
+    input.addData(Seq(Event(9, 901, ts(59), "view", 0.0)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("wmagg").collect()
+    // user 1 had events at 10:00,10:01 (window 10:00) and 10:02 (window 10:02)
+    val u1 = rows.filter(_.getLong(1) == 1)
+    assert(u1.length == 2)
+    assert(u1.map(_.getLong(2)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("stream-stream interval join matches within the time bound") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val c = clicks.toDS().filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val v = views.toDS().filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    // view followed by a click from the same user within 3 minutes
+    val joined = v.join(c,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") && col("c_ts") <= col("v_ts") + expr("INTERVAL 3 MINUTES"))
+    val query = joined.writeStream
+      .format("memory").queryName("ssjoin").outputMode("append").start()
+    views.addData(batch1 ++ batch2)
+    clicks.addData(batch1 ++ batch2)
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("ssjoin").collect()
+      .map(r => (r.getAs[Long]("v_id"), r.getAs[Long]("c_id"))).toSet
+    // click 103 @10:02 joins views 101 @10:00 and 102 @10:01;
+    // click 105 @10:04 joins views 102 @10:01, 104 @10:03
+    assert(rows == Set((101L, 103L), (102L, 103L), (102L, 105L), (104L, 105L)))
+  }
+}
