@@ -19,7 +19,8 @@ object SparkEntry {
       graft.operators.TextAnalysis.defs ++
       graft.operators.Dedup.defs ++
       graft.operators.Similarity.defs ++
-      graft.operators.Windows.defs
+      graft.operators.Windows.defs ++
+      graft.operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
