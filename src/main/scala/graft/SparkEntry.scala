@@ -20,7 +20,9 @@ object SparkEntry {
       graft.operators.Dedup.defs ++
       graft.operators.Similarity.defs ++
       graft.operators.Windows.defs ++
-      graft.operators.Multimodal.defs
+      graft.operators.Multimodal.defs ++
+      graft.operators.AsOfJoin.defs ++
+      graft.operators.Aggregates.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, Tables}
+
+/** UDTF / UDAF surface (SURVEY.md §2.10): table functions via
+  * explode/LATERAL (reference TableFunction + LogicalUnnestRule →
+  * Catalyst Generator), collection aggregates (CollectAggFunction /
+  * ListAggFunction), a user-defined typed [[Aggregator]] (reference
+  * AggregateFunction<T,ACC> contract: accumulate/merge/getValue), and
+  * HLL++ approximate count-distinct (reference
+  * ApproximateCountDistinctAggFunction — Spark ships the same HLL++).
+  */
+object Aggregates {
+
+  def defs: Seq[QueryDef] = Seq(
+    q37LateralExplode, q38CollectAgg, q39WeightedAvgUdaf, q64ApproxDistinct)
+
+  /** UDTF: explode words laterally, global top-50 word frequencies. */
+  val q37LateralExplode: QueryDef = QueryDef("q37_lateral_explode",
+    """SELECT w AS word, count(*) AS n
+      |FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      |GROUP BY w
+      |ORDER BY n DESC, word
+      |LIMIT 50""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.documents
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+  }
+
+  /** Collection aggregates: sorted collect_list (multiset-deterministic)
+    * and LISTAGG with sorted elements (reference ListAggFunction /
+    * CollectAggFunction). */
+  val q38CollectAgg: QueryDef = QueryDef("q38_collect_agg",
+    """SELECT c_nationkey,
+      |  list_sort(list(c_mktsegment)) AS segments,
+      |  string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments_csv,
+      |  list_sort(list(DISTINCT c_mktsegment)) AS uniq_segments
+      |FROM customer WHERE c_custkey <= 100
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer.filter(col("c_custkey") <= 100)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        sort_array(collect_list(col("c_mktsegment"))).as("segments"),
+        concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("segments_csv"),
+        sort_array(collect_set(col("c_mktsegment"))).as("uniq_segments"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Typed UDAF, the reference's AggregateFunction<T, ACC> contract
+    * (accumulate / merge / getValue) as a Catalyst-planned [[Aggregator]]:
+    * quantity-weighted mean of line number. Accumulates integral values so
+    * the double sums are exact and order-independent — safe under any
+    * partial-aggregation schedule. */
+  object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Double)): Double =
+      if (r._2 == 0) Double.NaN else r._1 / r._2
+    def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val q39WeightedAvgUdaf: QueryDef = QueryDef("q39_weighted_avg_udaf",
+    """SELECT l_returnflag,
+      |  SUM(l_linenumber * l_quantity) / SUM(l_quantity) AS weighted_linenumber
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val wavg = udaf(WeightedAvg)
+    spark.udf.register("weighted_avg", wavg)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(col("l_linenumber").cast(DoubleType), col("l_quantity"))
+        .as("weighted_linenumber"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** HLL++ approximate count-distinct (reference HyperLogLogPlusPlus.java;
+    * Spark's approx_count_distinct is the same sketch). Sketch internals
+    * differ across engines, so the gate is rows-only; the spec bounds the
+    * error vs the exact count. */
+  val q64ApproxDistinct: QueryDef = QueryDef.rowsOnly("q64_approx_distinct") {
+    (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, QueryDef, Tables}
+
+/** Temporal / as-of join (SURVEY.md §2.3 — reference
+  * TemporalRowTimeJoinOperator.java:71: enrich each left row with the
+  * latest right-side version at or before its timestamp; §7.3 flags it as
+  * custom work because Spark has no FOR SYSTEM_TIME AS OF executor).
+  *
+  * Implementation: the union–sort–last_value rewrite, not a range join.
+  * Both sides are tagged and unioned, hash-partitioned by key and sorted
+  * by (ts, side, version); `last(..., ignoreNulls)` over the running
+  * window then carries the newest right-side values onto every left row.
+  * One shuffle + one sort regardless of how many right versions precede
+  * each left row — at 100 TB this beats the O(versions) fan-out of a
+  * `l.ts >= r.ts` theta-join followed by a max-per-key reduction, which is
+  * the naive plan Catalyst would pick for the direct formulation.
+  */
+object AsOfJoin {
+
+  def defs: Seq[QueryDef] = Seq(q63AsOfJoin)
+
+  /** Generic as-of join: for each row of `left`, attach `valueCols` from
+    * the latest `right` row with the same `key` and `rightTs ≤ leftTs`
+    * (inclusive; right ties broken by `rightTieBreak` — highest wins).
+    * Left rows with no prior right row get NULLs (left-outer semantics).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightTieBreak: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // align schemas: left rows carry NULL dim values, right rows NULL payload
+    val taggedLeft = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_ver", lit(Long.MaxValue))
+    val taggedRight = right
+      .select((Seq(col(key), col(rightTs).as("_ts")) ++
+        valueCols.map(c => col(c).as(s"_v_$c"))): _*)
+      .withColumn("_side", lit(0))
+      .withColumn("_ver", col(s"_v_$rightTieBreak").cast("long"))
+    val l2 = valueCols.foldLeft(taggedLeft)((df, c) =>
+      df.withColumn(s"_v_$c", lit(null).cast(right.schema(c).dataType)))
+    val r2 = leftCols.filterNot(_ == key).foldLeft(taggedRight)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = l2.select((leftCols.map(col) ++
+      Seq(col("_ts"), col("_side"), col("_ver")) ++
+      valueCols.map(c => col(s"_v_$c"))): _*)
+      .unionByName(r2.select((leftCols.map(col) ++
+        Seq(col("_ts"), col("_side"), col("_ver")) ++
+        valueCols.map(c => col(s"_v_$c"))): _*))
+    // right rows sort before left rows at equal ts (inclusive as-of);
+    // among right rows with equal ts the highest tie-break wins
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"), col("_ver"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .select((leftCols.map(col) :+ col("_side")) ++
+        valueCols.map(c => last(col(s"_v_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+
+  /** Enrich each purchase with the user's most recent view at or before
+    * the purchase time (classic clickstream attribution shape). */
+  val q63AsOfJoin: QueryDef = QueryDef("q63_asof_join",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  CAST(p.value AS DOUBLE) AS purchase_value,
+      |  v.event_id AS viewed_event, v.value AS viewed_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("value").as("purchase_value"), col("ts"))
+    val views = t.events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("viewed_event"), col("value").as("viewed_value"))
+    asOfJoin(purchases, views, key = "user_id",
+      leftTs = "ts", rightTs = "ts", rightTieBreak = "viewed_event",
+      valueCols = Seq("viewed_event", "viewed_value"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_value"),
+        col("viewed_event"), col("viewed_value"))
+      .orderBy(col("purchase_id"))
+  }
+}
