@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Exact, QueryDef, Tables}
+
+/** Deeper multi-join analytics shapes from the reference's TPC-H/TPC-DS
+  * corpus (queries under
+  * flink-table-planner-blink src/test/resources/tpch/queries and
+  * tpcds/queries — SURVEY.md §5), adapted to the fixture schema: returns
+  * analysis (Q10 shape), conditional aggregation (Q12 shape), big-order
+  * customers via HAVING-subquery (Q18 shape), and the STDDEV/VAR family
+  * computed through the same sum/count rewrite the reference's
+  * AggregateReduceFunctionsRule performs (keeps results deterministic
+  * under any merge order — built-in Welford-style stddev is not). */
+object Analytics {
+
+  import Exact._
+
+  def defs: Seq[QueryDef] = Seq(
+    q65ReturnsAnalysis, q66PriorityMix, q67StatsRewrite, q68BigOrders)
+
+  /** TPC-H Q10 shape: revenue lost to returns per customer, top 20. */
+  val q65ReturnsAnalysis: QueryDef = QueryDef("q65_returns_analysis",
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+              col("o_orderdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      .join(t.lineitem.filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(mulOneMinus(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape: conditional (CASE-based) aggregation — high- vs
+    * low-priority line counts per linestatus. */
+  val q66PriorityMix: QueryDef = QueryDef("q66_priority_mix",
+    """SELECT l_linestatus,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t.orders
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+              col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1).otherwise(0)).as("high_count"),
+        sum(when(!high, 1).otherwise(0)).as("low_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** STDDEV/VAR via the sum/count rewrite (reference
+    * AggregateReduceFunctionsRule / WindowAggregateReduceFunctionsRule —
+    * SURVEY §2.4): exact integer/decimal sums make the result independent
+    * of partial-aggregation merge order, unlike streaming-moment
+    * implementations. */
+  val q67StatsRewrite: QueryDef = QueryDef("q67_stats_rewrite",
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n,
+      |  SUM(l_quantity) AS s1,
+      |  SUM(l_quantity * l_quantity) AS s2,
+      |  (SUM(l_quantity * l_quantity) - SUM(l_quantity) * SUM(l_quantity) / COUNT(*)) / (COUNT(*) - 1) AS var_samp_q,
+      |  (SUM(l_quantity * l_quantity) - SUM(l_quantity) * SUM(l_quantity) / COUNT(*)) / COUNT(*) AS var_pop_q,
+      |  sqrt((SUM(l_quantity * l_quantity) - SUM(l_quantity) * SUM(l_quantity) / COUNT(*)) / (COUNT(*) - 1)) AS stddev_samp_q
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val s1 = sum(col("l_quantity"))
+    val s2 = sum(col("l_quantity") * col("l_quantity"))
+    val n = count(lit(1))
+    val varSamp = (s2 - s1 * s1 / n) / (n - 1)
+    val varPop = (s2 - s1 * s1 / n) / n
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(n.as("n"), s1.as("s1"), s2.as("s2"),
+        varSamp.as("var_samp_q"), varPop.as("var_pop_q"),
+        sqrt(varSamp).as("stddev_samp_q"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q18 shape: customers holding orders whose total quantity
+    * exceeds a threshold (aggregation subquery feeding a semi join). */
+  val q68BigOrders: QueryDef = QueryDef("q68_big_orders",
+    """SELECT c_custkey, o_orderkey, o_totalprice, t.total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING SUM(l_quantity) > 210) t
+      |  ON o_orderkey = t.l_orderkey
+      |ORDER BY t.total_qty DESC, o_orderkey
+      |LIMIT 50""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val big = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 210)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+}

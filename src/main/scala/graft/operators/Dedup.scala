@@ -138,9 +138,18 @@ object Dedup {
   val q46MinHashLsh: QueryDef = QueryDef("q46_minhash_lsh", duckJaccardSql) {
     (spark, dir) =>
       val sh = shingles3(Tables(spark, dir).documents).cache()
-      val sig = sh.groupBy(col("doc_id")).agg(
-        array((0 until NumHashes).map(i => min(xxhash64(lit(i), col("shingle")))): _*)
-          .as("sig"))
+      // hash each shingle ONCE, then derive the 96 permutations as linear
+      // maps mod 2^31-1 (operands stay < 2^62, so no overflow under ANSI
+      // mode) — 96 string re-hashes per shingle would dominate the whole
+      // query otherwise
+      val P = 2147483647L // 2^31 - 1
+      val hashed = sh.withColumn("h", (xxhash64(col("shingle")) % P + P) % P)
+      val sig = hashed.groupBy(col("doc_id")).agg(
+        array((0 until NumHashes).map { i =>
+          val a = (1234567L * (i + 1)) % P
+          val b = (987654321L * i) % P
+          min((col("h") * lit(a) + lit(b)) % P)
+        }: _*).as("sig"))
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until Bands).map(b =>
           xxhash64(lit(b), element_at(col("sig"), 3 * b + 1),
