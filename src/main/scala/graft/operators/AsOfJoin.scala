@@ -22,7 +22,37 @@ import graft.core.{Catalog, QueryDef, Tables}
   */
 object AsOfJoin {
 
-  def defs: Seq[QueryDef] = Seq(q63AsOfJoin)
+  def defs: Seq[QueryDef] = Seq(q63AsOfJoin, q69IntervalJoin)
+
+  /** Batch interval (time-bounded) join — reference
+    * TimeBoundedStreamJoin.java / StreamExecWindowJoin.scala:51 semantics
+    * on bounded data: count views per purchase from the same user within
+    * the preceding 3 days. The user_id equality keeps this a sort-merge
+    * join with the range as a residual condition — never a cross join.
+    * ts stays nanos-long on the Spark side (ordering-equivalent). */
+  val q69IntervalJoin: QueryDef = QueryDef("q69_interval_join",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  count(v.event_id) AS n_recent_views
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id
+      |  AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 3 DAY
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val nanos3d = 3L * 24 * 3600 * 1000 * 1000 * 1000
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = t.events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") && col("v_ts") > col("p_ts") - nanos3d,
+        "left")
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(col("v_id")).as("n_recent_views"))
+      .orderBy(col("purchase_id"))
+  }
 
   /** Generic as-of join: for each row of `left`, attach `valueCols` from
     * the latest `right` row with the same `key` and `rightTs ≤ leftTs`
