@@ -19,7 +19,8 @@ object Analytics {
   import Exact._
 
   def defs: Seq[QueryDef] = Seq(
-    q65ReturnsAnalysis, q66PriorityMix, q67StatsRewrite, q68BigOrders)
+    q65ReturnsAnalysis, q66PriorityMix, q67StatsRewrite, q68BigOrders,
+    q75DecimalEdge)
 
   /** TPC-H Q10 shape: revenue lost to returns per customer, top 20. */
   val q65ReturnsAnalysis: QueryDef = QueryDef("q65_returns_analysis",
@@ -129,5 +130,39 @@ object Analytics {
       .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"), col("total_qty"))
       .orderBy(col("total_qty").desc, col("o_orderkey"))
       .limit(50)
+  }
+
+  /** Decimal arithmetic semantics (SURVEY §7.4 risk item — reference
+    * DecimalITCase; Spark's `decimalOperations.allowPrecisionLoss` and
+    * widening rules differ from other engines): every operation carries an
+    * explicit result cast, the discipline that makes money arithmetic
+    * engine-portable. Division happens in decimal with a pinned scale;
+    * the final values leave as DOUBLE. */
+  val q75DecimalEdge: QueryDef = QueryDef("q75_decimal_edge",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(19,2))) AS DOUBLE) AS sum_add,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(24,4))) AS DOUBLE) AS sum_mul,
+      |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_p,
+      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_p,
+      |  round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) / CAST(COUNT(*) AS DECIMAL(19,0)) AS DOUBLE), 4) AS avg_div
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val p = col("l_extendedprice").cast(DecimalType(18, 2))
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum((p + col("l_tax").cast(DecimalType(18, 2))).cast(DecimalType(19, 2)))
+          .cast(DoubleType).as("sum_add"),
+        sum((p * col("l_discount").cast(DecimalType(18, 2))).cast(DecimalType(24, 4)))
+          .cast(DoubleType).as("sum_mul"),
+        min(p).cast(DoubleType).as("min_p"),
+        max(p).cast(DoubleType).as("max_p"),
+        // engines assign different scales to decimal division results
+        // (Spark's allowPrecisionLoss vs DuckDB's rules) — compare at 4dp
+        round((sum(p).cast(DecimalType(30, 2)) / count(lit(1)).cast(DecimalType(19, 0)))
+          .cast(DoubleType), 4).as("avg_div"))
+      .orderBy(col("l_returnflag"))
   }
 }

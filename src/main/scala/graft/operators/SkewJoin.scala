@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins (SURVEY.md §4.3 / the 100 TB design
+  * brief): AQE's skew-join handling (on in SessionFactory) covers sort-
+  * merge joins, but a hot key can still pin one task. Salting is the
+  * manual fallback: the skewed (probe) side scatters each key across
+  * `factor` salt buckets; the build side replicates each row into all
+  * buckets; joining on (key, salt) spreads the hot key over `factor`
+  * tasks. Results are identical to the unsalted join (spec-pinned). */
+object SkewJoin {
+
+  /** Inner equi-join of `skewed` and `small` on `key`, with the skewed
+    * side salted `factor` ways. `small` is replicated ×factor — use only
+    * when it is the (much) smaller side. */
+  def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
+      factor: Int): DataFrame = {
+    // deterministic pseudo-random salt: hash of the row's key + a
+    // monotonic id would be nondeterministic under retries; hashing the
+    // full row content is stable
+    val salted = skewed.withColumn("_salt",
+      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(factor)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated,
+      salted(key) === replicated(key) && salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+      .drop(replicated(key))
+  }
+}
