@@ -24,7 +24,8 @@ object SparkEntry {
       graft.operators.AsOfJoin.defs ++
       graft.operators.Aggregates.defs ++
       graft.operators.Analytics.defs ++
-      graft.streaming.StatefulBatch.defs
+      graft.streaming.StatefulBatch.defs ++
+      graft.operators.Funnel.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -17,7 +17,7 @@ object FunctionSurface {
 
   def defs: Seq[QueryDef] = Seq(
     q31StringFns, q32HashGapFns, q33MathFns, q34TemporalFns,
-    q35ConditionalFns, q36ArrayFns)
+    q35ConditionalFns, q36ArrayFns, q77StringFns2)
 
   /** String function battery (CONCAT_WS/LPAD/RPAD/REPEAT/REVERSE/UPPER/
     * LOWER/INITCAP/TRIM/INSTR/ASCII/LENGTH/SUBSTring/MD5/SHA256/BASE64 —
@@ -233,5 +233,43 @@ object FunctionSurface {
       array_min(slice(col("embedding"), 1, 4)).as("min_of_head"),
       array_contains(col("embedding"), 0.0f).as("has_zero"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Second string battery: TRANSLATE/POSITION/LEFT/RIGHT/CHR/
+    * SUBSTRING-from-end and PARSE_URL-style extraction (reference
+    * FlinkSqlOperatorTable PARSE_URL:588 — emulated with the same regexes
+    * on both engines since DuckDB has no parse_url). */
+  val q77StringFns2: QueryDef = QueryDef("q77_string_fns2",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?q=' || lang AS url,
+      |    source, lang
+      |  FROM documents)
+      |SELECT doc_id,
+      |  translate(source, 'src', 'XYZ') AS src_tr,
+      |  position('c' IN source) AS c_pos,
+      |  left(source, 3) AS l3,
+      |  right(source, 2) AS r2,
+      |  chr(65 + CAST(doc_id % 26 AS INT)) AS letter,
+      |  substring(source, greatest(length(source) - 1, 1)) AS tail2,
+      |  regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '[?]q=(\w+)', 1) AS query_param,
+      |  regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path
+      |FROM u ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val url = concat(lit("https://"), col("source"), lit(".example.com/p/"),
+      col("doc_id").cast(StringType), lit("?q="), col("lang"))
+    t.documents.select(
+      col("doc_id"),
+      translate(col("source"), "src", "XYZ").as("src_tr"),
+      instr(col("source"), "c").as("c_pos"),
+      substring(col("source"), 1, 3).as("l3"),
+      col("source").substr(greatest(length(col("source")) - 1, lit(1)), lit(2)).as("r2"),
+      chr(lit(65) + (col("doc_id") % 26).cast(IntegerType)).as("letter"),
+      col("source").substr(greatest(length(col("source")) - 1, lit(1)), length(col("source"))).as("tail2"),
+      regexp_extract(url, "https?://([^/]+)", 1).as("host"),
+      regexp_extract(url, "[?]q=(\\w+)", 1).as("query_param"),
+      regexp_extract(url, "://[^/]+(/[^?]*)", 1).as("path"))
+      .orderBy(col("doc_id"))
   }
 }

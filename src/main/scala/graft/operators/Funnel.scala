@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Ordered-pattern detection over keyed event sequences — the tractable
+  * core of the reference's MATCH_RECOGNIZE surface (StreamExecMatch.scala:
+  * 68; full NFA semantics stay deferred per SURVEY §7.3): a fixed
+  * A→B→C pattern over consecutive events compiles to lead() windows, which
+  * both batch and the DuckDB oracle evaluate identically. The streaming
+  * equivalent of the same shape is `StatefulOps` + a per-key state machine.
+  */
+object Funnel {
+
+  def defs: Seq[QueryDef] = Seq(q76Funnel)
+
+  /** Count view→click→purchase funnels per user (consecutive events,
+    * event-time order). */
+  val q76Funnel: QueryDef = QueryDef("q76_funnel",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    lead(event_type, 1) OVER win AS t1,
+      |    lead(event_type, 2) OVER win AS t2,
+      |    lead(event_id, 2) OVER win AS end_id
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |hits AS (
+      |  SELECT user_id, event_id, end_id FROM seq
+      |  WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase')
+      |SELECT user_id, count(*) AS n_funnels,
+      |  min(event_id) AS first_start_event,
+      |  max(end_id) AS last_end_event
+      |FROM hits
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      // spans stay out of the output: DuckDB's parquet reader rounds
+      // TIMESTAMP_NS to micros, so ns-derived durations can never match
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        lead(col("event_type"), 1).over(w).as("t1"),
+        lead(col("event_type"), 2).over(w).as("t2"),
+        lead(col("event_id"), 2).over(w).as("end_id"))
+      .filter(col("event_type") === "view" && col("t1") === "click" &&
+        col("t2") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_funnels"),
+        min(col("event_id")).as("first_start_event"),
+        max(col("end_id")).as("last_end_event"))
+      .orderBy(col("user_id"))
+  }
+}
