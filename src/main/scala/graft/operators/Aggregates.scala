@@ -18,7 +18,8 @@ import graft.core.{QueryDef, Tables}
 object Aggregates {
 
   def defs: Seq[QueryDef] = Seq(
-    q37LateralExplode, q38CollectAgg, q39WeightedAvgUdaf, q64ApproxDistinct)
+    q37LateralExplode, q38CollectAgg, q39WeightedAvgUdaf, q64ApproxDistinct,
+    q80FilterClause, q79OrdinalUnnest)
 
   /** UDTF: explode words laterally, global top-50 word frequencies. */
   val q37LateralExplode: QueryDef = QueryDef("q37_lateral_explode",
@@ -104,5 +105,46 @@ object Aggregates {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy(col("l_returnflag"))
+  }
+
+  /** FILTER-clause aggregates (SQL:2003; both engines support the same
+    * syntax — Spark plans them as conditional aggregates). */
+  val q80FilterClause: QueryDef = QueryDef("q80_filter_clause",
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total,
+      |  MIN(o_orderkey) FILTER (WHERE o_totalprice > 150000) AS first_big
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    graft.core.Catalog.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total,
+        |  MIN(o_orderkey) FILTER (WHERE o_totalprice > 150000) AS first_big
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** UNNEST WITH ORDINALITY parity: positional explode of the embedding
+    * arrays (reference LogicalUnnestRule; Spark posexplode). */
+  val q79OrdinalUnnest: QueryDef = QueryDef("q79_ordinal_unnest",
+    """SELECT vec_id, i, v
+      |FROM (SELECT vec_id,
+      |        unnest(embedding) AS v,
+      |        generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings)
+      |WHERE vec_id < 5 AND i <= 8
+      |ORDER BY vec_id, i""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(col("vec_id"), (col("i0") + 1).cast(IntegerType).as("i"), col("v"))
+      .filter(col("i") <= 8)
+      .orderBy(col("vec_id"), col("i"))
   }
 }
