@@ -17,7 +17,7 @@ object FunctionSurface {
 
   def defs: Seq[QueryDef] = Seq(
     q31StringFns, q32HashGapFns, q33MathFns, q34TemporalFns,
-    q35ConditionalFns, q36ArrayFns, q77StringFns2)
+    q35ConditionalFns, q36ArrayFns, q77StringFns2, q81MapStructFns)
 
   /** String function battery (CONCAT_WS/LPAD/RPAD/REPEAT/REVERSE/UPPER/
     * LOWER/INITCAP/TRIM/INSTR/ASCII/LENGTH/SUBSTring/MD5/SHA256/BASE64 —
@@ -271,5 +271,27 @@ object FunctionSurface {
       regexp_extract(url, "[?]q=(\\w+)", 1).as("query_param"),
       regexp_extract(url, "://[^/]+(/[^?]*)", 1).as("path"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Map/struct constructors and access (reference MAP_VALUE_CONSTRUCTOR /
+    * ROW / DOT / ITEM / CARDINALITY — SURVEY §2.8 array/map/row region).
+    * DuckDB map subscripts return a one-element LIST, hence the [1]. */
+  val q81MapStructFns: QueryDef = QueryDef("q81_map_struct_fns",
+    """SELECT event_id,
+      |  map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}['type'][1] AS m_type,
+      |  CAST(cardinality(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS INT) AS m_size,
+      |  struct_pack(t := event_type, v := value).t AS s_type,
+      |  struct_pack(t := event_type, v := value).v AS s_value
+      |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val m = map(lit("type"), col("event_type"), lit("uid"), col("user_id").cast(StringType))
+    val s = struct(col("event_type").as("t"), col("value").as("v"))
+    t.events.filter(col("event_id") < 100).select(
+      col("event_id"),
+      element_at(m, "type").as("m_type"),
+      size(m).as("m_size"),
+      s.getField("t").as("s_type"),
+      s.getField("v").as("s_value"))
+      .orderBy(col("event_id"))
   }
 }
