@@ -88,27 +88,41 @@ object Dedup {
       |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** Exact pairwise Jaccard ≥ threshold over a (doc_id, shingle) relation,
-    * restricted to `candidates` when given (LSH path). The intersection
-    * comes from a shingle equi-join — never a cross join. */
+  /** Exact pairwise Jaccard ≥ threshold over a (doc_id, shingle) relation.
+    * Brute force (no candidates): shingle equi-join — never a cross join.
+    * LSH path (candidates given): the equi-join would still be paid in
+    * full before any restriction, so instead each candidate pair joins the
+    * per-doc shingle sets (collected once) and intersects them in place —
+    * cost proportional to |candidates|, not to shingle co-occurrence. */
   private def jaccardPairs(sh: DataFrame, threshold: Double,
       candidates: Option[DataFrame]): DataFrame = {
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
-    val joined = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-    val restricted = candidates match {
-      case Some(c) => joined.join(c, Seq("id_a", "id_b"), "left_semi")
-      case None => joined
+    val jaccard = (i: Column, na: Column, nb: Column) =>
+      i.cast(DoubleType) / (na + nb - i)
+    candidates match {
+      case Some(c) =>
+        val sets = sh.groupBy(col("doc_id"))
+          .agg(collect_list(col("shingle")).as("shset"), count(lit(1)).as("n"))
+        c.join(sets.select(col("doc_id").as("id_a"), col("shset").as("sa"), col("n").as("na")), Seq("id_a"))
+          .join(sets.select(col("doc_id").as("id_b"), col("shset").as("sb"), col("n").as("nb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            jaccard(size(array_intersect(col("sa"), col("sb"))).cast(LongType),
+              col("na"), col("nb")).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+          .orderBy(col("id_a"), col("id_b"))
+      case None =>
+        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
+        val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
+        val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+        inter
+          .join(cnt.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+          .join(cnt.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            jaccard(col("i"), col("na"), col("nb")).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+          .orderBy(col("id_a"), col("id_b"))
     }
-    val inter = restricted.groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
-    inter
-      .join(cnt.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(cnt.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   private val duckJaccardSql: String =
