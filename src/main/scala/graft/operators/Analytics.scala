@@ -20,7 +20,7 @@ object Analytics {
 
   def defs: Seq[QueryDef] = Seq(
     q65ReturnsAnalysis, q66PriorityMix, q67StatsRewrite, q68BigOrders,
-    q75DecimalEdge)
+    q75DecimalEdge, q82Percentiles)
 
   /** TPC-H Q10 shape: revenue lost to returns per customer, top 20. */
   val q65ReturnsAnalysis: QueryDef = QueryDef("q65_returns_analysis",
@@ -163,6 +163,29 @@ object Analytics {
         // (Spark's allowPrecisionLoss vs DuckDB's rules) — compare at 4dp
         round((sum(p).cast(DecimalType(30, 2)) / count(lit(1)).cast(DecimalType(19, 0)))
           .cast(DoubleType), 4).as("avg_div"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles (SQL PERCENTILE_CONT; DuckDB
+    * quantile_cont uses the same linear interpolation — compared at 6dp
+    * to absorb interpolation-arithmetic ulps). At 100 TB scale exact
+    * percentiles become approx_percentile; kept exact here because the
+    * gate demands a hash match. */
+  val q82Percentiles: QueryDef = QueryDef("q82_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 6).as("p50_qty"),
+        round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)"), 6).as("p90_qty"),
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 6).as("p50_price"))
       .orderBy(col("l_returnflag"))
   }
 }
