@@ -14,7 +14,7 @@ import graft.core.{QueryDef, Tables}
   */
 object Funnel {
 
-  def defs: Seq[QueryDef] = Seq(q76Funnel)
+  def defs: Seq[QueryDef] = Seq(q76Funnel, q83PatternRuns)
 
   /** Count view→click→purchase funnels per user (consecutive events,
     * event-time order). */
@@ -51,5 +51,39 @@ object Funnel {
         min(col("event_id")).as("first_start_event"),
         max(col("end_id")).as("last_end_event"))
       .orderBy(col("user_id"))
+  }
+
+  /** Variable-length pattern (`view* purchase`) via gaps-and-islands: the
+    * running count of non-view events splits each user's timeline into
+    * islands, so the views consecutive before a purchase are exactly the
+    * views in the island preceding it. This is how unbounded-repetition
+    * MATCH_RECOGNIZE quantifiers lower onto window algebra. */
+  val q83PatternRuns: QueryDef = QueryDef("q83_pattern_runs",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type,
+      |    SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM events)
+      |SELECT p.user_id, p.event_id AS purchase_id,
+      |  count(v.event_id) AS preceding_view_run
+      |FROM (SELECT * FROM seq WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM seq WHERE event_type = 'view') v
+      |  ON v.user_id = p.user_id AND v.grp = p.grp - 1
+      |GROUP BY p.user_id, p.event_id
+      |ORDER BY p.user_id, purchase_id""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seq = t.events.select(col("user_id"), col("event_id"), col("event_type"),
+      sum(when(col("event_type") =!= "view", 1).otherwise(0)).over(w).as("grp"))
+    val p = seq.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("grp"))
+    val v = seq.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("grp").as("v_grp"))
+    p.join(v, col("v_user") === col("user_id") && col("v_grp") === col("grp") - 1, "left")
+      .groupBy(col("user_id"), col("purchase_id"))
+      .agg(count(col("v_id")).as("preceding_view_run"))
+      .orderBy(col("user_id"), col("purchase_id"))
   }
 }

@@ -135,4 +135,22 @@ class StreamingSpec extends SparkSpec {
     // click 105 @10:04 joins views 102 @10:01, 104 @10:03
     assert(rows == Set((101L, 103L), (102L, 103L), (102L, 105L), (104L, 105L)))
   }
+
+  test("dropDuplicatesWithinWatermark keeps first occurrence per key") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val deduped = input.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val query = deduped.writeStream
+      .format("memory").queryName("wmdedup").outputMode("append").start()
+    input.addData(batch1 ++ batch2) // one batch: 3 user-1 'view's, 2 'click's
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("wmdedup").as[Event].collect()
+    assert(rows.count(r => r.user_id == 1 && r.event_type == "view") == 1)
+    assert(rows.count(r => r.user_id == 1 && r.event_type == "click") == 1)
+    assert(rows.count(r => r.user_id == 2 && r.event_type == "view") == 1)
+  }
 }
