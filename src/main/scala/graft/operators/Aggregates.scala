@@ -19,7 +19,7 @@ object Aggregates {
 
   def defs: Seq[QueryDef] = Seq(
     q37LateralExplode, q38CollectAgg, q39WeightedAvgUdaf, q64ApproxDistinct,
-    q80FilterClause, q79OrdinalUnnest)
+    q80FilterClause, q79OrdinalUnnest, q84ApproxPercentile)
 
   /** UDTF: explode words laterally, global top-50 word frequencies. */
   val q37LateralExplode: QueryDef = QueryDef("q37_lateral_explode",
@@ -146,5 +146,21 @@ object Aggregates {
       .select(col("vec_id"), (col("i0") + 1).cast(IntegerType).as("i"), col("v"))
       .filter(col("i") <= 8)
       .orderBy(col("vec_id"), col("i"))
+  }
+
+  /** Approximate percentile sketch (Spark's percentile_approx; the
+    * companion to HLL in the sketch family — reference ships only HLL, this
+    * is an LLM-pipeline extension). Sketch output is engine-specific →
+    * rows-only gate; the spec bounds its error against the exact
+    * PERCENTILE_CONT of q82. */
+  val q84ApproxPercentile: QueryDef = QueryDef.rowsOnly("q84_approx_percentile") {
+    (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx"))
+        .orderBy(col("l_returnflag"))
   }
 }

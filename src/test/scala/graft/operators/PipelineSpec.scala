@@ -52,4 +52,17 @@ class PipelineSpec extends SparkSpec {
       .orderBy(col("ts"), col("event_id")).select("event_id").first().getLong(0)
     assert(kept == earliest)
   }
+
+  test("approx percentile within 2% of exact percentile_cont") {
+    import org.apache.spark.sql.functions._
+    val t = graft.core.Catalog.load(spark, sf("sf0.01"), "lineitem")
+    val both = t.groupBy(col("l_returnflag")).agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx"),
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact"))
+      .collect()
+    both.foreach { r =>
+      val (a, e) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) / e < 0.02, s"${r.getString(0)}: approx $a exact $e")
+    }
+  }
 }
