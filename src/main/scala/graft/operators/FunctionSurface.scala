@@ -17,7 +17,8 @@ object FunctionSurface {
 
   def defs: Seq[QueryDef] = Seq(
     q31StringFns, q32HashGapFns, q33MathFns, q34TemporalFns,
-    q35ConditionalFns, q36ArrayFns, q77StringFns2, q81MapStructFns)
+    q35ConditionalFns, q36ArrayFns, q77StringFns2, q81MapStructFns,
+    q85NullSemantics)
 
   /** String function battery (CONCAT_WS/LPAD/RPAD/REPEAT/REVERSE/UPPER/
     * LOWER/INITCAP/TRIM/INSTR/ASCII/LENGTH/SUBSTring/MD5/SHA256/BASE64 —
@@ -293,5 +294,48 @@ object FunctionSurface {
       s.getField("t").as("s_type"),
       s.getField("v").as("s_value"))
       .orderBy(col("event_id"))
+  }
+
+  /** Three-valued-logic battery (SURVEY §7.4 risk item: the fixtures carry
+    * no NULLs, so they are manufactured with an outer join + NULLIF):
+    * COUNT(col) vs COUNT(*), NULL-safe equality, NULL propagation through
+    * arithmetic/concat, COALESCE chains, NULLS FIRST ordering, and
+    * aggregate NULL-skipping. */
+  val q85NullSemantics: QueryDef = QueryDef("q85_null_semantics",
+    """WITH j AS (
+      |  SELECT o_orderkey, o_orderstatus, big.l_quantity AS q
+      |  FROM orders
+      |  LEFT JOIN (SELECT l_orderkey, max(l_quantity) AS l_quantity
+      |             FROM lineitem WHERE l_quantity >= 49 GROUP BY l_orderkey) big
+      |    ON big.l_orderkey = o_orderkey
+      |  WHERE o_orderkey < 2000)
+      |SELECT o_orderstatus,
+      |  count(*) AS n_rows,
+      |  count(q) AS n_notnull,
+      |  CAST(sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(sum(CASE WHEN q IS NOT DISTINCT FROM 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exactly_50,
+      |  CAST(sum(CASE WHEN (q + 1) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_arith_null,
+      |  CAST(sum(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullif,
+      |  coalesce(CAST(max(q) AS VARCHAR), 'none') AS max_or_none,
+      |  CAST(avg(q) IS NULL AS BOOLEAN) AS avg_all_null
+      |FROM j
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val big = t.lineitem.filter(col("l_quantity") >= 49)
+      .groupBy(col("l_orderkey")).agg(max(col("l_quantity")).as("q"))
+    val j = t.orders.filter(col("o_orderkey") < 2000)
+      .join(big, col("l_orderkey") === col("o_orderkey"), "left")
+    j.groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("q")).as("n_notnull"),
+        sum(when(col("q").isNull, 1).otherwise(0)).as("n_null"),
+        sum(when(col("q") <=> lit(50.0), 1).otherwise(0)).as("n_exactly_50"),
+        sum(when((col("q") + 1).isNull, 1).otherwise(0)).as("n_arith_null"),
+        sum(when(nullif(col("o_orderstatus"), lit("O")).isNull, 1).otherwise(0)).as("n_nullif"),
+        coalesce(max(col("q")).cast(StringType), lit("none")).as("max_or_none"),
+        avg(col("q")).isNull.as("avg_all_null"))
+      .orderBy(col("o_orderstatus").asc_nulls_first)
   }
 }
