@@ -62,17 +62,36 @@ object Dedup {
       .orderBy(col("canonical_id"))
   }
 
-  /** Distinct 3-gram word shingles per document (posexplode + lead window;
-    * measured faster than the narrow array-transform alternative — the
-    * higher-order-function lambda is interpreted per element and costs
+  /** Distinct n-gram word shingles per document, normalized to columns
+    * (doc_id, shingle) whatever the input column names (posexplode + lead
+    * window; measured faster than the narrow array-transform alternative —
+    * the higher-order-function lambda is interpreted per element and costs
     * more than the window's shuffle+sort at every tested scale). */
-  private[operators] def shingles3(docs: DataFrame): DataFrame = {
+  def shingles(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("i", "w")))
-      .withColumn("shingle", concat_ws(" ", (0 to 2).map(k => lead(col("w"), k).over(w)): _*))
-      .filter(size(split(col("shingle"), " ", -1)) === 3)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("i", "w")))
+      .withColumn("shingle",
+        concat_ws(" ", (0 until n).map(k => lead(col("w"), k).over(w)): _*))
+      .filter(size(split(col("shingle"), " ", -1)) === n)
       .select(col("doc_id"), col("shingle")).distinct()
+  }
+
+  /** n-gram Jaccard near-dup pairs ≥ threshold, exact (shingle equi-join,
+    * no cross join). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, threshold: Double = 0.6): DataFrame =
+    jaccardPairs(shingles(docs, idCol, textCol, n), threshold, None)
+
+  /** MinHash + banded-LSH near-dup pairs ≥ threshold with exact-Jaccard
+    * verification on the candidate set. rowsPerBand = numHashes / bands. */
+  def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
+      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    jaccardPairs(sh, threshold, Some(lshCandidates(sh, numHashes, bands)))
   }
 
   /** DuckDB CTEs producing the same distinct-3-gram-shingle relation. */
@@ -140,8 +159,7 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs, exact (shingle equi-join). */
   val q45NgramJaccard: QueryDef = QueryDef("q45_ngram_jaccard", duckJaccardSql) {
-    (spark, dir) =>
-      jaccardPairs(shingles3(Tables(spark, dir).documents), 0.6, None)
+    (spark, dir) => ngramJaccardPairs(Tables(spark, dir).documents)
   }
 
   private val NumHashes = 96
@@ -187,22 +205,26 @@ object Dedup {
     * shingle-join fan-out: signature = 96 independent min-hashes, 32 bands
     * of 3, candidates = pairs sharing a band bucket. */
   val q46MinHashLsh: QueryDef = QueryDef("q46_minhash_lsh", duckJaccardSql) {
-    (spark, dir) =>
-      val sh = shingles3(Tables(spark, dir).documents).cache()
-      val hashed = sh.withColumn("h", xxhash64(col("shingle")))
-      val sig = hashed.groupBy(col("doc_id"))
-        .agg(udaf(MinHashSig).apply(col("h")).as("sig"))
-      val bands = sig.select(col("doc_id"),
-        posexplode(array((0 until Bands).map(b =>
-          xxhash64(lit(b), element_at(col("sig"), 3 * b + 1),
-            element_at(col("sig"), 3 * b + 2), element_at(col("sig"), 3 * b + 3))): _*))
-          .as(Seq("band", "bucket")))
-      val l = bands.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-      val r = bands.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
-      val candidates = l.join(r, Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      jaccardPairs(sh, 0.6, Some(candidates))
+    (spark, dir) => minHashLshPairs(Tables(spark, dir).documents)
+  }
+
+  /** Candidate pairs sharing ≥1 LSH band bucket over the MinHash
+    * signatures of a (doc_id, shingle) relation. */
+  private def lshCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(udaf(MinHashSig).apply(col("h")).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until rows).map(k =>
+          element_at(col("sig"), rows * b + k + 1)): _*)): _*))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** DuckDB replica of the 32-bit shingle-feature SimHash (bit-majority
@@ -225,9 +247,10 @@ object Dedup {
        |fp AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)""".stripMargin
   }
 
-  /** Spark side of the same fingerprint. */
-  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles3(Tables(spark, dir).documents)
+  /** 32-bit shingle-feature SimHash fingerprints per document. */
+  def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
       .withColumn("wh", GraftFunctions.hashCode(col("shingle")))
     val votes = (0 until 32).map(b =>
       sum(when(shiftright(col("wh"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
@@ -243,7 +266,7 @@ object Dedup {
   val q47SimHash: QueryDef = QueryDef("q47_simhash",
     s"""WITH $duckSimhashSql
        |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin) {
-    (spark, dir) => simhashDf(spark, dir).orderBy(col("doc_id"))
+    (spark, dir) => simhashFingerprints(Tables(spark, dir).documents).orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ 5 (the planted near-dup
@@ -259,7 +282,7 @@ object Dedup {
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
-    val fp = simhashDf(spark, dir)
+    val fp = simhashFingerprints(Tables(spark, dir).documents)
     val a = fp.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
     val b = fp.select(col("doc_id").as("id_b"), col("simhash").as("hb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

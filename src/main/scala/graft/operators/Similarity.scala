@@ -72,9 +72,9 @@ object Similarity {
   /** Normalized corpus as primitive double arrays for broadcast into the
     * pair kernels. Arithmetic order matches the oracle: double cast,
     * left-assoc sum of squares, component divide. */
-  private def normalizedCorpus(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
-    Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"))
+  private def normalizedCorpus(emb: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Array[Double])] =
+    emb.select(col(idCol), col(vecCol))
       .collect()
       .map { r =>
         val v = r.getSeq[Float](1).toArray
@@ -109,10 +109,18 @@ object Similarity {
        |      FROM pairs)
        |WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin) { (spark, dir) =>
+    cosineKnn(spark, Tables(spark, dir).embeddings,
+      queryPred = col("vec_id") < 20, k = 5)
+  }
+
+  /** Exact cosine top-k: neighbors for every corpus row matching
+    * `queryPred`. Corpus broadcast once as primitive arrays; probe side
+    * distributed; ranking ties broken by neighbor id. */
+  def cosineKnn(spark: SparkSession, emb: DataFrame, queryPred: Column,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(normalizedCorpus(spark, dir))
-    Tables(spark, dir).embeddings
-      .filter(col("vec_id") < 20).select(col("vec_id")).as[Long]
+    val bc = spark.sparkContext.broadcast(normalizedCorpus(emb, idCol, vecCol))
+    emb.filter(queryPred).select(col(idCol)).as[Long]
       .mapPartitions { qids =>
         val corpus = bc.value
         val byId = corpus.toMap
@@ -123,7 +131,7 @@ object Similarity {
             .map { case (nid, nv) => (qid, nid, dotArr(qv, nv)) }
             .toSeq
             .sortBy { case (_, nid, cos) => (-cos, nid) }
-            .take(5)
+            .take(k)
             .zipWithIndex
             .map { case ((q, n, cos), i) => (q, n, i + 1, cos) }
         }
@@ -149,9 +157,16 @@ object Similarity {
        |SELECT id_a, id_b, round(cos, 9) AS cos_r
        |FROM pairs WHERE cos >= 0.46
        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    cosineNearDupPairs(spark, Tables(spark, dir).embeddings, 0.46)
+  }
+
+  /** All-pairs cosine threshold mining (broadcast corpus + distributed
+    * probe kernel — see object doc for why this is not column algebra). */
+  def cosineNearDupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(normalizedCorpus(spark, dir))
-    Tables(spark, dir).embeddings.select(col("vec_id")).as[Long]
+    val bc = spark.sparkContext.broadcast(normalizedCorpus(emb, idCol, vecCol))
+    emb.select(col(idCol)).as[Long]
       .mapPartitions { part =>
         val corpus = bc.value
         val byId = corpus.toMap
@@ -159,7 +174,7 @@ object Similarity {
           val va = byId(ida)
           corpus.iterator.collect {
             case (idb, vb) if ida < idb => (ida, idb, dotArr(va, vb))
-          }.filter(_._3 >= 0.46)
+          }.filter(_._3 >= threshold)
         }
       }
       .toDF("id_a", "id_b", "cos")

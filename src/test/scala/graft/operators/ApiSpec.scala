@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The pipeline operators are a library, not a fixture harness: this spec
+  * drives the generic entry points on freshly-built DataFrames with
+  * non-fixture column names and verifies the operator contracts hold. */
+class ApiSpec extends SparkSpec {
+
+  private lazy val corpus = {
+    import spark.implicits._
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and once"),
+      (12L, "completely different words about spark query engines and scale"),
+      (13L, "another unrelated sentence mentioning tables joins and shuffles wide")
+    ).toDF("id", "body")
+  }
+
+  test("ngram jaccard + minhash-lsh agree on custom column names") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "id", "body", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(corpus, "id", "body", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((10L, 11L)), s"got $exact")
+    assert(lsh == exact)
+  }
+
+  test("simhash fingerprints place near-dups close in hamming space") {
+    val fp = Dedup.simhashFingerprints(corpus, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(dist(10L, 11L) < dist(10L, 12L))
+    assert(dist(10L, 11L) < dist(10L, 13L))
+  }
+
+  test("cosine knn on a custom embeddings frame") {
+    import spark.implicits._
+    // orthogonal-ish unit vectors: 0-1 close, 2 far
+    val dim = 64
+    def vec(hot: Int, bleed: Int): Array[Float] = {
+      val a = new Array[Float](dim); a(hot) = 1f; a(bleed) = 0.4f; a
+    }
+    val emb = Seq(
+      (100L, vec(0, 1)), (101L, vec(0, 2)), (102L, vec(5, 6))
+    ).toDF("eid", "v")
+    val knn = Similarity.cosineKnn(spark, emb, col("eid") === 100L, k = 1,
+      idCol = "eid", vecCol = "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(knn == Set((100L, 101L)))
+  }
+
+  test("as-of join on a custom dimension enriches with the latest version") {
+    import spark.implicits._
+    val facts = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 150L, "c"))
+      .toDF("k", "t", "payload")
+    val dim = Seq((1L, 50L, 7L, "v1"), (1L, 150L, 8L, "v2"), (2L, 500L, 9L, "late"))
+      .toDF("k", "t", "ver", "dimval")
+    val out = AsOfJoin.asOfJoin(facts, dim, key = "k",
+      leftTs = "t", rightTs = "t", rightTieBreak = "ver",
+      valueCols = Seq("ver", "dimval"))
+      .select("k", "t", "payload", "dimval")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(out == Set(
+      (1L, 100L, "a", "v1"),  // only v1 (t=50) precedes t=100
+      (1L, 200L, "b", "v2"),  // v2 (t=150) is latest before t=200
+      (2L, 150L, "c", null))) // dim version arrives later -> null
+  }
+}
