@@ -21,6 +21,17 @@ object TextAnalysis {
 
   def defs: Seq[QueryDef] = Seq(q40TokenCount, q41LangQuality, q42Fingerprint)
 
+  /** Token/char statistics for any (id, text) frame. */
+  def tokenCounts(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), " ", -1)).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
+      size(array_distinct(split(col(textCol), " ", -1))).as("n_uniq_tokens"),
+      length(col(textCol)).as("n_chars"),
+      length(regexp_replace(col(textCol), " ", "")).as("n_nonspace_chars"))
+
   /** Whitespace tokens, BPE-ish regex tokens, distinct tokens, chars. */
   val q40TokenCount: QueryDef = QueryDef("q40_token_count",
     """SELECT doc_id,
@@ -30,15 +41,7 @@ object TextAnalysis {
       |  length(text) AS n_chars,
       |  length(replace(text, ' ', '')) AS n_nonspace_chars
       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val t = Tables(spark, dir)
-    t.documents.select(
-      col("doc_id"),
-      size(split(col("text"), " ", -1)).as("n_ws_tokens"),
-      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
-      size(array_distinct(split(col("text"), " ", -1))).as("n_uniq_tokens"),
-      length(col("text")).as("n_chars"),
-      length(regexp_replace(col("text"), " ", "")).as("n_nonspace_chars"))
-      .orderBy(col("doc_id"))
+    tokenCounts(Tables(spark, dir).documents).orderBy(col("doc_id"))
   }
 
   // tiny per-language marker lists for the n-gram language-ID heuristic
