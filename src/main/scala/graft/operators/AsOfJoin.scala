@@ -62,7 +62,7 @@ object AsOfJoin {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightTieBreak: String,
       valueCols: Seq[String]): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toSeq
     // align schemas: left rows carry NULL dim values, right rows NULL payload
     val taggedLeft = left
       .withColumn("_ts", col(leftTs))

@@ -21,7 +21,7 @@ object SkewJoin {
     // monotonic id would be nondeterministic under retries; hashing the
     // full row content is stable
     val salted = skewed.withColumn("_salt",
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(factor)).cast("int"))
+      pmod(xxhash64(struct(skewed.columns.toSeq.map(col): _*)), lit(factor)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated,
