@@ -32,7 +32,8 @@ object Relational {
     q14DistinctAgg, q15Union, q16UnionAll, q17Intersect, q18Except,
     q19IntersectAll, q20ExceptAll, q21WindowRank, q22WindowFrames,
     q23LeadLag, q24FirstLast, q25TopnPerGroup, q26LimitOffset,
-    q27InSubquery, q28CorrelatedScalar, q29NotInNullAware, q30Having)
+    q27InSubquery, q28CorrelatedScalar, q29NotInNullAware, q30Having,
+    q86DisjunctiveExists, q87RecursiveCte)
 
   /** TPC-H Q1 shape: scan → filter → two-phase hash agg → sort.
     * (reference: BatchExecHashAggregate.scala:43 + local/global split,
@@ -605,5 +606,50 @@ object Relational {
       .agg(count(lit(1)).as("n"), sumD(col("c_acctbal")).as("total_bal"))
       .filter(col("n") > 5)
       .orderBy(col("c_nationkey"))
+  }
+
+  /** Disjunctive EXISTS — subquery under OR, the decorrelation case the
+    * reference routes through FlinkSubQueryRemoveRule and Catalyst handles
+    * since 3.4 (DecorrelateInnerQuery). */
+  val q86DisjunctiveExists: QueryDef = QueryDef("q86_disjunctive_exists",
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      |   OR o_totalprice > 300000
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    graft.core.Catalog.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |   OR o_totalprice > 300000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Recursive CTE (Spark 4 feature; identical SQL runs on both engines):
+    * a generated threshold spine joined against orders. */
+  val q87RecursiveCte: QueryDef = QueryDef("q87_recursive_cte",
+    """WITH RECURSIVE spine(step) AS (
+      |  SELECT 1
+      |  UNION ALL
+      |  SELECT step + 1 FROM spine WHERE step < 20)
+      |SELECT step, step * 25000 AS threshold,
+      |  (SELECT count(*) FROM orders WHERE o_totalprice > step * 25000) AS n_above
+      |FROM spine
+      |ORDER BY step""".stripMargin) { (spark, dir) =>
+    graft.core.Catalog.registerAll(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE spine(step) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT step + 1 FROM spine WHERE step < 20)
+        |SELECT step, step * 25000 AS threshold,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > step * 25000) AS n_above
+        |FROM spine
+        |ORDER BY step""".stripMargin)
   }
 }
