@@ -7,19 +7,24 @@ object Bench {
     // absorb session/codegen/reader init outside the timed region
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd executes the query's own physical plan; a plain count()
       // would let Catalyst prune the projected expressions and
       // under-measure function-heavy queries
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+      catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    // a failed query reports -1.0 (not its elapsed-until-failure time) and
+    // is excluded from the total, so failures are visible in the JSON
+    val qs = timed.map { case (k, v, ok) =>
+      s"\"" + k + "\":" + (if (ok) v else -1.0)
+    }.mkString("{", ",", "}")
+    val failed = timed.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = timed.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

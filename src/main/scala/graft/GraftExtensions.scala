@@ -22,8 +22,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** SQL builder for hash_code with arity validation — a bare
+    * `children.head` would silently drop extra arguments and crash with a
+    * NoSuchElementException on zero arguments. */
+  def hashCodeBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 1)
+      throw new IllegalArgumentException(
+        s"Function hash_code requires exactly 1 argument, got ${children.length}")
+    JavaHashCode(children.head)
+  }
+
   val hashCodeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("hash_code"),
     new ExpressionInfo(classOf[JavaHashCode].getName, "hash_code"),
-    (children: Seq[Expression]) => JavaHashCode(children.head))
+    hashCodeBuilder _)
 }

@@ -72,7 +72,7 @@ object GraftFunctions {
     spark.udf.register("is_digit", (s: String) => s != null && s.matches("[0-9]+"))
     spark.udf.register("is_alpha", (s: String) => s != null && s.matches("[A-Za-z]+"))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hash_code", (children: Seq[Expression]) => JavaHashCode(children.head), "scala_udf")
+      "hash_code", graft.GraftExtensions.hashCodeBuilder _, "scala_udf")
   }
 }
 

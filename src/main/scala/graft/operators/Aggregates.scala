@@ -39,12 +39,16 @@ object Aggregates {
 
   /** Collection aggregates: sorted collect_list (multiset-deterministic)
     * and LISTAGG with sorted elements (reference ListAggFunction /
-    * CollectAggFunction). */
+    * CollectAggFunction). The gate output serializes the collected
+    * arrays as CSV — the driver's pandas comparator can't hash raw array
+    * cells — with cardinalities pinned alongside; AggregatesSpec exercises
+    * the raw array forms. */
   val q38CollectAgg: QueryDef = QueryDef("q38_collect_agg",
     """SELECT c_nationkey,
-      |  list_sort(list(c_mktsegment)) AS segments,
       |  string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments_csv,
-      |  list_sort(list(DISTINCT c_mktsegment)) AS uniq_segments
+      |  CAST(len(list(c_mktsegment)) AS BIGINT) AS n_segments,
+      |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS uniq_segments_csv,
+      |  CAST(len(list(DISTINCT c_mktsegment)) AS BIGINT) AS n_uniq
       |FROM customer WHERE c_custkey <= 100
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
@@ -52,9 +56,10 @@ object Aggregates {
     t.customer.filter(col("c_custkey") <= 100)
       .groupBy(col("c_nationkey"))
       .agg(
-        sort_array(collect_list(col("c_mktsegment"))).as("segments"),
         concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("segments_csv"),
-        sort_array(collect_set(col("c_mktsegment"))).as("uniq_segments"))
+        size(collect_list(col("c_mktsegment"))).cast(LongType).as("n_segments"),
+        concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("uniq_segments_csv"),
+        size(collect_set(col("c_mktsegment"))).cast(LongType).as("n_uniq"))
       .orderBy(col("c_nationkey"))
   }
 

@@ -58,40 +58,42 @@ object AsOfJoin {
     * the latest `right` row with the same `key` and `rightTs ≤ leftTs`
     * (inclusive; right ties broken by `rightTieBreak` — highest wins).
     * Left rows with no prior right row get NULLs (left-outer semantics).
+    *
+    * The carried values travel as ONE struct per right row, so every
+    * output column comes from the same right-side version — per-column
+    * `last(..., ignoreNulls)` would backfill a NULL field from an older
+    * version, silently mixing rows.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightTieBreak: String,
       valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
-    // align schemas: left rows carry NULL dim values, right rows NULL payload
+    val valsType = StructType(valueCols.map(c => right.schema(c)))
     val taggedLeft = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
       .withColumn("_ver", lit(Long.MaxValue))
+      .withColumn("_vals", lit(null).cast(valsType))
     val taggedRight = right
-      .select((Seq(col(key), col(rightTs).as("_ts")) ++
-        valueCols.map(c => col(c).as(s"_v_$c"))): _*)
+      .select(col(key), col(rightTs).as("_ts"),
+        col(rightTieBreak).cast("long").as("_ver"),
+        struct(valueCols.map(col): _*).as("_vals"))
       .withColumn("_side", lit(0))
-      .withColumn("_ver", col(s"_v_$rightTieBreak").cast("long"))
-    val l2 = valueCols.foldLeft(taggedLeft)((df, c) =>
-      df.withColumn(s"_v_$c", lit(null).cast(right.schema(c).dataType)))
     val r2 = leftCols.filterNot(_ == key).foldLeft(taggedRight)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = l2.select((leftCols.map(col) ++
-      Seq(col("_ts"), col("_side"), col("_ver")) ++
-      valueCols.map(c => col(s"_v_$c"))): _*)
-      .unionByName(r2.select((leftCols.map(col) ++
-        Seq(col("_ts"), col("_side"), col("_ver")) ++
-        valueCols.map(c => col(s"_v_$c"))): _*))
+    val shape = leftCols.map(col) ++ Seq(col("_ts"), col("_side"), col("_ver"), col("_vals"))
+    val unioned = taggedLeft.select(shape: _*).unionByName(r2.select(shape: _*))
     // right rows sort before left rows at equal ts (inclusive as-of);
     // among right rows with equal ts the highest tie-break wins
     val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"), col("_ver"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .select((leftCols.map(col) :+ col("_side")) ++
-        valueCols.map(c => last(col(s"_v_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .select((leftCols.map(col) :+ col("_side")) :+
+        last(col("_vals"), ignoreNulls = true).over(w).as("_carried"): _*)
       .filter(col("_side") === 1)
-      .drop("_side")
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("_carried").getField(c).as(c)): _*)
   }
 
   /** Enrich each purchase with the user's most recent view at or before

@@ -90,7 +90,13 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
       numHashes: Int = NumHashes, bands: Int = Bands): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    // no .cache() on the shingle relation even though both the signature
+    // path and the verification path consume it: at 100 TB the shingle
+    // expansion does not fit in cluster storage memory, and a library
+    // entry point that leaves blocks pinned in a long-lived session leaks.
+    // Recomputing costs one extra scan+window; callers that want reuse can
+    // persist the input themselves.
+    val sh = shingles(docs, idCol, textCol, n)
     jaccardPairs(sh, threshold, Some(lshCandidates(sh, numHashes, bands)))
   }
 

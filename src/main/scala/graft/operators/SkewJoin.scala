@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for shuffle joins (SURVEY.md §4.3 / the 100 TB design
@@ -17,11 +17,7 @@ object SkewJoin {
     * when it is the (much) smaller side. */
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
-    // deterministic pseudo-random salt: hash of the row's key + a
-    // monotonic id would be nondeterministic under retries; hashing the
-    // full row content is stable
-    val salted = skewed.withColumn("_salt",
-      pmod(xxhash64(struct(skewed.columns.toSeq.map(col): _*)), lit(factor)).cast("int"))
+    val salted = skewed.withColumn("_salt", saltCol(factor))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated,
@@ -29,4 +25,14 @@ object SkewJoin {
       .drop("_salt")
       .drop(replicated(key))
   }
+
+  /** The salt must vary across IDENTICAL duplicate rows — the canonical
+    * hot-key case — so it cannot be a hash of row content. It derives from
+    * the row's physical position (partition id + per-partition index),
+    * which is stable under task retry for deterministic sources, hashed to
+    * decorrelate from partition sizes. Any salt value yields a correct
+    * join: the build side is replicated into every bucket. */
+  private[graft] def saltCol(factor: Int): Column =
+    pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
+      lit(factor)).cast("int")
 }

@@ -68,4 +68,20 @@ class ApiSpec extends SparkSpec {
       (1L, 200L, "b", "v2"),  // v2 (t=150) is latest before t=200
       (2L, 150L, "c", null))) // dim version arrives later -> null
   }
+
+  test("as-of join takes all values from the SAME latest right row") {
+    import spark.implicits._
+    // the latest version (t=150) has a NULL dimval: real ASOF semantics
+    // return NULL — not a stale "v1" backfilled from the older version
+    val facts = Seq((1L, 200L, "a")).toDF("k", "t", "payload")
+    val dim = Seq((1L, 50L, 7L, Option("v1")), (1L, 150L, 8L, Option.empty[String]))
+      .toDF("k", "t", "ver", "dimval")
+    val out = AsOfJoin.asOfJoin(facts, dim, key = "k",
+      leftTs = "t", rightTs = "t", rightTieBreak = "ver",
+      valueCols = Seq("ver", "dimval"))
+      .select("k", "ver", "dimval").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 8L, "must carry the latest version's ver")
+    assert(out(0).isNullAt(2), "NULL field of the latest version must stay NULL")
+  }
 }

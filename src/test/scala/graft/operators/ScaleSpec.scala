@@ -64,5 +64,13 @@ class ScaleSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     val g = salted.groupBy("k").count().orderBy(col("count").desc).head()
     assert(g.getLong(0) == 1L && g.getLong(1) == 10000L)
+    // the 10k identical hot rows must actually spread across salt buckets
+    // (a content-derived salt would put them all in one task)
+    val buckets = hot.withColumn("_salt", SkewJoin.saltCol(8))
+      .groupBy("_salt").count().collect()
+    assert(buckets.length >= 4,
+      s"hot key landed in only ${buckets.length} salt buckets")
+    assert(buckets.map(_.getLong(1)).max < 10000L / 2,
+      "one salt bucket still holds most of the hot key's rows")
   }
 }
