@@ -3,11 +3,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg: bench only queries with this name prefix (dev
+    // iteration; the driver passes no args and benches the full set)
+    val prefix = if (args.length > 0) args(0) else ""
     val spark = graft.core.SessionFactory.local("graft-bench")
     // absorb session/codegen/reader init outside the timed region
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith(prefix)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd executes the query's own physical plan; a plain count()
       // would let Catalyst prune the projected expressions and

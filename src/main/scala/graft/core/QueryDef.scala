@@ -51,12 +51,31 @@ object Exact {
   def avgD(c: Column): Column =
     sum(dec2(c)).cast(DoubleType) / count(c)
 
-  /** Exact revenue term `x * (1 - d)` in decimal: (18,2)*(19,2) → (38,4). */
+  /** Exact revenue term `x * (1 - d)` in decimal: (12,2)*(4,2) → (17,4).
+    *
+    * Precisions are deliberately tight: a product that stays ≤ 18 digits
+    * keeps Spark's `Decimal` on its long-backed fast path (8-byte UnsafeRow
+    * slot, cheap copies) instead of boxing a 16-byte BigDecimal per row —
+    * the same long-vs-BigDecimal split the reference draws at 18 digits
+    * (reference: flink-table-runtime-blink .../dataformat/Decimal.java:43,
+    * SURVEY §1.2). The casts stay exact for any realistic money value
+    * (per-row prices don't grow with scale factor): (12,2) holds up to
+    * 9,999,999,999.99 and discounts/taxes are 2-decimal fractions < 10.
+    * Exactness also means the DuckDB oracle needs no mirrored precisions —
+    * both engines compute the identical rational value. */
   def mulOneMinus(x: Column, d: Column): Column =
-    dec2(x) * (lit(1) - dec2(d))
+    x.cast(DecimalType(12, 2)) * (lit(1) - d.cast(DecimalType(3, 2))).cast(DecimalType(4, 2))
 
   /** Exact charge term `x * (1 - d) * (1 + t)`: the first product is cast
-    * to (24,4) so the second stays within both engines' 38-digit cap. */
+    * to (12,4) — exact, see [[mulOneMinus]] — so the second product is
+    * (12,4)*(4,2) → (17,6), still on the long-backed fast path. */
   def mulOneMinusOnePlus(x: Column, d: Column, t: Column): Column =
-    mulOneMinus(x, d).cast(DecimalType(24, 4)) * (lit(1) + dec2(t)).cast(DecimalType(10, 2))
+    mulOneMinus(x, d).cast(DecimalType(12, 4)) * (lit(1) + t.cast(DecimalType(3, 2))).cast(DecimalType(4, 2))
+
+  /** Money column as exact integer cents (a codegen'd long, the cheapest
+    * exact representation): `round(x*100)` is exact for 2-decimal doubles
+    * (the product is within 1 ulp of an integer, never near .5), and the
+    * same expression evaluates identically in DuckDB. Sums of cents stay in
+    * long arithmetic end-to-end — the true fast path for hot aggregations. */
+  def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
 }
