@@ -15,6 +15,7 @@ object SparkEntry {
   /** All declared capabilities, one QueryDef per SURVEY.md §2 operator. */
   def all: Seq[QueryDef] =
     graft.operators.Relational.defs ++
+      graft.operators.TpcH.defs ++
       graft.operators.FunctionSurface.defs ++
       graft.operators.TextAnalysis.defs ++
       graft.operators.Dedup.defs ++
