@@ -68,6 +68,13 @@ object AsOfJoin {
       leftTs: String, rightTs: String, rightTieBreak: String,
       valueCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.StructType
+    // the internal tagging columns would silently shadow same-named user
+    // columns through withColumn — fail fast instead of corrupting output
+    val reserved = Set("_ts", "_side", "_ver", "_vals", "_carried")
+    val clash = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"asOfJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename input column(s) ${clash.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val valsType = StructType(valueCols.map(c => right.schema(c)))
     val taggedLeft = left

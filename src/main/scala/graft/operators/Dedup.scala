@@ -89,14 +89,21 @@ object Dedup {
     * verification on the candidate set. rowsPerBand = numHashes / bands. */
   def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
-      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame = {
-    // no .cache() on the shingle relation even though both the signature
-    // path and the verification path consume it: at 100 TB the shingle
-    // expansion does not fit in cluster storage memory, and a library
-    // entry point that leaves blocks pinned in a long-lived session leaks.
-    // Recomputing costs one extra scan+window; callers that want reuse can
-    // persist the input themselves.
-    val sh = shingles(docs, idCol, textCol, n)
+      numHashes: Int = NumHashes, bands: Int = Bands,
+      shinglePersist: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
+    // By default the shingle relation is NOT cached even though both the
+    // signature path and the verification path consume it: at 100 TB the
+    // shingle expansion does not fit in cluster storage memory, and a
+    // library entry point that leaves blocks pinned in a long-lived session
+    // leaks. Recomputing costs one extra scan+window. Small/medium-scale
+    // callers can opt in via shinglePersist (e.g. MEMORY_AND_DISK) — the
+    // blocks stay pinned until the session GCs them, which is the caller's
+    // trade to make.
+    val sh0 = shingles(docs, idCol, textCol, n)
+    val sh =
+      if (shinglePersist == org.apache.spark.storage.StorageLevel.NONE) sh0
+      else sh0.persist(shinglePersist)
     jaccardPairs(sh, threshold, Some(lshCandidates(sh, numHashes, bands)))
   }
 
@@ -199,8 +206,12 @@ object Dedup {
       x
     }
     def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    // ExpressionEncoder writes the buffer as an UnsafeArrayData of longs —
+    // a flat 8-byte-per-slot copy at every partial-agg/shuffle boundary.
+    // (The earlier javaSerialization encoder paid ObjectOutputStream per
+    // buffer crossing, measured ~15% of q46's runtime.)
     def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
-      org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
@@ -275,12 +286,47 @@ object Dedup {
     (spark, dir) => simhashFingerprints(Tables(spark, dir).documents).orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup pairs within a hamming radius, chunk-blocked
+    * (Manku/Jain/Sarma's pigeonhole blocking, WWW'07): the 32-bit
+    * fingerprint splits into `radius + 1` chunks, and two fingerprints
+    * within the radius must agree on ≥ 1 chunk at the same position — so
+    * candidates come from an equi-join on (chunk index, chunk value) and
+    * the exact popcount runs only on candidates. Produces the identical
+    * exact answer to the all-pairs comparison with no cartesian product;
+    * candidate volume is the per-bucket collision mass, which at uniform
+    * fingerprint spread is n²·(k/2^(32/k)) ≪ n² and shrinks further with a
+    * wider fingerprint. */
+  def simhashPairs(fp: DataFrame, radius: Int = 5): DataFrame = {
+    val chunks = radius + 1
+    val bitsPer = 32 / chunks // remainder bits join the last chunk
+    def chunkOf(c: Column, i: Int): Column = {
+      val width = if (i == chunks - 1) 32 - bitsPer * i else bitsPer
+      shiftrightunsigned(c, bitsPer * i).bitwiseAND((1L << width) - 1)
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until chunks).map(chunkOf(col("simhash"), _)): _*))
+        .as(Seq("ci", "cv")))
+    val l = banded.select(col("ci"), col("cv"), col("doc_id").as("id_a"), col("simhash").as("ha"))
+    val r = banded.select(col("ci"), col("cv"), col("doc_id").as("id_b"), col("simhash").as("hb"))
+    // a pair sharing k chunks surfaces k times; instead of a distinct()
+    // shuffle, keep it only where ci is the FIRST equal chunk — pure
+    // codegen'd per-row arithmetic, each pair emitted exactly once
+    val firstEqual = (0 until chunks).foldRight(lit(-1)) { (i, rest) =>
+      when(chunkOf(col("ha"), i) === chunkOf(col("hb"), i), lit(i)).otherwise(rest)
+    }
+    l.join(r, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("ci") === firstEqual)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast(LongType).as("dist"))
+      .filter(col("dist") <= radius)
+  }
+
   /** SimHash near-dup pairs: hamming distance ≤ 5 (the planted near-dup
-    * pairs sit at ≤ 5 on this corpus; background mass starts at 6). The
-    * pair join here is O(n²) at the comparison level — the scale path is
-    * chunk-blocking (pigeonhole: distance ≤ 5 over 8 four-bit chunks forces
-    * ≥ 1 equal chunk), demonstrated in the spec; kept exact here to stay
-    * oracle-comparable. */
+    * pairs sit at ≤ 5 on this corpus; background mass starts at 6),
+    * via [[simhashPairs]] chunk-blocking — the oracle is the all-pairs
+    * formulation, the engine never builds a cross join (plan-asserted in
+    * ScaleSpec). */
   val q48SimHashPairs: QueryDef = QueryDef("q48_simhash_pairs",
     s"""WITH $duckSimhashSql
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -288,13 +334,7 @@ object Dedup {
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
-    val fp = simhashFingerprints(Tables(spark, dir).documents)
-    val a = fp.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
-    val b = fp.select(col("doc_id").as("id_b"), col("simhash").as("hb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))).cast(LongType))
-      .filter(col("dist") <= 5)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    simhashPairs(simhashFingerprints(Tables(spark, dir).documents))
       .orderBy(col("id_a"), col("id_b"))
   }
 }

@@ -14,10 +14,21 @@ object SkewJoin {
 
   /** Inner equi-join of `skewed` and `small` on `key`, with the skewed
     * side salted `factor` ways. `small` is replicated ×factor — use only
-    * when it is the (much) smaller side. */
+    * when it is the (much) smaller side.
+    *
+    * REQUIRES a deterministic `skewed` input (file scans, shuffles of
+    * deterministic plans): the salt derives from each row's physical
+    * position, so a fetch-failure/stage-retry that *recomputes* rows in a
+    * different order would re-salt them and could route rows to reducers
+    * that already produced output — duplicating or dropping rows
+    * (SPARK-23207 class). For a non-deterministic upstream (e.g. a prior
+    * salted/sampled stage), pass `checkpoint = true`: the salted side is
+    * localCheckpoint'ed so retries replay materialized rows instead of
+    * recomputing salts. */
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
-      factor: Int): DataFrame = {
-    val salted = skewed.withColumn("_salt", saltCol(factor))
+      factor: Int, checkpoint: Boolean = false): DataFrame = {
+    val salted0 = skewed.withColumn("_salt", saltCol(factor))
+    val salted = if (checkpoint) salted0.localCheckpoint() else salted0
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated,

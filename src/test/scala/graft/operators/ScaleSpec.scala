@@ -65,12 +65,25 @@ class ScaleSpec extends SparkSpec {
     val g = salted.groupBy("k").count().orderBy(col("count").desc).head()
     assert(g.getLong(0) == 1L && g.getLong(1) == 10000L)
     // the 10k identical hot rows must actually spread across salt buckets
-    // (a content-derived salt would put them all in one task)
-    val buckets = hot.withColumn("_salt", SkewJoin.saltCol(8))
+    // (a content-derived salt would put them all in one task); fixed
+    // repartition count so the position-derived salt distribution is
+    // reproducible across machines/core counts
+    val buckets = hot.repartition(4).withColumn("_salt", SkewJoin.saltCol(8))
       .groupBy("_salt").count().collect()
     assert(buckets.length >= 4,
       s"hot key landed in only ${buckets.length} salt buckets")
     assert(buckets.map(_.getLong(1)).max < 10000L / 2,
       "one salt bucket still holds most of the hot key's rows")
+  }
+
+  test("q48 simhash pairs plan has no cartesian product") {
+    val df = graft.SparkEntry.queries("q48_simhash_pairs")(spark, sf())
+    df.collect()
+    val bad = collectAll(df.queryExecution.executedPlan).collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty,
+      s"chunk-blocked simhash pairs must join on (chunk,value), got ${bad.map(_.nodeName)}")
   }
 }
