@@ -69,14 +69,29 @@ object Similarity {
        |  FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
        |  WHERE q.vec_id < 20)""".stripMargin
 
+  /** Hard cap on the corpus rows the exact kernels will materialize on
+    * the driver: 64-dim doubles ≈ 600 B/row, so 1M rows ≈ 600 MB of
+    * broadcast — the practical ceiling for a driver-assembled broadcast.
+    * Beyond this, exact all-pairs is the wrong algorithm at any driver
+    * size; [[annLsh]] is the scale path (distributed bucket joins, no
+    * driver materialization). */
+  val MaxBroadcastCorpusRows: Int = 1000000
+
   /** Normalized corpus as primitive double arrays for broadcast into the
     * pair kernels. Arithmetic order matches the oracle: double cast,
-    * left-assoc sum of squares, component divide. */
+    * left-assoc sum of squares, component divide.
+    *
+    * The collect is bounded: at most `maxRows + 1` rows are fetched (the
+    * limit travels into the scan), and exceeding `maxRows` fails fast with
+    * a pointer to the LSH path rather than silently OOM-ing the driver. */
   private def normalizedCorpus(emb: DataFrame, idCol: String,
-      vecCol: String): Array[(Long, Array[Double])] =
-    emb.select(col(idCol), col(vecCol))
-      .collect()
-      .map { r =>
+      vecCol: String, maxRows: Int): Array[(Long, Array[Double])] = {
+    val rows = emb.select(col(idCol), col(vecCol)).limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"exact-cosine corpus exceeds $maxRows rows; the all-pairs baseline " +
+        "broadcasts the corpus from the driver and does not scale past " +
+        "broadcast size - use annLsh (bucketed, fully distributed) instead")
+    rows.map { r =>
         val v = r.getSeq[Float](1).toArray
         val e = new Array[Double](v.length)
         var i = 0; var ss = 0.0
@@ -87,6 +102,7 @@ object Similarity {
         (r.getLong(0), e)
       }
       .sortBy(_._1)
+  }
 
   /** Left-assoc primitive dot — bit-identical to the oracle's unrolled
     * `a[1]*b[1] + a[2]*b[2] + …`. */
@@ -117,9 +133,11 @@ object Similarity {
     * `queryPred`. Corpus broadcast once as primitive arrays; probe side
     * distributed; ranking ties broken by neighbor id. */
   def cosineKnn(spark: SparkSession, emb: DataFrame, queryPred: Column,
-      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCorpusRows: Int = MaxBroadcastCorpusRows): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(normalizedCorpus(emb, idCol, vecCol))
+    val bc = spark.sparkContext.broadcast(
+      normalizedCorpus(emb, idCol, vecCol, maxCorpusRows))
     emb.filter(queryPred).select(col(idCol)).as[Long]
       .mapPartitions { qids =>
         val corpus = bc.value
@@ -163,9 +181,11 @@ object Similarity {
   /** All-pairs cosine threshold mining (broadcast corpus + distributed
     * probe kernel — see object doc for why this is not column algebra). */
   def cosineNearDupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCorpusRows: Int = MaxBroadcastCorpusRows): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(normalizedCorpus(emb, idCol, vecCol))
+    val bc = spark.sparkContext.broadcast(
+      normalizedCorpus(emb, idCol, vecCol, maxCorpusRows))
     emb.select(col(idCol)).as[Long]
       .mapPartitions { part =>
         val corpus = bc.value
@@ -203,10 +223,19 @@ object Similarity {
     annLsh(spark, dir)
   }
 
-  /** Shared implementation so the recall spec can call it directly. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+  /** Fixture adapter (q52 + the recall spec). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshNeighbors(Tables(spark, dir).embeddings, col("vec_id") < 20, k = 3)
+
+  /** LSH-bucketed approximate top-k: fully distributed (bucket equi-joins,
+    * no driver materialization, no cross join) — the scale path when the
+    * corpus exceeds [[MaxBroadcastCorpusRows]]. */
+  def annLshNeighbors(embIn: DataFrame, queryPred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // queryPred is evaluated against the caller's schema here, before the
+    // internal rename, so it may reference any input column
+    val emb = embIn.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("e"), queryPred.as("_is_q"))
 
     // sign-bit bucket id per table: bit p set iff dot(v, plane_p) >= 0
     def bucket(tbl: Int): Column =
@@ -217,10 +246,10 @@ object Similarity {
         when(proj >= 0, lit(1L << p)).otherwise(0L)
       }.reduce[Column](_ + _)
 
-    val buckets = emb.select(col("vec_id"), col("e"),
+    val buckets = emb.select(col("vec_id"), col("e"), col("_is_q"),
       posexplode(array((0 until Tables_).map(bucket): _*)).as(Seq("tbl", "bucket")))
 
-    val q = buckets.filter(col("vec_id") < 20)
+    val q = buckets.filter(col("_is_q"))
       .select(col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("e").as("ea"))
     val c = buckets
       .select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"), col("e").as("eb"))
@@ -235,7 +264,7 @@ object Similarity {
       .withColumn("cos", dot(col("ea"), col("eb")) /
         (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 9).as("cos_r"))
       .orderBy(col("query_id"), col("rnk"))

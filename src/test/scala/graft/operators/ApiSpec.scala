@@ -52,6 +52,31 @@ class ApiSpec extends SparkSpec {
     assert(knn == Set((100L, 101L)))
   }
 
+  test("exact-cosine kernels refuse a corpus beyond the broadcast cap") {
+    import spark.implicits._
+    val emb = (0L to 9L).map(i => (i, Array.fill(64)(i.toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineKnn(spark, emb, col("vec_id") === 0L, k = 1,
+        maxCorpusRows = 5).collect()
+    }
+    assert(e.getMessage.contains("annLsh"))
+  }
+
+  test("annLshNeighbors runs on a custom schema with a custom predicate") {
+    import spark.implicits._
+    val dim = 64
+    def vec(hot: Int, bleed: Int): Array[Float] = {
+      val a = new Array[Float](dim); a(hot) = 1f; a(bleed) = 0.4f; a
+    }
+    val emb = Seq(
+      (100L, vec(0, 1)), (101L, vec(0, 2)), (102L, vec(5, 6))
+    ).toDF("eid", "v")
+    val out = Similarity.annLshNeighbors(emb, col("eid") === 100L, k = 2,
+      idCol = "eid", vecCol = "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall(_._1 == 100L) && out.nonEmpty)
+  }
+
   test("as-of join on a custom dimension enriches with the latest version") {
     import spark.implicits._
     val facts = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 150L, "c"))
