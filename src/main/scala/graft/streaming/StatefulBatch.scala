@@ -20,7 +20,8 @@ import graft.core.QueryDef
   */
 object StatefulBatch {
 
-  def defs: Seq[QueryDef] = Seq(q72TopnState, q73KeepLastState, q74RunningOver)
+  def defs: Seq[QueryDef] =
+    Seq(q72TopnState, q73KeepLastState, q74RunningOver, q88TemporalJoinState)
 
   val q72TopnState: QueryDef = QueryDef("q72_topn_state",
     """SELECT user_id, rank, event_id, value FROM (
@@ -62,5 +63,29 @@ object StatefulBatch {
       .select(col("user_id"), col("event_id"), col("running_count"),
         round(col("running_sum"), 4).as("running_sum"), col("running_max"))
       .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** The streaming temporal join (TemporalJoin.temporalJoin) collapsed to
+    * batch, against the same ASOF oracle as the batch rewrite (q63) — one
+    * operator, two execution modes, one answer. */
+  val q88TemporalJoinState: QueryDef = QueryDef("q88_temporal_join_state",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  CAST(p.value AS DOUBLE) AS purchase_value,
+      |  v.event_id AS viewed_event, v.value AS viewed_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = StatefulOps.typedEvents(spark, dir)
+    val facts = ev.filter(_.event_type == "purchase")
+      .map(e => TemporalJoin.Fact(e.user_id, e.ts, e.event_id, e.value))
+    val dims = ev.filter(_.event_type == "view")
+      .map(e => TemporalJoin.DimVersion(e.user_id, e.ts, e.event_id, e.value))
+    TemporalJoin.temporalJoin(facts, dims, delay = "0 seconds").toDF()
+      .select(col("fact_id").as("purchase_id"), col("k").as("user_id"),
+        col("fact_value").as("purchase_value"),
+        col("dim_ver").as("viewed_event"), col("dim_value").as("viewed_value"))
+      .orderBy(col("purchase_id"))
   }
 }

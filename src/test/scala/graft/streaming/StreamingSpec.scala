@@ -136,6 +136,78 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((101L, 103L), (102L, 103L), (102L, 105L), (104L, 105L)))
   }
 
+  test("stream-stream SEMI join emits left rows with a time-bounded match") {
+    // reference StreamingSemiAntiJoinOperator.java:35 — semi side:
+    // views that got a click from the same user within 3 minutes
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val c = clicks.toDS().filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val v = views.toDS().filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    val joined = StreamJoins.semiJoin(v, c,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") && col("c_ts") <= col("v_ts") + expr("INTERVAL 3 MINUTES"))
+    val query = joined.writeStream
+      .format("memory").queryName("sssemi").outputMode("append").start()
+    views.addData(batch1 ++ batch2)
+    clicks.addData(batch1 ++ batch2)
+    query.processAllAvailable()
+    // flush: advance both watermarks past every candidate view
+    views.addData(Event(9, 901, ts(59), "view", 0.0))
+    clicks.addData(Event(9, 902, ts(59), "click", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("sssemi").collect().map(_.getAs[Long]("v_id")).toSet
+    // clicks 103 @10:02 / 105 @10:04 cover views 101, 102, 104; each view
+    // appears ONCE even when matched by two clicks (102 matches both)
+    assert(got.intersect(Set(101L, 102L, 104L)) == Set(101L, 102L, 104L))
+    assert(spark.table("sssemi").collect().length ==
+      spark.table("sssemi").collect().map(_.getAs[Long]("v_id")).distinct.length,
+      "semi join must not duplicate a left row per match")
+    assert(!got.contains(201L), "user-2 view has no click at all")
+  }
+
+  test("stream-stream ANTI join emits left rows with no match once the watermark closes") {
+    // anti side of StreamingSemiAntiJoinOperator: views never clicked
+    // within the bound; emission requires the watermark to pass the
+    // bound (only then is 'no match' final)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val c = clicks.toDS().filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val v = views.toDS().filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    // Spark rejects a native stream-stream left_anti; StreamJoins.antiJoin
+    // composes it from the watermark-closed left-outer join
+    val joined = StreamJoins.antiJoin(v, c,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") && col("c_ts") <= col("v_ts") + expr("INTERVAL 3 MINUTES"),
+      rightProbe = col("c_user"))
+    val query = joined.writeStream
+      .format("memory").queryName("ssanti").outputMode("append").start()
+    views.addData(batch1 ++ batch2)
+    clicks.addData(batch1 ++ batch2)
+    query.processAllAvailable()
+    views.addData(Event(9, 901, ts(59), "view", 0.0))
+    clicks.addData(Event(9, 902, ts(59), "click", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("ssanti").collect().map(_.getAs[Long]("v_id")).toSet
+    // view 201 (user 2) is never clicked; views 101/102/104 all are
+    assert(got.contains(201L), s"unmatched view must surface in anti join, got $got")
+    assert(got.intersect(Set(101L, 102L, 104L)).isEmpty,
+      s"matched views must not appear in anti join, got $got")
+  }
+
   test("dropDuplicatesWithinWatermark keeps first occurrence per key") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
