@@ -16,6 +16,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     graft.operators.Relational.defs ++
       graft.operators.TpcH.defs ++
+      graft.operators.TpcDsComposites.defs ++
       graft.operators.FunctionSurface.defs ++
       graft.operators.TextAnalysis.defs ++
       graft.operators.Dedup.defs ++

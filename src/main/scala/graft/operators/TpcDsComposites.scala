@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.core.QueryDef
+
+/** TPC-DS-style composite queries — the multi-CTE, multi-subquery
+  * "monster" shapes that define the reference's breadth claim (reference:
+  * TpcDsBatchExecITCase.scala:104-139 over 107 query files under
+  * resources/tpcds/queries/1/). The fixture schema has no 24-table TPC-DS
+  * catalog, so these transplant the *composition stress* onto the TPC-H
+  * fixtures: CTEs consumed multiple times (the reference's
+  * SubplanReuser.scala:53 — Spark's ReuseExchangeAndSubquery, asserted in
+  * TpcDsCompositeSpec), INTERSECT/EXCEPT between channel aggregates,
+  * scalar-subquery thresholds over reused aggregates, and UNION ALL of
+  * per-channel branches. One SQL text runs on both engines.
+  *
+  * o_orderstatus (F/O/P) stands in for the store/web/catalog channel
+  * split of q14a/q23a.
+  */
+object TpcDsComposites {
+
+  def defs: Seq[QueryDef] = Seq(qds14, qds23, qds67)
+
+  private val REV =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2))"
+
+  private def sqlBoth(name: String, sql: String): QueryDef =
+    QueryDef(name, sql) { (spark, dir) =>
+      graft.core.Catalog.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+
+  /** q14a shape: cross_items = parts present in ALL THREE channels (double
+    * INTERSECT), an average-sales scalar CTE consumed by every branch's
+    * HAVING, and a UNION ALL of the three per-channel aggregates. The
+    * HAVING compares each brand's per-row average to the global average —
+    * scale-invariant selectivity. */
+  val qds14: QueryDef = sqlBoth("qds14_cross_channel",
+    s"""WITH cross_items AS (
+       |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'F'
+       |  INTERSECT
+       |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'O'
+       |  INTERSECT
+       |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'P'),
+       |avg_sales AS (
+       |  SELECT CAST(SUM($REV) AS DOUBLE) / COUNT(*) AS average_sales FROM lineitem)
+       |SELECT channel, p_brand, sum_sales, number_sales FROM (
+       |  SELECT 'store' AS channel, p_brand,
+       |         CAST(SUM($REV) AS DOUBLE) AS sum_sales, COUNT(*) AS number_sales
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |                JOIN part ON p_partkey = l_partkey
+       |  WHERE o_orderstatus = 'F' AND l_partkey IN (SELECT l_partkey FROM cross_items)
+       |  GROUP BY p_brand
+       |  HAVING CAST(SUM($REV) AS DOUBLE) / COUNT(*) > (SELECT average_sales FROM avg_sales)
+       |  UNION ALL
+       |  SELECT 'online' AS channel, p_brand,
+       |         CAST(SUM($REV) AS DOUBLE) AS sum_sales, COUNT(*) AS number_sales
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |                JOIN part ON p_partkey = l_partkey
+       |  WHERE o_orderstatus = 'O' AND l_partkey IN (SELECT l_partkey FROM cross_items)
+       |  GROUP BY p_brand
+       |  HAVING CAST(SUM($REV) AS DOUBLE) / COUNT(*) > (SELECT average_sales FROM avg_sales)
+       |  UNION ALL
+       |  SELECT 'pending' AS channel, p_brand,
+       |         CAST(SUM($REV) AS DOUBLE) AS sum_sales, COUNT(*) AS number_sales
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |                JOIN part ON p_partkey = l_partkey
+       |  WHERE o_orderstatus = 'P' AND l_partkey IN (SELECT l_partkey FROM cross_items)
+       |  GROUP BY p_brand
+       |  HAVING CAST(SUM($REV) AS DOUBLE) / COUNT(*) > (SELECT average_sales FROM avg_sales)
+       |) x
+       |ORDER BY channel, p_brand""".stripMargin)
+
+  /** q23a shape: a per-customer aggregate CTE consumed TWICE (once as the
+    * outer relation, once inside the MAX scalar subquery), a
+    * frequent-items CTE over a pre-aggregate, and both feeding IN
+    * subqueries of the final fact scan. */
+  val qds23: QueryDef = sqlBoth("qds23_frequent_spenders",
+    s"""WITH monthly AS (
+       |  SELECT l_partkey, EXTRACT(MONTH FROM l_shipdate) AS m
+       |  FROM lineitem GROUP BY 1, 2),
+       |frequent_parts AS (
+       |  SELECT l_partkey FROM monthly GROUP BY l_partkey HAVING COUNT(*) >= 10),
+       |cust_total AS (
+       |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+       |  FROM orders GROUP BY 1),
+       |best_customers AS (
+       |  SELECT o_custkey FROM cust_total
+       |  WHERE CAST(total AS DOUBLE) > 0.5 * (SELECT CAST(MAX(total) AS DOUBLE) FROM cust_total))
+       |SELECT CAST(SUM($REV) AS DOUBLE) AS total_revenue, COUNT(*) AS n
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_partkey IN (SELECT l_partkey FROM frequent_parts)
+       |  AND o_custkey IN (SELECT o_custkey FROM best_customers)
+       |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'""".stripMargin)
+
+  /** Channel EXCEPT + ROLLUP composite: parts moved in bulk (qty ≥ 48)
+    * through the F channel but never in bulk through P, aggregated with a
+    * brand/type rollup (grouping-set grammar over a set-op-derived
+    * dimension). */
+  val qds67: QueryDef = sqlBoth("qds67_except_rollup",
+    s"""WITH f_parts AS (
+       |  SELECT DISTINCT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'F' AND l_quantity >= 48),
+       |p_parts AS (
+       |  SELECT DISTINCT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'P' AND l_quantity >= 48),
+       |only_f AS (SELECT l_partkey FROM f_parts EXCEPT SELECT l_partkey FROM p_parts)
+       |SELECT p_brand, p_type, COUNT(*) AS n, CAST(SUM($REV) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE l_partkey IN (SELECT l_partkey FROM only_f)
+       |GROUP BY ROLLUP(p_brand, p_type)
+       |ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST""".stripMargin)
+}

@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The TPC-DS composite queries must actually REUSE their shared CTE
+  * subplans at execution (the reference's SubplanReuser.scala:53; Spark's
+  * ReuseExchangeAndSequence runs inside AQE, so the check reads the
+  * executed plan, not the static one): a triple-consumed INTERSECT CTE or
+  * a twice-consumed aggregate that re-computes per consumer would triple
+  * the dominant scan at 100 TB. */
+class TpcDsCompositeSpec extends SparkSpec {
+
+  private def reuseCount(name: String): Int = {
+    val df = graft.SparkEntry.queries(name)(spark, sf())
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    "ReusedExchange".r.findAllIn(s).length + "ReusedSubquery".r.findAllIn(s).length
+  }
+
+  test("qds14 reuses the cross_items CTE and the avg_sales scalar across branches") {
+    assert(reuseCount("qds14_cross_channel") >= 2,
+      "expected ReusedExchange/ReusedSubquery for the triple-consumed CTEs")
+  }
+
+  test("qds23 reuses the cust_total aggregate between outer scan and MAX subquery") {
+    assert(reuseCount("qds23_frequent_spenders") >= 1)
+  }
+}
