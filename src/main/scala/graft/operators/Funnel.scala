@@ -14,7 +14,7 @@ import graft.core.{QueryDef, Tables}
   */
 object Funnel {
 
-  def defs: Seq[QueryDef] = Seq(q76Funnel, q83PatternRuns)
+  def defs: Seq[QueryDef] = Seq(q76Funnel, q83PatternRuns, q89MatchRecognize)
 
   /** Count view→click→purchase funnels per user (consecutive events,
     * event-time order). */
@@ -84,6 +84,54 @@ object Funnel {
     p.join(v, col("v_user") === col("user_id") && col("v_grp") === col("grp") - 1, "left")
       .groupBy(col("user_id"), col("purchase_id"))
       .agg(count(col("v_id")).as("preceding_view_run"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  /** One match of `view click+ purchase` with FIRST/LAST measures. */
+  case class PatternHit(user_id: Long, view_id: Long, first_click: Long,
+      last_click: Long, n_clicks: Long, purchase_id: Long)
+
+  /** Quantified MATCH_RECOGNIZE (`PATTERN (A B+ C)`, AFTER MATCH SKIP PAST
+    * LAST ROW) via the real per-key NFA
+    * ([[graft.streaming.PatternMatch]]), collapsed to batch under the
+    * DuckDB oracle: the oracle finds each purchase whose immediately
+    * preceding run of consecutive clicks (≥1) is headed by a view — the
+    * same row set the greedy NFA binds. */
+  val q89MatchRecognize: QueryDef = QueryDef("q89_match_recognize",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, rn, event_id, event_type,
+      |    MAX(CASE WHEN event_type <> 'click' THEN rn END) OVER
+      |      (PARTITION BY user_id ORDER BY rn
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s
+      |  FROM seq)
+      |SELECT p.user_id, v.event_id AS view_id, fc.event_id AS first_click,
+      |       lc.event_id AS last_click, CAST(p.rn - p.s - 1 AS BIGINT) AS n_clicks,
+      |       p.event_id AS purchase_id
+      |FROM marked p
+      |JOIN seq v  ON v.user_id = p.user_id AND v.rn = p.s AND v.event_type = 'view'
+      |JOIN seq fc ON fc.user_id = p.user_id AND fc.rn = p.s + 1
+      |JOIN seq lc ON lc.user_id = p.user_id AND lc.rn = p.rn - 1
+      |WHERE p.event_type = 'purchase' AND p.rn - p.s >= 2
+      |ORDER BY p.user_id, purchase_id""".stripMargin) { (spark, dir) =>
+    import graft.streaming.PatternMatch._
+    import graft.streaming.StatefulOps
+    implicit val enc = org.apache.spark.sql.Encoders.product[PatternHit]
+    matchPattern(StatefulOps.typedEvents(spark, dir), Seq(
+      Step("A", _.event_type == "view", One),
+      Step("B", _.event_type == "click", Plus),
+      Step("C", _.event_type == "purchase", One)),
+      delay = "0 seconds",
+      (key, bound) => {
+        val b = bound.map(s => s.name -> s.rows).toMap
+        PatternHit(key, b("A").head.event_id,
+          b("B").head.event_id, b("B").last.event_id, b("B").size.toLong,
+          b("C").head.event_id)
+      })
+      .toDF()
       .orderBy(col("user_id"), col("purchase_id"))
   }
 }

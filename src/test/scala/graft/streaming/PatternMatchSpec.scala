@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.PatternMatch._
+import graft.streaming.StatefulOps.Event
+
+/** Per-step bound event ids of one match (top level: Spark encoders
+  * cannot instantiate suite-inner classes). */
+case class M(a: Seq[Long], b: Seq[Long], c: Seq[Long])
+
+/** NFA spec matrix mirroring the reference's basic MatchRecognizeITCase
+  * cases: greedy quantifier binding, AFTER MATCH SKIP PAST LAST ROW,
+  * optional/star steps, backtracking under overlapping predicates, and
+  * streaming (out-of-order + cross-batch partial match) agreeing with the
+  * batch pass. The batch↔oracle gate is q89. */
+class PatternMatchSpec extends SparkSpec {
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+  private def ev(id: Long, m: Int, t: String): Event = Event(1L, id, ts(m), t, 1.0)
+
+  private val ABplusC = Seq(
+    Step("A", _.event_type == "view", One),
+    Step("B", _.event_type == "click", Plus),
+    Step("C", _.event_type == "purchase", One))
+
+  private implicit val mEnc: org.apache.spark.sql.Encoder[M] = Encoders.product[M]
+
+  private def runBatch(events: Seq[Event], steps: Seq[Step]): Seq[M] = {
+    import spark.implicits._
+    matchPattern(spark.createDataset(events), steps, "0 seconds",
+      (_: Long, bound: Seq[Bound]) => {
+        val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
+        M(by.getOrElse("A", Nil), by.getOrElse("B", Nil), by.getOrElse("C", Nil))
+      }).collect().toSeq.sortBy(_.c.headOption.getOrElse(0L))
+  }
+
+  test("greedy B+ binds every consecutive B") {
+    val out = runBatch(Seq(
+      ev(1, 0, "view"), ev(2, 1, "click"), ev(3, 2, "click"), ev(4, 3, "purchase")),
+      ABplusC)
+    assert(out == Seq(M(Seq(1), Seq(2, 3), Seq(4))))
+  }
+
+  test("after match skip past last row yields disjoint matches") {
+    val out = runBatch(Seq(
+      ev(1, 0, "view"), ev(2, 1, "click"), ev(3, 2, "purchase"),
+      ev(4, 3, "view"), ev(5, 4, "click"), ev(6, 5, "purchase")), ABplusC)
+    assert(out == Seq(M(Seq(1), Seq(2), Seq(3)), M(Seq(4), Seq(5), Seq(6))))
+  }
+
+  test("B+ requires at least one B") {
+    val out = runBatch(Seq(ev(1, 0, "view"), ev(2, 1, "purchase")), ABplusC)
+    assert(out.isEmpty)
+  }
+
+  test("optional and star steps match empty") {
+    val aOptBstarC = Seq(
+      Step("A", _.event_type == "view", Opt),
+      Step("B", _.event_type == "click", Star),
+      Step("C", _.event_type == "purchase", One))
+    val out = runBatch(Seq(
+      ev(1, 0, "purchase"), // C alone: A?, B* both empty
+      ev(2, 1, "view"), ev(3, 2, "purchase")), aOptBstarC)
+    assert(out == Seq(M(Nil, Nil, Seq(1)), M(Seq(2), Nil, Seq(3))))
+  }
+
+  test("greedy run backtracks when a later step needs its rows") {
+    // B's predicate also covers C's rows: B+ = anything non-view,
+    // C = purchase. Greedy B+ swallows the purchase, then backtracks.
+    val steps = Seq(
+      Step("A", _.event_type == "view", One),
+      Step("B", _.event_type != "view", Plus),
+      Step("C", _.event_type == "purchase", One))
+    val out = runBatch(Seq(
+      ev(1, 0, "view"), ev(2, 1, "click"), ev(3, 2, "click"), ev(4, 3, "purchase")),
+      steps)
+    assert(out == Seq(M(Seq(1), Seq(2, 3), Seq(4))))
+  }
+
+  test("streaming matches batch across out-of-order arrival and batch splits") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = matchPattern(input.toDS(), ABplusC, delay = "5 minutes",
+      (_: Long, bound: Seq[Bound]) => {
+        val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
+        M(by("A"), by("B"), by("C"))
+      }).writeStream.format("memory").queryName("nfa").outputMode("append").start()
+    // batch 1: A and a partial B; the C and a LATE click arrive in batch 2
+    input.addData(ev(1, 0, "view"), ev(2, 1, "click"))
+    query.processAllAvailable()
+    input.addData(ev(4, 4, "purchase"), ev(3, 2, "click")) // click out of order
+    query.processAllAvailable()
+    // flush the watermark far past the purchase, then once more so the
+    // event-time timeout finalizes the key
+    input.addData(Event(9L, 900, ts(30), "view", 0.0))
+    query.processAllAvailable()
+    input.addData(Event(9L, 901, ts(40), "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("nfa").as[M].collect().toSeq
+    assert(got == Seq(M(Seq(1), Seq(2, 3), Seq(4))),
+      s"streaming NFA must stitch the out-of-order click into the match, got $got")
+  }
+}
