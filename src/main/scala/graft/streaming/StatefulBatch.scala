@@ -21,7 +21,8 @@ import graft.core.QueryDef
 object StatefulBatch {
 
   def defs: Seq[QueryDef] =
-    Seq(q72TopnState, q73KeepLastState, q74RunningOver, q88TemporalJoinState)
+    Seq(q72TopnState, q73KeepLastState, q74RunningOver, q88TemporalJoinState,
+      q90CountTumble, q91CountSlide)
 
   val q72TopnState: QueryDef = QueryDef("q72_topn_state",
     """SELECT user_id, rank, event_id, value FROM (
@@ -87,5 +88,56 @@ object StatefulBatch {
         col("fact_value").as("purchase_value"),
         col("dim_ver").as("viewed_event"), col("dim_value").as("viewed_value"))
       .orderBy(col("purchase_id"))
+  }
+
+  /** Count-tumbling windows (reference CountTumblingWindowAssigner.java)
+    * collapsed to batch: every 3 events per user in event-time order form
+    * a window; only complete windows emit. Sums compared at 4dp (sequential
+    * fold vs the oracle's group aggregation differ in the last ulp). */
+  val q90CountTumble: QueryDef = QueryDef("q90_count_tumble",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, CAST(FLOOR((rn - 1) / 3.0) AS BIGINT) AS win_seq,
+      |  COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value,
+      |  MIN_BY(event_id, rn) AS first_event, MAX_BY(event_id, rn) AS last_event
+      |FROM seq
+      |GROUP BY 1, 2 HAVING COUNT(*) = 3
+      |ORDER BY user_id, win_seq""".stripMargin) { (spark, dir) =>
+    StatefulOps.countTumblePerKey(StatefulOps.typedEvents(spark, dir), 3).toDF()
+      .select(col("user_id"), col("win_seq"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"),
+        col("first_event"), col("last_event"))
+      .orderBy(col("user_id"), col("win_seq"))
+  }
+
+  /** Count-sliding windows (reference CountSlidingWindowAssigner.java)
+    * collapsed to batch: a window of the 5 most recent events completes at
+    * every 2nd event once 5 have arrived. */
+  val q91CountSlide: QueryDef = QueryDef("q91_count_slide",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |win AS (
+      |  SELECT user_id, rn, event_id AS last_event, value,
+      |    SUM(value) OVER (PARTITION BY user_id ORDER BY rn
+      |                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sum_value,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY rn
+      |                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_events,
+      |    FIRST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY rn
+      |                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS first_event
+      |  FROM seq)
+      |SELECT user_id, CAST(FLOOR((rn - 5) / 2.0) AS BIGINT) AS win_seq,
+      |  n_events, round(sum_value, 4) AS sum_value, first_event, last_event
+      |FROM win
+      |WHERE rn >= 5 AND (rn - 5) % 2 = 0
+      |ORDER BY user_id, win_seq""".stripMargin) { (spark, dir) =>
+    StatefulOps.countSlidePerKey(StatefulOps.typedEvents(spark, dir), 5, 2).toDF()
+      .select(col("user_id"), col("win_seq"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"),
+        col("first_event"), col("last_event"))
+      .orderBy(col("user_id"), col("win_seq"))
   }
 }

@@ -137,6 +137,79 @@ object StatefulOps {
         })
   }
 
+  /** One completed count window (tumbling or sliding). */
+  case class CountWindow(user_id: Long, win_seq: Long, n_events: Long,
+      sum_value: Double, first_event: Long, last_event: Long)
+
+  case class TumbleState(seq: Long, count: Long, sum: Double,
+      first: Long, last: Long)
+
+  /** Count-tumbling windows per key (reference
+    * CountTumblingWindowAssigner.java): every `n` events per key complete
+    * a window and emit its aggregate; a partial window stays in state
+    * until filled. Count windows trigger on arrival count, not time, so
+    * no watermark is involved; within a micro-batch, rows apply in
+    * (ts, event_id) order for determinism. Per-key state is O(1) (the
+    * running aggregate), as in the reference's pane aggregation. */
+  def countTumblePerKey(events: Dataset[Event], n: Int,
+      idleTtl: Option[String] = None): Dataset[CountWindow] = {
+    implicit val outEnc = Encoders.product[CountWindow]
+    implicit val stEnc = Encoders.product[TumbleState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+        (user: Long, rows: Iterator[Event], state: GroupState[TumbleState]) => {
+          if (handleTtl(state, idleTtl)) Iterator.empty
+          else {
+            var s = state.getOption.getOrElse(TumbleState(0L, 0L, 0.0, 0L, 0L))
+            val out = Seq.newBuilder[CountWindow]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val first = if (s.count == 0L) e.event_id else s.first
+              s = TumbleState(s.seq, s.count + 1, s.sum + e.value, first, e.event_id)
+              if (s.count == n) {
+                out += CountWindow(user, s.seq, s.count, s.sum, s.first, s.last)
+                s = TumbleState(s.seq + 1, 0L, 0.0, 0L, 0L)
+              }
+            }
+            state.update(s)
+            out.result().iterator
+          }
+        })
+  }
+
+  case class SlideState(seen: Long, ring: Seq[(Long, Double)])
+
+  /** Count-sliding windows per key (reference
+    * CountSlidingWindowAssigner.java): once `size` events have arrived, a
+    * window of the most recent `size` events completes at every `slide`-th
+    * subsequent event. Per-key state is the last `size - 1` events (ring
+    * buffer) — O(size), the same bound as the reference's buffer. */
+  def countSlidePerKey(events: Dataset[Event], size: Int, slide: Int,
+      idleTtl: Option[String] = None): Dataset[CountWindow] = {
+    implicit val outEnc = Encoders.product[CountWindow]
+    implicit val stEnc = Encoders.product[SlideState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+        (user: Long, rows: Iterator[Event], state: GroupState[SlideState]) => {
+          if (handleTtl(state, idleTtl)) Iterator.empty
+          else {
+            var s = state.getOption.getOrElse(SlideState(0L, Nil))
+            val out = Seq.newBuilder[CountWindow]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val ring = (s.ring :+ (e.event_id, e.value)).takeRight(size)
+              val seen = s.seen + 1
+              if (seen >= size && (seen - size) % slide == 0)
+                out += CountWindow(user, (seen - size) / slide, ring.length.toLong,
+                  ring.map(_._2).sum, ring.head._1, ring.last._1)
+              s = SlideState(seen, ring.takeRight(size - 1))
+            }
+            state.update(s)
+            out.result().iterator
+          }
+        })
+  }
+
   /** Batch events table → typed stream-shaped Dataset (micro-batch specs
     * feed the same rows through MemoryStream). */
   def typedEvents(spark: SparkSession, dir: String): Dataset[Event] = {

@@ -208,6 +208,44 @@ class StreamingSpec extends SparkSpec {
       s"matched views must not appear in anti join, got $got")
   }
 
+  test("count-tumbling windows complete across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = countTumblePerKey(input.toDS(), 3).writeStream
+      .format("memory").queryName("ctumble").outputMode("append").start()
+    // 4 user-1 events: first window (101,102,103) completes, 104 pends
+    input.addData(batch1)
+    query.processAllAvailable()
+    // 2 more user-1 events: (104,105,106) completes the second window
+    input.addData(batch2 :+ Event(1, 106, ts(6), "view", 4.0))
+    query.processAllAvailable()
+    query.stop()
+    val wins = spark.table("ctumble").as[CountWindow].collect()
+      .filter(_.user_id == 1).sortBy(_.win_seq)
+    assert(wins.map(w => (w.win_seq, w.first_event, w.last_event, w.n_events)).toSeq ==
+      Seq((0L, 101L, 103L, 3L), (1L, 104L, 106L, 3L)))
+    assert(wins.head.sum_value == 5.0 + 9.0 + 3.0)
+  }
+
+  test("count-sliding windows emit every slide-th event after warmup") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = countSlidePerKey(input.toDS(), size = 3, slide = 2).writeStream
+      .format("memory").queryName("cslide").outputMode("append").start()
+    input.addData(batch1) // user 1: 101,102,103 -> first window at event 3
+    query.processAllAvailable()
+    input.addData(batch2 :+ Event(1, 106, ts(6), "view", 4.0)) // events 4,5,6
+    query.processAllAvailable()
+    query.stop()
+    val wins = spark.table("cslide").as[CountWindow].collect()
+      .filter(_.user_id == 1).sortBy(_.win_seq)
+    // windows end at events 3 (seen=3) and 5 (seen=5): (101..103), (103..105)
+    assert(wins.map(w => (w.win_seq, w.first_event, w.last_event)).toSeq ==
+      Seq((0L, 101L, 103L), (1L, 103L, 105L)))
+  }
+
   test("dropDuplicatesWithinWatermark keeps first occurrence per key") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
