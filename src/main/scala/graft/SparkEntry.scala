@@ -24,6 +24,7 @@ object SparkEntry {
       graft.operators.Windows.defs ++
       graft.operators.Multimodal.defs ++
       graft.operators.AsOfJoin.defs ++
+      graft.operators.AsyncLookup.defs ++
       graft.operators.Aggregates.defs ++
       graft.operators.Analytics.defs ++
       graft.streaming.StatefulBatch.defs ++

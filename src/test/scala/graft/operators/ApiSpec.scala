@@ -9,6 +9,26 @@ import graft.SparkSpec
   * non-fixture column names and verifies the operator contracts hold. */
 class ApiSpec extends SparkSpec {
 
+  test("async lookup join overlaps slow lookups and preserves input order") {
+    import spark.implicits._
+    val n = 32
+    val perLookupMs = 50L
+    val ds = (1L to n).toDF("id").repartition(2).as[Long]
+    ds.count() // absorb first-job/session warmup outside the timed region
+    val t0 = System.nanoTime()
+    val out = AsyncLookup.asyncLookupJoin[Long, Long, (Long, Long)](
+      ds, { id => Thread.sleep(perLookupMs); id * 10 }, capacity = 16,
+      (id, v) => (id, v)).collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(out.map(p => p._1 * 10 == p._2).forall(identity))
+    assert(out.length == n)
+    // 32 lookups x 50 ms sequential = 1600 ms per partition; with
+    // capacity 16 over 2 partitions the pipeline needs ~2 rounds (~100ms)
+    // plus overhead — far under the sequential bound
+    assert(elapsedMs < n * perLookupMs / 2,
+      s"lookups did not overlap: ${elapsedMs}ms")
+  }
+
   private lazy val corpus = {
     import spark.implicits._
     Seq(
