@@ -210,6 +210,39 @@ object StatefulOps {
         })
   }
 
+  case class SortBuf(rows: Seq[Event])
+
+  /** Streaming event-time sort (reference RowTimeSortOperator via
+    * StreamExecSort / StreamExecTemporalSort): buffer out-of-order rows
+    * and release them in (ts, event_id) order once the watermark passes
+    * their timestamp — i.e. re-establish event-time order up to the
+    * watermark delay. Total order is inherently single-stream, exactly as
+    * the reference runs its streaming sort at parallelism 1; the operator
+    * is therefore for ORDERED TAPS (alert streams, audit logs), not for
+    * bulk data paths. An event-time timeout drains the buffer when the
+    * watermark advances without new rows. */
+  def sortByEventTime(events: Dataset[Event], delay: String): Dataset[Event] = {
+    implicit val evEnc = Encoders.product[Event]
+    implicit val bufEnc = Encoders.product[SortBuf]
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_ => 0)(Encoders.scalaInt)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Int, rows: Iterator[Event], state: GroupState[SortBuf]) => {
+          val buf = (state.getOption.map(_.rows).getOrElse(Nil) ++ rows)
+            .sortBy(e => (e.ts.getTime, e.event_id))
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, pending) = buf.partition(_.ts.getTime <= wm)
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(SortBuf(pending))
+            state.setTimeoutTimestamp(
+              math.max(pending.head.ts.getTime, wm + 1))
+          }
+          ripe.iterator
+        })
+  }
+
   /** Batch events table → typed stream-shaped Dataset (micro-batch specs
     * feed the same rows through MemoryStream). */
   def typedEvents(spark: SparkSession, dir: String): Dataset[Event] = {

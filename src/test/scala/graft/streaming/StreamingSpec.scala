@@ -246,6 +246,58 @@ class StreamingSpec extends SparkSpec {
       Seq((0L, 101L, 103L), (1L, 103L, 105L)))
   }
 
+  test("streaming sort releases rows in event-time order as the watermark advances") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = sortByEventTime(input.toDS(), delay = "5 minutes").writeStream
+      .format("memory").queryName("ssort").outputMode("append").start()
+    // arrive out of order across batches
+    input.addData(Event(1, 103, ts(3), "view", 1.0), Event(1, 101, ts(1), "view", 1.0))
+    query.processAllAvailable()
+    input.addData(Event(1, 102, ts(2), "view", 1.0), Event(1, 104, ts(4), "view", 1.0))
+    query.processAllAvailable()
+    // advance the watermark far past everything, then one more trigger
+    // for the event-time timeout to drain the buffer
+    input.addData(Event(9, 900, ts(30), "view", 0.0))
+    query.processAllAvailable()
+    input.addData(Event(9, 901, ts(40), "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val emitted = spark.table("ssort").as[Event].collect()
+      .filter(_.user_id == 1).map(_.event_id).toSeq
+    assert(emitted == Seq(101L, 102L, 103L, 104L),
+      s"rows must be released in event-time order, got $emitted")
+  }
+
+  test("update-mode windowed agg early-fires partials and late-fires within the watermark") {
+    // the reference's early-fire/late-fire emit strategies (SURVEY §2.9):
+    // update mode emits the CURRENT partial per trigger (early fire) and
+    // re-emits a closed-over window when late data arrives inside the
+    // watermark delay (late fire)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val agg = input.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("user_id"), col("n"))
+    val query = agg.writeStream
+      .format("memory").queryName("earlyfire").outputMode("update").start()
+    input.addData(Event(1, 101, ts(0), "view", 1.0))
+    query.processAllAvailable() // early fire: partial n=1
+    input.addData(Event(1, 102, ts(1), "view", 1.0))
+    query.processAllAvailable() // early fire: refreshed n=2
+    input.addData(Event(1, 103, ts(2), "view", 1.0)) // "late" vs 102? still in delay
+    query.processAllAvailable() // late-ish fire: n=3
+    query.stop()
+    val fires = spark.table("earlyfire")
+      .filter(col("user_id") === 1).select("n").collect().map(_.getLong(0)).toSeq
+    assert(fires == Seq(1L, 2L, 3L),
+      s"each trigger must re-emit the refreshed partial, got $fires")
+  }
+
   test("dropDuplicatesWithinWatermark keeps first occurrence per key") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
