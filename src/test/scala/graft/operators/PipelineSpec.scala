@@ -37,6 +37,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.7, s"ANN recall $recall (${knn.size} truth pairs)")
   }
 
+  test("ann-ivf top-3 recall >= 0.7 vs brute-force knn") {
+    import org.apache.spark.sql.functions.col
+    val knn = graft.SparkEntry.queries("q50_cosine_knn")(spark, sf("sf0.01"))
+      .filter("rnk <= 3").select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvfNeighbors(
+      graft.core.Catalog.load(spark, sf("sf0.01"), "embeddings"),
+      col("vec_id") < 20, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = knn.count(ivf.contains).toDouble / knn.size
+    assert(recall >= 0.7, s"IVF recall $recall (${knn.size} truth pairs)")
+  }
+
   test("keep-first dedup retains the earliest event per key") {
     import org.apache.spark.sql.functions._
     val deduped = graft.SparkEntry.queries("q43_dedup_keep_first")(spark, sf())
