@@ -7,9 +7,14 @@ object Bench {
     // iteration; the driver passes no args and benches the full set)
     val prefix = if (args.length > 0) args(0) else ""
     val spark = graft.core.SessionFactory.local("graft-bench")
-    // absorb session/codegen/reader init outside the timed region
+    // absorb session/codegen/reader init outside the timed region: the
+    // fact-table scan+agg warms the vectorized parquet reader, whole-stage
+    // codegen and JIT so the first measured query pays its own cost, not
+    // the JVM's cold start
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    graft.core.Catalog.load(spark, sfDir, "lineitem")
+      .selectExpr("sum(l_quantity)", "count(distinct l_returnflag)").collect()
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.startsWith(prefix)).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+import graft.SparkSpec
+
+/** Fleet-wide plan lint: NO declared query may execute a cartesian
+  * product or nested-loop join — the plans that pass a fixture-scale gate
+  * and then melt at 100 TB. Runs every entry in `SparkEntry.queries` and
+  * inspects the AQE-finalized physical plan. Whitelist:
+  *
+  *  - q10_cross_join: the cross join IS the declared operator;
+  *  - q87_recursive_cte: the per-step scalar subquery joins against the
+  *    recursion spine, which is ≤ 20 rows by construction — a nested
+  *    loop over a bounded literal spine, not a data-scaled relation.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val whitelist = Set("q10_cross_join", "q87_recursive_cte")
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case _ => Nil
+    }
+    p +: (p.children ++ extra).flatMap(collectAll)
+  }
+
+  test("no declared query plans a cartesian or nested-loop join") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => whitelist(q._1))
+      .flatMap { case (name, fn) =>
+        val df = fn(spark, sf())
+        df.collect()
+        val bad = collectAll(df.queryExecution.executedPlan).collect {
+          case _: CartesianProductExec => "CartesianProduct"
+          case b: BroadcastNestedLoopJoinExec => s"BNLJ(${b.joinType})"
+        }
+        if (bad.nonEmpty) Some(s"$name -> ${bad.distinct.mkString(",")}") else None
+      }
+    assert(offenders.isEmpty,
+      s"queries with scale-hostile join plans:\n${offenders.mkString("\n")}")
+  }
+}
