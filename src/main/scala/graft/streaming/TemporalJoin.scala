@@ -56,6 +56,40 @@ object TemporalJoin {
   case class DimRec(tsMs: Long, ver: Long, dimValue: Double)
   case class JoinState(facts: Seq[FactRec], dims: Seq[DimRec])
 
+  /** Processing-time temporal join (reference
+    * TemporalProcessTimeJoinOperator.java:126): each fact enriches with
+    * the latest dimension version SEEN so far — no watermark, no
+    * buffering, facts emit immediately. Within one micro-batch the
+    * dimension rows apply before the fact rows (the version a fact "sees"
+    * is deterministic: everything up to and including its own trigger).
+    * Per-key state is exactly one row — the current version. */
+  def temporalJoinProcTime(facts: Dataset[Fact],
+      dims: Dataset[DimVersion]): Dataset[Enriched] = {
+    val spark = facts.sparkSession
+    import spark.implicits._
+    val taggedFacts = facts.map(f => Tagged(f.k, f.ts, 1, f.fact_id, f.fact_value, 0L, 0.0))
+    val taggedDims = dims.map(d => Tagged(d.k, d.ts, 0, 0L, 0.0, d.ver, d.dim_value))
+    implicit val outEnc = Encoders.product[Enriched]
+    implicit val stateEnc = Encoders.product[DimRec]
+    taggedFacts.unionByName(taggedDims)
+      .groupByKey(_.k)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[Tagged], state: GroupState[DimRec]) => {
+          val (dimRows, factRows) = rows.toSeq.partition(_.side == 0)
+          // newest version wins: later (event ts, ver) replaces current
+          dimRows.sortBy(r => (r.ts.getTime, r.ver)).foreach { d =>
+            val newer = state.getOption.forall(c =>
+              d.ts.getTime > c.tsMs || (d.ts.getTime == c.tsMs && d.ver >= c.ver))
+            if (newer) state.update(DimRec(d.ts.getTime, d.ver, d.dim_value))
+          }
+          val m = state.getOption
+          factRows.sortBy(f => (f.ts.getTime, f.fact_id)).iterator.map { f =>
+            Enriched(key, f.ts, f.fact_id, f.fact_value,
+              m.map(_.ver), m.map(_.dimValue))
+          }
+        })
+  }
+
   /** Event-time as-of join of a fact stream against a versioned dimension
     * stream on key `k`. `delay` is the shared watermark delay (bounds how
     * late a fact or version may arrive and still be honored). Works on

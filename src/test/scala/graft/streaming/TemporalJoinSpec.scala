@@ -80,6 +80,33 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out.map(e => e.fact_id -> e.dim_ver).toMap == Map(600L -> Some(3L)))
   }
 
+  test("processing-time temporal join enriches with the latest version seen so far") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val facts = MemoryStream[Fact]
+    val dims = MemoryStream[DimVersion]
+    val query = temporalJoinProcTime(facts.toDS(), dims.toDS())
+      .writeStream.format("memory").queryName("tjproc").outputMode("append").start()
+    // fact before any version: emits immediately with None
+    facts.addData(Fact(1, ts(9, 0), 400, 1.0))
+    query.processAllAvailable()
+    dims.addData(DimVersion(1, ts(9, 30), 1, 100.0))
+    query.processAllAvailable()
+    // same-trigger version+fact: the fact sees the new version (dims
+    // apply first within a micro-batch)
+    dims.addData(DimVersion(1, ts(10, 0), 2, 200.0))
+    facts.addData(Fact(1, ts(10, 0), 401, 2.0))
+    query.processAllAvailable()
+    // a fact with an OLDER event time still gets the latest version —
+    // processing-time semantics ignore event time
+    facts.addData(Fact(1, ts(9, 10), 402, 3.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("tjproc").as[Enriched].collect()
+      .map(e => e.fact_id -> e.dim_ver).toMap
+    assert(out == Map(400L -> None, 401L -> Some(2L), 402L -> Some(2L)))
+  }
+
   test("batch collapse matches the q63 as-of join on the events fixture") {
     import spark.implicits._
     val ev = StatefulOps.typedEvents(spark, sf())
