@@ -18,7 +18,7 @@ import graft.core.QueryDef
   */
 object TpcDsComposites {
 
-  def defs: Seq[QueryDef] = Seq(qds14, qds23, qds67)
+  def defs: Seq[QueryDef] = Seq(qds14, qds23, qds67, qds70, qds51)
 
   private val REV =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2))"
@@ -113,4 +113,37 @@ object TpcDsComposites {
        |WHERE l_partkey IN (SELECT l_partkey FROM only_f)
        |GROUP BY ROLLUP(p_brand, p_type)
        |ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST""".stripMargin)
+
+  /** q67 shape: window RANK over ROLLUP output — the subtotal rows
+    * participate in the ranking within their own partitions (the grand
+    * total ranks alone in the NULL-brand partition). RANK (not
+    * ROW_NUMBER) keeps tie handling deterministic. */
+  val qds70: QueryDef = sqlBoth("qds70_rank_rollup",
+    s"""WITH agg AS (
+       |  SELECT p_brand, p_type, CAST(SUM($REV) AS DOUBLE) AS sumsales
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  GROUP BY ROLLUP(p_brand, p_type))
+       |SELECT p_brand, p_type, sumsales, rk FROM (
+       |  SELECT p_brand, p_type, sumsales,
+       |         RANK() OVER (PARTITION BY p_brand ORDER BY sumsales DESC) AS rk
+       |  FROM agg) x
+       |WHERE rk <= 3
+       |ORDER BY p_brand NULLS FIRST, rk, p_type NULLS FIRST""".stripMargin)
+
+  /** q51 shape: per-channel cumulative windows FULL OUTER joined and
+    * compared — exact decimal running sums keep both engines
+    * bit-identical after the final double cast. */
+  val qds51: QueryDef = sqlBoth("qds51_cum_channels",
+    """WITH m AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100
+      |              + EXTRACT(MONTH FROM o_orderdate) AS INT) AS ym,
+      |         o_orderstatus, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sales
+      |  FROM orders GROUP BY 1, 2),
+      |f AS (SELECT ym, CAST(SUM(sales) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_f
+      |      FROM m WHERE o_orderstatus = 'F'),
+      |o AS (SELECT ym, CAST(SUM(sales) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_o
+      |      FROM m WHERE o_orderstatus = 'O'),
+      |j AS (SELECT COALESCE(f.ym, o.ym) AS ym, cum_f, cum_o
+      |      FROM f FULL OUTER JOIN o ON f.ym = o.ym)
+      |SELECT ym, cum_f, cum_o FROM j WHERE cum_o > cum_f ORDER BY ym""".stripMargin)
 }
