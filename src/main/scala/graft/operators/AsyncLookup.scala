@@ -39,7 +39,8 @@ object AsyncLookup {
     * lookups concurrently per partition, emitting in input order. */
   def asyncLookupJoin[L, V, O: Encoder](ds: Dataset[L], lookup: L => V,
       capacity: Int, emit: (L, V) => O,
-      timeout: Duration = Duration.Inf): Dataset[O] =
+      timeout: Duration = Duration.Inf): Dataset[O] = {
+    require(capacity > 0, s"lookup capacity must be positive, got $capacity")
     ds.mapPartitions { it =>
       val pool = Executors.newFixedThreadPool(capacity)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -63,6 +64,7 @@ object AsyncLookup {
         }
       }
     }
+  }
 
   case class Supp(s_suppkey: Long, s_name: String, s_nationkey: Int)
   case class SuppNation(s_suppkey: Long, s_name: String, n_name: String)

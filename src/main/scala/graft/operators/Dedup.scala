@@ -297,6 +297,9 @@ object Dedup {
     * fingerprint spread is n²·(k/2^(32/k)) ≪ n² and shrinks further with a
     * wider fingerprint. */
   def simhashPairs(fp: DataFrame, radius: Int = 5): DataFrame = {
+    // radius+1 chunks must each carry >= 1 of the 32 fingerprint bits
+    require(radius >= 0 && radius < 32,
+      s"simhash radius must be in [0, 32), got $radius")
     val chunks = radius + 1
     val bitsPer = 32 / chunks // remainder bits join the last chunk
     def chunkOf(c: Column, i: Int): Column = {

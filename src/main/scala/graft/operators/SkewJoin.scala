@@ -27,6 +27,7 @@ object SkewJoin {
     * recomputing salts. */
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       factor: Int, checkpoint: Boolean = false): DataFrame = {
+    require(factor > 0, s"salt factor must be positive, got $factor")
     val salted0 = skewed.withColumn("_salt", saltCol(factor))
     val salted = if (checkpoint) salted0.localCheckpoint() else salted0
     val replicated = small.withColumn("_salt",

@@ -136,6 +136,7 @@ object PatternMatch {
     * batch Datasets (see object doc). */
   def matchPattern[O: Encoder](events: Dataset[Event], steps: Seq[Step],
       delay: String, emit: (Long, Seq[Bound]) => O): Dataset[O] = {
+    require(steps.nonEmpty, "PATTERN must have at least one step")
     val stepsArr = steps.toIndexedSeq
     val isBatch = !events.isStreaming
     implicit val stateEnc: Encoder[BufState] = Encoders.product[BufState]

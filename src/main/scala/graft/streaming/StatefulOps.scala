@@ -153,6 +153,7 @@ object StatefulOps {
     * running aggregate), as in the reference's pane aggregation. */
   def countTumblePerKey(events: Dataset[Event], n: Int,
       idleTtl: Option[String] = None): Dataset[CountWindow] = {
+    require(n > 0, s"count-tumble window size must be positive, got $n")
     implicit val outEnc = Encoders.product[CountWindow]
     implicit val stEnc = Encoders.product[TumbleState]
     events
@@ -186,6 +187,8 @@ object StatefulOps {
     * buffer) — O(size), the same bound as the reference's buffer. */
   def countSlidePerKey(events: Dataset[Event], size: Int, slide: Int,
       idleTtl: Option[String] = None): Dataset[CountWindow] = {
+    require(size > 0 && slide > 0,
+      s"count-slide size/slide must be positive, got size=$size slide=$slide")
     implicit val outEnc = Encoders.product[CountWindow]
     implicit val stEnc = Encoders.product[SlideState]
     events
