@@ -67,15 +67,14 @@ object Exact {
     x.cast(DecimalType(12, 2)) * (lit(1) - d.cast(DecimalType(3, 2))).cast(DecimalType(4, 2))
 
   /** Exact charge term `x * (1 - d) * (1 + t)`: the first product is cast
-    * to (12,4) — exact, see [[mulOneMinus]] — so the second product is
-    * (12,4)*(4,2) → (17,6), still on the long-backed fast path. */
+    * down to (12,4) so the second product is (12,4)*(4,2) → (17,6), still
+    * on the long-backed fast path. NOTE the tighter domain than
+    * [[mulOneMinus]]: (12,4) holds 8 integer digits, so `x` must be
+    * < 100,000,000.00 (fixture line amounts top out near 10^7; per-row
+    * prices do not grow with scale factor). Exceeding it is a loud ANSI
+    * overflow error, never silent corruption; widen to (14,4)*(4,2) —
+    * (19,6), off the fast path — if a deployment ever needs larger
+    * per-row amounts. */
   def mulOneMinusOnePlus(x: Column, d: Column, t: Column): Column =
     mulOneMinus(x, d).cast(DecimalType(12, 4)) * (lit(1) + t.cast(DecimalType(3, 2))).cast(DecimalType(4, 2))
-
-  /** Money column as exact integer cents (a codegen'd long, the cheapest
-    * exact representation): `round(x*100)` is exact for 2-decimal doubles
-    * (the product is within 1 ulp of an integer, never near .5), and the
-    * same expression evaluates identically in DuckDB. Sums of cents stay in
-    * long arithmetic end-to-end — the true fast path for hot aggregations. */
-  def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
 }

@@ -49,14 +49,24 @@ object AsyncLookup {
       new Iterator[O] {
         private val inflight =
           scala.collection.mutable.Queue.empty[(L, Future[V])]
-        private def refill(): Unit =
+        private var started = false
+        // LAZY first fill: lookups are side-effecting external calls, so
+        // none may fire until the consumer actually pulls (a downstream
+        // limit/short-circuit that never consumes must not issue RPCs)
+        private def ensure(): Unit =
+          if (!started) { started = true; refill() }
+        private def refill(): Unit = {
           while (inflight.size < capacity && it.hasNext) {
             val l = it.next()
             inflight.enqueue((l, Future(lookup(l))))
           }
-        refill()
-        def hasNext: Boolean = inflight.nonEmpty
+          // input exhausted and nothing in flight: release the threads
+          // even where no TaskContext listener exists (plain iterators)
+          if (inflight.isEmpty) pool.shutdown()
+        }
+        def hasNext: Boolean = { ensure(); inflight.nonEmpty }
         def next(): O = {
+          ensure()
           val (l, f) = inflight.dequeue()
           val v = Await.result(f, timeout)
           refill()

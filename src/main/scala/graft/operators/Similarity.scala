@@ -312,9 +312,15 @@ object Similarity {
           val cs = bc.value
           it.map { case (id, e) => (id, nearestCentroid(e.toArray, cs, 1).head, e) }
         }.toDF("vec_id", "list_id", "e")
+      // decimal-cast components before the mean: double summation order
+      // varies with partial-agg scheduling, and ulp-level centroid drift
+      // can flip a near-equidistant vector's list between runs. Decimal
+      // addition is associative → identical centroids on every run.
       val next = assigned
         .select(col("list_id"), posexplode(col("e")).as(Seq("d", "x")))
-        .groupBy(col("list_id"), col("d")).agg(avg(col("x")).as("m"))
+        .groupBy(col("list_id"), col("d"))
+        .agg((sum(col("x").cast(DecimalType(24, 14))).cast(DoubleType) /
+          count(lit(1))).as("m"))
         .collect().groupBy(_.getInt(0))
       centroids = centroids.indices.map { c =>
         next.get(c) match {
@@ -349,10 +355,13 @@ object Similarity {
       .select(col("list_id"), col("vec_id").as("query_id"), col("e").as("ea"))
     val c = routed.filter(!col("is_probe"))
       .select(col("list_id"), col("vec_id").as("neighbor_id"), col("e").as("eb"))
+    // no dedup needed, unlike the LSH path: each corpus vector is in
+    // exactly ONE list and a query's probe lists are distinct, so the
+    // join emits every (query, neighbor) pair at most once — a
+    // dropDuplicates here would shuffle ~1KB-wide rows for nothing
     val candidates = q.join(c, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("ea"), col("eb"))
-      .dropDuplicates("query_id", "neighbor_id")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

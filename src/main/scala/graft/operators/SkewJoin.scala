@@ -29,7 +29,10 @@ object SkewJoin {
       factor: Int, checkpoint: Boolean = false): DataFrame = {
     require(factor > 0, s"salt factor must be positive, got $factor")
     val salted0 = skewed.withColumn("_salt", saltCol(factor))
-    val salted = if (checkpoint) salted0.localCheckpoint() else salted0
+    // lazy: materializes on first execution of the JOINED plan, not at
+    // call time — an eager checkpoint would run a job (and cache every
+    // column of the skewed side) before downstream pruning even applies
+    val salted = if (checkpoint) salted0.localCheckpoint(eager = false) else salted0
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated,

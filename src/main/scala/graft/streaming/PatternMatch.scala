@@ -139,6 +139,15 @@ object PatternMatch {
     require(steps.nonEmpty, "PATTERN must have at least one step")
     val stepsArr = steps.toIndexedSeq
     val isBatch = !events.isStreaming
+    // A STREAMING pattern ending in a greedy quantifier can never be
+    // adjudicated: a trailing B+/B*/B? run is always extendable by rows
+    // with later event times, so every candidate would sit in NeedMore
+    // forever (matching Flink CEP, which needs WITHIN to bound such
+    // patterns). Fail fast instead of silently emitting nothing.
+    require(isBatch || steps.last.quant == One,
+      "a streaming PATTERN must end with an exactly-one step: a trailing " +
+        s"'${steps.last.name}' with quantifier ${steps.last.quant} can " +
+        "always be extended by future rows and would never finalize")
     implicit val stateEnc: Encoder[BufState] = Encoders.product[BufState]
     events
       .withWatermark("ts", delay)

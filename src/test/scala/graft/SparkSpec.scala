@@ -13,6 +13,35 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Collect a DataFrame to a seq of row-seqs for order-insensitive compare. */
   def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
+
+  /** Every node of an executed physical plan, traversing the subtrees AQE
+    * hides (AdaptiveSparkPlanExec/QueryStageExec children are empty),
+    * reused exchanges, AND subquery plans (a join inside an uncorrelated
+    * scalar/IN subquery is invisible to a plain children walk). The single
+    * shared walker — plan assertions must not each hand-roll this. */
+  def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case _ => Nil
+    }
+    val subs = p.subqueries.flatMap {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s => Seq(s)
+    }
+    p +: (p.children ++ extra ++ subs).flatMap(planNodes)
+  }
+
+  /** Run a declared query and return every node of its final plan. */
+  def executedPlanNodes(name: String, sfDir: String)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    planNodes(df.queryExecution.executedPlan)
+  }
 }
 
 object SparkSpec {

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 import graft.SparkSpec
@@ -9,7 +7,8 @@ import graft.SparkSpec
 /** Fleet-wide plan lint: NO declared query may execute a cartesian
   * product or nested-loop join — the plans that pass a fixture-scale gate
   * and then melt at 100 TB. Runs every entry in `SparkEntry.queries` and
-  * inspects the AQE-finalized physical plan. Whitelist:
+  * inspects the AQE-finalized physical plan INCLUDING subquery plans
+  * (a BNLJ inside a scalar subquery is just as scale-hostile). Whitelist:
   *
   *  - q10_cross_join: the cross join IS the declared operator;
   *  - q87_recursive_cte: the per-step scalar subquery joins against the
@@ -20,23 +19,11 @@ class PlanLintSpec extends SparkSpec {
 
   private val whitelist = Set("q10_cross_join", "q87_recursive_cte")
 
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
-    val extra = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
-      case _ => Nil
-    }
-    p +: (p.children ++ extra).flatMap(collectAll)
-  }
-
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => whitelist(q._1))
-      .flatMap { case (name, fn) =>
-        val df = fn(spark, sf())
-        df.collect()
-        val bad = collectAll(df.queryExecution.executedPlan).collect {
+      .flatMap { case (name, _) =>
+        val bad = executedPlanNodes(name, sf()).collect {
           case _: CartesianProductExec => "CartesianProduct"
           case b: BroadcastNestedLoopJoinExec => s"BNLJ(${b.joinType})"
         }

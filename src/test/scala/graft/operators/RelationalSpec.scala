@@ -13,23 +13,6 @@ import graft.SparkSpec
   * decides whether the same query survives a 100 TB cluster. */
 class RelationalSpec extends SparkSpec {
 
-  private def plan(name: String): SparkPlan = {
-    val df = graft.SparkEntry.queries(name)(spark, sf())
-    df.collect() // materialize so AQE finalizes the plan
-    df.queryExecution.executedPlan
-  }
-
-  /** Full physical-plan traversal: AQE hides subtrees behind
-    * AdaptiveSparkPlanExec / QueryStageExec whose `children` are empty. */
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
-    val extra = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
-      case _ => Nil
-    }
-    p +: (p.children ++ extra).flatMap(collectAll)
-  }
 
   test("every declared query runs and returns rows at sf0.001") {
     val empty = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -44,13 +27,13 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q05 star join broadcasts the small dimensions") {
-    val bhj = collectAll(plan("q05_region_revenue"))
+    val bhj = executedPlanNodes("q05_region_revenue", sf())
       .collect { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty, "expected broadcast hash joins for nation/region dims")
   }
 
   test("q25 top-n per group uses WindowGroupLimit pushdown") {
-    val wgl = collectAll(plan("q25_topn_per_group"))
+    val wgl = executedPlanNodes("q25_topn_per_group", sf())
       .collect { case w: WindowGroupLimitExec => w }
     assert(wgl.nonEmpty, "rank<=k filter should push into WindowGroupLimit")
   }
@@ -68,7 +51,7 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q01 aggregation is two-phase (partial before shuffle)") {
-    val p = collectAll(plan("q01_pricing_summary"))
+    val p = executedPlanNodes("q01_pricing_summary", sf())
     val aggs = p.collect {
       case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
     }

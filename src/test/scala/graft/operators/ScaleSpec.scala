@@ -13,14 +13,6 @@ import graft.SparkSpec
   * 100 TB, at spec scale. */
 class ScaleSpec extends SparkSpec {
 
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
-    val extra = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case _ => Nil
-    }
-    p +: (p.children ++ extra).flatMap(collectAll)
-  }
 
   test("bucketed tables join without a shuffle") {
     // spark.sql.warehouse.dir is static; the default ./spark-warehouse
@@ -36,7 +28,7 @@ class ScaleSpec extends SparkSpec {
         .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
       joined.collect()
-      val shufflesBeforeAgg = collectAll(joined.queryExecution.executedPlan)
+      val shufflesBeforeAgg = planNodes(joined.queryExecution.executedPlan)
         .collect { case s: ShuffleExchangeExec => s }
       // the join itself must be shuffle-free: the only exchange allowed is
       // the one feeding the final aggregation
@@ -79,7 +71,7 @@ class ScaleSpec extends SparkSpec {
   test("q48 simhash pairs plan has no cartesian product") {
     val df = graft.SparkEntry.queries("q48_simhash_pairs")(spark, sf())
     df.collect()
-    val bad = collectAll(df.queryExecution.executedPlan).collect {
+    val bad = planNodes(df.queryExecution.executedPlan).collect {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
       case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
     }

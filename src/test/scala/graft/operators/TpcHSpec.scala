@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 import graft.SparkSpec
@@ -12,25 +10,8 @@ import graft.SparkSpec
   * would "pass" at fixture scale and die at 100 TB. */
 class TpcHSpec extends SparkSpec {
 
-  private def plan(name: String): SparkPlan = {
-    val df = graft.SparkEntry.queries(name)(spark, sf())
-    df.collect()
-    df.queryExecution.executedPlan
-  }
-
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
-    val extra = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
-      case _ => Nil
-    }
-    p +: (p.children ++ extra).flatMap(collectAll)
-  }
-
   private def assertNoCartesian(name: String): Unit = {
-    val nodes = collectAll(plan(name))
-    val bad = nodes.collect {
+    val bad = executedPlanNodes(name, sf()).collect {
       case c: CartesianProductExec => c
       case b: BroadcastNestedLoopJoinExec => b
     }
@@ -39,8 +20,7 @@ class TpcHSpec extends SparkSpec {
   }
 
   test("tpch21 double-correlated EXISTS/NOT EXISTS decorrelates to equi-key semi/anti joins") {
-    val nodes = collectAll(plan("tpch21_suppliers_waiting"))
-    val joinTypes = nodes.collect {
+    val joinTypes = executedPlanNodes("tpch21_suppliers_waiting", sf()).collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType.toString
     }
     assert(joinTypes.contains("LeftSemi"), s"expected a semi join, got $joinTypes")
@@ -57,7 +37,7 @@ class TpcHSpec extends SparkSpec {
   }
 
   test("tpch06 pushes all three predicates into the parquet scan") {
-    val scans = collectAll(plan("tpch06_forecast_revenue")).collect {
+    val scans = executedPlanNodes("tpch06_forecast_revenue", sf()).collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString

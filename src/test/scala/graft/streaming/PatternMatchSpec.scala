@@ -82,6 +82,24 @@ class PatternMatchSpec extends SparkSpec {
     assert(out == Seq(M(Seq(1), Seq(2, 3), Seq(4))))
   }
 
+  test("streaming rejects a pattern ending in a greedy quantifier") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val e = intercept[IllegalArgumentException] {
+      matchPattern(input.toDS(), Seq(
+        Step("A", _.event_type == "view", One),
+        Step("B", _.event_type == "click", Plus)), // trailing B+ never finalizes
+        delay = "0 seconds", (_: Long, _: Seq[Bound]) => 0)
+    }
+    assert(e.getMessage.contains("never finalize"))
+    // the same pattern IS valid in batch, where the input end is final
+    val out = runBatch(Seq(ev(1, 0, "view"), ev(2, 1, "click")), Seq(
+      Step("A", _.event_type == "view", One),
+      Step("B", _.event_type == "click", Plus)))
+    assert(out == Seq(M(Seq(1), Seq(2), Nil)))
+  }
+
   test("streaming matches batch across out-of-order arrival and batch splits") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
