@@ -51,6 +51,17 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall $recall (${knn.size} truth pairs)")
   }
 
+  test("ann-ivf is run-to-run deterministic (decimal Lloyd updates)") {
+    import org.apache.spark.sql.functions.col
+    def run(): Seq[(Long, Long, Int)] =
+      Similarity.annIvfNeighbors(
+        graft.core.Catalog.load(spark, sf("sf0.01"), "embeddings"),
+        col("vec_id") < 20, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(run() == run(),
+      "two identical IVF runs diverged - centroid training is order-dependent")
+  }
+
   test("keep-first dedup retains the earliest event per key") {
     import org.apache.spark.sql.functions._
     val deduped = graft.SparkEntry.queries("q43_dedup_keep_first")(spark, sf())
