@@ -154,18 +154,28 @@ object PatternMatch {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: Long, rows: Iterator[Event], state: GroupState[BufState]) => {
+          import StatefulOps.eventMicros
           val buf = state.getOption.map(_.rows).getOrElse(Nil) ++ rows
-          val wm = if (isBatch) Long.MaxValue else state.getCurrentWatermarkMs()
-          val sorted = buf.sortBy(e => (e.ts.getTime, e.event_id)).toIndexedSeq
-          val closedN = sorted.segmentLength(_.ts.getTime <= wm)
+          // full-precision (micros) ordering and watermark comparison —
+          // getTime truncates to ms and would mis-order same-ms events
+          val wmUs =
+            if (isBatch) Long.MaxValue
+            else state.getCurrentWatermarkMs() * 1000L
+          val sorted = buf.sortBy(e => (eventMicros(e.ts), e.event_id)).toIndexedSeq
+          val closedN = sorted.segmentLength(e => eventMicros(e.ts) <= wmUs)
           val (matches, retainFrom) = scan(stepsArr, sorted.take(closedN), isBatch)
           val kept = sorted.slice(retainFrom, closedN) ++ sorted.drop(closedN)
           if (kept.isEmpty) state.remove()
           else {
             state.update(BufState(kept))
-            if (!isBatch)
+            if (!isBatch) {
+              // ts-1 (ms) fires once the watermark REACHES the earliest
+              // retained row (Spark fires strictly-after the registered
+              // timestamp); clamp above the current watermark
+              val headMs = eventMicros(kept.head.ts) / 1000
               state.setTimeoutTimestamp(
-                math.max(kept.head.ts.getTime, wm + 1))
+                math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
+            }
           }
           matches.iterator.map(emit(key, _))
         })

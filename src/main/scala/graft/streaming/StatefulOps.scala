@@ -50,6 +50,16 @@ object StatefulOps {
 
   case class RunState(count: Long, sum: Double, max: Double)
 
+  /** Full-precision event-time sort key: epoch MICROSECONDS.
+    * `Timestamp.getTime` truncates to milliseconds — the sub-ms component
+    * (which the nanos-sourced fixture timestamps carry) lives only in
+    * `getNanos`. Every operator in this package orders and compares by
+    * this key; comparing `getTime` directly would mis-order same-
+    * millisecond events and diverge from the DuckDB oracles' full-
+    * precision `ORDER BY ts`. */
+  def eventMicros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
   private def timeoutConf(idleTtl: Option[String]): GroupStateTimeout =
     if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
     else GroupStateTimeout.NoTimeout
@@ -100,13 +110,21 @@ object StatefulOps {
           if (handleTtl(state, idleTtl)) Iterator.empty
           else {
             var cur = state.getOption.orNull
+            var changed = false
             rows.foreach { e =>
               val newer = cur == null ||
                 e.ts.after(cur.ts) ||
                 (e.ts.equals(cur.ts) && e.event_id > cur.event_id)
-              if (newer) cur = Latest(e.user_id, e.event_type, e.event_id, e.value, e.ts)
+              if (newer) {
+                cur = Latest(e.user_id, e.event_type, e.event_id, e.value, e.ts)
+                changed = true
+              }
             }
-            if (cur != null) { state.update(cur); Iterator.single(cur) }
+            // emit only when the kept row actually changed — a batch of
+            // exclusively stale/out-of-order rows must not re-announce
+            // the unchanged latest (DeduplicateKeepLastRowFunction emits
+            // per change, not per arrival)
+            if (changed) { state.update(cur); Iterator.single(cur) }
             else Iterator.empty
           }
         })
@@ -127,7 +145,7 @@ object StatefulOps {
             var s = state.getOption.getOrElse(RunState(0L, 0.0, Double.MinValue))
             // sort the micro-batch's rows by event time for deterministic
             // running values (within-batch order is not guaranteed)
-            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val out = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).map { e =>
               s = RunState(s.count + 1, s.sum + e.value, math.max(s.max, e.value))
               Running(user, e.event_id, s.count, s.sum, s.max)
             }
@@ -164,7 +182,7 @@ object StatefulOps {
           else {
             var s = state.getOption.getOrElse(TumbleState(0L, 0L, 0.0, 0L, 0L))
             val out = Seq.newBuilder[CountWindow]
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
               val first = if (s.count == 0L) e.event_id else s.first
               s = TumbleState(s.seq, s.count + 1, s.sum + e.value, first, e.event_id)
               if (s.count == n) {
@@ -199,7 +217,7 @@ object StatefulOps {
           else {
             var s = state.getOption.getOrElse(SlideState(0L, Nil))
             val out = Seq.newBuilder[CountWindow]
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
               val ring = (s.ring :+ (e.event_id, e.value)).takeRight(size)
               val seen = s.seen + 1
               if (seen >= size && (seen - size) % slide == 0)
@@ -227,20 +245,28 @@ object StatefulOps {
   def sortByEventTime(events: Dataset[Event], delay: String): Dataset[Event] = {
     implicit val evEnc = Encoders.product[Event]
     implicit val bufEnc = Encoders.product[SortBuf]
+    val isBatch = !events.isStreaming
     events
       .withWatermark("ts", delay)
       .groupByKey(_ => 0)(Encoders.scalaInt)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: Int, rows: Iterator[Event], state: GroupState[SortBuf]) => {
           val buf = (state.getOption.map(_.rows).getOrElse(Nil) ++ rows)
-            .sortBy(e => (e.ts.getTime, e.event_id))
-          val wm = state.getCurrentWatermarkMs()
-          val (ripe, pending) = buf.partition(_.ts.getTime <= wm)
+            .sortBy(e => (eventMicros(e.ts), e.event_id))
+          // batch: no watermark exists (getCurrentWatermarkMs throws) —
+          // the whole input is final, release everything in one pass
+          val wmUs =
+            if (isBatch) Long.MaxValue
+            else state.getCurrentWatermarkMs() * 1000L
+          val (ripe, pending) = buf.partition(e => eventMicros(e.ts) <= wmUs)
           if (pending.isEmpty) state.remove()
           else {
             state.update(SortBuf(pending))
+            // fire as soon as the watermark can cover the earliest pending
+            // row: ts-1 (ms) fires when wm >= ts; never at/below current wm
+            val headMs = eventMicros(pending.head.ts) / 1000
             state.setTimeoutTimestamp(
-              math.max(pending.head.ts.getTime, wm + 1))
+              math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
           }
           ripe.iterator
         })

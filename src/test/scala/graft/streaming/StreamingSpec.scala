@@ -65,6 +65,24 @@ class StreamingSpec extends SparkSpec {
     assert(all.filter(r => r.user_id == 2 && r.event_type == "view").last.event_id == 202)
   }
 
+  test("keep-last dedup stays silent on exclusively stale arrivals") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = keepLastDedup(input.toDS()).writeStream
+      .format("memory").queryName("keeplaststale").outputMode("append").start()
+    input.addData(Event(1, 104, ts(3), "view", 8.0))
+    query.processAllAvailable()
+    // an OLDER event only: the kept row is unchanged -> no re-emission
+    input.addData(Event(1, 99, ts(0), "view", 1.0))
+    query.processAllAvailable()
+    query.stop()
+    val emissions = spark.table("keeplaststale").as[Latest].collect()
+      .filter(r => r.user_id == 1 && r.event_type == "view")
+    assert(emissions.length == 1 && emissions.head.event_id == 104,
+      s"stale arrival must not re-announce the unchanged latest, got ${emissions.toSeq}")
+  }
+
   test("streaming OVER produces per-row running aggregates") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

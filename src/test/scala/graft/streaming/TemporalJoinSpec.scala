@@ -107,6 +107,36 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out == Map(400L -> None, 401L -> Some(2L), 402L -> Some(2L)))
   }
 
+  test("idle retention reclaims version state for quiet keys") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val facts = MemoryStream[Fact]
+    val dims = MemoryStream[DimVersion]
+    val query = temporalJoin(facts.toDS(), dims.toDS(), delay = "0 seconds",
+      idleRetentionMs = Some(60 * 1000L)) // 1 minute of watermark time
+      .writeStream.format("memory").queryName("tjidle").outputMode("append").start()
+    dims.addData(DimVersion(1, ts(10, 0), 1, 100.0))
+    query.processAllAvailable() // key-1 idle timer armed at wm + 1 min
+    // push the watermark far past the retention horizon, plus one more
+    // trigger so the expiry timeout actually fires
+    facts.addData(Fact(99, ts(10, 30), 900, 0.0))
+    query.processAllAvailable()
+    facts.addData(Fact(99, ts(10, 40), 901, 0.0))
+    query.processAllAvailable()
+    // a fact for key 1 AFTER expiry: version state is gone -> None
+    facts.addData(Fact(1, ts(10, 50), 500, 1.0))
+    query.processAllAvailable()
+    facts.addData(Fact(99, ts(11, 30), 902, 0.0))
+    query.processAllAvailable()
+    facts.addData(Fact(99, ts(11, 40), 903, 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("tjidle").as[Enriched].collect()
+      .filter(_.k == 1).map(e => e.fact_id -> e.dim_ver).toMap
+    assert(out == Map(500L -> None),
+      s"expired version must not enrich a later fact, got $out")
+  }
+
   test("batch collapse matches the q63 as-of join on the events fixture") {
     import spark.implicits._
     val ev = StatefulOps.typedEvents(spark, sf())
