@@ -89,7 +89,6 @@ object Aggregates {
       |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
     val t = Tables(spark, dir)
     val wavg = udaf(WeightedAvg)
-    spark.udf.register("weighted_avg", wavg)
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(wavg(col("l_linenumber").cast(DoubleType), col("l_quantity"))

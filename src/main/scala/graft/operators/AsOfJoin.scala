@@ -29,7 +29,10 @@ object AsOfJoin {
     * on bounded data: count views per purchase from the same user within
     * the preceding 3 days. The user_id equality keeps this a sort-merge
     * join with the range as a residual condition — never a cross join.
-    * ts stays nanos-long on the Spark side (ordering-equivalent). */
+    * ts is truncated to MICROS before comparing: DuckDB reads the
+    * parquet TIMESTAMP(NANOS) column at microsecond precision, so a
+    * nanos-precision comparison on the Spark side could flip a boundary
+    * decision the oracle cannot see (sub-µs view/purchase adjacency). */
   val q69IntervalJoin: QueryDef = QueryDef("q69_interval_join",
     """SELECT p.event_id AS purchase_id, p.user_id,
       |  count(v.event_id) AS n_recent_views
@@ -40,14 +43,16 @@ object AsOfJoin {
       |GROUP BY p.event_id, p.user_id
       |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
     val t = Tables(spark, dir)
-    val nanos3d = 3L * 24 * 3600 * 1000 * 1000 * 1000
+    val micros3d = 3L * 24 * 3600 * 1000 * 1000
     val p = t.events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("ts DIV 1000").as("p_ts"))
     val v = t.events.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        expr("ts DIV 1000").as("v_ts"))
     p.join(v,
         col("user_id") === col("v_user") &&
-          col("v_ts") <= col("p_ts") && col("v_ts") > col("p_ts") - nanos3d,
+          col("v_ts") <= col("p_ts") && col("v_ts") > col("p_ts") - micros3d,
         "left")
       .groupBy(col("purchase_id"), col("user_id"))
       .agg(count(col("v_id")).as("n_recent_views"))
@@ -104,7 +109,9 @@ object AsOfJoin {
   }
 
   /** Enrich each purchase with the user's most recent view at or before
-    * the purchase time (classic clickstream attribution shape). */
+    * the purchase time (classic clickstream attribution shape). ts is
+    * truncated to micros before the as-of comparison for the same
+    * oracle-precision reason as [[q69IntervalJoin]]. */
   val q63AsOfJoin: QueryDef = QueryDef("q63_asof_join",
     """SELECT p.event_id AS purchase_id, p.user_id,
       |  CAST(p.value AS DOUBLE) AS purchase_value,
@@ -116,9 +123,9 @@ object AsOfJoin {
     val t = Tables(spark, dir)
     val purchases = t.events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("value").as("purchase_value"), col("ts"))
+        col("value").as("purchase_value"), expr("ts DIV 1000").as("ts"))
     val views = t.events.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts"),
+      .select(col("user_id"), expr("ts DIV 1000").as("ts"),
         col("event_id").as("viewed_event"), col("value").as("viewed_value"))
     asOfJoin(purchases, views, key = "user_id",
       leftTs = "ts", rightTs = "ts", rightTieBreak = "viewed_event",

@@ -86,10 +86,13 @@ object Dedup {
     jaccardPairs(shingles(docs, idCol, textCol, n), threshold, None)
 
   /** MinHash + banded-LSH near-dup pairs ≥ threshold with exact-Jaccard
-    * verification on the candidate set. rowsPerBand = numHashes / bands. */
+    * verification on the candidate set. The signature is fixed at
+    * [[NumHashes]] (96) hashes — the one-pass aggregator's permutation
+    * bank is compiled in — so the tunable is `bands`, which must divide
+    * 96 (rows per band = 96 / bands). */
   def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
-      numHashes: Int = NumHashes, bands: Int = Bands,
+      bands: Int = Bands,
       shinglePersist: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
     // By default the shingle relation is NOT cached even though both the
@@ -100,11 +103,13 @@ object Dedup {
     // callers can opt in via shinglePersist (e.g. MEMORY_AND_DISK) — the
     // blocks stay pinned until the session GCs them, which is the caller's
     // trade to make.
+    require(bands >= 1 && bands <= NumHashes && NumHashes % bands == 0,
+      s"bands must divide the $NumHashes-hash signature, got $bands")
     val sh0 = shingles(docs, idCol, textCol, n)
     val sh =
       if (shinglePersist == org.apache.spark.storage.StorageLevel.NONE) sh0
       else sh0.persist(shinglePersist)
-    jaccardPairs(sh, threshold, Some(lshCandidates(sh, numHashes, bands)))
+    jaccardPairs(sh, threshold, Some(lshCandidates(sh, NumHashes, bands)))
   }
 
   /** DuckDB CTEs producing the same distinct-3-gram-shingle relation. */

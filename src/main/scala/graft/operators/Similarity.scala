@@ -48,8 +48,8 @@ object Similarity {
     * or O(n·k) pair evaluation, and unrolling it cut the all-pairs query
     * ~10×. Left-assoc sum keeps bit-parity with the oracle's identically
     * unrolled expression. */
-  private def dot(a: Column, b: Column): Column =
-    (1 to Dim).map(i => element_at(a, i) * element_at(b, i)).reduceLeft(_ + _)
+  private def dot(a: Column, b: Column, dim: Int = Dim): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduceLeft(_ + _)
 
   private def duckDot(a: String, b: String): String =
     (1 to Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
@@ -232,7 +232,8 @@ object Similarity {
     * no driver materialization, no cross join) — the scale path when the
     * corpus exceeds [[MaxBroadcastCorpusRows]]. */
   def annLshNeighbors(embIn: DataFrame, queryPred: Column, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = Dim): DataFrame = {
     // queryPred is evaluated against the caller's schema here, before the
     // internal rename, so it may reference any input column
     val emb = embIn.select(col(idCol).as("vec_id"),
@@ -242,7 +243,7 @@ object Similarity {
     def bucket(tbl: Int): Column =
       (0 until Planes).map { p =>
         val proj = seqSum(zip_with(col("e"),
-          transform(sequence(lit(1), lit(64)), d => planeComponent(tbl, p, d)),
+          transform(sequence(lit(1), lit(dim)), d => planeComponent(tbl, p, d)),
           (x, h) => x * h))
         when(proj >= 0, lit(1L << p)).otherwise(0L)
       }.reduce[Column](_ + _)
@@ -262,8 +263,8 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     candidates
-      .withColumn("cos", dot(col("ea"), col("eb")) /
-        (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+      .withColumn("cos", dot(col("ea"), col("eb"), dim) /
+        (sqrt(dot(col("ea"), col("ea"), dim)) * sqrt(dot(col("eb"), col("eb"), dim))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -294,7 +295,10 @@ object Similarity {
   // same two knobs, different ratio.
   def annIvfNeighbors(embIn: DataFrame, queryPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 8, lloydIters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = Dim): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist && nlist >= 1,
+      s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
     val spark = embIn.sparkSession
     import spark.implicits._
     val emb = embIn.select(col(idCol).as("vec_id"),
@@ -366,8 +370,8 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     candidates
-      .withColumn("cos", dot(col("ea"), col("eb")) /
-        (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+      .withColumn("cos", dot(col("ea"), col("eb"), dim) /
+        (sqrt(dot(col("ea"), col("ea"), dim)) * sqrt(dot(col("eb"), col("eb"), dim))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),

@@ -28,6 +28,10 @@ object SkewJoin {
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       factor: Int, checkpoint: Boolean = false): DataFrame = {
     require(factor > 0, s"salt factor must be positive, got $factor")
+    // the internal salt column would silently shadow (and then drop) a
+    // same-named user column — fail fast, as asOfJoin does for its tags
+    require(!skewed.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin reserves the column name _salt; rename the input column")
     val salted0 = skewed.withColumn("_salt", saltCol(factor))
     // lazy: materializes on first execution of the JOINED plan, not at
     // call time — an eager checkpoint would run a job (and cache every

@@ -50,9 +50,11 @@ object TextAnalysis {
     "qy" -> Seq("query", "table", "scan"),
     "sp" -> Seq("spark", "stream", "batch"))
 
+  // ONE interpreted filter pass per marker SET (higher-order-function
+  // lambdas are interpreted per element — a per-marker pass would cost
+  // |markers|x the lambda invocations for the same count)
   private def markerCount(words: Column, markers: Seq[String]): Column =
-    markers.map(m => size(filter(words, w => w === m)).cast(LongType))
-      .reduce(_ + _)
+    size(filter(words, w => w.isin(markers: _*))).cast(LongType)
 
   /** Language-ID heuristic + quality scoring. The "languages" are marker
     * vocabularies (the fixture text is synthetic); the operator shape —
@@ -138,15 +140,9 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
     val t = Tables(spark, dir)
     val docs = t.documents
-    val shingles = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("i", "w")))
-      .withColumn("shingle",
-        concat_ws(" ", (0 to 4).map(k =>
-          lead(col("w"), k).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("doc_id")).orderBy(col("i")))): _*))
-      // concat_ws skips NULLs, so trailing windows shrink — keep full 5-grams
-      .filter(size(split(col("shingle"), " ", -1)) === 5)
-    val minShingle = shingles
+    // the shared shingle idiom (Dedup.shingles); its distinct() is
+    // irrelevant under the min() aggregate below
+    val minShingle = Dedup.shingles(docs, n = 5)
       .groupBy(col("doc_id"))
       .agg(min(GraftFunctions.hashCode(col("shingle")).cast(LongType)).as("min_shingle_hash"))
     docs.select(col("doc_id"),
