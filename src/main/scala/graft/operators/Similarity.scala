@@ -234,22 +234,46 @@ object Similarity {
   def annLshNeighbors(embIn: DataFrame, queryPred: Column, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = Dim): DataFrame = {
+    val spark = embIn.sparkSession
+    import spark.implicits._
     // queryPred is evaluated against the caller's schema here, before the
     // internal rename, so it may reference any input column
     val emb = embIn.select(col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("e"), queryPred.as("_is_q"))
 
-    // sign-bit bucket id per table: bit p set iff dot(v, plane_p) >= 0
-    def bucket(tbl: Int): Column =
-      (0 until Planes).map { p =>
-        val proj = seqSum(zip_with(col("e"),
-          transform(sequence(lit(1), lit(dim)), d => planeComponent(tbl, p, d)),
-          (x, h) => x * h))
-        when(proj >= 0, lit(1L << p)).otherwise(0L)
-      }.reduce[Column](_ + _)
+    // Materialize the hyperplane matrix ONCE by evaluating the SAME
+    // Column expressions on a one-row frame (bit-identical components,
+    // hence identical buckets), then compute the sign-bit bucket ids in
+    // a primitive kernel: evaluating the planes as per-row column
+    // algebra would run tables × planes × dim interpreted HOF lambdas
+    // per input row (HOFs are not codegen'd — measured dominant here).
+    val planes: Array[Array[Array[Double]]] = {
+      val cols = for (t <- 0 until Tables_; p <- 0 until Planes)
+        yield transform(sequence(lit(1), lit(dim)), d => planeComponent(t, p, d))
+      val row = spark.range(1).select(array(cols: _*)).head().getSeq[Seq[Double]](0)
+      Array.tabulate(Tables_, Planes)((t, p) => row(t * Planes + p).toArray)
+    }
+    val bcPlanes = spark.sparkContext.broadcast(planes)
 
-    val buckets = emb.select(col("vec_id"), col("e"), col("_is_q"),
-      posexplode(array((0 until Tables_).map(bucket): _*)).as(Seq("tbl", "bucket")))
+    val buckets = emb.as[(Long, Seq[Double], Boolean)]
+      .mapPartitions { it =>
+        val pl = bcPlanes.value
+        it.flatMap { case (id, e, isQ) =>
+          val v = e.toArray
+          (0 until Tables_).map { t =>
+            var bucket = 0L
+            var p = 0
+            while (p < Planes) {
+              val plane = pl(t)(p)
+              var s = 0.0; var d = 0
+              while (d < v.length && d < plane.length) { s += v(d) * plane(d); d += 1 }
+              if (s >= 0) bucket |= 1L << p
+              p += 1
+            }
+            (id, e, isQ, t, bucket)
+          }
+        }
+      }.toDF("vec_id", "e", "_is_q", "tbl", "bucket")
 
     val q = buckets.filter(col("_is_q"))
       .select(col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("e").as("ea"))
