@@ -122,7 +122,7 @@ object Aggregates {
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
-    graft.core.Catalog.registerAll(spark, dir)
+    graft.core.Catalog.registerAnalyzed(spark, dir)
     spark.sql(
       """SELECT o_orderstatus,
         |  COUNT(*) AS n,

@@ -619,7 +619,7 @@ object Relational {
       |   OR o_totalprice > 300000
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
-    graft.core.Catalog.registerAll(spark, dir)
+    graft.core.Catalog.registerAnalyzed(spark, dir)
     spark.sql(
       """SELECT o_orderpriority, count(*) AS n
         |FROM orders
@@ -641,7 +641,7 @@ object Relational {
       |  (SELECT count(*) FROM orders WHERE o_totalprice > step * 25000) AS n_above
       |FROM spine
       |ORDER BY step""".stripMargin) { (spark, dir) =>
-    graft.core.Catalog.registerAll(spark, dir)
+    graft.core.Catalog.registerAnalyzed(spark, dir)
     spark.sql(
       """WITH RECURSIVE spine(step) AS (
         |  SELECT 1

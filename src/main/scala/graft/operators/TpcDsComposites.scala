@@ -25,7 +25,7 @@ object TpcDsComposites {
 
   private def sqlBoth(name: String, sql: String): QueryDef =
     QueryDef(name, sql) { (spark, dir) =>
-      graft.core.Catalog.registerAll(spark, dir)
+      graft.core.Catalog.registerAnalyzed(spark, dir)
       spark.sql(sql)
     }
 
