@@ -126,19 +126,31 @@ object Dedup {
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   /** Exact pairwise Jaccard ≥ threshold over a (doc_id, shingle) relation.
-    * Brute force (no candidates): shingle equi-join — never a cross join.
-    * LSH path (candidates given): the equi-join would still be paid in
-    * full before any restriction, so instead each candidate pair joins the
-    * per-doc shingle sets (collected once) and intersects them in place —
-    * cost proportional to |candidates|, not to shingle co-occurrence. */
+    *
+    * Both paths compare shingles through their `xxhash64` values, never the
+    * strings: 3-gram strings average ~20 bytes where the hash is a flat 8,
+    * so hashing cuts every shuffle this operator pays severalfold and
+    * bounds row width on long documents. Per-doc counts still come from
+    * the distinct STRING shingles, so the Jaccard denominators are exact;
+    * hash equality standing in for string equality in the intersection is
+    * exact up to 64-bit collisions (P ≈ |shingles|²·2⁻⁶⁴ — negligible
+    * against the corpus sizes this library targets).
+    *
+    * Brute force (no candidates): shingle-hash equi-join — never a cross
+    * join, and the join key is a primitive long. LSH path (candidates
+    * given): the equi-join would still be paid in full before any
+    * restriction, so instead each candidate pair joins the per-doc hashed
+    * shingle sets (collected once, `Array[Long]`) and intersects them in
+    * place — cost proportional to |candidates|, not shingle co-occurrence. */
   private def jaccardPairs(sh: DataFrame, threshold: Double,
       candidates: Option[DataFrame]): DataFrame = {
     val jaccard = (i: Column, na: Column, nb: Column) =>
       i.cast(DoubleType) / (na + nb - i)
+    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     candidates match {
       case Some(c) =>
-        val sets = sh.groupBy(col("doc_id"))
-          .agg(collect_list(col("shingle")).as("shset"), count(lit(1)).as("n"))
+        val sets = hashed.groupBy(col("doc_id"))
+          .agg(collect_list(col("h")).as("shset"), count(lit(1)).as("n"))
         c.join(sets.select(col("doc_id").as("id_a"), col("shset").as("sa"), col("n").as("na")), Seq("id_a"))
           .join(sets.select(col("doc_id").as("id_b"), col("shset").as("sb"), col("n").as("nb")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
@@ -148,9 +160,9 @@ object Dedup {
           .orderBy(col("id_a"), col("id_b"))
       case None =>
         val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
-        val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
-        val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+        val a = hashed.select(col("doc_id").as("id_a"), col("h"))
+        val b = hashed.select(col("doc_id").as("id_b"), col("h"))
+        val inter = a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
           .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
         inter
           .join(cnt.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
@@ -231,22 +243,39 @@ object Dedup {
   }
 
   /** Candidate pairs sharing ≥1 LSH band bucket over the MinHash
-    * signatures of a (doc_id, shingle) relation. */
+    * signatures of a (doc_id, shingle) relation.
+    *
+    * A pair sharing k band buckets surfaces k times out of the bucket
+    * join (near-dups share most of their 32 bands); instead of a
+    * `distinct()` — a full extra shuffle of the duplicated pair stream,
+    * and map-side dedup cannot collapse the copies because they leave
+    * from DIFFERENT (band, bucket) partitions — each side carries its
+    * 32-slot band-hash vector through the join and a pair is kept only
+    * where the joined band is the FIRST position at which the two
+    * vectors agree (the q48 pigeonhole trick): pure per-row arithmetic,
+    * each pair emitted exactly once, no second shuffle. */
   private def lshCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val hashed = sh.withColumn("h", xxhash64(col("shingle")))
     val sig = hashed.groupBy(col("doc_id"))
       .agg(udaf(MinHashSig).apply(col("h")).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
+    val banded = sig
+      .withColumn("bhs", array((0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until rows).map(k =>
           element_at(col("sig"), rows * b + k + 1)): _*)): _*))
-        .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+      .select(col("doc_id"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("bhs").as("ba"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("bhs").as("bb"))
+    // array_position is 1-based; posexplode's band is 0-based
+    val firstEqualBand =
+      array_position(zip_with(col("ba"), col("bb"), (x, y) => x === y), lit(true)) - 1
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .filter(col("band") === firstEqualBand)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** DuckDB replica of the 32-bit shingle-feature SimHash (bit-majority
