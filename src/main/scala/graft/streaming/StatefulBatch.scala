@@ -22,7 +22,7 @@ object StatefulBatch {
 
   def defs: Seq[QueryDef] =
     Seq(q72TopnState, q73KeepLastState, q74RunningOver, q88TemporalJoinState,
-      q90CountTumble, q91CountSlide)
+      q90CountTumble, q91CountSlide, q94RowsFrame, q95RangeFrame)
 
   val q72TopnState: QueryDef = QueryDef("q72_topn_state",
     """SELECT user_id, rank, event_id, value FROM (
@@ -110,6 +110,49 @@ object StatefulBatch {
         round(col("sum_value"), 4).as("sum_value"),
         col("first_event"), col("last_event"))
       .orderBy(col("user_id"), col("win_seq"))
+  }
+
+  /** Bounded-ROWS streaming OVER (reference
+    * RowTimeRowsBoundedPrecedingFunction.java) collapsed to batch:
+    * count/sum/max over the last 5 rows per user in event-time order —
+    * the exact `ROWS BETWEEN 4 PRECEDING AND CURRENT ROW` frame. */
+  val q94RowsFrame: QueryDef = QueryDef("q94_rows_frame",
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER win AS n_in_frame,
+      |  round(SUM(value) OVER win, 4) AS frame_sum,
+      |  MAX(value) OVER win AS frame_max
+      |FROM events
+      |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    StatefulOps.rowsBoundedAggregates(StatefulOps.typedEvents(spark, dir), 4).toDF()
+      .select(col("user_id"), col("event_id"), col("n_in_frame"),
+        round(col("frame_sum"), 4).as("frame_sum"), col("frame_max"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Bounded-RANGE streaming OVER (reference
+    * RowTimeRangeBoundedPrecedingFunction.java) collapsed to batch:
+    * count/sum/max over the trailing 24 event-time hours per user. Both
+    * engines frame on epoch MICROSECONDS (the operator's eventMicros vs
+    * the oracle's epoch_us over the nanos-precision fixture timestamps),
+    * so the horizon arithmetic is identical integer math. */
+  val q95RangeFrame: QueryDef = QueryDef("q95_range_frame",
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
+      |SELECT user_id, event_id,
+      |  COUNT(*) OVER win AS n_in_frame,
+      |  round(SUM(value) OVER win, 4) AS frame_sum,
+      |  MAX(value) OVER win AS frame_max
+      |FROM e
+      |WINDOW win AS (PARTITION BY user_id ORDER BY us
+      |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    StatefulOps.rangeBoundedAggregates(StatefulOps.typedEvents(spark, dir),
+      java.time.Duration.ofHours(24)).toDF()
+      .select(col("user_id"), col("event_id"), col("n_in_frame"),
+        round(col("frame_sum"), 4).as("frame_sum"), col("frame_max"))
+      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** Count-sliding windows (reference CountSlidingWindowAssigner.java)

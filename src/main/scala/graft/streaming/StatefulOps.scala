@@ -155,6 +155,105 @@ object StatefulOps {
         })
   }
 
+  /** Aggregates over one bounded OVER frame, one output row per input
+    * row (streaming ROWS/RANGE bounded-preceding OVER). */
+  case class FrameAgg(user_id: Long, event_id: Long, n_in_frame: Long,
+      frame_sum: Double, frame_max: Double)
+
+  case class RowsFrameState(ring: Seq[Double])
+
+  /** Streaming OVER with a bounded ROWS frame — per-key count/sum/max over
+    * `ROWS BETWEEN <preceding> PRECEDING AND CURRENT ROW` in (ts, event_id)
+    * order, one output row per input row (reference:
+    * RT/operators/over/RowTimeRowsBoundedPrecedingFunction.java — the
+    * "last N rows per key" alerting shape; the unbounded variant is
+    * [[runningAggregates]]).
+    *
+    * Per-key state is the frame ring — O(preceding + 1) values, the same
+    * bound as the reference's retained-row state. The frame aggregates are
+    * recomputed left-to-right over the ring at each row rather than
+    * incrementally maintained: MAX is not invertible under eviction anyway
+    * (the reference re-scans for a new max when the old one retires), and
+    * a full ring fold makes the double sum bit-deterministic no matter
+    * what was evicted. */
+  def rowsBoundedAggregates(events: Dataset[Event], preceding: Int,
+      idleTtl: Option[String] = None): Dataset[FrameAgg] = {
+    require(preceding >= 0, s"ROWS frame bound must be >= 0, got $preceding")
+    val cap = preceding + 1
+    implicit val outEnc = Encoders.product[FrameAgg]
+    implicit val stEnc = Encoders.product[RowsFrameState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+        (user: Long, rows: Iterator[Event], state: GroupState[RowsFrameState]) => {
+          if (handleTtl(state, idleTtl)) Iterator.empty
+          else {
+            val ring = scala.collection.mutable.ArrayDeque.empty[Double]
+            state.getOption.foreach(s => ring.addAll(s.ring))
+            val out = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).map { e =>
+              ring.append(e.value)
+              if (ring.length > cap) ring.removeHead()
+              FrameAgg(user, e.event_id, ring.length.toLong, ring.sum, ring.max)
+            }
+            state.update(RowsFrameState(ring.toSeq))
+            out.iterator
+          }
+        })
+  }
+
+  case class TsVal(us: Long, value: Double)
+  case class RangeFrameState(buf: Seq[TsVal])
+
+  /** Streaming OVER with a bounded RANGE frame — per-key count/sum/max
+    * over `RANGE BETWEEN <horizon> PRECEDING AND CURRENT ROW` in event
+    * time, one output row per input row (reference:
+    * RT/operators/over/RowTimeRangeBoundedPrecedingFunction.java — the
+    * "last T time per key" shape).
+    *
+    * SQL RANGE semantics: the frame key is the timestamp alone, so every
+    * row at the SAME event time is a peer and shares one frame that
+    * includes all of them. Rows older than `ts - horizon` retire from the
+    * per-key buffer as the frame head advances — state is O(rows inside
+    * one horizon), the eviction bound the reference implements with its
+    * cleanup timer. Event times compare at full micros precision
+    * ([[eventMicros]]). */
+  def rangeBoundedAggregates(events: Dataset[Event], horizon: java.time.Duration,
+      idleTtl: Option[String] = None): Dataset[FrameAgg] = {
+    val horizonUs = horizon.toNanos / 1000
+    require(horizonUs >= 0, s"RANGE frame horizon must be >= 0, got $horizon")
+    implicit val outEnc = Encoders.product[FrameAgg]
+    implicit val stEnc = Encoders.product[RangeFrameState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+        (user: Long, rows: Iterator[Event], state: GroupState[RangeFrameState]) => {
+          if (handleTtl(state, idleTtl)) Iterator.empty
+          else {
+            val buf = scala.collection.mutable.ArrayDeque.empty[TsVal]
+            state.getOption.foreach(s => buf.addAll(s.buf))
+            val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).toIndexedSeq
+            val out = Seq.newBuilder[FrameAgg]
+            var i = 0
+            while (i < sorted.length) {
+              val us = eventMicros(sorted(i).ts)
+              var j = i
+              while (j < sorted.length && eventMicros(sorted(j).ts) == us) j += 1
+              // peers first: same-time rows all belong to each other's frame
+              (i until j).foreach(k => buf.append(TsVal(us, sorted(k).value)))
+              while (buf.nonEmpty && buf.head.us < us - horizonUs) buf.removeHead()
+              val n = buf.length.toLong
+              var sum = 0.0
+              var max = Double.NegativeInfinity
+              buf.foreach { tv => sum += tv.value; if (tv.value > max) max = tv.value }
+              (i until j).foreach(k => out += FrameAgg(user, sorted(k).event_id, n, sum, max))
+              i = j
+            }
+            state.update(RangeFrameState(buf.toSeq))
+            out.result().iterator
+          }
+        })
+  }
+
   /** One completed count window (tumbling or sliding). */
   case class CountWindow(user_id: Long, win_seq: Long, n_events: Long,
       sum_value: Double, first_event: Long, last_event: Long)

@@ -102,6 +102,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.running_max).toSeq == Seq(5.0, 9.0, 9.0, 9.0, 9.0))
   }
 
+  test("bounded-ROWS streaming OVER keeps the frame across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    val query = rowsBoundedAggregates(input.toDS(), preceding = 2).writeStream
+      .format("memory").queryName("rowsframe").outputMode("append").start()
+    input.addData(batch1)
+    query.processAllAvailable()
+    input.addData(batch2) // 104/105 frames must reach back into batch1 rows
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("rowsframe").as[FrameAgg].collect()
+      .filter(_.user_id == 1).sortBy(_.event_id)
+    // user 1 values in ts order: 101(5.0) 102(9.0) 103(3.0) | 104(8.0) 105(1.0)
+    assert(rows.map(_.n_in_frame).toSeq == Seq(1, 2, 3, 3, 3))
+    assert(rows.map(_.frame_sum).toSeq == Seq(5.0, 14.0, 17.0, 20.0, 12.0))
+    assert(rows.map(_.frame_max).toSeq == Seq(5.0, 9.0, 9.0, 9.0, 8.0))
+  }
+
+  test("bounded-RANGE streaming OVER evicts by event-time horizon across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // trailing 2-minute frame
+    val query = rangeBoundedAggregates(input.toDS(),
+      java.time.Duration.ofMinutes(2)).writeStream
+      .format("memory").queryName("rangeframe").outputMode("append").start()
+    input.addData(batch1)
+    query.processAllAvailable()
+    input.addData(batch2)
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("rangeframe").as[FrameAgg].collect()
+      .filter(_.user_id == 1).sortBy(_.event_id)
+    // frames (ts >= cur - 2 min): 101@10:00 {101}; 102@10:01 {101,102};
+    // 103@10:02 {101,102,103}; 104@10:03 {102,103,104} — 101 evicted
+    // across the batch boundary; 105@10:04 {103,104,105}
+    assert(rows.map(_.n_in_frame).toSeq == Seq(1, 2, 3, 3, 3))
+    assert(rows.map(_.frame_sum).toSeq == Seq(5.0, 14.0, 17.0, 20.0, 12.0))
+    assert(rows.map(_.frame_max).toSeq == Seq(5.0, 9.0, 9.0, 9.0, 8.0))
+  }
+
   test("watermarked tumbling-window aggregation closes windows") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
