@@ -14,7 +14,8 @@ import graft.core.{QueryDef, Tables}
   */
 object Funnel {
 
-  def defs: Seq[QueryDef] = Seq(q76Funnel, q83PatternRuns, q89MatchRecognize)
+  def defs: Seq[QueryDef] =
+    Seq(q76Funnel, q83PatternRuns, q89MatchRecognize, q96PrevDefine)
 
   /** Count view→click→purchase funnels per user (consecutive events,
     * event-time order). */
@@ -133,5 +134,64 @@ object Funnel {
       })
       .toDF()
       .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  case class VShape(user_id: Long, first_down: Long, last_down: Long,
+      n_down: Long, rebound: Long)
+
+  /** MATCH_RECOGNIZE with cross-row DEFINE — the price-drop "V" pattern
+    * that needs PREV (reference MatchCodeGenerator.scala:82 /
+    * IterativeConditionRunner.java:31): per user,
+    * `PATTERN (D+ U) DEFINE D AS value < PREV(value), U AS value > PREV(value)`
+    * with AFTER MATCH SKIP PAST LAST ROW. Because D and U are mutually
+    * exclusive, the greedy NFA's matches are exactly the maximal strictly-
+    * decreasing runs immediately followed by a rebound row — which is how
+    * the DuckDB oracle states it (gaps-and-islands over lag() flags).
+    * Value comparisons are raw double equality/ordering on fixture values
+    * both engines read bit-identically from parquet. */
+  val q96PrevDefine: QueryDef = QueryDef("q96_prev_define",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER win AS rn,
+      |    lag(value) OVER win AS pv
+      |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (
+      |  SELECT user_id, rn, event_id,
+      |    CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END AS d,
+      |    CASE WHEN pv IS NOT NULL AND value > pv THEN 1 ELSE 0 END AS u
+      |  FROM seq),
+      |druns AS (
+      |  SELECT user_id, rn, d,
+      |    rn - SUM(d) OVER (PARTITION BY user_id ORDER BY rn
+      |                      ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM f),
+      |runs AS (
+      |  SELECT user_id, grp, MIN(rn) AS start_rn, MAX(rn) AS end_rn,
+      |         COUNT(*) AS n_down
+      |  FROM druns WHERE d = 1 GROUP BY user_id, grp),
+      |hits AS (
+      |  SELECT r.user_id, r.start_rn, r.end_rn, r.n_down, up.event_id AS up_id
+      |  FROM runs r
+      |  JOIN f up ON up.user_id = r.user_id AND up.rn = r.end_rn + 1 AND up.u = 1)
+      |SELECT h.user_id, fd.event_id AS first_down, ld.event_id AS last_down,
+      |       CAST(h.n_down AS BIGINT) AS n_down, h.up_id AS rebound
+      |FROM hits h
+      |JOIN seq fd ON fd.user_id = h.user_id AND fd.rn = h.start_rn
+      |JOIN seq ld ON ld.user_id = h.user_id AND ld.rn = h.end_rn
+      |ORDER BY h.user_id, first_down""".stripMargin) { (spark, dir) =>
+    import graft.streaming.PatternMatch._
+    import graft.streaming.StatefulOps
+    implicit val enc = org.apache.spark.sql.Encoders.product[VShape]
+    matchPattern(StatefulOps.typedEvents(spark, dir), Seq(
+      Step.withPrev("D", Plus)((cur, prev) => cur.value < prev.value),
+      Step.withPrev("U", One)((cur, prev) => cur.value > prev.value)),
+      delay = "0 seconds",
+      (key, bound) => {
+        val b = bound.map(s => s.name -> s.rows).toMap
+        VShape(key, b("D").head.event_id, b("D").last.event_id,
+          b("D").size.toLong, b("U").head.event_id)
+      })
+      .toDF()
+      .orderBy(col("user_id"), col("first_down"))
   }
 }

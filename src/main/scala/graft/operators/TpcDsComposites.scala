@@ -18,7 +18,7 @@ import graft.core.QueryDef
   */
 object TpcDsComposites {
 
-  def defs: Seq[QueryDef] = Seq(qds14, qds23, qds67, qds70, qds51)
+  def defs: Seq[QueryDef] = Seq(qds14, qds23, qds67, qds70, qds51, qds57, qds64)
 
   private val REV =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2))"
@@ -129,6 +129,70 @@ object TpcDsComposites {
        |  FROM agg) x
        |WHERE rk <= 3
        |ORDER BY p_brand NULLS FIRST, rk, p_type NULLS FIRST""".stripMargin)
+
+  /** q57/q47 shape: a monthly per-brand revenue series with its own
+    * yearly mean and ROW_NUMBER windows, then the SAME CTE consumed three
+    * times — current / lag / lead rows stitched by consecutive rn (the
+    * reference text's v1, v1_lag, v1_lead self-join) — keeping months that
+    * deviate >10% from their year's mean. The yearly mean is an exact
+    * decimal sum divided by a count (never AVG over doubles: window
+    * accumulation order is engine-specific and the deviation filter sits
+    * on the result), so both engines decide the 10% boundary identically. */
+  val qds57: QueryDef = sqlBoth("qds57_seasonal_deviation",
+    s"""WITH v1 AS (
+       |  SELECT p_brand,
+       |         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS y,
+       |         CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS m,
+       |         CAST(SUM($REV) AS DOUBLE) AS sum_sales,
+       |         CAST(SUM(SUM($REV)) OVER (PARTITION BY p_brand, EXTRACT(YEAR FROM l_shipdate)) AS DOUBLE)
+       |           / COUNT(*) OVER (PARTITION BY p_brand, EXTRACT(YEAR FROM l_shipdate)) AS avg_monthly,
+       |         ROW_NUMBER() OVER (PARTITION BY p_brand
+       |                            ORDER BY EXTRACT(YEAR FROM l_shipdate),
+       |                                     EXTRACT(MONTH FROM l_shipdate)) AS rn
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  GROUP BY p_brand, EXTRACT(YEAR FROM l_shipdate), EXTRACT(MONTH FROM l_shipdate))
+       |SELECT v1.p_brand, v1.y, v1.m,
+       |       round(v1.sum_sales, 2) AS sum_sales,
+       |       round(v1.avg_monthly, 2) AS avg_monthly,
+       |       round(v1_lag.sum_sales, 2) AS psum,
+       |       round(v1_lead.sum_sales, 2) AS nsum
+       |FROM v1, v1 v1_lag, v1 v1_lead
+       |WHERE v1.p_brand = v1_lag.p_brand
+       |  AND v1.p_brand = v1_lead.p_brand
+       |  AND v1.rn = v1_lag.rn + 1
+       |  AND v1.rn = v1_lead.rn - 1
+       |  AND v1.avg_monthly > 0
+       |  AND abs(v1.sum_sales - v1.avg_monthly) / v1.avg_monthly > 0.1
+       |ORDER BY v1.p_brand, v1.y, v1.m""".stripMargin)
+
+  /** q64 shape: one wide multi-join aggregate CTE (5-table star with a
+    * COUNT DISTINCT) consumed TWICE and self-joined across two consecutive
+    * periods (cs1.syear = cs2.syear - 1, the reference's two-sales-years
+    * join), keeping brands whose revenue grew. The period predicate lives
+    * in the JOIN condition, not a WHERE — pushing a year filter into
+    * either consumer would specialize the copies and forfeit the subplan
+    * reuse the shape exists to exercise. */
+  val qds64: QueryDef = sqlBoth("qds64_yoy_selfjoin",
+    s"""WITH cs AS (
+       |  SELECT p_brand AS brand,
+       |         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS syear,
+       |         CAST(SUM($REV) AS DOUBLE) AS revenue,
+       |         COUNT(*) AS cnt,
+       |         COUNT(DISTINCT o_custkey) AS n_cust
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON p_partkey = l_partkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT cs1.brand, cs1.syear, round(cs1.revenue, 2) AS rev_y1,
+       |       round(cs2.revenue, 2) AS rev_y2,
+       |       cs1.cnt AS cnt_y1, cs2.cnt AS cnt_y2,
+       |       cs1.n_cust AS cust_y1, cs2.n_cust AS cust_y2
+       |FROM cs cs1 JOIN cs cs2
+       |  ON cs1.brand = cs2.brand AND cs1.syear = cs2.syear - 1
+       |WHERE cs2.revenue > cs1.revenue
+       |ORDER BY cs1.brand, cs1.syear""".stripMargin)
 
   /** q51 shape: per-channel cumulative windows FULL OUTER joined and
     * compared — exact decimal running sums keep both engines

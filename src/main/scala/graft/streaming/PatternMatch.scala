@@ -14,10 +14,16 @@ import graft.streaming.StatefulOps.Event
   * row-predicate with a quantifier — `A` (exactly one), `A?`, `A+`, `A*` —
   * matched GREEDILY with backtracking over each key's event-time-ordered
   * sequence, `AFTER MATCH SKIP PAST LAST ROW` (the reference's default).
-  * MEASURES come from the per-step row bindings handed to the caller's
-  * `emit` (FIRST/LAST/count of any step are projections of those
-  * bindings). Not covered (documented non-goals): cross-row DEFINE
-  * references (PREV/NEXT), reluctant quantifiers, WITHIN.
+  * DEFINE predicates may reference the PREVIOUS row in the key's input
+  * order ([[Step.withPrev]] — SQL `PREV(expr, 1)`, reference
+  * MatchCodeGenerator.scala:82 / IterativeConditionRunner.java:31), and the
+  * whole match can be bounded by a `WITHIN` duration: every row of a match
+  * must lie within `within` of the match's first row, mirroring Flink
+  * CEP's `Pattern.within` (reference: EventTimeTriggers / the NFA's
+  * window-time pruning). MEASURES come from the per-step row bindings
+  * handed to the caller's `emit` (FIRST/LAST/count of any step are
+  * projections of those bindings). Not covered (documented non-goals):
+  * NEXT references, reluctant quantifiers.
   *
   * Execution: one code path for both modes via `flatMapGroupsWithState`.
   * Streaming: rows buffer per key; on every trigger (or event-time
@@ -26,11 +32,15 @@ import graft.streaming.StatefulOps.Event
   * partial match still viable at the prefix end retains its rows — so
   * out-of-order arrival within the watermark delay cannot corrupt a
   * match. Batch: a single pass over each key's full sorted sequence
-  * (watermark = ∞), which is what the q89 DuckDB oracle hash-checks.
+  * (watermark = ∞), which is what the q89/q96 DuckDB oracles hash-check.
   *
   * State is O(pending rows of an open partial match) per key, matching
-  * the reference NFA's per-key buffer; as there, a partial match with no
-  * continuation lingers until one arrives (no WITHIN pruning).
+  * the reference NFA's per-key buffer. WITHOUT a `within` bound, a partial
+  * match with no continuation lingers until one arrives; WITH one, the
+  * attempt is adjudicated as soon as the watermark passes
+  * `start + within` (no later row can extend it), so pending state is
+  * bounded by the window — WITHIN is the reference's pruning mechanism
+  * for exactly this leak, reproduced here.
   */
 object PatternMatch {
 
@@ -40,13 +50,28 @@ object PatternMatch {
   case object Plus extends Quant
   case object Star extends Quant
 
-  /** One PATTERN step: a named predicate with a quantifier. */
-  final case class Step(name: String, pred: Event => Boolean, quant: Quant)
+  /** One PATTERN step: a named predicate with a quantifier. `prevPred`,
+    * when present, is ANDed in against (current, previous-input-row); a
+    * row with no predecessor fails it, mirroring SQL's `x < PREV(x)`
+    * evaluating to NULL (not true) at the partition head. */
+  final case class Step(name: String, pred: Event => Boolean, quant: Quant,
+      prevPred: Option[(Event, Event) => Boolean] = None)
+
+  object Step {
+    /** DEFINE with a PREV reference: `p(current, previous)` over the key's
+      * event-time-ordered input — the previous row counts even when a
+      * prior match consumed it (PREV reads input order, not bindings). */
+    def withPrev(name: String, quant: Quant)(p: (Event, Event) => Boolean): Step =
+      Step(name, _ => true, quant, Some(p))
+  }
 
   /** Rows bound to one step in one match (empty for unused Opt/Star). */
   final case class Bound(name: String, rows: Seq[Event])
 
-  case class BufState(rows: Seq[Event])
+  /** `prev` carries the input row immediately before `rows.head` (dropped
+    * from the buffer by consumption) so PREV predicates stay exact across
+    * triggers and match boundaries. */
+  case class BufState(rows: Seq[Event], prev: Option[Event])
 
   /** Result of attempting a match at a fixed start offset. */
   private sealed trait Attempt
@@ -54,32 +79,45 @@ object PatternMatch {
   private case object NoMatch extends Attempt
   private case object NeedMore extends Attempt // pattern ran off the buffer
 
-  /** Greedy backtracking matcher. When a greedy arm runs off the buffer
-    * end and the input is NOT final (streaming: rows with later event
-    * times may still arrive), NeedMore dominates — the match cannot be
-    * adjudicated yet and its rows must be held rather than committing to
-    * a shorter alternative that more input might invalidate. With
-    * `finalInput` (batch, or a stream's closing pass) the buffer end is
-    * the end of the sequence and backtracking proceeds normally. */
+  private def stepOk(st: Step, rows: IndexedSeq[Event], ri: Int,
+      bufPrev: Option[Event]): Boolean =
+    st.pred(rows(ri)) && (st.prevPred match {
+      case None => true
+      case Some(p) =>
+        val prev = if (ri == 0) bufPrev else Some(rows(ri - 1))
+        prev.exists(p(rows(ri), _))
+    })
+
+  /** Greedy backtracking matcher over `rows(start until end)` — `end` is
+    * the WITHIN window boundary (rows.length when unbounded). When a
+    * greedy arm runs off `end` and `finalAtEnd` is false (streaming: rows
+    * with later event times may still arrive inside the window), NeedMore
+    * dominates — the match cannot be adjudicated yet and its rows must be
+    * held rather than committing to a shorter alternative that more input
+    * might invalidate. `finalAtEnd` holds when the input is batch, when
+    * the window boundary lies inside the buffer (the row after it proves
+    * no in-window row is missing), or when the watermark has passed the
+    * window end. */
   private def tryMatch(steps: IndexedSeq[Step], rows: IndexedSeq[Event],
-      start: Int, finalInput: Boolean): Attempt = {
+      start: Int, end: Int, finalAtEnd: Boolean,
+      bufPrev: Option[Event]): Attempt = {
     def go(si: Int, ri: Int): Attempt =
       if (si == steps.length) Matched(ri, Nil)
       else {
         val st = steps(si)
         st.quant match {
           case One =>
-            if (ri >= rows.length) { if (finalInput) NoMatch else NeedMore }
-            else if (!st.pred(rows(ri))) NoMatch
+            if (ri >= end) { if (finalAtEnd) NoMatch else NeedMore }
+            else if (!stepOk(st, rows, ri, bufPrev)) NoMatch
             else go(si + 1, ri + 1) match {
               case Matched(e, b) => Matched(e, (si, ri) :: b)
               case other => other
             }
           case Opt =>
-            if (ri >= rows.length) {
-              if (finalInput) go(si + 1, ri) // skip: empty binding
+            if (ri >= end) {
+              if (finalAtEnd) go(si + 1, ri) // skip: empty binding
               else NeedMore // greedy arm undecidable
-            } else if (st.pred(rows(ri)))
+            } else if (stepOk(st, rows, ri, bufPrev))
               go(si + 1, ri + 1) match {
                 case Matched(e, b) => Matched(e, (si, ri) :: b)
                 case NeedMore => NeedMore
@@ -88,8 +126,8 @@ object PatternMatch {
             else go(si + 1, ri)
           case Plus | Star =>
             var j = ri
-            while (j < rows.length && st.pred(rows(j))) j += 1
-            if (j == rows.length && !finalInput) NeedMore // run touches buffer end
+            while (j < end && stepOk(steps(si), rows, j, bufPrev)) j += 1
+            if (j == end && !finalAtEnd) NeedMore // run touches buffer end
             else {
               val minEnd = if (st.quant == Plus) ri + 1 else ri
               var k = j // greedy: longest run first
@@ -110,20 +148,33 @@ object PatternMatch {
 
   /** Scan a sorted closed prefix: emit matches (skip past last row),
     * return the bound-rows of each match and the index the buffer must be
-    * retained from (first row of an unadjudicated partial match). */
+    * retained from (first row of an unadjudicated partial match).
+    * `withinUs == Long.MaxValue` means no WITHIN bound; otherwise each
+    * attempt is confined to rows within `withinUs` of its start row and
+    * becomes final once the watermark (`wmUs`) passes that window. */
   private def scan(steps: IndexedSeq[Step], rows: IndexedSeq[Event],
-      finalInput: Boolean): (List[List[Bound]], Int) = {
+      finalInput: Boolean, wmUs: Long, withinUs: Long,
+      bufPrev: Option[Event]): (List[List[Bound]], Int) = {
+    import StatefulOps.eventMicros
     val out = List.newBuilder[List[Bound]]
     var i = 0
     var retain = rows.length
     var open = true
     while (i < rows.length && open) {
-      tryMatch(steps, rows, i, finalInput) match {
-        case Matched(end, binds) =>
+      val (end, finalAtEnd) =
+        if (withinUs == Long.MaxValue) (rows.length, finalInput)
+        else {
+          val limitUs = eventMicros(rows(i).ts) + withinUs
+          var w = i
+          while (w < rows.length && eventMicros(rows(w).ts) <= limitUs) w += 1
+          (w, finalInput || w < rows.length || limitUs <= wmUs)
+        }
+      tryMatch(steps, rows, i, end, finalAtEnd, bufPrev) match {
+        case Matched(e, binds) =>
           val byStep = binds.groupBy(_._1)
           out += steps.indices.map(si =>
             Bound(steps(si).name, byStep.getOrElse(si, Nil).map(p => rows(p._2)))).toList
-          i = math.max(end, i + 1) // guard: an all-optional empty match
+          i = math.max(e, i + 1) // guard: an all-optional empty match
         case NoMatch => i += 1
         case NeedMore => retain = i; open = false
       }
@@ -133,21 +184,30 @@ object PatternMatch {
 
   /** Run `steps` over each key's event-time-ordered sequence; one output
     * row per match via `emit(key, boundSteps)`. Works on streaming and
-    * batch Datasets (see object doc). */
+    * batch Datasets (see object doc). `within` bounds every match's
+    * event-time span from its first row and prunes partial-match state
+    * once the watermark closes the window. */
   def matchPattern[O: Encoder](events: Dataset[Event], steps: Seq[Step],
-      delay: String, emit: (Long, Seq[Bound]) => O): Dataset[O] = {
+      delay: String, emit: (Long, Seq[Bound]) => O,
+      within: Option[java.time.Duration] = None): Dataset[O] = {
     require(steps.nonEmpty, "PATTERN must have at least one step")
     val stepsArr = steps.toIndexedSeq
     val isBatch = !events.isStreaming
+    val withinUs = within.map(_.toNanos / 1000).getOrElse(Long.MaxValue)
+    require(withinUs > 0, s"WITHIN must be a positive duration, got $within")
     // A STREAMING pattern ending in a greedy quantifier can never be
-    // adjudicated: a trailing B+/B*/B? run is always extendable by rows
-    // with later event times, so every candidate would sit in NeedMore
-    // forever (matching Flink CEP, which needs WITHIN to bound such
-    // patterns). Fail fast instead of silently emitting nothing.
-    require(isBatch || steps.last.quant == One,
-      "a streaming PATTERN must end with an exactly-one step: a trailing " +
-        s"'${steps.last.name}' with quantifier ${steps.last.quant} can " +
-        "always be extended by future rows and would never finalize")
+    // adjudicated WITHOUT a WITHIN bound: a trailing B+/B*/B? run is
+    // always extendable by rows with later event times, so every
+    // candidate would sit in NeedMore forever (matching Flink CEP, which
+    // needs WITHIN to bound such patterns — once the watermark closes
+    // start+within, the greedy arm is final). Fail fast instead of
+    // silently emitting nothing.
+    require(isBatch || steps.last.quant == One || within.isDefined,
+      "a streaming PATTERN must end with an exactly-one step or carry a " +
+        s"WITHIN bound: a trailing '${steps.last.name}' with quantifier " +
+        s"${steps.last.quant} can always be extended by future rows and " +
+        "would never finalize")
+    val usesPrev = steps.exists(_.prevPred.isDefined)
     implicit val stateEnc: Encoder[BufState] = Encoders.product[BufState]
     events
       .withWatermark("ts", delay)
@@ -155,7 +215,8 @@ object PatternMatch {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: Long, rows: Iterator[Event], state: GroupState[BufState]) => {
           import StatefulOps.eventMicros
-          val buf = state.getOption.map(_.rows).getOrElse(Nil) ++ rows
+          val st = state.getOption
+          val buf = st.map(_.rows).getOrElse(Nil) ++ rows
           // full-precision (micros) ordering and watermark comparison —
           // getTime truncates to ms and would mis-order same-ms events
           val wmUs =
@@ -163,11 +224,23 @@ object PatternMatch {
             else state.getCurrentWatermarkMs() * 1000L
           val sorted = buf.sortBy(e => (eventMicros(e.ts), e.event_id)).toIndexedSeq
           val closedN = sorted.segmentLength(e => eventMicros(e.ts) <= wmUs)
-          val (matches, retainFrom) = scan(stepsArr, sorted.take(closedN), isBatch)
+          val bufPrev = st.flatMap(_.prev)
+          val (matches, retainFrom) =
+            scan(stepsArr, sorted.take(closedN), isBatch, wmUs, withinUs, bufPrev)
           val kept = sorted.slice(retainFrom, closedN) ++ sorted.drop(closedN)
-          if (kept.isEmpty) state.remove()
-          else {
-            state.update(BufState(kept))
+          // the input row preceding the retained buffer, for PREV across
+          // triggers; with everything consumed it is the last closed row
+          val newPrev =
+            if (!usesPrev) None
+            else if (retainFrom > 0) Some(sorted(retainFrom - 1))
+            else bufPrev
+          if (kept.isEmpty) {
+            // PREV-using patterns keep an O(1) tail marker so the next
+            // arrival still sees its predecessor; others clear fully
+            if (usesPrev && newPrev.isDefined) state.update(BufState(Nil, newPrev))
+            else state.remove()
+          } else {
+            state.update(BufState(kept, newPrev))
             if (!isBatch) {
               // ts-1 (ms) fires once the watermark REACHES the earliest
               // retained row (Spark fires strictly-after the registered

@@ -100,6 +100,115 @@ class PatternMatchSpec extends SparkSpec {
     assert(out == Seq(M(Seq(1), Seq(2), Nil)))
   }
 
+  test("PREV cross-row DEFINE matches a strictly-decreasing run plus rebound") {
+    // D+ U with D: value < PREV(value), U: value > PREV(value)
+    def evv(id: Long, m: Int, v: Double): Event = Event(1L, id, ts(m), "x", v)
+    val steps = Seq(
+      Step.withPrev("D", Plus)((c, p) => c.value < p.value),
+      Step.withPrev("U", One)((c, p) => c.value > p.value))
+    import spark.implicits._
+    val out = matchPattern(spark.createDataset(Seq(
+      evv(1, 0, 9.0), evv(2, 1, 7.0), evv(3, 2, 4.0), evv(4, 3, 6.0), // V at 2-4
+      evv(5, 4, 6.0), // equal: neither D nor U — breaks any run
+      evv(6, 5, 5.0), evv(7, 6, 8.0))), // second V at 6-7
+      steps, "0 seconds",
+      (_: Long, bound: Seq[Bound]) => {
+        val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
+        M(by("D"), by("U"), Nil)
+      }).collect().toSeq.sortBy(_.a.head)
+    // row 1 has no PREV -> cannot open a D run; run {2,3} rebounds at 4;
+    // the equal row 5 matches neither; run {6} rebounds at 7
+    assert(out == Seq(M(Seq(2, 3), Seq(4), Nil), M(Seq(6), Seq(7), Nil)))
+  }
+
+  test("PREV sees the input predecessor across a SKIP PAST LAST ROW boundary") {
+    // after the first match consumes ...U, the next D's PREV is that U row
+    def evv(id: Long, m: Int, v: Double): Event = Event(1L, id, ts(m), "x", v)
+    val steps = Seq(
+      Step.withPrev("D", Plus)((c, p) => c.value < p.value),
+      Step.withPrev("U", One)((c, p) => c.value > p.value))
+    import spark.implicits._
+    val out = matchPattern(spark.createDataset(Seq(
+      evv(1, 0, 9.0), evv(2, 1, 5.0), evv(3, 2, 8.0), // match: D={2} U={3}
+      evv(4, 3, 6.0), evv(5, 4, 7.0))), // 4 is D only if PREV=row3 (8.0) visible
+      steps, "0 seconds",
+      (_: Long, bound: Seq[Bound]) => {
+        val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
+        M(by("D"), by("U"), Nil)
+      }).collect().toSeq.sortBy(_.a.head)
+    assert(out == Seq(M(Seq(2), Seq(3), Nil), M(Seq(4), Seq(5), Nil)),
+      "the second match's D needs PREV across the consumed first match")
+  }
+
+  test("WITHIN rejects a match whose span exceeds the bound (batch)") {
+    val within = Some(java.time.Duration.ofMinutes(5))
+    // same A B+ C shape; C arrives 10 minutes after A -> outside WITHIN
+    val far = Seq(ev(1, 0, "view"), ev(2, 1, "click"), ev(3, 10, "purchase"))
+    import spark.implicits._
+    def run(events: Seq[Event]) = matchPattern(
+      spark.createDataset(events), ABplusC, "0 seconds",
+      (_: Long, bound: Seq[Bound]) => {
+        val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
+        M(by("A"), by("B"), by("C"))
+      }, within = within).collect().toSeq
+    assert(run(far).isEmpty, "span 10 min > WITHIN 5 min must not match")
+    val near = Seq(ev(1, 0, "view"), ev(2, 1, "click"), ev(3, 4, "purchase"))
+    assert(run(near) == Seq(M(Seq(1), Seq(2), Seq(3))))
+  }
+
+  test("WITHIN finalizes a trailing greedy quantifier in streaming") {
+    // A B+ (no terminal One step) is only legal in streaming WITH a
+    // WITHIN bound: the window close adjudicates the greedy arm
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = matchPattern(input.toDS(), Seq(
+      Step("A", _.event_type == "view", One),
+      Step("B", _.event_type == "click", Plus)),
+      delay = "0 seconds",
+      (_: Long, bound: Seq[Bound]) => {
+        val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
+        M(by("A"), by("B"), Nil)
+      }, within = Some(java.time.Duration.ofMinutes(5)))
+      .writeStream.format("memory").queryName("nfawithin").outputMode("append").start()
+    input.addData(ev(1, 0, "view"), ev(2, 1, "click"), ev(3, 2, "click"))
+    query.processAllAvailable() // watermark still behind 10:05 — no emission yet
+    val early = spark.table("nfawithin").as[M].collect().toSeq
+    assert(early.isEmpty, s"greedy arm must not finalize inside the window, got $early")
+    // push the watermark past start + WITHIN, then once more for the timeout
+    input.addData(Event(9L, 900, ts(20), "view", 0.0))
+    query.processAllAvailable()
+    input.addData(Event(9L, 901, ts(30), "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("nfawithin").as[M].collect().toSeq
+    assert(got == Seq(M(Seq(1), Seq(2, 3), Nil)),
+      s"window close must finalize the greedy B+ run, got $got")
+  }
+
+  test("WITHIN prunes a stale partial match instead of retaining it forever") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = matchPattern(input.toDS(), ABplusC, delay = "0 seconds",
+      (_: Long, bound: Seq[Bound]) => {
+        val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
+        M(by("A"), by("B"), by("C"))
+      }, within = Some(java.time.Duration.ofMinutes(5)))
+      .writeStream.format("memory").queryName("nfaprune").outputMode("append").start()
+    // A + one B, then nothing inside the window; the C arrives far too late
+    input.addData(ev(1, 0, "view"), ev(2, 1, "click"))
+    query.processAllAvailable()
+    input.addData(ev(3, 30, "purchase")) // 30 min after A — outside WITHIN
+    query.processAllAvailable()
+    input.addData(Event(9L, 900, ts(50), "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("nfaprune").as[M].collect().toSeq
+    assert(got.isEmpty,
+      s"the expired partial match must be pruned, not completed late: $got")
+  }
+
   test("streaming matches batch across out-of-order arrival and batch splits") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
