@@ -107,14 +107,28 @@ object Catalog {
   def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
-  /** Column types ANALYZE can compute column-level statistics for
-    * (embeddings.embedding is an array — table-level stats only). */
-  private def statsColumns(schema: StructType): Seq[String] =
+  /** Wide text-payload columns excluded from column-level statistics:
+    * NDV/min/max over multi-KB strings is the expensive part of ANALYZE
+    * (it dominates the whole-catalog pass) and never steers the planner —
+    * payload columns are not join keys or selective filters. At 100 TB
+    * the same rule holds: analyze the key/dimension columns, skip the
+    * document bodies. */
+  private val statsExclude: Map[String, Set[String]] = Map(
+    "documents" -> Set("text"),
+    "events" -> Set("props"))
+
+  /** Columns ANALYZE computes column-level statistics for: scalar types
+    * only (embeddings.embedding is an array — table-level stats only),
+    * minus the wide payload columns above. */
+  private def statsColumns(table: String, schema: StructType): Seq[String] = {
+    val excluded = statsExclude.getOrElse(table, Set.empty)
     schema.fields.collect {
       case f if !f.dataType.isInstanceOf[ArrayType] &&
         !f.dataType.isInstanceOf[MapType] &&
-        !f.dataType.isInstanceOf[StructType] => f.name
+        !f.dataType.isInstanceOf[StructType] &&
+        !excluded.contains(f.name) => f.name
     }.toSeq
+  }
 
   /** Register every fixture as an ANALYZED catalog table.
     *
@@ -139,15 +153,25 @@ object Catalog {
     */
   def registerAnalyzed(spark: SparkSession, dir: String): Unit = synchronized {
     val marker = "graft.analyzed.dir"
-    if (spark.conf.getOption(marker).contains(dir)) return
+    if (spark.conf.getOption(marker).contains(dir)) {
+      // already analyzed this dir — but a temp view registered since (e.g.
+      // registerAll in the same session) would shadow the catalog tables
+      // and silently starve the planner of statistics; always clear them
+      tableNames.foreach(spark.catalog.dropTempView)
+      return
+    }
     tableNames.foreach { n =>
       // a leftover temp view would shadow the catalog table
       spark.catalog.dropTempView(n)
       spark.sql(s"DROP TABLE IF EXISTS $n")
       spark.sql(
         s"CREATE TABLE $n (${schemas(n).toDDL}) USING parquet LOCATION '${path(dir, n)}'")
-      spark.sql(
-        s"ANALYZE TABLE $n COMPUTE STATISTICS FOR COLUMNS ${statsColumns(schemas(n)).mkString(", ")}")
+      val cols = statsColumns(n, schemas(n))
+      if (cols.isEmpty)
+        spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS")
+      else
+        spark.sql(
+          s"ANALYZE TABLE $n COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
     }
     spark.conf.set(marker, dir)
   }

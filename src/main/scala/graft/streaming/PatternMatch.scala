@@ -40,7 +40,10 @@ import graft.streaming.StatefulOps.Event
   * attempt is adjudicated as soon as the watermark passes
   * `start + within` (no later row can extend it), so pending state is
   * bounded by the window — WITHIN is the reference's pruning mechanism
-  * for exactly this leak, reproduced here.
+  * for exactly this leak, reproduced here. The O(1) predecessor marker a
+  * PREV-using pattern keeps after full consumption is pruned by the same
+  * WITHIN horizon (watermark past `prev + within`), so idle keys clear;
+  * without WITHIN the marker is load-bearing and retained.
   */
 object PatternMatch {
 
@@ -236,9 +239,25 @@ object PatternMatch {
             else bufPrev
           if (kept.isEmpty) {
             // PREV-using patterns keep an O(1) tail marker so the next
-            // arrival still sees its predecessor; others clear fully
-            if (usesPrev && newPrev.isDefined) state.update(BufState(Nil, newPrev))
-            else state.remove()
+            // arrival still sees its predecessor; others clear fully.
+            // With a WITHIN bound the marker itself expires once the
+            // watermark is `within` past the predecessor — the same
+            // pruning the reference NFA applies to its shared buffer —
+            // so idle keys do not accumulate state forever (a row
+            // arriving after that horizon sees no predecessor, the
+            // documented WITHIN trade). Without WITHIN the marker is
+            // load-bearing indefinitely and is retained.
+            val markerDeadUs = newPrev.map(p => eventMicros(p.ts))
+              .map(us => if (withinUs == Long.MaxValue) Long.MaxValue
+                         else us + withinUs)
+            if (usesPrev && newPrev.isDefined &&
+                (isBatch || markerDeadUs.exists(_ > wmUs))) {
+              state.update(BufState(Nil, newPrev))
+              if (!isBatch && markerDeadUs.get != Long.MaxValue)
+                state.setTimeoutTimestamp(
+                  math.max(markerDeadUs.get / 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
           } else {
             state.update(BufState(kept, newPrev))
             if (!isBatch) {

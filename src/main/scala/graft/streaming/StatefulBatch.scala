@@ -22,7 +22,8 @@ object StatefulBatch {
 
   def defs: Seq[QueryDef] =
     Seq(q72TopnState, q73KeepLastState, q74RunningOver, q88TemporalJoinState,
-      q90CountTumble, q91CountSlide, q94RowsFrame, q95RangeFrame)
+      q90CountTumble, q91CountSlide, q94RowsFrame, q95RangeFrame,
+      q97EarlyFire)
 
   val q72TopnState: QueryDef = QueryDef("q72_topn_state",
     """SELECT user_id, rank, event_id, value FROM (
@@ -153,6 +154,28 @@ object StatefulBatch {
       .select(col("user_id"), col("event_id"), col("n_in_frame"),
         round(col("frame_sum"), 4).as("frame_sum"), col("frame_max"))
       .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Early-fire windowed aggregation (reference WindowEmitStrategy early
+    * fires + EventTimeTriggers final) collapsed to batch: with no
+    * watermark every emission is the final one, i.e. a plain 1-hour
+    * tumbling aggregate — which is what the oracle hash-checks; the
+    * partial-then-final emission sequence is spec'd in EarlyFireSpec. */
+  val q97EarlyFire: QueryDef = QueryDef("q97_early_fire",
+    """WITH e AS (
+      |  SELECT user_id, value, epoch_us(ts) AS us FROM events)
+      |SELECT user_id,
+      |  us - (us % 3600000000) AS w_start_us,
+      |  COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value,
+      |  1 AS is_final
+      |FROM e
+      |GROUP BY 1, 2
+      |ORDER BY user_id, w_start_us""".stripMargin) { (spark, dir) =>
+    EarlyFire.earlyFireWindowAgg(StatefulOps.typedEvents(spark, dir),
+      java.time.Duration.ofHours(1)).toDF()
+      .select(col("user_id"), col("w_start_us"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"), col("is_final"))
+      .orderBy(col("user_id"), col("w_start_us"))
   }
 
   /** Count-sliding windows (reference CountSlidingWindowAssigner.java)

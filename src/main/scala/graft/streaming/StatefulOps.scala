@@ -160,7 +160,7 @@ object StatefulOps {
   case class FrameAgg(user_id: Long, event_id: Long, n_in_frame: Long,
       frame_sum: Double, frame_max: Double)
 
-  case class RowsFrameState(ring: Seq[Double])
+  case class RowsFrameState(ring: Seq[Double], pending: Seq[Event])
 
   /** Streaming OVER with a bounded ROWS frame — per-key count/sum/max over
     * `ROWS BETWEEN <preceding> PRECEDING AND CURRENT ROW` in (ts, event_id)
@@ -169,40 +169,66 @@ object StatefulOps {
     * "last N rows per key" alerting shape; the unbounded variant is
     * [[runningAggregates]]).
     *
-    * Per-key state is the frame ring — O(preceding + 1) values, the same
-    * bound as the reference's retained-row state. The frame aggregates are
-    * recomputed left-to-right over the ring at each row rather than
-    * incrementally maintained: MAX is not invertible under eviction anyway
-    * (the reference re-scans for a new max when the old one retires), and
-    * a full ring fold makes the double sum bit-deterministic no matter
-    * what was evicted. */
+    * Rows BUFFER until the watermark closes them and are only then run
+    * through the frame in (ts, event_id) order — exactly the reference
+    * function's register-a-timer-then-fire-on-watermark protocol. Framing
+    * on arrival order instead would let a late row's frame include rows
+    * with LATER event times (and there would be no correct eviction order
+    * at all for RANGE); the watermark delay is the declared out-of-order
+    * bound, as everywhere else in this package.
+    *
+    * Per-key state is the frame ring (O(preceding + 1) values, the same
+    * bound as the reference's retained-row state — it persists for idle
+    * keys because any future row's frame reaches back into it) plus the
+    * not-yet-closed buffer (bounded by the watermark delay). The frame
+    * aggregates are recomputed left-to-right over the ring at each row
+    * rather than incrementally maintained: MAX is not invertible under
+    * eviction anyway (the reference re-scans for a new max when the old
+    * one retires), and a full ring fold makes the double sum
+    * bit-deterministic no matter what was evicted. */
   def rowsBoundedAggregates(events: Dataset[Event], preceding: Int,
-      idleTtl: Option[String] = None): Dataset[FrameAgg] = {
+      delay: String = "0 seconds"): Dataset[FrameAgg] = {
     require(preceding >= 0, s"ROWS frame bound must be >= 0, got $preceding")
     val cap = preceding + 1
+    val isBatch = !events.isStreaming
     implicit val outEnc = Encoders.product[FrameAgg]
     implicit val stEnc = Encoders.product[RowsFrameState]
     events
+      .withWatermark("ts", delay)
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[Event], state: GroupState[RowsFrameState]) => {
-          if (handleTtl(state, idleTtl)) Iterator.empty
-          else {
-            val ring = scala.collection.mutable.ArrayDeque.empty[Double]
-            state.getOption.foreach(s => ring.addAll(s.ring))
-            val out = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).map { e =>
-              ring.append(e.value)
-              if (ring.length > cap) ring.removeHead()
-              FrameAgg(user, e.event_id, ring.length.toLong, ring.sum, ring.max)
-            }
-            state.update(RowsFrameState(ring.toSeq))
-            out.iterator
+          val st = state.getOption.getOrElse(RowsFrameState(Nil, Nil))
+          val buf = (st.pending ++ rows)
+            .sortBy(e => (eventMicros(e.ts), e.event_id))
+          // batch: no watermark exists — the whole input is final
+          val wmUs =
+            if (isBatch) Long.MaxValue
+            else state.getCurrentWatermarkMs() * 1000L
+          val (ripe, pending) = buf.partition(e => eventMicros(e.ts) <= wmUs)
+          val ring = scala.collection.mutable.ArrayDeque.empty[Double]
+          ring.addAll(st.ring)
+          val out = ripe.map { e =>
+            ring.append(e.value)
+            if (ring.length > cap) ring.removeHead()
+            FrameAgg(user, e.event_id, ring.length.toLong, ring.sum, ring.max)
           }
+          if (ring.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(RowsFrameState(ring.toSeq, pending))
+            if (!isBatch && pending.nonEmpty) {
+              // fire once the watermark can cover the earliest pending row
+              val headMs = eventMicros(pending.head.ts) / 1000
+              state.setTimeoutTimestamp(
+                math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.iterator
         })
   }
 
   case class TsVal(us: Long, value: Double)
-  case class RangeFrameState(buf: Seq[TsVal])
+  case class RangeFrameState(buf: Seq[TsVal], pending: Seq[Event])
 
   /** Streaming OVER with a bounded RANGE frame — per-key count/sum/max
     * over `RANGE BETWEEN <horizon> PRECEDING AND CURRENT ROW` in event
@@ -212,45 +238,71 @@ object StatefulOps {
     *
     * SQL RANGE semantics: the frame key is the timestamp alone, so every
     * row at the SAME event time is a peer and shares one frame that
-    * includes all of them. Rows older than `ts - horizon` retire from the
-    * per-key buffer as the frame head advances — state is O(rows inside
-    * one horizon), the eviction bound the reference implements with its
-    * cleanup timer. Event times compare at full micros precision
-    * ([[eventMicros]]). */
+    * includes all of them. As in [[rowsBoundedAggregates]], rows buffer
+    * until the watermark closes them and are framed in event-time order —
+    * the head-only eviction below is only correct on a time-monotone
+    * sequence, which the watermark protocol guarantees.
+    *
+    * State is O(rows inside one horizon) per key plus the not-yet-closed
+    * buffer: frame rows retire as the head advances, and once the
+    * watermark passes `last + horizon` no future row can reach the
+    * remaining frame rows, so an event-time timeout clears them — the
+    * eviction bound the reference implements with its cleanup timer.
+    * Event times compare at full micros precision ([[eventMicros]]). */
   def rangeBoundedAggregates(events: Dataset[Event], horizon: java.time.Duration,
-      idleTtl: Option[String] = None): Dataset[FrameAgg] = {
+      delay: String = "0 seconds"): Dataset[FrameAgg] = {
     val horizonUs = horizon.toNanos / 1000
     require(horizonUs >= 0, s"RANGE frame horizon must be >= 0, got $horizon")
+    val isBatch = !events.isStreaming
     implicit val outEnc = Encoders.product[FrameAgg]
     implicit val stEnc = Encoders.product[RangeFrameState]
     events
+      .withWatermark("ts", delay)
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[Event], state: GroupState[RangeFrameState]) => {
-          if (handleTtl(state, idleTtl)) Iterator.empty
-          else {
-            val buf = scala.collection.mutable.ArrayDeque.empty[TsVal]
-            state.getOption.foreach(s => buf.addAll(s.buf))
-            val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).toIndexedSeq
-            val out = Seq.newBuilder[FrameAgg]
-            var i = 0
-            while (i < sorted.length) {
-              val us = eventMicros(sorted(i).ts)
-              var j = i
-              while (j < sorted.length && eventMicros(sorted(j).ts) == us) j += 1
-              // peers first: same-time rows all belong to each other's frame
-              (i until j).foreach(k => buf.append(TsVal(us, sorted(k).value)))
-              while (buf.nonEmpty && buf.head.us < us - horizonUs) buf.removeHead()
-              val n = buf.length.toLong
-              var sum = 0.0
-              var max = Double.NegativeInfinity
-              buf.foreach { tv => sum += tv.value; if (tv.value > max) max = tv.value }
-              (i until j).foreach(k => out += FrameAgg(user, sorted(k).event_id, n, sum, max))
-              i = j
-            }
-            state.update(RangeFrameState(buf.toSeq))
-            out.result().iterator
+          val st = state.getOption.getOrElse(RangeFrameState(Nil, Nil))
+          val all = (st.pending ++ rows)
+            .sortBy(e => (eventMicros(e.ts), e.event_id))
+          val wmUs =
+            if (isBatch) Long.MaxValue
+            else state.getCurrentWatermarkMs() * 1000L
+          val (ripe, pending) = all.partition(e => eventMicros(e.ts) <= wmUs)
+          val buf = scala.collection.mutable.ArrayDeque.empty[TsVal]
+          buf.addAll(st.buf)
+          val sorted = ripe.toIndexedSeq
+          val out = Seq.newBuilder[FrameAgg]
+          var i = 0
+          while (i < sorted.length) {
+            val us = eventMicros(sorted(i).ts)
+            var j = i
+            while (j < sorted.length && eventMicros(sorted(j).ts) == us) j += 1
+            // peers first: same-time rows all belong to each other's frame
+            (i until j).foreach(k => buf.append(TsVal(us, sorted(k).value)))
+            while (buf.nonEmpty && buf.head.us < us - horizonUs) buf.removeHead()
+            val n = buf.length.toLong
+            var sum = 0.0
+            var max = Double.NegativeInfinity
+            buf.foreach { tv => sum += tv.value; if (tv.value > max) max = tv.value }
+            (i until j).foreach(k => out += FrameAgg(user, sorted(k).event_id, n, sum, max))
+            i = j
           }
+          // any still-unreleased row has ts > watermark, so frame rows
+          // below wm - horizon can never appear in a future frame
+          if (!isBatch && wmUs >= horizonUs)
+            while (buf.nonEmpty && buf.head.us < wmUs - horizonUs) buf.removeHead()
+          if (buf.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(RangeFrameState(buf.toSeq, pending))
+            if (!isBatch) {
+              val nextMs =
+                if (pending.nonEmpty) eventMicros(pending.head.ts) / 1000 - 1
+                else (buf.last.us + horizonUs) / 1000 + 1
+              state.setTimeoutTimestamp(
+                math.max(nextMs, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.result().iterator
         })
   }
 

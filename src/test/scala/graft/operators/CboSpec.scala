@@ -65,17 +65,13 @@ class CboSpec extends SparkSpec {
 
       spark.conf.set(key, "false")
       val syntactic = spark.sql(worstFirst)
-      val syntacticLeaves = leafOrder(syntactic.queryExecution.optimizedPlan)
 
-      assert(syntacticLeaves ==
-        Seq("lineitem", "orders", "customer", "nation", "region"),
-        s"without reorder the join must stay in FROM order, got $syntacticLeaves")
-      assert(reorderedLeaves != syntacticLeaves,
-        "cost-based join reorder left the worst-first join order untouched " +
-          s"($reorderedLeaves) — CBO statistics are not reaching the planner")
-      // the facts must no longer be the first two relations joined
+      // the property that matters (not the exact order, which is
+      // incidental planner output): with statistics present the planner
+      // must not start the join tree with the two fact tables
       assert(reorderedLeaves.take(2).toSet != Set("lineitem", "orders"),
-        s"reorder kept fact×fact as the first join: $reorderedLeaves")
+        s"cost-based reorder kept fact×fact as the first join: $reorderedLeaves" +
+          " — CBO statistics are not reaching the planner")
 
       spark.conf.set(key, "true")
       assert(rows(reordered) == rows(syntactic.orderBy("r_name")),
@@ -98,18 +94,11 @@ class CboSpec extends SparkSpec {
         s"leaf ${r.catalogTable.get.identifier.table} lacks rowCount stats")
     }
 
-    // CBO must commit to a different join order than the heuristic-only
-    // planner does on the worst-first SQL text
-    val key = "spark.sql.cbo.joinReorder.enabled"
-    val prev = spark.conf.get(key)
-    try {
-      spark.conf.set(key, "false")
-      val heuristic = leafOrder(graft.SparkEntry
-        .queries("tpch08_market_share")(spark, sf()).queryExecution.optimizedPlan)
-      spark.conf.set(key, "true")
-      val costed = leafOrder(df.queryExecution.optimizedPlan)
-      assert(costed != heuristic,
-        s"CBO left tpch08's join order at the heuristic choice: $costed")
-    } finally spark.conf.set(key, prev)
+    // the order itself is incidental planner output (a Spark upgrade may
+    // legitimately pick another optimum); the stable property is that the
+    // costed plan never opens with the lineitem×orders fact pair
+    val costed = leafOrder(df.queryExecution.optimizedPlan)
+    assert(costed.take(2).toSet != Set("lineitem", "orders"),
+      s"CBO opened tpch08's join tree with fact×fact: $costed")
   }
 }

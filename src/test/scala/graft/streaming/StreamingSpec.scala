@@ -145,6 +145,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.frame_max).toSeq == Seq(5.0, 9.0, 9.0, 9.0, 8.0))
   }
 
+  test("bounded-ROWS frames follow event-time order when a row arrives late") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = rowsBoundedAggregates(input.toDS(), preceding = 2,
+      delay = "5 minutes").writeStream
+      .format("memory").queryName("rowslate").outputMode("append").start()
+    // 102@10:01 arrives AFTER 103@10:02 and in a later micro-batch;
+    // within the 5-minute delay it must still frame between 101 and 103
+    input.addData(Event(1, 101, ts(0), "view", 5.0), Event(1, 103, ts(2), "view", 3.0))
+    query.processAllAvailable()
+    input.addData(Event(1, 102, ts(1), "view", 9.0), Event(9, 900, ts(20), "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("rowslate").as[FrameAgg].collect()
+      .filter(_.user_id == 1).sortBy(_.event_id)
+    assert(rows.map(_.event_id).toSeq == Seq(101L, 102L, 103L))
+    // event-time frames: {101}, {101,102}, {101,102,103} — arrival-order
+    // framing would have given 103 a frame without 102 and 102 a frame
+    // containing the later-in-time 103
+    assert(rows.map(_.frame_sum).toSeq == Seq(5.0, 14.0, 17.0),
+      s"late row must frame in event-time order, got ${rows.toSeq}")
+  }
+
+  test("bounded-RANGE frames follow event-time order when a row arrives late") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = rangeBoundedAggregates(input.toDS(),
+      java.time.Duration.ofMinutes(2), delay = "5 minutes").writeStream
+      .format("memory").queryName("rangelate").outputMode("append").start()
+    input.addData(Event(1, 101, ts(0), "view", 5.0), Event(1, 103, ts(2), "view", 3.0))
+    query.processAllAvailable()
+    input.addData(Event(1, 102, ts(1), "view", 9.0), Event(9, 900, ts(20), "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("rangelate").as[FrameAgg].collect()
+      .filter(_.user_id == 1).sortBy(_.event_id)
+    assert(rows.map(_.event_id).toSeq == Seq(101L, 102L, 103L))
+    assert(rows.map(_.frame_sum).toSeq == Seq(5.0, 14.0, 17.0),
+      s"late row must frame in event-time order, got ${rows.toSeq}")
+  }
+
   test("watermarked tumbling-window aggregation closes windows") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
