@@ -18,7 +18,8 @@ import graft.core.QueryDef
   */
 object TpcDsComposites {
 
-  def defs: Seq[QueryDef] = Seq(qds14, qds23, qds67, qds70, qds51, qds57, qds64)
+  def defs: Seq[QueryDef] =
+    Seq(qds05, qds14, qds23, qds67, qds70, qds51, qds57, qds64)
 
   private val REV =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2))"
@@ -28,6 +29,34 @@ object TpcDsComposites {
       graft.core.Catalog.registerAnalyzed(spark, dir)
       spark.sql(sql)
     }
+
+  /** q5 shape: per-channel sales/returns/profit reports UNION ALLed and
+    * rolled up over (channel, brand) — the reference text's
+    * ssr/csr/wsr CTEs + GROUP BY ROLLUP(channel, id). Returns are the
+    * 'R'-flag lines of each channel (the fixture has no separate returns
+    * table); profit = sales − returns stays an exact decimal until the
+    * final double cast, so the rollup subtotals are bit-identical in both
+    * engines. */
+  val qds05: QueryDef = sqlBoth("qds05_channel_rollup",
+    s"""WITH by_channel AS (
+       |  SELECT CASE o_orderstatus WHEN 'F' THEN 'store'
+       |                            WHEN 'O' THEN 'online'
+       |                            ELSE 'pending' END AS channel,
+       |         p_brand,
+       |         SUM(CASE WHEN l_returnflag <> 'R' THEN $REV
+       |                  ELSE CAST(0 AS DECIMAL(17,4)) END) AS sales,
+       |         SUM(CASE WHEN l_returnflag = 'R' THEN $REV
+       |                  ELSE CAST(0 AS DECIMAL(17,4)) END) AS returns
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |                JOIN part ON p_partkey = l_partkey
+       |  GROUP BY 1, 2)
+       |SELECT channel, p_brand,
+       |       CAST(SUM(sales) AS DOUBLE) AS sales,
+       |       CAST(SUM(returns) AS DOUBLE) AS returns,
+       |       CAST(SUM(sales) - SUM(returns) AS DOUBLE) AS profit
+       |FROM by_channel
+       |GROUP BY ROLLUP(channel, p_brand)
+       |ORDER BY channel NULLS FIRST, p_brand NULLS FIRST""".stripMargin)
 
   /** q14a shape: cross_items = parts present in ALL THREE channels (double
     * INTERSECT), an average-sales scalar CTE consumed by every branch's

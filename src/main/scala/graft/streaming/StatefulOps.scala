@@ -366,17 +366,24 @@ object StatefulOps {
         (user: Long, rows: Iterator[Event], state: GroupState[SlideState]) => {
           if (handleTtl(state, idleTtl)) Iterator.empty
           else {
-            var s = state.getOption.getOrElse(SlideState(0L, Nil))
+            val s = state.getOption.getOrElse(SlideState(0L, Nil))
+            // mutable ring: O(1) amortized per row (an immutable Seq with
+            // :+/takeRight would copy O(size) per event — noticeable at
+            // size in the thousands), window fold only on emission
+            val ring = scala.collection.mutable.ArrayDeque.from(s.ring)
+            var seen = s.seen
             val out = Seq.newBuilder[CountWindow]
             rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
-              val ring = (s.ring :+ (e.event_id, e.value)).takeRight(size)
-              val seen = s.seen + 1
+              ring.append((e.event_id, e.value))
+              if (ring.length > size) ring.removeHead()
+              seen += 1
               if (seen >= size && (seen - size) % slide == 0)
                 out += CountWindow(user, (seen - size) / slide, ring.length.toLong,
-                  ring.map(_._2).sum, ring.head._1, ring.last._1)
-              s = SlideState(seen, ring.takeRight(size - 1))
+                  ring.iterator.map(_._2).sum, ring.head._1, ring.last._1)
             }
-            state.update(s)
+            // persist only the size-1 trailing events the next window needs
+            while (ring.length > size - 1) ring.removeHead()
+            state.update(SlideState(seen, ring.toSeq))
             out.result().iterator
           }
         })
