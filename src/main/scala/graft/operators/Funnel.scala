@@ -15,7 +15,8 @@ import graft.core.{QueryDef, Tables}
 object Funnel {
 
   def defs: Seq[QueryDef] =
-    Seq(q76Funnel, q83PatternRuns, q89MatchRecognize, q96PrevDefine)
+    Seq(q76Funnel, q83PatternRuns, q89MatchRecognize, q96PrevDefine,
+      q98ReluctantMatch)
 
   /** Count view→click→purchase funnels per user (consecutive events,
     * event-time order). */
@@ -193,5 +194,54 @@ object Funnel {
       })
       .toDF()
       .orderBy(col("user_id"), col("first_down"))
+  }
+
+  case class NearestClick(user_id: Long, view_id: Long, click_id: Long,
+      n_between: Long)
+
+  /** Reluctant quantifier (`PATTERN (V A*? C)`): each view matches to the
+    * NEAREST following click — the greedy form would bind the farthest.
+    * Because A is unconstrained, the shortest-first run ends at the first
+    * click after the view, so with SKIP PAST LAST ROW each match lives
+    * inside one click-delimited island of the key's timeline and the
+    * matches are exactly (first view of each island → that island's
+    * closing click) — which is how the gaps-and-islands oracle states it. */
+  val q98ReluctantMatch: QueryDef = QueryDef("q98_reluctant_match",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, rn, event_id, event_type,
+      |    COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY rn
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+      |  FROM seq),
+      |v AS (
+      |  SELECT user_id, grp, MIN(rn) AS vrn
+      |  FROM g WHERE event_type = 'view' GROUP BY user_id, grp),
+      |c AS (
+      |  SELECT user_id, grp, MIN(rn) AS crn, MIN(event_id) AS click_id
+      |  FROM g WHERE event_type = 'click' GROUP BY user_id, grp)
+      |SELECT v.user_id, sv.event_id AS view_id, c.click_id,
+      |       CAST(c.crn - v.vrn - 1 AS BIGINT) AS n_between
+      |FROM v JOIN c ON v.user_id = c.user_id AND v.grp = c.grp
+      |JOIN seq sv ON sv.user_id = v.user_id AND sv.rn = v.vrn
+      |ORDER BY v.user_id, view_id""".stripMargin) { (spark, dir) =>
+    import graft.streaming.PatternMatch._
+    import graft.streaming.StatefulOps
+    implicit val enc = org.apache.spark.sql.Encoders.product[NearestClick]
+    matchPattern(StatefulOps.typedEvents(spark, dir), Seq(
+      Step("V", _.event_type == "view", One),
+      Step("A", _ => true, StarReluctant),
+      Step("C", _.event_type == "click", One)),
+      delay = "0 seconds",
+      (key, bound) => {
+        val b = bound.map(s => s.name -> s.rows).toMap
+        NearestClick(key, b("V").head.event_id, b("C").head.event_id,
+          b("A").size.toLong)
+      })
+      .toDF()
+      .orderBy(col("user_id"), col("view_id"))
   }
 }

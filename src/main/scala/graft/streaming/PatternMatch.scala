@@ -11,9 +11,11 @@ import graft.streaming.StatefulOps.Event
   * `view* purchase` shapes are already covered by [[graft.operators.Funnel]]).
   *
   * Supported grammar: a PATTERN is a sequence of steps, each a named
-  * row-predicate with a quantifier — `A` (exactly one), `A?`, `A+`, `A*` —
-  * matched GREEDILY with backtracking over each key's event-time-ordered
-  * sequence, `AFTER MATCH SKIP PAST LAST ROW` (the reference's default).
+  * row-predicate with a quantifier — `A` (exactly one), `A?`, `A+`, `A*`
+  * matched GREEDILY with backtracking, plus the reluctant forms `A??`,
+  * `A+?`, `A*?` (shortest binding first) — over each key's
+  * event-time-ordered sequence, `AFTER MATCH SKIP PAST LAST ROW` (the
+  * reference's default).
   * DEFINE predicates may reference the PREVIOUS row in the key's input
   * order ([[Step.withPrev]] — SQL `PREV(expr, 1)`, reference
   * MatchCodeGenerator.scala:82 / IterativeConditionRunner.java:31), and the
@@ -22,8 +24,8 @@ import graft.streaming.StatefulOps.Event
   * CEP's `Pattern.within` (reference: EventTimeTriggers / the NFA's
   * window-time pruning). MEASURES come from the per-step row bindings
   * handed to the caller's `emit` (FIRST/LAST/count of any step are
-  * projections of those bindings). Not covered (documented non-goals):
-  * NEXT references, reluctant quantifiers.
+  * projections of those bindings). Not covered (documented non-goal):
+  * NEXT references.
   *
   * Execution: one code path for both modes via `flatMapGroupsWithState`.
   * Streaming: rows buffer per key; on every trigger (or event-time
@@ -52,6 +54,12 @@ object PatternMatch {
   case object Opt extends Quant
   case object Plus extends Quant
   case object Star extends Quant
+  /** Reluctant (`??` / `+?` / `*?`): shortest binding first — commits as
+    * soon as the continuation matches, so `A B*? C` binds C to the FIRST
+    * viable C after A where the greedy form binds the last. */
+  case object OptReluctant extends Quant
+  case object PlusReluctant extends Quant
+  case object StarReluctant extends Quant
 
   /** One PATTERN step: a named predicate with a quantifier. `prevPred`,
     * when present, is ANDed in against (current, previous-input-row); a
@@ -127,6 +135,21 @@ object PatternMatch {
                 case NoMatch => go(si + 1, ri) // backtrack: skip the row
               }
             else go(si + 1, ri)
+          case OptReluctant =>
+            // shortest first: try the empty binding, then take the row.
+            // A NeedMore on the skip arm blocks committing to the longer
+            // alternative — more input could validate the shorter one.
+            go(si + 1, ri) match {
+              case m: Matched => m
+              case NeedMore => NeedMore
+              case NoMatch =>
+                if (ri >= end) { if (finalAtEnd) NoMatch else NeedMore }
+                else if (!stepOk(st, rows, ri, bufPrev)) NoMatch
+                else go(si + 1, ri + 1) match {
+                  case Matched(e, b) => Matched(e, (si, ri) :: b)
+                  case other => other
+                }
+            }
           case Plus | Star =>
             var j = ri
             while (j < end && stepOk(steps(si), rows, j, bufPrev)) j += 1
@@ -144,6 +167,23 @@ object PatternMatch {
               }
               NoMatch
             }
+          case PlusReluctant | StarReluctant =>
+            var j = ri
+            while (j < end && stepOk(steps(si), rows, j, bufPrev)) j += 1
+            val minEnd = if (st.quant == PlusReluctant) ri + 1 else ri
+            // shortest run first; the first Matched is safe to commit even
+            // when the run touches a non-final buffer end — future rows
+            // only ever extend it, they cannot produce a SHORTER match
+            var k = minEnd
+            while (k <= j) {
+              go(si + 1, k) match {
+                case Matched(e, b) =>
+                  return Matched(e, (ri until k).map((si, _)).toList ::: b)
+                case NeedMore => return NeedMore
+                case NoMatch => k += 1
+              }
+            }
+            if (j == end && !finalAtEnd) NeedMore else NoMatch
         }
       }
     go(0, start)
@@ -198,17 +238,22 @@ object PatternMatch {
     val isBatch = !events.isStreaming
     val withinUs = within.map(_.toNanos / 1000).getOrElse(Long.MaxValue)
     require(withinUs > 0, s"WITHIN must be a positive duration, got $within")
-    // A STREAMING pattern ending in a greedy quantifier can never be
+    // A STREAMING pattern ending in a GREEDY quantifier can never be
     // adjudicated WITHOUT a WITHIN bound: a trailing B+/B*/B? run is
     // always extendable by rows with later event times, so every
     // candidate would sit in NeedMore forever (matching Flink CEP, which
     // needs WITHIN to bound such patterns — once the watermark closes
     // start+within, the greedy arm is final). Fail fast instead of
-    // silently emitting nothing.
-    require(isBatch || steps.last.quant == One || within.isDefined,
-      "a streaming PATTERN must end with an exactly-one step or carry a " +
-        s"WITHIN bound: a trailing '${steps.last.name}' with quantifier " +
-        s"${steps.last.quant} can always be extended by future rows and " +
+    // silently emitting nothing. Reluctant tails are fine: they bind
+    // minimally and finalize immediately.
+    val greedyTail = steps.last.quant match {
+      case Opt | Plus | Star => true
+      case _ => false
+    }
+    require(isBatch || !greedyTail || within.isDefined,
+      "a streaming PATTERN must end with an exactly-one or reluctant step " +
+        s"or carry a WITHIN bound: a trailing greedy '${steps.last.name}' " +
+        s"(${steps.last.quant}) can always be extended by future rows and " +
         "would never finalize")
     val usesPrev = steps.exists(_.prevPred.isDefined)
     implicit val stateEnc: Encoder[BufState] = Encoders.product[BufState]

@@ -234,4 +234,58 @@ class PatternMatchSpec extends SparkSpec {
     assert(got == Seq(M(Seq(1), Seq(2, 3), Seq(4))),
       s"streaming NFA must stitch the out-of-order click into the match, got $got")
   }
+
+  test("reluctant B*? binds the shortest run where greedy binds the longest") {
+    val rows = Seq(
+      ev(1, 0, "view"), ev(2, 1, "click"), ev(3, 2, "purchase"),
+      ev(4, 3, "click"), ev(5, 4, "purchase"))
+    def pat(q: Quant) = Seq(
+      Step("A", _.event_type == "view", One),
+      Step("B", _ => true, q),
+      Step("C", _.event_type == "purchase", One))
+    // greedy: B* swallows through the LAST purchase-preceding position
+    assert(runBatch(rows, pat(Star)) ==
+      Seq(M(Seq(1), Seq(2, 3, 4), Seq(5))))
+    // reluctant: commits at the FIRST purchase
+    assert(runBatch(rows, pat(StarReluctant)) ==
+      Seq(M(Seq(1), Seq(2), Seq(3))))
+  }
+
+  test("reluctant B+? requires one B and then commits minimally") {
+    val rows = Seq(
+      ev(1, 0, "view"), ev(2, 1, "purchase"),
+      ev(3, 2, "view"), ev(4, 3, "click"), ev(5, 4, "purchase"), ev(6, 5, "purchase"))
+    val pat = Seq(
+      Step("A", _.event_type == "view", One),
+      Step("B", _ => true, PlusReluctant),
+      Step("C", _.event_type == "purchase", One))
+    // B+? must consume >= 1 row, so the adjacent purchase 2 cannot be C;
+    // the shortest viable extension is B={2,3,4} (consuming view 3 on the
+    // way), C=purchase 5. SKIP PAST LAST ROW leaves row 6 alone → no
+    // second match.
+    assert(runBatch(rows, pat) == Seq(M(Seq(1), Seq(2, 3, 4), Seq(5))))
+  }
+
+  test("a streaming pattern may END in a reluctant quantifier (binds minimally)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // A C+? ≡ A C: the reluctant tail finalizes without WITHIN
+    val q = matchPattern(input.toDS(), Seq(
+      Step("A", _.event_type == "view", One),
+      Step("C", _.event_type == "click", PlusReluctant)),
+      "0 seconds",
+      (_: Long, bound: Seq[Bound]) => {
+        val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
+        M(by.getOrElse("A", Nil), Nil, by.getOrElse("C", Nil))
+      }).writeStream.format("memory").queryName("relu").outputMode("append").start()
+    input.addData(ev(1, 0, "view"), ev(2, 1, "click"), ev(3, 2, "click"))
+    q.processAllAvailable()
+    input.addData(ev(9, 30, "view")) // advance the watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("relu").as[M].collect().toSeq
+    assert(got == Seq(M(Seq(1), Nil, Seq(2))),
+      s"reluctant tail must bind exactly one click and finalize, got $got")
+  }
 }
