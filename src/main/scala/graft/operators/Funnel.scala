@@ -16,7 +16,7 @@ object Funnel {
 
   def defs: Seq[QueryDef] =
     Seq(q76Funnel, q83PatternRuns, q89MatchRecognize, q96PrevDefine,
-      q98ReluctantMatch)
+      q98ReluctantMatch, q99NextDefine)
 
   /** Count view→click→purchase funnels per user (consecutive events,
     * event-time order). */
@@ -240,6 +240,39 @@ object Funnel {
         val b = bound.map(s => s.name -> s.rows).toMap
         NearestClick(key, b("V").head.event_id, b("C").head.event_id,
           b("A").size.toLong)
+      })
+      .toDF()
+      .orderBy(col("user_id"), col("view_id"))
+  }
+
+  case class AboutToBuy(user_id: Long, view_id: Long, viewed_value: Double)
+
+  /** NEXT cross-row DEFINE: `PATTERN (A) DEFINE A AS A.type = 'view' AND
+    * NEXT(type) = 'purchase'` — views immediately followed by a purchase
+    * in the key's event-time order. NEXT reads the successor INPUT row
+    * (which the single-step match does not consume), so the oracle is a
+    * plain lead() window; a view at the partition tail has NULL NEXT and
+    * never matches, on both engines. */
+  val q99NextDefine: QueryDef = QueryDef("q99_next_define",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS nt
+      |  FROM events)
+      |SELECT user_id, event_id AS view_id, value AS viewed_value
+      |FROM seq
+      |WHERE event_type = 'view' AND nt = 'purchase'
+      |ORDER BY user_id, view_id""".stripMargin) { (spark, dir) =>
+    import graft.streaming.PatternMatch._
+    import graft.streaming.StatefulOps
+    implicit val enc = org.apache.spark.sql.Encoders.product[AboutToBuy]
+    matchPattern(StatefulOps.typedEvents(spark, dir), Seq(
+      Step("A", _.event_type == "view", One,
+        nextPred = Some((_, next) => next.event_type == "purchase"))),
+      delay = "0 seconds",
+      (key, bound) => {
+        val a = bound.head.rows.head
+        AboutToBuy(key, a.event_id, a.value)
       })
       .toDF()
       .orderBy(col("user_id"), col("view_id"))

@@ -16,16 +16,17 @@ import graft.streaming.StatefulOps.Event
   * `A+?`, `A*?` (shortest binding first) — over each key's
   * event-time-ordered sequence, `AFTER MATCH SKIP PAST LAST ROW` (the
   * reference's default).
-  * DEFINE predicates may reference the PREVIOUS row in the key's input
-  * order ([[Step.withPrev]] — SQL `PREV(expr, 1)`, reference
-  * MatchCodeGenerator.scala:82 / IterativeConditionRunner.java:31), and the
-  * whole match can be bounded by a `WITHIN` duration: every row of a match
-  * must lie within `within` of the match's first row, mirroring Flink
-  * CEP's `Pattern.within` (reference: EventTimeTriggers / the NFA's
-  * window-time pruning). MEASURES come from the per-step row bindings
-  * handed to the caller's `emit` (FIRST/LAST/count of any step are
-  * projections of those bindings). Not covered (documented non-goal):
-  * NEXT references.
+  * DEFINE predicates may reference the PREVIOUS or NEXT row in the key's
+  * input order ([[Step.withPrev]] / [[Step.withNext]] — SQL `PREV(expr, 1)`
+  * / `NEXT(expr, 1)`, reference MatchCodeGenerator.scala:82 /
+  * IterativeConditionRunner.java:31; a NEXT-bearing row whose successor
+  * has not arrived is held undecided), and the whole match can be bounded
+  * by a `WITHIN` duration: every row of a match must lie within `within`
+  * of the match's first row, mirroring Flink CEP's `Pattern.within`
+  * (reference: EventTimeTriggers / the NFA's window-time pruning).
+  * MEASURES come from the per-step row bindings handed to the caller's
+  * `emit` (FIRST/LAST/count of any step are projections of those
+  * bindings).
   *
   * Execution: one code path for both modes via `flatMapGroupsWithState`.
   * Streaming: rows buffer per key; on every trigger (or event-time
@@ -61,12 +62,14 @@ object PatternMatch {
   case object PlusReluctant extends Quant
   case object StarReluctant extends Quant
 
-  /** One PATTERN step: a named predicate with a quantifier. `prevPred`,
-    * when present, is ANDed in against (current, previous-input-row); a
-    * row with no predecessor fails it, mirroring SQL's `x < PREV(x)`
-    * evaluating to NULL (not true) at the partition head. */
+  /** One PATTERN step: a named predicate with a quantifier. `prevPred`
+    * (`nextPred`), when present, is ANDed in against (current,
+    * previous-input-row) (resp. (current, next-input-row)); a row with no
+    * predecessor (successor) fails it, mirroring SQL's `x < PREV(x)` /
+    * `x < NEXT(x)` evaluating to NULL (not true) at the partition edge. */
   final case class Step(name: String, pred: Event => Boolean, quant: Quant,
-      prevPred: Option[(Event, Event) => Boolean] = None)
+      prevPred: Option[(Event, Event) => Boolean] = None,
+      nextPred: Option[(Event, Event) => Boolean] = None)
 
   object Step {
     /** DEFINE with a PREV reference: `p(current, previous)` over the key's
@@ -74,6 +77,13 @@ object PatternMatch {
       * prior match consumed it (PREV reads input order, not bindings). */
     def withPrev(name: String, quant: Quant)(p: (Event, Event) => Boolean): Step =
       Step(name, _ => true, quant, Some(p))
+
+    /** DEFINE with a NEXT reference: `p(current, next)` over the key's
+      * event-time-ordered input. In streaming, a row whose successor has
+      * not yet arrived is undecidable and is held until it does (or the
+      * input ends: NEXT at the partition tail is NULL → not true). */
+    def withNext(name: String, quant: Quant)(p: (Event, Event) => Boolean): Step =
+      Step(name, _ => true, quant, nextPred = Some(p))
   }
 
   /** Rows bound to one step in one match (empty for unused Opt/Star). */
@@ -90,14 +100,32 @@ object PatternMatch {
   private case object NoMatch extends Attempt
   private case object NeedMore extends Attempt // pattern ran off the buffer
 
+  /** Tri-state DEFINE evaluation: a NEXT reference at the buffer tail of a
+    * non-final input cannot be decided yet. */
+  private sealed trait PredRes
+  private case object Sat extends PredRes
+  private case object Unsat extends PredRes
+  private case object Undecided extends PredRes
+
   private def stepOk(st: Step, rows: IndexedSeq[Event], ri: Int,
-      bufPrev: Option[Event]): Boolean =
-    st.pred(rows(ri)) && (st.prevPred match {
+      bufPrev: Option[Event], finalInput: Boolean): PredRes = {
+    if (!st.pred(rows(ri))) return Unsat
+    val prevOk = st.prevPred match {
       case None => true
       case Some(p) =>
         val prev = if (ri == 0) bufPrev else Some(rows(ri - 1))
         prev.exists(p(rows(ri), _))
-    })
+    }
+    if (!prevOk) return Unsat
+    st.nextPred match {
+      case None => Sat
+      case Some(p) =>
+        if (ri + 1 < rows.length) { // NEXT reads input order, ignores WITHIN
+          if (p(rows(ri), rows(ri + 1))) Sat else Unsat
+        } else if (finalInput) Unsat // partition tail: NEXT is NULL
+        else Undecided
+    }
+  }
 
   /** Greedy backtracking matcher over `rows(start until end)` — `end` is
     * the WITHIN window boundary (rows.length when unbounded). When a
@@ -110,8 +138,23 @@ object PatternMatch {
     * no in-window row is missing), or when the watermark has passed the
     * window end. */
   private def tryMatch(steps: IndexedSeq[Step], rows: IndexedSeq[Event],
-      start: Int, end: Int, finalAtEnd: Boolean,
+      start: Int, end: Int, finalAtEnd: Boolean, finalInput: Boolean,
       bufPrev: Option[Event]): Attempt = {
+    def ok(st: Step, ri: Int): PredRes = stepOk(st, rows, ri, bufPrev, finalInput)
+    // greedy/reluctant run extent: rows [ri, j) satisfy the step; if the
+    // row at j is UNDECIDED (a NEXT reference awaiting its successor) the
+    // run extent itself is unknown
+    def runExtent(st: Step, ri: Int): (Int, Boolean) = {
+      var j = ri
+      var undecided = false
+      var stop = false
+      while (j < end && !stop) ok(st, j) match {
+        case Sat => j += 1
+        case Unsat => stop = true
+        case Undecided => undecided = true; stop = true
+      }
+      (j, undecided)
+    }
     def go(si: Int, ri: Int): Attempt =
       if (si == steps.length) Matched(ri, Nil)
       else {
@@ -119,22 +162,27 @@ object PatternMatch {
         st.quant match {
           case One =>
             if (ri >= end) { if (finalAtEnd) NoMatch else NeedMore }
-            else if (!stepOk(st, rows, ri, bufPrev)) NoMatch
-            else go(si + 1, ri + 1) match {
-              case Matched(e, b) => Matched(e, (si, ri) :: b)
-              case other => other
+            else ok(st, ri) match {
+              case Unsat => NoMatch
+              case Undecided => NeedMore
+              case Sat => go(si + 1, ri + 1) match {
+                case Matched(e, b) => Matched(e, (si, ri) :: b)
+                case other => other
+              }
             }
           case Opt =>
             if (ri >= end) {
               if (finalAtEnd) go(si + 1, ri) // skip: empty binding
               else NeedMore // greedy arm undecidable
-            } else if (stepOk(st, rows, ri, bufPrev))
-              go(si + 1, ri + 1) match {
+            } else ok(st, ri) match {
+              case Undecided => NeedMore // greedy prefers the take arm
+              case Sat => go(si + 1, ri + 1) match {
                 case Matched(e, b) => Matched(e, (si, ri) :: b)
                 case NeedMore => NeedMore
                 case NoMatch => go(si + 1, ri) // backtrack: skip the row
               }
-            else go(si + 1, ri)
+              case Unsat => go(si + 1, ri)
+            }
           case OptReluctant =>
             // shortest first: try the empty binding, then take the row.
             // A NeedMore on the skip arm blocks committing to the longer
@@ -144,16 +192,20 @@ object PatternMatch {
               case NeedMore => NeedMore
               case NoMatch =>
                 if (ri >= end) { if (finalAtEnd) NoMatch else NeedMore }
-                else if (!stepOk(st, rows, ri, bufPrev)) NoMatch
-                else go(si + 1, ri + 1) match {
-                  case Matched(e, b) => Matched(e, (si, ri) :: b)
-                  case other => other
+                else ok(st, ri) match {
+                  case Unsat => NoMatch
+                  case Undecided => NeedMore
+                  case Sat => go(si + 1, ri + 1) match {
+                    case Matched(e, b) => Matched(e, (si, ri) :: b)
+                    case other => other
+                  }
                 }
             }
           case Plus | Star =>
-            var j = ri
-            while (j < end && stepOk(steps(si), rows, j, bufPrev)) j += 1
-            if (j == end && !finalAtEnd) NeedMore // run touches buffer end
+            val (j, undecided) = runExtent(st, ri)
+            // an undecided extension or a run touching a non-final buffer
+            // end blocks the greedy (longest-first) choice
+            if (undecided || (j == end && !finalAtEnd)) NeedMore
             else {
               val minEnd = if (st.quant == Plus) ri + 1 else ri
               var k = j // greedy: longest run first
@@ -168,8 +220,7 @@ object PatternMatch {
               NoMatch
             }
           case PlusReluctant | StarReluctant =>
-            var j = ri
-            while (j < end && stepOk(steps(si), rows, j, bufPrev)) j += 1
+            val (j, undecided) = runExtent(st, ri)
             val minEnd = if (st.quant == PlusReluctant) ri + 1 else ri
             // shortest run first; the first Matched is safe to commit even
             // when the run touches a non-final buffer end — future rows
@@ -183,7 +234,7 @@ object PatternMatch {
                 case NoMatch => k += 1
               }
             }
-            if (j == end && !finalAtEnd) NeedMore else NoMatch
+            if (undecided || (j == end && !finalAtEnd)) NeedMore else NoMatch
         }
       }
     go(0, start)
@@ -212,7 +263,7 @@ object PatternMatch {
           while (w < rows.length && eventMicros(rows(w).ts) <= limitUs) w += 1
           (w, finalInput || w < rows.length || limitUs <= wmUs)
         }
-      tryMatch(steps, rows, i, end, finalAtEnd, bufPrev) match {
+      tryMatch(steps, rows, i, end, finalAtEnd, finalInput, bufPrev) match {
         case Matched(e, binds) =>
           val byStep = binds.groupBy(_._1)
           out += steps.indices.map(si =>

@@ -288,4 +288,41 @@ class PatternMatchSpec extends SparkSpec {
     assert(got == Seq(M(Seq(1), Nil, Seq(2))),
       s"reluctant tail must bind exactly one click and finalize, got $got")
   }
+
+  test("NEXT cross-row DEFINE selects rows by their successor") {
+    // views immediately followed by a purchase; the tail view (no
+    // successor in a FINAL input) has NULL NEXT and never matches
+    val out = runBatch(Seq(
+      ev(1, 0, "view"), ev(2, 1, "view"), ev(3, 2, "purchase"),
+      ev(4, 3, "view"), ev(5, 4, "click"), ev(6, 5, "view")),
+      Seq(Step("A", _.event_type == "view", One,
+        nextPred = Some((_, n) => n.event_type == "purchase"))))
+    assert(out.map(_.a) == Seq(Seq(2)),
+      s"only the view directly before the purchase may match, got $out")
+  }
+
+  test("a NEXT-bearing row is held undecided until its successor arrives") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = matchPattern(input.toDS(), Seq(
+      Step("A", _.event_type == "view", One,
+        nextPred = Some((_, n) => n.event_type == "purchase"))),
+      "0 seconds",
+      (_: Long, bound: Seq[Bound]) =>
+        M(bound.head.rows.map(_.event_id), Nil, Nil))
+      .writeStream.format("memory").queryName("nextdef")
+      .outputMode("append").start()
+    input.addData(ev(1, 0, "view"))
+    q.processAllAvailable()
+    // the view's successor has not arrived: nothing may emit yet
+    assert(spark.table("nextdef").isEmpty,
+      "a NEXT predicate must not be decided against a missing successor")
+    input.addData(ev(2, 1, "purchase"), ev(9, 30, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("nextdef").as[M].collect().toSeq
+    assert(got == Seq(M(Seq(1), Nil, Nil)),
+      s"the successor's arrival must adjudicate the held view, got $got")
+  }
 }
