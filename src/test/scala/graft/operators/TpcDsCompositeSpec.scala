@@ -25,4 +25,14 @@ class TpcDsCompositeSpec extends SparkSpec {
   test("qds23 reuses the cust_total aggregate between outer scan and MAX subquery") {
     assert(reuseCount("qds23_frequent_spenders") >= 1)
   }
+
+  test("qds64 reuses the wide star CTE across the year-over-year self-join") {
+    assert(reuseCount("qds64_yoy_selfjoin") >= 1,
+      "the 5-table cs CTE must compute once, not once per self-join side")
+  }
+
+  test("qds57 reuses the monthly series CTE across its three consumers") {
+    assert(reuseCount("qds57_seasonal_deviation") >= 1,
+      "v1 is consumed three times (current/lag/lead) and must be reused")
+  }
 }
