@@ -25,7 +25,7 @@ object Dedup {
 
   def defs: Seq[QueryDef] = Seq(
     q43DedupKeepFirst, q44DedupExact, q45NgramJaccard, q46MinHashLsh,
-    q47SimHash, q48SimHashPairs)
+    q47SimHash, q48SimHashPairs, q49DupClusters)
 
   /** Keep-first-row dedup on a key, ordered by event time: the batch
     * equivalent of the reference's streaming DeduplicateKeepFirstRowFunction
@@ -373,5 +373,89 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
     simhashPairs(simhashFingerprints(Tables(spark, dir).documents))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Duplicate CLUSTERS from near-dup pairs: connected components, the
+    * step every corpus dedup needs between pairwise similarity and "keep
+    * one representative per group" (transitively: if a~b and b~c, then
+    * {a,b,c} dedup together even when a~c itself is below threshold).
+    *
+    * Distributed iterative min-label propagation: every node repeatedly
+    * adopts the smallest label in its closed neighborhood; converges in
+    * O(max component diameter) rounds, each round one equi-join + one
+    * aggregate — all shuffle-on-key, nothing driver-sized. Near-dup
+    * components are short-diameter chains/cliques, so rounds stay single
+    * digits; a pathological long-chain graph would call for the
+    * large-star/small-star variant (Kiveris et al., "Connected Components
+    * in MapReduce"), which swaps neighbor-min for star-contraction in the
+    * same join algebra. Intermediates persist per round and unpersist as
+    * soon as superseded; the result is local-checkpointed so the returned
+    * frame reads materialized blocks instead of an N-round lineage.
+    *
+    * Returns (node, cluster) — `cluster` is the component's minimum node
+    * id; nodes in no pair are absent (they dedup to themselves). */
+  def dupClusters(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxRounds: Int = 64): DataFrame = {
+    val half = pairs.select(col(aCol).cast(LongType).as("src"),
+      col(bCol).cast(LongType).as("dst"))
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node")).persist()
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"connected components did not converge in $maxRounds rounds — " +
+          "component diameter exceeds the bound; raise maxRounds or use a " +
+          "star-contraction variant for long-chain graphs")
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("cluster")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .persist()
+      changed = !next.alias("n")
+        .join(labels.select(col("node"), col("cluster").as("old")), Seq("node"))
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    out
+  }
+
+  /** Near-dup clusters over the documents corpus: the exact q45 Jaccard
+    * pairs (threshold 0.6) closed under transitivity. The oracle states
+    * the same thing as a recursive transitive closure with a MIN label —
+    * tractable in SQL only because dup components are tiny; the engine
+    * side is the distributed iteration that survives at corpus scale. */
+  val q49DupClusters: QueryDef = QueryDef("q49_dup_clusters",
+    s"""WITH RECURSIVE $duckShingleCte,
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN cnt ca ON ca.doc_id = id_a
+       |  JOIN cnt cb ON cb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+       |FROM reach GROUP BY a
+       |ORDER BY node""".stripMargin) { (spark, dir) =>
+    dupClusters(ngramJaccardPairs(Tables(spark, dir).documents))
+      .orderBy(col("node"))
   }
 }

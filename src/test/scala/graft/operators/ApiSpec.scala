@@ -141,4 +141,18 @@ class ApiSpec extends SparkSpec {
     assert(out(0).getLong(1) == 8L, "must carry the latest version's ver")
     assert(out(0).isNullAt(2), "NULL field of the latest version must stay NULL")
   }
+
+  test("dupClusters closes pairs under transitivity on custom columns") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
+    // clique {10,11,12}, isolated pair {20,21}; 99 appears in no pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (21L, 20L))
+      .toDF("left_doc", "right_doc")
+    val got = Dedup.dupClusters(pairs, "left_doc", "right_doc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L),
+      s"components must be labeled by their minimum node, got $got")
+  }
 }
