@@ -29,7 +29,8 @@ import graft.core.{QueryDef, Tables}
 object Similarity {
 
   def defs: Seq[QueryDef] =
-    Seq(q50CosineKnn, q51CosineNearDup, q52AnnLsh, q93AnnIvf)
+    Seq(q50CosineKnn, q51CosineNearDup, q52AnnLsh, q53EmbeddingClusters,
+      q93AnnIvf)
 
   private val Dim = 64
 
@@ -201,6 +202,29 @@ object Similarity {
       .toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos_r"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-space duplicate clusters: the q51 cosine pairs closed
+    * under transitivity with [[Dedup.dupClusters]] — the same
+    * pairs→components composition as the text-side q49, here over the
+    * semantic (embedding) notion of duplication. One generic components
+    * operator serves every pair source. */
+  val q53EmbeddingClusters: QueryDef = QueryDef("q53_embedding_clusters",
+    s"""WITH RECURSIVE $duckAllPairsCte,
+       |np AS (SELECT id_a, id_b FROM pairs WHERE cos >= 0.46),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM np
+       |  UNION ALL SELECT id_b, id_a FROM np),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+       |FROM reach GROUP BY a
+       |ORDER BY node""".stripMargin) { (spark, dir) =>
+    Dedup.dupClusters(
+      cosineNearDupPairs(spark, Tables(spark, dir).embeddings, 0.46))
+      .orderBy(col("node"))
   }
 
   // On this fixture the true neighbors sit at cos 0.35-0.51 (near-
