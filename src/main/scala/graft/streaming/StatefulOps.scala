@@ -160,7 +160,8 @@ object StatefulOps {
   case class FrameAgg(user_id: Long, event_id: Long, n_in_frame: Long,
       frame_sum: Double, frame_max: Double)
 
-  case class RowsFrameState(ring: Seq[Double], pending: Seq[Event])
+  case class RowsFrameState(ring: Seq[Double], pending: Seq[Event],
+      lastUs: Long)
 
   /** Streaming OVER with a bounded ROWS frame — per-key count/sum/max over
     * `ROWS BETWEEN <preceding> PRECEDING AND CURRENT ROW` in (ts, event_id)
@@ -180,16 +181,22 @@ object StatefulOps {
     * Per-key state is the frame ring (O(preceding + 1) values, the same
     * bound as the reference's retained-row state — it persists for idle
     * keys because any future row's frame reaches back into it) plus the
-    * not-yet-closed buffer (bounded by the watermark delay). The frame
-    * aggregates are recomputed left-to-right over the ring at each row
-    * rather than incrementally maintained: MAX is not invertible under
-    * eviction anyway (the reference re-scans for a new max when the old
-    * one retires), and a full ring fold makes the double sum
+    * not-yet-closed buffer (bounded by the watermark delay). `idleTtl`,
+    * when set, is the reference's idle-state retention: a key whose ring
+    * has seen no row for `idleTtl` of EVENT time is cleared once the
+    * watermark passes that horizon — a row arriving later starts a fresh
+    * frame, the documented retention trade. The frame aggregates are
+    * recomputed left-to-right over the ring at each row rather than
+    * incrementally maintained: MAX is not invertible under eviction
+    * anyway (the reference re-scans for a new max when the old one
+    * retires), and a full ring fold makes the double sum
     * bit-deterministic no matter what was evicted. */
   def rowsBoundedAggregates(events: Dataset[Event], preceding: Int,
-      delay: String = "0 seconds"): Dataset[FrameAgg] = {
+      delay: String = "0 seconds",
+      idleTtl: Option[java.time.Duration] = None): Dataset[FrameAgg] = {
     require(preceding >= 0, s"ROWS frame bound must be >= 0, got $preceding")
     val cap = preceding + 1
+    val ttlUs = idleTtl.map(_.toNanos / 1000)
     val isBatch = !events.isStreaming
     implicit val outEnc = Encoders.product[FrameAgg]
     implicit val stEnc = Encoders.product[RowsFrameState]
@@ -198,7 +205,7 @@ object StatefulOps {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[Event], state: GroupState[RowsFrameState]) => {
-          val st = state.getOption.getOrElse(RowsFrameState(Nil, Nil))
+          val st = state.getOption.getOrElse(RowsFrameState(Nil, Nil, Long.MinValue))
           val buf = (st.pending ++ rows)
             .sortBy(e => (eventMicros(e.ts), e.event_id))
           // batch: no watermark exists — the whole input is final
@@ -213,14 +220,26 @@ object StatefulOps {
             if (ring.length > cap) ring.removeHead()
             FrameAgg(user, e.event_id, ring.length.toLong, ring.sum, ring.max)
           }
-          if (ring.isEmpty && pending.isEmpty) state.remove()
+          val lastUs =
+            if (ripe.nonEmpty) eventMicros(ripe.last.ts) else st.lastUs
+          val idleExpired = pending.isEmpty &&
+            ttlUs.exists(t => lastUs != Long.MinValue && wmUs >= lastUs + t)
+          if ((ring.isEmpty && pending.isEmpty) || idleExpired) state.remove()
           else {
-            state.update(RowsFrameState(ring.toSeq, pending))
-            if (!isBatch && pending.nonEmpty) {
-              // fire once the watermark can cover the earliest pending row
-              val headMs = eventMicros(pending.head.ts) / 1000
-              state.setTimeoutTimestamp(
-                math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
+            state.update(RowsFrameState(ring.toSeq, pending, lastUs))
+            if (!isBatch) {
+              if (pending.nonEmpty) {
+                // fire once the watermark can cover the earliest pending row
+                val headMs = eventMicros(pending.head.ts) / 1000
+                state.setTimeoutTimestamp(
+                  math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
+              } else ttlUs.foreach { t =>
+                // idle retention: clear the ring once the watermark is
+                // `idleTtl` of event time past the key's last row
+                state.setTimeoutTimestamp(
+                  math.max((lastUs + t) / 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1))
+              }
             }
           }
           out.iterator

@@ -169,6 +169,28 @@ class StreamingSpec extends SparkSpec {
       s"late row must frame in event-time order, got ${rows.toSeq}")
   }
 
+  test("bounded-ROWS idle TTL clears a key's ring after event-time inactivity") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = rowsBoundedAggregates(input.toDS(), preceding = 2,
+      idleTtl = Some(java.time.Duration.ofMinutes(5))).writeStream
+      .format("memory").queryName("rowsttl").outputMode("append").start()
+    input.addData(Event(1, 101, ts(0), "view", 5.0), Event(9, 900, ts(1), "view", 0.0))
+    query.processAllAvailable()
+    // watermark moves 20 min past user 1's last row: ring must clear
+    input.addData(Event(9, 901, ts(20), "view", 0.0))
+    query.processAllAvailable()
+    // a fresh row starts a fresh frame — {102}, not {101, 102}
+    input.addData(Event(1, 102, ts(21), "view", 7.0), Event(9, 902, ts(40), "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("rowsttl").as[FrameAgg].collect()
+      .filter(_.user_id == 1).sortBy(_.event_id)
+    assert(rows.map(_.frame_sum).toSeq == Seq(5.0, 7.0),
+      s"expired ring must not leak into the new frame, got ${rows.toSeq}")
+  }
+
   test("bounded-RANGE frames follow event-time order when a row arrives late") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
