@@ -80,10 +80,17 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs ≥ threshold, exact (shingle equi-join,
-    * no cross join). */
+    * no cross join). The hashed shingle relation feeds three consumers
+    * (both join legs + the per-doc counts); `shinglePersist` caches it
+    * once — same default-off rationale as [[minHashLshPairs]]: at 100 TB
+    * the shingle expansion does not fit in storage memory and a library
+    * must not pin blocks, while small/medium callers win two scans. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3, threshold: Double = 0.6): DataFrame =
-    jaccardPairs(shingles(docs, idCol, textCol, n), threshold, None)
+      textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
+      shinglePersist: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.NONE): DataFrame =
+    jaccardPairs(shingles(docs, idCol, textCol, n), threshold, None,
+      shinglePersist)
 
   /** MinHash + banded-LSH near-dup pairs ≥ threshold with exact-Jaccard
     * verification on the candidate set. The signature is fixed at
@@ -143,10 +150,17 @@ object Dedup {
     * shingle sets (collected once, `Array[Long]`) and intersects them in
     * place — cost proportional to |candidates|, not shingle co-occurrence. */
   private def jaccardPairs(sh: DataFrame, threshold: Double,
-      candidates: Option[DataFrame]): DataFrame = {
+      candidates: Option[DataFrame],
+      hashedPersist: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
     val jaccard = (i: Column, na: Column, nb: Column) =>
       i.cast(DoubleType) / (na + nb - i)
-    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val hashed0 = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    // the hashed relation is 8-byte keys, severalfold smaller than the
+    // string shingles — when a persist level is given, cache it (not sh)
+    val hashed =
+      if (hashedPersist == org.apache.spark.storage.StorageLevel.NONE) hashed0
+      else hashed0.persist(hashedPersist)
     candidates match {
       case Some(c) =>
         val sets = hashed.groupBy(col("doc_id"))
@@ -159,7 +173,10 @@ object Dedup {
           .filter(col("jaccard") >= threshold)
           .orderBy(col("id_a"), col("id_b"))
       case None =>
-        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        // counts over HASHED rows (one per distinct string shingle, so the
+        // denominators are identical) — keeps all three consumers on the
+        // cacheable relation
+        val cnt = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val a = hashed.select(col("doc_id").as("id_a"), col("h"))
         val b = hashed.select(col("doc_id").as("id_b"), col("h"))
         val inter = a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
@@ -189,7 +206,10 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs, exact (shingle equi-join). */
   val q45NgramJaccard: QueryDef = QueryDef("q45_ngram_jaccard", duckJaccardSql) {
-    (spark, dir) => ngramJaccardPairs(Tables(spark, dir).documents)
+    // the fixture corpus is single-node-sized, so the query opts into the
+    // hashed-shingle cache (three consumers, one computation)
+    (spark, dir) => ngramJaccardPairs(Tables(spark, dir).documents,
+      shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val NumHashes = 96
@@ -455,7 +475,8 @@ object Dedup {
        |SELECT a AS node, LEAST(a, MIN(b)) AS cluster
        |FROM reach GROUP BY a
        |ORDER BY node""".stripMargin) { (spark, dir) =>
-    dupClusters(ngramJaccardPairs(Tables(spark, dir).documents))
+    dupClusters(ngramJaccardPairs(Tables(spark, dir).documents,
+      shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy(col("node"))
   }
 }
