@@ -19,6 +19,8 @@ object SparkEntry {
       graft.operators.TpcDsComposites.defs ++
       graft.operators.FunctionSurface.defs ++
       graft.operators.TextAnalysis.defs ++
+      graft.operators.Sampling.defs ++
+      graft.operators.Packing.defs ++
       graft.operators.Dedup.defs ++
       graft.operators.Similarity.defs ++
       graft.operators.Windows.defs ++

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, Tables}
+
+/** Deterministic sampling operators for training-data curation: exact
+  * k-per-stratum selection, weighted source mixing, and train/val/test
+  * splitting.
+  *
+  * Every selection decision derives from a per-row pseudo-random rank
+  * computed with portable integer arithmetic (one MINSTD Lehmer step,
+  * Park-Miller CACM'88) rather than `rand()` or an engine-specific hash:
+  * the sample is reproducible across runs, engines, partitionings and
+  * cluster sizes — re-running the pipeline on a re-partitioned 100 TB
+  * corpus selects the SAME documents, which is what makes downstream
+  * training runs comparable. No shuffle is introduced beyond what the
+  * operator semantics require (top-k per stratum shuffles on the stratum
+  * key; Bernoulli filters are map-side only).
+  *
+  * Reference scope: the reference engine ships SQL TABLESAMPLE and rand();
+  * deterministic stratified/weighted corpus sampling is part of this
+  * library's LLM-pipeline extension surface (SURVEY.md "beyond the
+  * reference" list).
+  */
+object Sampling {
+
+  def defs: Seq[QueryDef] = Seq(q54StratifiedSample, q55WeightedMixture, q56SplitAssign)
+
+  private val M = 2147483647L // 2^31 - 1, the Mersenne prime of MINSTD
+
+  /** Deterministic per-row rank in [0, 2^31-1): three chained Lehmer
+    * steps of the seeded id. One step does not mix a DENSE id space (ids
+    * 0..n map to 0..48271·n, never reaching a weight threshold); three
+    * steps wrap the modulus many times per consecutive id, giving
+    * interval-membership fractions within ~1% of uniform on dense ranges.
+    * Entirely in long arithmetic that cannot overflow ((M-1)·48271 <
+    * 2^47) — safe under Spark's ANSI mode and bit-identical in any engine
+    * with 64-bit integer semantics. A seed ROTATES the underlying
+    * permutation (rank(id, s) = rank(id + s) elementwise): distinct seeds
+    * give far-apart rotations, which decorrelates threshold selections in
+    * aggregate but is not cryptographic independence. */
+  def pseudoRank(id: Column, seed: Long = 0L): Column = {
+    require(seed >= 0 && seed < (1L << 46), s"seed out of range: $seed")
+    val x0 = (id + lit(seed + 1)) % M
+    (1 to 3).foldLeft(x0)((x, _) => x * lit(48271L) % M)
+  }
+
+  /** The same rank as ANSI SQL text, for oracle construction. */
+  private def pseudoRankSql(id: String, seed: Long = 0L): String =
+    s"(($id + ${seed + 1}) % $M * 48271 % $M * 48271 % $M * 48271 % $M)"
+
+  /** Exactly min(k, |stratum|) rows per stratum, chosen by pseudo-random
+    * rank (ties broken by id — a total order, so the result is unique).
+    * The rank filter is a windowed row_number bounded by a constant, which
+    * Spark plans as a WindowGroupLimit: the top-k survives partial
+    * per-partition pruning BEFORE the shuffle, so the exchange carries at
+    * most k rows per stratum per input partition — at 100 TB the full
+    * corpus is never sorted, only each stratum's candidate heads. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int, seed: Long = 0L): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(pseudoRank(col(idCol), seed), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast(LongType))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Deterministic Bernoulli mixing: keep a row of stratum s with
+    * probability weights(s) (default `defaultWeight`), decided by the
+    * row's pseudo-rank — map-side only, no shuffle, and each stratum's
+    * kept set is a SUBSET of any larger weight's kept set (the rank
+    * threshold is monotone in the weight), so mixture re-weighting only
+    * adds or removes documents, never swaps them. */
+  def weightedMixture(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      seed: Long = 0L): DataFrame = {
+    val threshold = weights.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultWeight * (M - 1)).toLong)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit((w * (M - 1)).toLong)).otherwise(acc)
+    }
+    df.filter(pseudoRank(col(idCol), seed) < threshold)
+  }
+
+  /** Train/val/test assignment by pseudo-rank range: fractions are exact
+    * long thresholds, assignment is per-row arithmetic (no shuffle), and
+    * a document's split never changes when the corpus grows — the rank
+    * depends only on the id, the property that keeps eval sets
+    * uncontaminated across dataset versions. */
+  def splitAssign(df: DataFrame, idCol: String, trainFrac: Double,
+      valFrac: Double, seed: Long = 0L): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0)
+    val r = pseudoRank(col(idCol), seed)
+    val t1 = (trainFrac * (M - 1)).toLong
+    val t2 = ((trainFrac + valFrac) * (M - 1)).toLong
+    df.withColumn("split",
+      when(r < t1, "train").when(r < t2, "val").otherwise("test"))
+  }
+
+  /** 5 docs per source, deterministic. */
+  val q54StratifiedSample: QueryDef = QueryDef("q54_stratified_sample",
+    s"""SELECT source, doc_id, sample_rank FROM (
+       |  SELECT source, doc_id, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY ${pseudoRankSql("doc_id")}, doc_id) AS sample_rank
+       |  FROM documents)
+       |WHERE sample_rank <= 5 ORDER BY source, doc_id""".stripMargin) {
+    (spark, dir) =>
+      stratifiedSample(Tables(spark, dir).documents, "source", "doc_id", k = 5)
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+        .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val mixWeights = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.1)
+
+  /** Weighted source mixture: upsample src0, drop most of src2, half the
+    * rest. The oracle restates the thresholds as a CASE over the same
+    * integer rank. */
+  val q55WeightedMixture: QueryDef = QueryDef("q55_weighted_mixture",
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${pseudoRankSql("doc_id", seed = 7)} < CASE source
+       |  WHEN 'src0' THEN ${(1.0 * (M - 1)).toLong}
+       |  WHEN 'src1' THEN ${(0.75 * (M - 1)).toLong}
+       |  WHEN 'src2' THEN ${(0.1 * (M - 1)).toLong}
+       |  ELSE ${(0.5 * (M - 1)).toLong} END
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    weightedMixture(Tables(spark, dir).documents, "source", "doc_id",
+      mixWeights, defaultWeight = 0.5, seed = 7)
+      .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+  }
+
+  /** 90/5/5 split with per-(source, split) counts — the shape a dataset
+    * card reports. Counts aggregate exactly (longs), so the oracle needs
+    * no rounding. */
+  val q56SplitAssign: QueryDef = QueryDef("q56_split_assign",
+    s"""WITH s AS (
+       |  SELECT source, CASE
+       |    WHEN ${pseudoRankSql("doc_id", seed = 11)} < ${(0.9 * (M - 1)).toLong} THEN 'train'
+       |    WHEN ${pseudoRankSql("doc_id", seed = 11)} < ${(0.95 * (M - 1)).toLong} THEN 'val'
+       |    ELSE 'test' END AS split,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents)
+       |SELECT source, split, count(*) AS n_docs, sum(toks) AS n_tokens
+       |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin) {
+    (spark, dir) =>
+      splitAssign(Tables(spark, dir).documents, "doc_id",
+        trainFrac = 0.9, valFrac = 0.05, seed = 11)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ", -1)).cast(LongType)).as("n_tokens"))
+        .orderBy(col("source"), col("split"))
+  }
+}

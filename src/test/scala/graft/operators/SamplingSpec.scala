@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavior + plan contracts for the deterministic sampling and sequence
+  * packing operators (library entry points, driven on non-fixture
+  * schemas like ApiSpec does). */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val corpus = {
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, s"grp${i % 7}", s"w${i % 13} " * (i % 29 + 1).toInt))
+      .toDF("item_id", "grp", "body")
+  }
+
+  test("stratifiedSample returns exactly min(k, |stratum|) rows per stratum, deterministically") {
+    val s1 = Sampling.stratifiedSample(corpus, "grp", "item_id", k = 11, seed = 3)
+    val counts = s1.groupBy("grp").count().collect()
+    assert(counts.length == 7 && counts.forall(_.getLong(1) == 11L))
+    // deterministic: a second run selects the same ids
+    val s2 = Sampling.stratifiedSample(corpus, "grp", "item_id", k = 11, seed = 3)
+    assert(rows(s1.select("item_id").orderBy("item_id")) ==
+      rows(s2.select("item_id").orderBy("item_id")))
+    // a different seed selects a different set
+    val s3 = Sampling.stratifiedSample(corpus, "grp", "item_id", k = 11, seed = 4)
+    assert(rows(s1.select("item_id").orderBy("item_id")) !=
+      rows(s3.select("item_id").orderBy("item_id")))
+    // k larger than a stratum returns the whole stratum
+    val tiny = corpus.filter(col("item_id") < 10)
+    assert(Sampling.stratifiedSample(tiny, "grp", "item_id", k = 100).count() == 10)
+  }
+
+  test("stratifiedSample plans as a WindowGroupLimit (pre-shuffle top-k prune)") {
+    val df = Sampling.stratifiedSample(corpus, "grp", "item_id", k = 5)
+    df.collect()
+    val nodes = planNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[WindowGroupLimitExec]),
+      s"expected WindowGroupLimitExec:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("weightedMixture keeps weight-proportional fractions, monotone in the weight") {
+    def kept(w: Double): Set[Long] =
+      Sampling.weightedMixture(corpus, "grp", "item_id",
+        Map("grp0" -> w), defaultWeight = 0.5, seed = 9)
+        .filter(col("grp") === "grp0")
+        .select("item_id").collect().map(_.getLong(0)).toSet
+    val n = corpus.filter(col("grp") === "grp0").count().toDouble
+    val k25 = kept(0.25); val k50 = kept(0.5); val k75 = kept(0.75)
+    assert(math.abs(k50.size / n - 0.5) < 0.1,
+      s"0.5 weight kept ${k50.size}/$n")
+    assert(math.abs(k25.size / n - 0.25) < 0.1)
+    // re-weighting only adds documents, never swaps them
+    assert(k25.subsetOf(k50) && k50.subsetOf(k75))
+  }
+
+  test("weightedMixture adds no shuffle (map-side filter only)") {
+    val df = Sampling.weightedMixture(corpus, "grp", "item_id",
+      Map("grp0" -> 0.9), defaultWeight = 0.5)
+    df.collect()
+    assert(!planNodes(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[ShuffleExchangeExec]))
+  }
+
+  test("splitAssign fractions are honored and stable under corpus growth") {
+    val s = Sampling.splitAssign(corpus, "item_id", 0.8, 0.1, seed = 5)
+    val bySplit = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySplit("train") / 2000.0 - 0.8) < 0.05, bySplit.toString)
+    assert(math.abs(bySplit("val") / 2000.0 - 0.1) < 0.05, bySplit.toString)
+    // growing the corpus must not move an existing row's split: eval-set
+    // contamination across dataset versions is the failure this prevents
+    val grown = Sampling.splitAssign(
+      corpus.limit(500), "item_id", 0.8, 0.1, seed = 5)
+    val before = s.filter(col("item_id") < 500)
+      .select("item_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    grown.select("item_id", "split").collect().foreach { r =>
+      assert(before(r.getLong(0)) == r.getString(1),
+        s"item ${r.getLong(0)} changed split when the corpus grew")
+    }
+  }
+
+  test("packByTokenBudget: pack sums bounded, order preserved, partitioning-independent") {
+    import spark.implicits._
+    val toks = corpus.select(col("item_id"),
+      size(split(col("body"), " ", -1)).cast("long").as("toks"))
+    val budget = 100L
+    val packed = Packing.packByTokenBudget(toks, "item_id", "toks", budget, bucketWidth = 97L)
+    val packs = packed.groupBy("pack_id")
+      .agg(sum("toks").as("s"), min("item_id").as("lo"), max("item_id").as("hi"))
+      .collect()
+    val maxDoc = toks.agg(max("toks")).head().getLong(0)
+    // a pack holds at most budget + (one straddling doc's tail) tokens
+    assert(packs.forall(_.getLong(1) <= budget + maxDoc),
+      s"pack exceeded budget+maxDoc: ${packs.filter(_.getLong(1) > budget + maxDoc).mkString(",")}")
+    // packs partition the id space into contiguous runs
+    val sorted = packs.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2),
+        s"packs ${a.getLong(0)} and ${b.getLong(0)} interleave ids")
+      case _ =>
+    }
+    // the assignment is a pure function of the data, not its layout
+    val repacked = Packing.packByTokenBudget(
+      toks.repartition(13), "item_id", "toks", budget, bucketWidth = 97L)
+    assert(rows(packed.orderBy("item_id")) == rows(repacked.orderBy("item_id")))
+    // and agrees with the single-window formulation it documents
+    val oracle = toks.withColumn("pack_id",
+      expr("coalesce(sum(toks) over (order by item_id rows between unbounded preceding and 1 preceding), 0) div 100"))
+    assert(rows(packed.orderBy("item_id")) == rows(oracle.orderBy("item_id")))
+  }
+
+  test("packByTokenBudget shuffles the wide data once: totals reuse the window exchange, no global sort") {
+    val toks = corpus.select(col("item_id"),
+      size(split(col("body"), " ", -1)).cast("long").as("toks"))
+    val packed = Packing.packByTokenBudget(toks, "item_id", "toks", 100L, bucketWidth = 97L)
+    packed.collect()
+    val nodes = planNodes(packed.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[ReusedExchangeExec]),
+      s"bucket totals should reuse the window's exchange:\n${packed.queryExecution.executedPlan}")
+    // the only ordering ever established is within a bucket partition —
+    // a global (single-range) sort of the corpus must not appear
+    val globalSorts = nodes.collect { case s: SortExec if s.global => s }
+    assert(globalSorts.isEmpty, s"global sort in pack plan:\n$globalSorts")
+  }
+}
