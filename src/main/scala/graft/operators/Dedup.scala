@@ -418,10 +418,14 @@ object Dedup {
       bCol: String = "id_b", maxRounds: Int = 64): DataFrame = {
     val half = pairs.select(col(aCol).cast(LongType).as("src"),
       col(bCol).cast(LongType).as("dst"))
+    // pre-partitioned on the per-round join key: the cached blocks carry
+    // hash(dst) partitioning, so each round's edge-label join shuffles
+    // only the (node, cluster) label relation, never the edge set
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    var labels = edges.select(col("src").as("node")).distinct()
+      .distinct().repartition(col("dst")).persist()
+    var cached = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node")).persist()
+    var labels = cached
     var changed = true
     var rounds = 0
     while (changed) {
@@ -433,18 +437,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("cluster")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("cluster")).as("nmin"))
+      // the previous label rides along in the persisted round frame, so
+      // convergence is a filter over cached blocks, not another join
       val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .persist()
-      changed = !next.alias("n")
-        .join(labels.select(col("node"), col("cluster").as("old")), Seq("node"))
-        .filter(col("cluster") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      changed = !next.filter(col("cluster") =!= col("prev")).isEmpty
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("node"), col("cluster"))
     }
     val out = labels.localCheckpoint(true)
-    labels.unpersist()
+    cached.unpersist()
     edges.unpersist()
     out
   }
