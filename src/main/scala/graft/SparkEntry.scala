@@ -19,6 +19,7 @@ object SparkEntry {
       graft.operators.TpcDsComposites.defs ++
       graft.operators.FunctionSurface.defs ++
       graft.operators.TextAnalysis.defs ++
+      graft.operators.Corpus.defs ++
       graft.operators.Sampling.defs ++
       graft.operators.Packing.defs ++
       graft.operators.Dedup.defs ++

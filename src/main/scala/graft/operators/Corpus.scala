@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, Tables}
+
+/** Corpus-level lexical operators for training-data curation: TF-IDF
+  * term scoring, vocabulary extraction, and benchmark decontamination
+  * (n-gram overlap against a held-out evaluation set).
+  *
+  * All three are compositions of built-in relational operators — explode,
+  * two-phase aggregation, broadcast scalar, windowed top-k — chosen so
+  * each stage's shuffle key is the natural data key (term or doc) and
+  * the corpus is never collected or globally sorted.
+  */
+object Corpus {
+
+  def defs: Seq[QueryDef] = Seq(q57Tfidf, q59VocabTopK, q78Decontaminate)
+
+  /** (doc, term, tf) from an (id, text) frame: one explode + one
+    * count aggregate, shuffled on (doc, term). */
+  def termFrequencies(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Smoothed TF-IDF (`tf · (ln((N+1)/(df+1)) + 1)`), top `k` terms per
+    * document. Document frequency is one aggregate over the tf relation
+    * (already distinct per (doc, term)); the corpus size joins in as a
+    * 1-row broadcast; the per-doc top-k is a rank bounded by a constant,
+    * which plans as a WindowGroupLimit — candidates prune before the
+    * shuffle, the 100 TB posting list is never sorted whole. Scores are
+    * rounded to 6 dp: JVM and libm `ln` differ in the final ulp. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        (log((col("n_docs") + lit(1)).cast(DoubleType) / (col("df") + lit(1))) + lit(1)), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("term_rank", row_number().over(w).cast(LongType))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("term_rank"))
+  }
+
+  /** Corpus vocabulary: term → total occurrences + document frequency,
+    * top `k` by count. The limit after the sort plans as a top-k heap
+    * (TakeOrderedAndProject) over the term-count relation — partial
+    * per-partition heaps, never a full sort of the vocabulary. */
+  def vocabulary(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 50): DataFrame =
+    termFrequencies(docs, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(k)
+
+  /** Benchmark decontamination: training documents sharing at least one
+    * word `n`-gram with any document of the held-out set, with the count
+    * of distinct shared n-grams. The held-out shingle set is deduplicated
+    * BEFORE the join (its size is benchmark-scale, not corpus-scale), so
+    * the join is an equi-join of corpus shingles against a small
+    * relation — at 100 TB this broadcasts; the corpus side stays where
+    * it is. Join key is the n-gram text itself; hash it (as the dedup
+    * family does) when n-gram payloads dominate the shuffle. */
+  def decontaminate(training: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8): DataFrame = {
+    val trainSh = Dedup.shingles(training, idCol, textCol, n)
+    val benchSh = Dedup.shingles(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    trainSh.join(benchSh, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  /** Top-3 TF-IDF terms per document. */
+  val q57Tfidf: QueryDef = QueryDef("q57_tfidf",
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf,
+      |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, score, term_rank FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, term) AS term_rank
+      |  FROM scored)
+      |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin) {
+    (spark, dir) =>
+      tfidfTopTerms(Tables(spark, dir).documents)
+        .orderBy(col("doc_id"), col("term_rank"))
+  }
+
+  /** Top-50 corpus vocabulary with document frequencies. */
+  val q59VocabTopK: QueryDef = QueryDef("q59_vocab_topk",
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2)
+      |SELECT term, CAST(sum(tf) AS BIGINT) AS n_occurrences, count(*) AS n_docs
+      |FROM tf GROUP BY term
+      |ORDER BY n_occurrences DESC, term LIMIT 50""".stripMargin) {
+    (spark, dir) => vocabulary(Tables(spark, dir).documents)
+  }
+
+  /** Decontaminate the corpus against the src0 slice as the stand-in
+    * held-out benchmark: 8-gram overlap. */
+  val q78Decontaminate: QueryDef = QueryDef("q78_decontaminate",
+    """WITH words AS (
+      |  SELECT doc_id, source,
+      |    unnest(string_split(text, ' ')) AS w,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, source,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+      |    lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+      |    lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+      |    lead(w, 7) OVER win AS shingle
+      |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |sh AS (SELECT DISTINCT doc_id, source, shingle FROM sh0 WHERE shingle IS NOT NULL),
+      |b AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+      |SELECT doc_id, count(*) AS n_shared_ngrams
+      |FROM (SELECT doc_id, shingle FROM sh WHERE source <> 'src0') t
+      |JOIN b USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    decontaminate(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"))
+      .orderBy(col("doc_id"))
+  }
+}
