@@ -20,6 +20,7 @@ object SparkEntry {
       graft.operators.FunctionSurface.defs ++
       graft.operators.TextAnalysis.defs ++
       graft.operators.Corpus.defs ++
+      graft.operators.Scrub.defs ++
       graft.operators.Sampling.defs ++
       graft.operators.Packing.defs ++
       graft.operators.Dedup.defs ++

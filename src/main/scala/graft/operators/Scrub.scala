@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, Tables}
+
+/** Corpus-scrubbing operators for a training-data pipeline: PII
+  * redaction (regex masking of emails / card numbers / IPs / phone
+  * numbers with per-category match counts) and repetition quality
+  * signals in the style of the Gopher data-curation rules (duplicate
+  * word fraction, most-frequent-bigram coverage, a keep/drop flag).
+  *
+  * Reference scope: the reference engine exposes the regex machinery
+  * these build on (REGEXP_REPLACE / REGEXP_EXTRACT — reference:
+  * flink-table-planner-blink .../functions/sql/FlinkSqlOperatorTable.java:456-464,
+  * runtime bodies in flink-table-runtime-blink .../functions/SqlFunctionUtils.java);
+  * the composed scrubbing operators are part of the training-data surface
+  * this library adds on top.
+  *
+  * Scale notes: redaction is pure column algebra — one codegen'd
+  * projection per scan, no shuffle, embarrassingly parallel at 100 TB.
+  * The repetition signals need one explode + one aggregation shuffled on
+  * (doc, bigram) — the natural key, same shape as [[Corpus.termFrequencies]] —
+  * and the per-doc argmax is a rank-1 window that plans as a
+  * WindowGroupLimit, so candidate bigrams prune before the final shuffle.
+  */
+object Scrub {
+
+  def defs: Seq[QueryDef] = Seq(q100Repetition, q101PiiRedact)
+
+  /** Redaction stages, applied in order. Order matters and is part of the
+    * operator contract: card numbers are masked before phone numbers so a
+    * 13-16 digit run is never half-claimed by the looser phone pattern;
+    * every count is taken on the text as already redacted by the earlier
+    * stages. Patterns stay inside the common Java-regex/RE2 subset (no
+    * lookaround, no backreferences) so one pattern string drives both the
+    * Spark side and any RE2-based engine a deployment checks against.
+    */
+  val redactions: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", "\\b\\d{13,16}\\b", "<CARD>"),
+    ("ip", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"),
+    ("phone", "\\+?\\d{1,3}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}", "<PHONE>"))
+
+  /** (id, redacted, n_email, n_card, n_ip, n_phone) for any (id, text)
+    * frame: a single generated projection — each stage counts its
+    * pattern on the previous stage's output, then masks it. */
+  def piiRedact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (redacted, counts) = redactions.foldLeft((col(textCol), Seq.empty[Column])) {
+      case ((text, acc), (name, pattern, mask)) =>
+        (regexp_replace(text, lit(pattern), lit(mask)),
+          acc :+ size(regexp_extract_all(text, lit(pattern), lit(0)))
+            .cast(LongType).as(s"n_$name"))
+    }
+    docs.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
+  }
+
+  /** Per-document repetition signals on any (id, text) frame:
+    *
+    *   - `n_words`, `dup_word_frac` — fraction of word occurrences that
+    *     repeat an earlier word (1 − distinct/total), computed as pure
+    *     array algebra inside the scan projection;
+    *   - `top_bigram`, `top_bigram_ratio` — the most frequent word
+    *     2-gram (count ties broken lexicographically) and the ratio of
+    *     characters its occurrences cover to the document length.
+    *     Overlapping occurrences each count, so a degenerate "a a a …"
+    *     document scores above 1 — deliberately: the signal saturates
+    *     upward for exactly the documents the filter exists to drop;
+    *   - `keep` — 1 when both signals clear the thresholds.
+    *
+    * Documents with fewer than two words carry a null bigram and keep=1:
+    * too short to measure repetition is not evidence of repetition.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxDupWordFrac: Double = 0.8,
+      maxTopBigramRatio: Double = 0.2): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      split(col(textCol), " ", -1).as("words"))
+    val stats = base.select(col("doc_id"), col("n_chars"),
+      size(col("words")).cast(LongType).as("n_words"),
+      round(lit(1d) - size(array_distinct(col("words"))).cast(DoubleType) /
+        size(col("words")), 6).as("dup_word_frac"))
+    // adjacent word pairs: zip the words array against itself shifted by
+    // one — array algebra, no join; slice length max(size-1, 0) keeps
+    // single-word docs at an empty pair array instead of a negative slice
+    val pairs = base.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("words"), lit(1), greatest(size(col("words")) - 1, lit(0))),
+        slice(col("words"), lit(2), greatest(size(col("words")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val counts = pairs.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val rank1 = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("bigram"))
+    val top = counts.withColumn("rn", row_number().over(rank1))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bigram").as("top_bigram"), col("cnt"))
+    stats.join(top, Seq("doc_id"), "left")
+      .withColumn("top_bigram_ratio",
+        round(col("cnt") * length(col("top_bigram")).cast(DoubleType) /
+          col("n_chars"), 6))
+      .withColumn("keep",
+        when(col("top_bigram").isNull, lit(1L)).otherwise(
+          (col("dup_word_frac") <= maxDupWordFrac &&
+            col("top_bigram_ratio") <= maxTopBigramRatio).cast(LongType)))
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("top_bigram"), col("top_bigram_ratio"), col("keep"))
+  }
+
+  /** Gopher-style repetition signals over the documents table. */
+  val q100Repetition: QueryDef = QueryDef("q100_repetition",
+    """WITH w AS (
+      |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |stats AS (
+      |  SELECT doc_id, n_chars, len(ws) AS n_words,
+      |    round(1 - len(list_distinct(ws))::DOUBLE / len(ws), 6) AS dup_word_frac
+      |  FROM w),
+      |idx AS (
+      |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM w),
+      |bg AS (
+      |  SELECT doc_id,
+      |    word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS bigram
+      |  FROM idx),
+      |cnt AS (
+      |  SELECT doc_id, bigram, count(*) AS cnt FROM bg
+      |  WHERE bigram IS NOT NULL GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id, bigram AS top_bigram, cnt FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn FROM cnt)
+      |  WHERE rn = 1)
+      |SELECT s.doc_id, s.n_words, s.dup_word_frac, t.top_bigram,
+      |  round(t.cnt * length(t.top_bigram)::DOUBLE / s.n_chars, 6) AS top_bigram_ratio,
+      |  CASE WHEN t.top_bigram IS NULL THEN 1
+      |       WHEN s.dup_word_frac <= 0.8 AND
+      |            round(t.cnt * length(t.top_bigram)::DOUBLE / s.n_chars, 6) <= 0.2
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM stats s LEFT JOIN top t USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    repetitionSignals(Tables(spark, dir).documents).orderBy(col("doc_id"))
+  }
+
+  /** PII redaction over the documents table. The fixture corpus is
+    * synthetic and PII-free, so every count is 0 and the redacted text
+    * equals the input — which is exactly what the oracle verifies: the
+    * full regex pipeline must agree with an independent engine on every
+    * document, no-ops included. ScrubSpec drives the same operator over
+    * text that does contain PII. */
+  val q101PiiRedact: QueryDef = {
+    val stages = redactions.map { case (name, pattern, mask) => (name, pattern, mask) }
+    // build the DuckDB mirror of the staged count-then-mask fold; DuckDB's
+    // regexp_replace masks only the first match unless given the 'g' flag
+    val sql = {
+      val ctes = stages.zipWithIndex.map { case ((name, pattern, mask), i) =>
+        val prev = if (i == 0) "documents" else s"s$i"
+        val prevText = if (i == 0) "text" else "redacted"
+        s"""s${i + 1} AS (
+           |  SELECT doc_id,
+           |    ${if (i > 0) s"${stages.take(i).map(s => "n_" + s._1).mkString(", ")}," else ""}
+           |    len(regexp_extract_all($prevText, '$pattern')) AS n_$name,
+           |    regexp_replace($prevText, '$pattern', '$mask', 'g') AS redacted
+           |  FROM $prev)""".stripMargin
+      }.mkString("WITH ", ",\n", "")
+      val names = stages.map(s => "n_" + s._1).mkString(", ")
+      s"""$ctes
+         |SELECT doc_id, redacted, $names FROM s${stages.length}
+         |ORDER BY doc_id""".stripMargin
+    }
+    QueryDef("q101_pii_redact", sql) { (spark, dir) =>
+      piiRedact(Tables(spark, dir).documents).orderBy(col("doc_id"))
+    }
+  }
+}

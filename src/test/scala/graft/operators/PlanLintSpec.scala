@@ -13,11 +13,18 @@ import graft.SparkSpec
   *  - q10_cross_join: the cross join IS the declared operator;
   *  - q87_recursive_cte: the per-step scalar subquery joins against the
   *    recursion spine, which is ≤ 20 rows by construction — a nested
-  *    loop over a bounded literal spine, not a data-scaled relation.
+  *    loop over a bounded literal spine, not a data-scaled relation;
+  *  - q57_tfidf: the corpus-size scalar (a 1-row aggregate) joins onto
+  *    the term relation as `crossJoin(broadcast(n))` — a BNLJ whose
+  *    build side is exactly one row at any data scale. The broadcast
+  *    scalar is the plan you want at 100 TB; the alternative (a window
+  *    over an empty partition spec) funnels the relation through one
+  *    partition.
   */
 class PlanLintSpec extends SparkSpec {
 
-  private val whitelist = Set("q10_cross_join", "q87_recursive_cte")
+  private val whitelist =
+    Set("q10_cross_join", "q87_recursive_cte", "q57_tfidf")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Behavior of the scrubbing operators on text that actually contains
+  * PII / repetition (the fixture corpus is synthetic and clean, so the
+  * oracle-gated queries only prove engine agreement on no-ops). */
+class ScrubSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("piiRedact masks emails, cards, IPs and phones with counts") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@mail.co today"),
+      (2L, "card 4111111111111111 from 10.0.0.1 call +1 (555) 123-4567"),
+      (3L, "clean text with no identifiers at all")).toDF("doc_id", "text")
+    val out = Scrub.piiRedact(docs).orderBy("doc_id").collect()
+    assert(out(0) === Row(1L,
+      "contact <EMAIL> or <EMAIL> today", 2L, 0L, 0L, 0L))
+    assert(out(1) === Row(2L,
+      "card <CARD> from <IP> call <PHONE>", 0L, 1L, 1L, 1L))
+    assert(out(2) === Row(3L,
+      "clean text with no identifiers at all", 0L, 0L, 0L, 0L))
+  }
+
+  test("card numbers are claimed by the card stage, not the phone stage") {
+    val docs = Seq((1L, "pay 5500005555555559 now")).toDF("doc_id", "text")
+    val r = Scrub.piiRedact(docs).collect().head
+    assert(r.getString(1) === "pay <CARD> now")
+    assert(r.getLong(2) === 0L && r.getLong(3) === 1L && r.getLong(5) === 0L)
+  }
+
+  test("repetitionSignals flags degenerate repetition and keeps clean text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+        "kilo lima mike november oscar papa quebec romeo sierra tango " +
+        "uniform victor whiskey xray yankee zulu"),
+      (3L, "one")).toDF("doc_id", "text")
+    val out = Scrub.repetitionSignals(docs).orderBy("doc_id").collect()
+    // doc 1: 6 words, 1 distinct -> dup 0.833333; bigram "spam spam" x5
+    // covers 5*9=45 chars of 29 -> ratio > 1, keep=0
+    assert(out(0).getLong(1) === 6L)
+    assert(out(0).getDouble(2) === 0.833333)
+    assert(out(0).getString(3) === "spam spam")
+    assert(out(0).getDouble(4) > 1.0)
+    assert(out(0).getLong(5) === 0L)
+    // doc 2: all distinct -> dup 0, every bigram count 1 -> lexicographic
+    // tie-break, small ratio, keep=1
+    assert(out(1).getDouble(2) === 0.0)
+    assert(out(1).getLong(5) === 1L)
+    // doc 3: single word -> no bigram, keep=1 by definition
+    assert(out(2).isNullAt(3) && out(2).getLong(5) === 1L)
+  }
+
+  test("repetition thresholds are caller-tunable") {
+    val docs = Seq((1L, "a b a b a b a b")).toDF("doc_id", "text")
+    val strict = Scrub.repetitionSignals(docs, maxDupWordFrac = 0.5).collect().head
+    val lax = Scrub.repetitionSignals(docs, maxDupWordFrac = 1.0,
+      maxTopBigramRatio = 10.0).collect().head
+    assert(strict.getLong(5) === 0L)
+    assert(lax.getLong(5) === 1L)
+  }
+}
