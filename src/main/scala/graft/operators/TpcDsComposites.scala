@@ -19,7 +19,7 @@ import graft.core.QueryDef
 object TpcDsComposites {
 
   def defs: Seq[QueryDef] =
-    Seq(qds05, qds14, qds23, qds67, qds70, qds51, qds57, qds64)
+    Seq(qds05, qds14, qds23, qds67, qds70, qds51, qds57, qds64, qds88, qds95)
 
   private val REV =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2))"
@@ -239,4 +239,59 @@ object TpcDsComposites {
       |j AS (SELECT COALESCE(f.ym, o.ym) AS ym, cum_f, cum_o
       |      FROM f FULL OUTER JOIN o ON f.ym = o.ym)
       |SELECT ym, cum_f, cum_o FROM j WHERE cum_o > cum_f ORDER BY ym""".stripMargin)
+
+  /** q88 shape: eight cross-joined single-row count aggregates over the
+    * same fact⋈dim⋈dim subtree, differing only in the fact-side slice
+    * (the reference slices store_sales by half-hour; here lineitem by
+    * quantity band) and sharing an OR-of-ANDs dim predicate verbatim
+    * (reference: tpcds/queries/1/q88.sql — s1..s8 derived tables). The
+    * eight 1-row joins are the reference's own shape: each side is a
+    * count(*), one row at any data scale, so the nested-loop chain is
+    * scale-safe (PlanLint whitelists it); the shared orders⋈customer
+    * build side must be planned once and reused, not eight times —
+    * TpcDsCompositeSpec asserts the reuse. */
+  val qds88: QueryDef = {
+    val dimCond =
+      """l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |      AND c_mktsegment = 'BUILDING'
+        |      AND ((o_orderpriority = '1-URGENT' AND l_discount <= 0.05) OR
+        |           (o_orderpriority = '2-HIGH' AND l_discount <= 0.07) OR
+        |           (o_orderpriority = '3-MEDIUM' AND l_discount <= 0.09))""".stripMargin
+    val slices = (0 until 8).map { i =>
+      val (lo, hi) = (1 + 6 * i, 6 + 6 * i)
+      s"""(SELECT count(*) AS qty_${lo}_to_$hi
+         |    FROM lineitem, orders, customer
+         |    WHERE $dimCond
+         |      AND l_quantity BETWEEN $lo AND $hi) s${i + 1}""".stripMargin
+    }
+    sqlBoth("qds88_quantity_slices",
+      s"SELECT * FROM\n${slices.mkString(",\n")}")
+  }
+
+  /** q95 shape: a fact self-join CTE (orders shipped by more than one
+    * supplier — the reference's ws_wh warehouse self-join) consumed by
+    * TWO IN-subqueries of the outer block, the second one joining the
+    * CTE against the returns slice; count(DISTINCT key) over a
+    * repeating join key plus exact-decimal money sums (reference:
+    * tpcds/queries/1/q95.sql). The CTE must compute once — its exchange
+    * is reused by both consumers (spec-asserted). */
+  val qds95: QueryDef = sqlBoth("qds95_multi_supplier",
+    s"""WITH li_ms AS (
+       |  SELECT l1.l_orderkey AS okey
+       |  FROM lineitem l1, lineitem l2
+       |  WHERE l1.l_orderkey = l2.l_orderkey
+       |    AND l1.l_suppkey <> l2.l_suppkey),
+       |returned AS (
+       |  SELECT l_orderkey FROM lineitem, li_ms
+       |  WHERE l_returnflag = 'R' AND l_orderkey = li_ms.okey)
+       |SELECT COUNT(DISTINCT l_orderkey) AS order_count,
+       |       CAST(SUM($REV) AS DOUBLE) AS total_revenue
+       |FROM lineitem, orders, customer
+       |WHERE l_orderkey = o_orderkey
+       |  AND o_custkey = c_custkey
+       |  AND c_mktsegment = 'MACHINERY'
+       |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+       |  AND l_orderkey IN (SELECT okey FROM li_ms)
+       |  AND l_orderkey IN (SELECT l_orderkey FROM returned)""".stripMargin)
 }

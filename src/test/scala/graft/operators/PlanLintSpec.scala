@@ -19,12 +19,16 @@ import graft.SparkSpec
   *    build side is exactly one row at any data scale. The broadcast
   *    scalar is the plan you want at 100 TB; the alternative (a window
   *    over an empty partition spec) funnels the relation through one
-  *    partition.
+  *    partition;
+  *  - qds88_quantity_slices: the reference q88's own shape — eight
+  *    cross-joined count(*) derived tables, every join side exactly one
+  *    row at any data scale.
   */
 class PlanLintSpec extends SparkSpec {
 
   private val whitelist =
-    Set("q10_cross_join", "q87_recursive_cte", "q57_tfidf")
+    Set("q10_cross_join", "q87_recursive_cte", "q57_tfidf",
+      "qds88_quantity_slices")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)

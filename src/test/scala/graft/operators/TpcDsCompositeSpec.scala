@@ -35,4 +35,22 @@ class TpcDsCompositeSpec extends SparkSpec {
     assert(reuseCount("qds57_seasonal_deviation") >= 1,
       "v1 is consumed three times (current/lag/lead) and must be reused")
   }
+
+  test("qds88 shares the orders-customer build side across its eight slices") {
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    graft.SparkEntry.queries("qds88_quantity_slices")(spark, sf()).collect()
+    val reused = executedPlanNodes("qds88_quantity_slices", sf())
+      .count(_.isInstanceOf[ReusedExchangeExec])
+    assert(reused >= 1,
+      "the identical filtered orders⋈customer subtree must be built once, " +
+        s"not once per slice (found $reused ReusedExchange nodes)")
+  }
+
+  test("qds95 reuses the multi-supplier self-join CTE across both IN consumers") {
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val reused = executedPlanNodes("qds95_multi_supplier", sf())
+      .count(_.isInstanceOf[ReusedExchangeExec])
+    assert(reused >= 1,
+      s"li_ms is consumed twice and must compute once (found $reused)")
+  }
 }
