@@ -30,6 +30,14 @@ object SessionFactory {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-size partitions on plans that feed a persist(): the
+      // iterative operators (connected components, Lloyd training) cache a
+      // small label/centroid relation each round, and without this flag
+      // every cached round materializes the static shuffle-partition count
+      // regardless of how little data survived — at any scale, the round
+      // frame should be sized by AQE's runtime stats, not the session
+      // constant
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // CBO join reorder parity with the reference bench knobs.
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")

@@ -423,8 +423,15 @@ object Dedup {
     // only the (node, cluster) label relation, never the edge set
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().repartition(col("dst")).persist()
-    var cached = edges.select(col("src").as("node")).distinct()
-      .withColumn("cluster", col("node")).persist()
+    // the first propagation round is fused into the seed: with identity
+    // labels the neighbor-min join degenerates to min(dst) per src
+    // (every node appears as src — edges are symmetrized), so the seed
+    // aggregate IS round one, without paying an edges⋈labels join for it
+    var cached = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("node"),
+        least(col("src"), col("nmin")).as("cluster"))
+      .persist()
     var labels = cached
     var changed = true
     var rounds = 0

@@ -19,7 +19,8 @@ import graft.core.QueryDef
 object TpcDsComposites {
 
   def defs: Seq[QueryDef] =
-    Seq(qds05, qds14, qds23, qds67, qds70, qds51, qds57, qds64, qds88, qds95)
+    Seq(qds05, qds14, qds23, qds67, qds70, qds51, qds57, qds64, qds78,
+      qds88, qds95)
 
   private val REV =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2))"
@@ -266,6 +267,54 @@ object TpcDsComposites {
     }
     sqlBoth("qds88_quantity_slices",
       s"SELECT * FROM\n${slices.mkString(",\n")}")
+  }
+
+  /** q78 shape — the ONE TPC-DS query the reference harness cannot run
+    * (reference: TpcDsBatchExecITCase.scala:109 `// FIXME: Array("q78",
+    * true) will block`): three per-channel CTEs of never-returned sales
+    * (LEFT JOIN the returns slice, keep the null side — the classic
+    * outer-join-as-anti shape q78 is notorious for), grouped by
+    * (year, item), then the store channel LEFT JOINed against both other
+    * channels with coalesce'd cross-channel totals and a rounded ratio.
+    * Channel = o_orderstatus, returns slice = the R-flag lines keyed by
+    * (orderkey, linenumber). A final item tiebreak makes the LIMIT
+    * deterministic (the literal text can tie on every sort key). */
+  val qds78: QueryDef = {
+    def channel(alias: String, status: Char) =
+      s"""$alias AS (
+         |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS ${alias}_year,
+         |         l_partkey AS ${alias}_item,
+         |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS ${alias}_qty,
+         |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS ${alias}_wc,
+         |         SUM($REV) AS ${alias}_sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  LEFT JOIN ret ON ret.r_okey = l_orderkey AND ret.r_line = l_linenumber
+         |  WHERE o_orderstatus = '$status' AND ret.r_okey IS NULL
+         |  GROUP BY 1, 2)""".stripMargin
+    sqlBoth("qds78_channel_ratio",
+      s"""WITH ret AS (
+         |  SELECT l_orderkey AS r_okey, l_linenumber AS r_line
+         |  FROM lineitem WHERE l_returnflag = 'R'),
+         |${channel("ss", 'F')},
+         |${channel("ws", 'O')},
+         |${channel("cs", 'P')}
+         |SELECT ss_year, ss_item,
+         |  ROUND(CAST(ss_qty AS DOUBLE) /
+         |        CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS DOUBLE), 2) AS ratio,
+         |  CAST(ss_qty AS DOUBLE) AS store_qty,
+         |  CAST(ss_wc AS DOUBLE) AS store_wholesale,
+         |  CAST(ss_sp AS DOUBLE) AS store_sales,
+         |  CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS DOUBLE) AS other_chan_qty,
+         |  CAST(COALESCE(ws_wc, 0) + COALESCE(cs_wc, 0) AS DOUBLE) AS other_chan_wholesale,
+         |  CAST(COALESCE(ws_sp, 0) + COALESCE(cs_sp, 0) AS DOUBLE) AS other_chan_sales
+         |FROM ss
+         |LEFT JOIN ws ON ws_year = ss_year AND ws_item = ss_item
+         |LEFT JOIN cs ON cs_year = ss_year AND cs_item = ss_item
+         |WHERE (COALESCE(ws_qty, 0) > 0 OR COALESCE(cs_qty, 0) > 0)
+         |  AND ss_year = 1996
+         |ORDER BY ss_year, store_qty DESC, store_wholesale DESC, store_sales DESC,
+         |  other_chan_qty, other_chan_wholesale, other_chan_sales, ratio, ss_item
+         |LIMIT 100""".stripMargin)
   }
 
   /** q95 shape: a fact self-join CTE (orders shipped by more than one
