@@ -18,7 +18,8 @@ import graft.core.{QueryDef, Tables}
   */
 object Corpus {
 
-  def defs: Seq[QueryDef] = Seq(q57Tfidf, q59VocabTopK, q78Decontaminate)
+  def defs: Seq[QueryDef] =
+    Seq(q57Tfidf, q59VocabTopK, q78Decontaminate, q103SharedSpans)
 
   /** (doc, term, tf) from an (id, text) frame: one explode + one
     * count aggregate, shuffled on (doc, term). */
@@ -139,5 +140,95 @@ object Corpus {
       docs.filter(col("source") =!= "src0"),
       docs.filter(col("source") === "src0"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Winnowed fingerprints per document (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): hash every word `n`-gram, keep the minimum hash of each
+    * sliding window of `w` consecutive positions, dedup. Winnowing is
+    * content-defined, so the kept positions align ACROSS documents —
+    * unlike stride sampling, which breaks cross-document alignment —
+    * giving the guarantee that any shared word run of length
+    * ≥ n + w - 1 contributes at least one shared fingerprint, at
+    * ~2/(w+1) of the full shingle density. This is the scale path for
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): the full-density inverted index
+    * is linear in corpus size, the winnowed one is a constant fraction
+    * of it with a detection-length guarantee instead of silent loss. */
+  def winnowedFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 6, w: Int = 4): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val hashes = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("i", "wd")))
+      .withColumn("shingle",
+        concat_ws(" ", (0 until n).map(k => lead(col("wd"), k).over(win)): _*))
+      .filter(size(split(col("shingle"), " ", -1)) === n)
+      .select(col("doc_id"), col("i"),
+        graft.functions.GraftFunctions.hashCode(col("shingle"))
+          .cast(LongType).as("h"))
+    // winnowing spec keeps full windows only: a count guard drops the
+    // trailing positions whose lookahead is truncated
+    val fpWin = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hashes
+      .withColumn("fp", min(col("h")).over(fpWin))
+      .withColumn("nf", count(col("h")).over(fpWin))
+      .filter(col("nf") === w)
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Document pairs sharing at least `minShared` winnowed fingerprints —
+    * candidate exact-substring duplicates with the shared-fingerprint
+    * count as span evidence. The join is an inverted-index bucket join
+    * keyed by fingerprint; fingerprints appearing in more than
+    * `maxDocFreq` documents are dropped first (boilerplate n-grams — the
+    * standard stop-fingerprint cap), which bounds any bucket's pair
+    * fan-out by maxDocFreq² regardless of corpus size. */
+  def sharedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 6, w: Int = 4,
+      minShared: Long = 2, maxDocFreq: Long = 100): DataFrame = {
+    val fps = winnowedFingerprints(docs, idCol, textCol, n, w)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("fp"))
+    val indexed = fps.join(rare, Seq("fp"))
+    indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
+  /** Exact-substring near-duplicate candidates via winnowed fingerprints. */
+  val q103SharedSpans: QueryDef = QueryDef("q103_shared_spans",
+    s"""WITH words AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS i
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, i,
+       |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+       |    lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+       |    lead(w, 5) OVER win AS shingle
+       |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+       |h AS (
+       |  SELECT doc_id, i, ${TextAnalysis.duckJavaHash("shingle")} AS h
+       |  FROM sh WHERE shingle IS NOT NULL),
+       |fw AS (
+       |  SELECT doc_id,
+       |    min(h) OVER win4 AS fp, count(h) OVER win4 AS nf
+       |  FROM h WINDOW win4 AS (
+       |    PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM fw WHERE nf = 4),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+       |indexed AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_fps
+       |FROM indexed a JOIN indexed b
+       |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    sharedSpans(Tables(spark, dir).documents)
+      .orderBy(col("id_a"), col("id_b"))
   }
 }

@@ -30,7 +30,7 @@ object Similarity {
 
   def defs: Seq[QueryDef] =
     Seq(q50CosineKnn, q51CosineNearDup, q52AnnLsh, q53EmbeddingClusters,
-      q93AnnIvf)
+      q93AnnIvf, q102QuantizeInt8)
 
   private val Dim = 64
 
@@ -447,5 +447,55 @@ object Similarity {
     * top-3 recall ≥ 0.7 vs the exact kNN baseline. */
   val q93AnnIvf: QueryDef = QueryDef.rowsOnly("q93_ann_ivf") { (spark, dir) =>
     annIvfNeighbors(Tables(spark, dir).embeddings, col("vec_id") < 20, k = 3)
+  }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x| / 127, q_i = round(x_i / scale), plus the max
+    * absolute reconstruction error as a quality column. Pure column
+    * algebra over array built-ins — one projection per scan, no
+    * shuffle; 4× storage cut is the standard precursor to ANN serving.
+    * Zero vectors quantize to zeros at scale 0 instead of dividing by
+    * zero. (The lambdas are interpreted per element — acceptable for a
+    * storage pass; the hot search kernels above stay on the unrolled
+    * codegen'd arithmetic.) */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb
+      .select(col(idCol), asDouble(col(vecCol)).as("e0"))
+      .withColumn("scale",
+        array_max(transform(col("e0"), x => abs(x))) / lit(127.0d))
+      .withColumn("q_embedding",
+        when(col("scale") === 0d,
+          transform(col("e0"), _ => lit(0).cast(IntegerType)))
+          .otherwise(transform(col("e0"),
+            x => round(x / col("scale")).cast(IntegerType))))
+      .withColumn("max_abs_err",
+        round(array_max(zip_with(col("e0"), col("q_embedding"),
+          (x, qi) => abs(x - qi.cast(DoubleType) * col("scale")))), 6))
+      .select(col(idCol), round(col("scale"), 9).as("scale_r"),
+        col("q_embedding"), col("max_abs_err"))
+
+  /** Int8 quantization over the fixture embeddings. */
+  val q102QuantizeInt8: QueryDef = QueryDef("q102_quantize_int8",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, e0,
+      |    list_max(list_transform(e0, x -> abs(x))) / 127.0 AS scale
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, e0, scale,
+      |    CASE WHEN scale = 0
+      |      THEN list_transform(e0, x -> 0)
+      |      ELSE list_transform(e0, x -> CAST(round(x / scale) AS INT))
+      |    END AS q_embedding
+      |  FROM s)
+      |SELECT vec_id, round(scale, 9) AS scale_r, q_embedding,
+      |  round(list_max(list_transform(range(1, len(e0) + 1),
+      |    i -> abs(e0[i] - q_embedding[i] * scale))), 6) AS max_abs_err
+      |FROM q ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    quantizeInt8(Tables(spark, dir).embeddings).orderBy(col("vec_id"))
   }
 }

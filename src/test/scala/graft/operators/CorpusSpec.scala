@@ -67,4 +67,49 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSet
     assert(hits3.contains(4L))
   }
+
+  test("winnowing detects a shared run of length >= n + w - 1, and only that pair") {
+    import spark.implicits._
+    // docs 1 and 2 share a 6-word run embedded at DIFFERENT offsets —
+    // content-defined winnowing must still align them; doc 3 shares no run
+    val run = "one two three four five six"
+    val d = Seq(
+      (1L, s"pre1 pre2 $run tail1 tail2"),
+      (2L, s"zzz $run other words here now"),
+      (3L, "totally unrelated content with no overlap at all whatsoever"))
+      .toDF("id", "body")
+    val pairs = Corpus.sharedSpans(d, "id", "body", n = 4, w = 3,
+      minShared = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("stop-fingerprint cap drops boilerplate shared by every document") {
+    import spark.implicits._
+    val boiler = "standard legal footer text here"
+    val d = (1L to 5L).map(i => (i, s"unique$i body$i $boiler")).toDF("id", "body")
+    // every doc shares the boilerplate run; with the cap below the corpus
+    // size those fingerprints are dropped and no pair survives
+    val capped = Corpus.sharedSpans(d, "id", "body", n = 3, w = 2,
+      minShared = 1, maxDocFreq = 3)
+    assert(capped.isEmpty)
+    val uncapped = Corpus.sharedSpans(d, "id", "body", n = 3, w = 2,
+      minShared = 1, maxDocFreq = 5)
+    assert(uncapped.count() == 10L, "all 5-choose-2 boilerplate pairs")
+  }
+
+  test("int8 quantization: exact scale, symmetric rounding, error bound") {
+    import spark.implicits._
+    val e = Seq((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(e).orderBy("vec_id").collect()
+    val q1 = out(0).getSeq[Int](2)
+    assert(q1 == Seq(127, -64, 32, 0), q1.toString) // round(-63.5) away from 0
+    // scale_r is rounded to 9 dp by the operator
+    assert(math.abs(out(0).getDouble(1) - 1.0 / 127) < 1e-9)
+    // max abs error bounded by scale/2 for in-range values
+    assert(out(0).getDouble(3) <= 1.0 / 127 / 2 + 1e-9)
+    // zero vector: scale 0, all-zero codes, zero error
+    assert(out(1).getDouble(1) == 0.0 && out(1).getSeq[Int](2).forall(_ == 0))
+    assert(out(1).getDouble(3) == 0.0)
+  }
 }
