@@ -23,7 +23,35 @@ object StatefulBatch {
   def defs: Seq[QueryDef] =
     Seq(q72TopnState, q73KeepLastState, q74RunningOver, q88TemporalJoinState,
       q90CountTumble, q91CountSlide, q94RowsFrame, q95RangeFrame,
-      q97EarlyFire)
+      q97EarlyFire, q104UpsertSink)
+
+  /** The upsert sink replayed over the events fixture as a bounded
+    * stream (AvailableNow), then the sink's state table read back:
+    * maintaining latest-row-per-key through the foreachBatch merge must
+    * equal keep-last dedup over the whole input — the upsert analogue of
+    * the batch-collapse contract above. */
+  val q104UpsertSink: QueryDef = QueryDef("q104_upsert_sink",
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    // the file stream source lists a directory; scope it to the events
+    // fixture with a glob filter
+    val stream = spark.readStream
+      .schema(graft.core.Catalog.schemas("events"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val q = UpsertSink
+      .upsertWriter(stream, Seq("user_id"), Seq("ts", "event_id"), sinkDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    UpsertSink.currentState(spark, sinkDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
 
   val q72TopnState: QueryDef = QueryDef("q72_topn_state",
     """SELECT user_id, rank, event_id, value FROM (

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+private[streaming] case class Ev(k: Long, ver: Long, payload: String)
+
+/** The upsert sink's cross-batch contract: `current` always holds the
+  * latest row per key — new keys insert, existing keys overwrite, absent
+  * keys survive, within-batch duplicates collapse before the merge. */
+class UpsertSinkSpec extends SparkSpec {
+
+  test("upsert maintains latest-row-per-key across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("upsert-spec").toString
+    val input = MemoryStream[Ev]
+    val q = UpsertSink.upsertWriter(input.toDF(), Seq("k"), Seq("ver"), dir)
+      .start()
+    // batch 1: two keys, key 1 has a within-batch duplicate (ver 2 wins)
+    input.addData(Ev(1, 1, "a"), Ev(1, 2, "b"), Ev(2, 1, "c"))
+    q.processAllAvailable()
+    val s1 = UpsertSink.currentState(spark, dir).as[Ev].collect()
+      .map(e => e.k -> (e.ver, e.payload)).toMap
+    assert(s1 == Map(1L -> (2L, "b"), 2L -> (1L, "c")))
+    // batch 2: key 1 upserts again, key 3 inserts, key 2 untouched
+    input.addData(Ev(1, 5, "d"), Ev(3, 1, "e"))
+    q.processAllAvailable()
+    q.stop()
+    val s2 = UpsertSink.currentState(spark, dir).as[Ev].collect()
+      .map(e => e.k -> (e.ver, e.payload)).toMap
+    assert(s2 == Map(1L -> (5L, "d"), 2L -> (1L, "c"), 3L -> (1L, "e")))
+  }
+
+  test("batch caller: folding bounded frames through mergeBatch equals keep-last") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("upsert-batch").toString
+    UpsertSink.mergeBatch(Seq(Ev(7, 1, "x"), Ev(8, 1, "y")).toDF(),
+      Seq("k"), Seq("ver"), dir)
+    UpsertSink.mergeBatch(Seq(Ev(7, 9, "z")).toDF(), Seq("k"), Seq("ver"), dir)
+    val s = UpsertSink.currentState(spark, dir).as[Ev].collect()
+      .map(e => e.k -> e.payload).toMap
+    assert(s == Map(7L -> "z", 8L -> "y"))
+  }
+}
