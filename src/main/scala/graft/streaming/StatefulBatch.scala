@@ -23,7 +23,7 @@ object StatefulBatch {
   def defs: Seq[QueryDef] =
     Seq(q72TopnState, q73KeepLastState, q74RunningOver, q88TemporalJoinState,
       q90CountTumble, q91CountSlide, q94RowsFrame, q95RangeFrame,
-      q97EarlyFire, q104UpsertSink)
+      q97EarlyFire, q104UpsertSink, q105RetractApply)
 
   /** The upsert sink replayed over the events fixture as a bounded
     * stream (AvailableNow), then the sink's state table read back:
@@ -50,6 +50,37 @@ object StatefulBatch {
     q.awaitTermination()
     UpsertSink.currentState(spark, sinkDir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The retract sink replayed over a changelog derived from the events
+    * fixture (clicks accumulate, errors retract), state read back after
+    * the bounded run: applying the ±1 algebra incrementally must equal
+    * the one-shot signed aggregate. Totals compared at 4dp — the
+    * incremental double additions associate differently than the
+    * oracle's single pass (same trade as q74). */
+  val q105RetractApply: QueryDef = QueryDef("q105_retract_apply",
+    """SELECT user_id, CAST(SUM(flag) AS BIGINT) AS cnt,
+      |  round(SUM(flag * value), 4) AS total
+      |FROM (SELECT user_id, value,
+      |        CASE event_type WHEN 'click' THEN 1 ELSE -1 END AS flag
+      |      FROM events WHERE event_type IN ('click', 'error')) c
+      |GROUP BY user_id HAVING SUM(flag) <> 0
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-retract").toString
+    val changelog = spark.readStream
+      .schema(graft.core.Catalog.schemas("events"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("event_type").isin("click", "error"))
+      .withColumn("flag",
+        when(col("event_type") === "click", lit(1)).otherwise(lit(-1)))
+    val q = RetractSink
+      .retractWriter(changelog, Seq("user_id"), "flag", "value", sinkDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    UpsertSink.currentState(spark, sinkDir)
+      .select(col("user_id"), col("cnt"), round(col("total"), 4).as("total"))
       .orderBy(col("user_id"))
   }
 

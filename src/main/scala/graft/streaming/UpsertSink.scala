@@ -50,6 +50,17 @@ object UpsertSink {
           .join(latest.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(latest)
       else latest
+    writeSnapshot(merged, dir)
+  }
+
+  /** Write a fresh `current` snapshot under `dir` via staging + rename —
+    * atomic for readers on rename-capable filesystems under the
+    * streaming engine's single-writer guarantee. Shared by the upsert
+    * and retract sinks. */
+  private[streaming] def writeSnapshot(merged: DataFrame, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(
+      merged.sparkSession.sparkContext.hadoopConfiguration)
+    val current = new Path(dir, "current")
     val staging = new Path(dir, "staging")
     merged.write.mode("overwrite").parquet(staging.toString)
     val retiring = new Path(dir, "retiring")

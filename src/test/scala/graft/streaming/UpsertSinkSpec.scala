@@ -45,4 +45,29 @@ class UpsertSinkSpec extends SparkSpec {
       .map(e => e.k -> e.payload).toMap
     assert(s == Map(7L -> "z", 8L -> "y"))
   }
+
+  test("retract sink applies the ± changelog; a fully retracted key disappears") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("retract-spec").toString
+    val input = MemoryStream[Chg]
+    val q = RetractSink.retractWriter(input.toDF(), Seq("k"), "flag", "v", dir)
+      .start()
+    // batch 1: key 1 accumulates twice, key 2 once
+    input.addData(Chg(1, 1, 10.0), Chg(1, 1, 5.0), Chg(2, 1, 7.0))
+    q.processAllAvailable()
+    val s1 = UpsertSink.currentState(spark, dir).as[St].collect()
+      .map(s => s.k -> (s.cnt, s.total)).toMap
+    assert(s1 == Map(1L -> (2L, 15.0), 2L -> (1L, 7.0)))
+    // batch 2: key 1 retracts one row, key 2 retracts fully -> dropped
+    input.addData(Chg(1, -1, 10.0), Chg(2, -1, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val s2 = UpsertSink.currentState(spark, dir).as[St].collect()
+      .map(s => s.k -> (s.cnt, s.total)).toMap
+    assert(s2 == Map(1L -> (1L, 5.0)))
+  }
 }
+
+private[streaming] case class Chg(k: Long, flag: Int, v: Double)
+private[streaming] case class St(k: Long, cnt: Long, total: Double)
