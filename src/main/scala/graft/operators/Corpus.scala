@@ -156,6 +156,8 @@ object Corpus {
     * of it with a detection-length guarantee instead of silent loss. */
   def winnowedFingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 6, w: Int = 4): DataFrame = {
+    require(n >= 1, s"shingle length must be >= 1: $n")
+    require(w >= 1, s"winnowing window must be >= 1: $w")
     val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val hashes = docs
       .select(col(idCol).as("doc_id"),
@@ -187,6 +189,9 @@ object Corpus {
   def sharedSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 6, w: Int = 4,
       minShared: Long = 2, maxDocFreq: Long = 100): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxDocFreq >= 2,
+      s"maxDocFreq < 2 drops every cross-document fingerprint: $maxDocFreq")
     val fps = winnowedFingerprints(docs, idCol, textCol, n, w)
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select(col("fp"))

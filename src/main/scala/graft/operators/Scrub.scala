@@ -78,6 +78,10 @@ object Scrub {
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDupWordFrac: Double = 0.8,
       maxTopBigramRatio: Double = 0.2): DataFrame = {
+    require(maxDupWordFrac >= 0 && maxDupWordFrac <= 1,
+      s"maxDupWordFrac must be in [0, 1]: $maxDupWordFrac")
+    require(maxTopBigramRatio >= 0,
+      s"maxTopBigramRatio must be >= 0: $maxTopBigramRatio")
     val base = docs.select(col(idCol).as("doc_id"),
       length(col(textCol)).as("n_chars"),
       split(col(textCol), " ", -1).as("words"))
