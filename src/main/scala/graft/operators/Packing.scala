@@ -35,7 +35,7 @@ import graft.core.{QueryDef, Tables}
   */
 object Packing {
 
-  def defs: Seq[QueryDef] = Seq(q58PackSequences)
+  def defs: Seq[QueryDef] = Seq(q58PackSequences, q106ChunkDocs)
 
   /** Adds `pack_id` to `df`: the `budget`-token stripe in which each row's
     * id-ordered token run begins. `tokenCol` must be non-negative
@@ -89,5 +89,64 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy(col("pack_id"))
+  }
+
+  /** Split each document into overlapping token-budget chunks — the
+    * inverse of packing, and the standard preprocessing for context
+    * windows and retrieval corpora. Chunk `i` covers word positions
+    * `[i·(budget−overlap), i·(budget−overlap)+budget)`; the final chunk
+    * may be shorter; a document never emits a chunk that starts beyond
+    * its length, and a short document emits exactly one chunk. Pure
+    * per-row array algebra (sequence + slice inside the scan
+    * projection) — the explode multiplies rows by ~n/stride but
+    * introduces no shuffle, so the operator is embarrassingly parallel
+    * at any corpus size. */
+  def chunkByBudget(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", budget: Int = 32, overlap: Int = 8): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(overlap >= 0 && overlap < budget,
+      s"overlap must be in [0, budget): $overlap")
+    val stride = budget - overlap
+    val base = docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ", -1).as("words"))
+      .withColumn("n", size(col("words")).cast(LongType))
+      .withColumn("n_chunks",
+        when(col("n") <= budget, lit(1L)).otherwise(
+          ceil((col("n") - budget).cast(DoubleType) / stride).cast(LongType) + 1L))
+    base
+      .select(col("doc_id"), col("words"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+      .withColumn("start", col("chunk_id") * stride)
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("words"), (col("start") + 1L).cast(IntegerType), lit(budget)))
+          .cast(LongType).as("n_chunk_tokens"),
+        array_join(slice(col("words"), (col("start") + 1L).cast(IntegerType), lit(budget)), " ")
+          .as("chunk_text"))
+  }
+
+  /** 32-token chunks with 8-token overlap over the documents corpus. The
+    * oracle enumerates chunk ids from a constant range (64 ≫ any
+    * fixture doc's chunk count) — an oracle-side shortcut only; the
+    * engine side derives the count per document. */
+  val q106ChunkDocs: QueryDef = QueryDef("q106_chunk_docs",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, ws, n,
+      |    CASE WHEN n <= 32 THEN 1
+      |         ELSE CAST(CEIL((n - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+      |  FROM w),
+      |e AS (
+      |  SELECT doc_id, ws, i AS chunk_id, CAST(i * 24 AS BIGINT) AS start
+      |  FROM c CROSS JOIN range(0, 64) AS t(i)
+      |  WHERE i < n_chunks)
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(list_slice(ws, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(list_slice(ws, start + 1, start + 32), ' ') AS chunk_text
+      |FROM e ORDER BY doc_id, chunk_id""".stripMargin) { (spark, dir) =>
+    chunkByBudget(Tables(spark, dir).documents, budget = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
   }
 }

@@ -28,7 +28,9 @@ import graft.core.{QueryDef, Tables}
   */
 object Sampling {
 
-  def defs: Seq[QueryDef] = Seq(q54StratifiedSample, q55WeightedMixture, q56SplitAssign)
+  def defs: Seq[QueryDef] =
+    Seq(q54StratifiedSample, q55WeightedMixture, q56SplitAssign,
+      q107TemperatureMix)
 
   private val M = 2147483647L // 2^31 - 1, the Mersenne prime of MINSTD
 
@@ -82,6 +84,41 @@ object Sampling {
       when(col(strataCol) === s, lit((w * (M - 1)).toLong)).otherwise(acc)
     }
     df.filter(pseudoRank(col(idCol), seed) < threshold)
+  }
+
+  /** Temperature-scaled source mixture (the multilingual-sampling rule:
+    * sample stratum s proportionally to `n_s^alpha`, so `alpha = 1` keeps
+    * the natural distribution and `alpha → 0` flattens it toward uniform —
+    * the standard way to upweight low-resource sources). Per-stratum keep
+    * rates are DERIVED from the stratum counts in-frame: one tiny
+    * aggregate over the strata, broadcast back, then the same map-side
+    * pseudo-rank threshold as [[weightedMixture]] — no driver round-trip,
+    * no shuffle of the corpus. Arithmetic parity: stratum weights are
+    * rounded to 6 dp and summed as exact decimals (partial-aggregation
+    * order cannot perturb the total), the rate is rounded to 9 dp and
+    * floored onto the integer rank scale — any engine computing the same
+    * expression selects the same rows. */
+  def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double = 0.5, targetFrac: Double = 0.5,
+      seed: Long = 0L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(targetFrac > 0 && targetFrac <= 1,
+      s"targetFrac must be in (0, 1]: $targetFrac")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s", round(pow(col("n_s"), alpha), 6).cast(DecimalType(28, 6)))
+    val totals = counts.agg(sum(col("n_s")).as("n_total"),
+      sum(col("w_s")).as("w_total"))
+    val thresholds = counts.crossJoin(broadcast(totals))
+      .withColumn("mix_threshold",
+        floor(least(lit(1.0), round(
+          lit(targetFrac) * col("n_total") *
+            (col("w_s").cast(DoubleType) / col("w_total").cast(DoubleType)) /
+            col("n_s"), 9)) * (M - 1)).cast(LongType))
+      .select(col(strataCol), col("mix_threshold"))
+    df.join(broadcast(thresholds), Seq(strataCol))
+      .filter(pseudoRank(col(idCol), seed) < col("mix_threshold"))
+      .drop("mix_threshold")
   }
 
   /** Train/val/test assignment by pseudo-rank range: fractions are exact
@@ -151,5 +188,30 @@ object Sampling {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ", -1)).cast(LongType)).as("n_tokens"))
         .orderBy(col("source"), col("split"))
+  }
+
+  /** Temperature mixture at alpha = 0.5, half the corpus. The oracle
+    * restates the in-frame rate derivation (decimal weight sum, 9 dp
+    * rate, floored rank threshold) as SQL over the same counts. */
+  val q107TemperatureMix: QueryDef = QueryDef("q107_temperature_mix",
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_s,
+       |    CAST(round(pow(n_s, 0.5), 6) AS DECIMAL(28,6)) AS w_s FROM c),
+       |t AS (
+       |  SELECT CAST(SUM(n_s) AS BIGINT) AS n_total, SUM(w_s) AS w_total FROM w),
+       |r AS (
+       |  SELECT source,
+       |    CAST(FLOOR(LEAST(1.0, round(
+       |      0.5 * n_total * (CAST(w_s AS DOUBLE) / CAST(w_total AS DOUBLE))
+       |        / n_s, 9)) * ${M - 1}) AS BIGINT) AS mix_threshold
+       |  FROM w CROSS JOIN t)
+       |SELECT doc_id, source FROM documents JOIN r USING (source)
+       |WHERE ${pseudoRankSql("doc_id", seed = 13)} < mix_threshold
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    temperatureMixture(Tables(spark, dir).documents, "source", "doc_id",
+      alpha = 0.5, targetFrac = 0.5, seed = 13)
+      .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
   }
 }

@@ -127,4 +127,53 @@ class SamplingSpec extends SparkSpec {
     val globalSorts = nodes.collect { case s: SortExec if s.global => s }
     assert(globalSorts.isEmpty, s"global sort in pack plan:\n$globalSorts")
   }
+
+  test("chunkByBudget covers every token with the declared overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" ")), // 80 words -> 3 chunks
+      (2L, "tiny doc")).toDF("doc_id", "text")
+    val chunks = Packing.chunkByBudget(docs, budget = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L)
+    // stride 24: starts 0, 24, 48 — the third chunk reaches word 80, so
+    // no fourth chunk is emitted (minimal cover, no redundant tail)
+    assert(d1.map(_.getLong(2)).toSeq == Seq(32L, 32L, 32L))
+    // consecutive chunks share exactly `overlap` words
+    val w0 = d1(0).getString(3).split(" ")
+    val w1 = d1(1).getString(3).split(" ")
+    assert(w0.takeRight(8).toSeq == w1.take(8).toSeq)
+    // full coverage in order: stitching chunks minus overlaps = the doc
+    val stitched = d1.zipWithIndex.flatMap { case (r, i) =>
+      val ws = r.getString(3).split(" ").toSeq
+      if (i == 0) ws else ws.drop(8)
+    }
+    assert(stitched.toSeq == (1 to 80).map(i => s"t$i"))
+    // short doc: exactly one chunk, the whole doc
+    val d2 = chunks.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getString(3) == "tiny doc")
+  }
+
+  test("temperatureMixture flattens toward low-resource strata as alpha drops") {
+    import spark.implicits._
+    // 1900 rows of 'big', 100 of 'small'
+    val skewed = (0L until 2000L)
+      .map(i => (i, if (i < 1900) "big" else "small"))
+      .toDF("item_id", "src")
+    def keptBySrc(alpha: Double) =
+      Sampling.temperatureMixture(skewed, "src", "item_id",
+        alpha = alpha, targetFrac = 0.5, seed = 3)
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nat = keptBySrc(1.0)     // alpha=1: natural proportions
+    val flat = keptBySrc(0.25)   // strong flattening
+    // alpha=1 keeps ~targetFrac of each stratum
+    assert(math.abs(nat("big") / 1900.0 - 0.5) < 0.05, nat.toString)
+    // flattening keeps ALL of the small stratum (rate capped at 1)
+    assert(flat("small") == 100L, flat.toString)
+    // and less of the big one than the natural mix
+    assert(flat("big") < nat("big"), s"$flat vs $nat")
+    // determinism: same call, same selection
+    assert(keptBySrc(0.25) == flat)
+  }
 }
