@@ -14,12 +14,12 @@ import graft.SparkSpec
   *  - q87_recursive_cte: the per-step scalar subquery joins against the
   *    recursion spine, which is ≤ 20 rows by construction — a nested
   *    loop over a bounded literal spine, not a data-scaled relation;
-  *  - q57_tfidf: the corpus-size scalar (a 1-row aggregate) joins onto
-  *    the term relation as `crossJoin(broadcast(n))` — a BNLJ whose
-  *    build side is exactly one row at any data scale. The broadcast
-  *    scalar is the plan you want at 100 TB; the alternative (a window
-  *    over an empty partition spec) funnels the relation through one
-  *    partition;
+  *  - q57_tfidf, q107_temperature_mix: a 1-row global aggregate (corpus
+  *    size / weight totals) joins onto a data-scaled relation as
+  *    `crossJoin(broadcast(scalar))` — a BNLJ whose build side is
+  *    exactly one row at any data scale. The broadcast scalar is the
+  *    plan you want at 100 TB; the alternative (a window over an empty
+  *    partition spec) funnels the relation through one partition;
   *  - qds88_quantity_slices: the reference q88's own shape — eight
   *    cross-joined count(*) derived tables, every join side exactly one
   *    row at any data scale.
@@ -28,7 +28,7 @@ class PlanLintSpec extends SparkSpec {
 
   private val whitelist =
     Set("q10_cross_join", "q87_recursive_cte", "q57_tfidf",
-      "qds88_quantity_slices")
+      "q107_temperature_mix", "qds88_quantity_slices")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
