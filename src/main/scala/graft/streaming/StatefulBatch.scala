@@ -45,7 +45,8 @@ object StatefulBatch {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     val q = UpsertSink
-      .upsertWriter(stream, Seq("user_id"), Seq("ts", "event_id"), sinkDir)
+      .upsertWriter(stream, Seq("user_id"), Seq("ts", "event_id"), sinkDir,
+        nBuckets = 8)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
     UpsertSink.currentState(spark, sinkDir)

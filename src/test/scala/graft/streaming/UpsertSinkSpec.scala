@@ -46,6 +46,36 @@ class UpsertSinkSpec extends SparkSpec {
     assert(s == Map(7L -> "z", 8L -> "y"))
   }
 
+  test("bucketed upsert rewrites only the buckets a batch touches") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("upsert-bucketed").toString
+    val n = 4
+    // seed every bucket
+    UpsertSink.mergeBatch((0L until 64L).map(k => Ev(k, 1, s"v$k")).toDF(),
+      Seq("k"), Seq("ver"), dir, nBuckets = n)
+    def bucketFiles(): Map[String, Set[String]] =
+      JFiles.list(Paths.get(dir, "current")).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("__bucket="))
+        .map(p => p.getFileName.toString ->
+          JFiles.list(p).iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    val before = bucketFiles()
+    assert(before.size == n, s"expected $n bucket dirs: ${before.keys}")
+    // one-key batch touches exactly one bucket
+    UpsertSink.mergeBatch(Seq(Ev(7, 9, "updated")).toDF(),
+      Seq("k"), Seq("ver"), dir, nBuckets = n)
+    val after = bucketFiles()
+    val changed = after.keySet.filter(b => before(b) != after(b))
+    assert(changed.size == 1, s"exactly one bucket should be rewritten: $changed")
+    // and the state is still complete + correct
+    val st = UpsertSink.currentState(spark, dir).as[Ev].collect()
+      .map(e => e.k -> e.payload).toMap
+    assert(st.size == 64 && st(7L) == "updated" && st(8L) == "v8")
+  }
+
   test("retract sink applies the ± changelog; a fully retracted key disappears") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
