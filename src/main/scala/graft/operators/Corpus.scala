@@ -179,6 +179,39 @@ object Corpus {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
+  /** The same fingerprint set as [[winnowedFingerprints]], computed as
+    * pure per-document array algebra inside the scan projection — no
+    * shuffle of the exploded shingle relation at all (the window
+    * formulation exchanges and sorts every shingle on doc_id; this one's
+    * first exchange downstream carries only the winnowed ~2/(w+1)
+    * density). Measured trade at sf0.1, local[32]: the higher-order
+    * lambdas evaluate interpreted per element, costing ~1.3× the
+    * codegen'd window pipeline's wall time — so the window variant is
+    * the default and this is the alternative for deployments where the
+    * shingle exchange, not CPU, is the bottleneck (wide docs, congested
+    * network, corpus ≫ cluster memory). `CorpusSpec` pins set equality
+    * between the two. */
+  def winnowedFingerprintsShuffleFree(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 6, w: Int = 4): DataFrame = {
+    require(n >= 1, s"shingle length must be >= 1: $n")
+    require(w >= 1, s"winnowing window must be >= 1: $w")
+    val words = split(col(textCol), " ", -1)
+    val emptyLongs = array().cast(ArrayType(LongType))
+    val shingleHashes = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => graft.functions.GraftFunctions.hashCode(
+          array_join(slice(words, i + 1, lit(n)), " ")).cast(LongType)))
+      .otherwise(emptyLongs)
+    docs
+      .select(col(idCol).as("doc_id"), shingleHashes.as("hs"))
+      .select(col("doc_id"),
+        explode(when(size(col("hs")) >= w,
+          array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
+            j => array_min(slice(col("hs"), j + 1, lit(w))))))
+          .otherwise(emptyLongs)).as("fp"))
+  }
+
   /** Document pairs sharing at least `minShared` winnowed fingerprints —
     * candidate exact-substring duplicates with the shared-fingerprint
     * count as span evidence. The join is an inverted-index bucket join

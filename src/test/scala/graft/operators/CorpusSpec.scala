@@ -83,6 +83,20 @@ class CorpusSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("shuffle-free winnowing produces the identical fingerprint set") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "zzz one two three four five six other words"),
+      (3L, "short doc"),
+      (4L, "x y")).toDF("id", "body")
+    val a = Corpus.winnowedFingerprints(d, "id", "body", n = 3, w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Corpus.winnowedFingerprintsShuffleFree(d, "id", "body", n = 3, w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("stop-fingerprint cap drops boilerplate shared by every document") {
     import spark.implicits._
     val boiler = "standard legal footer text here"
