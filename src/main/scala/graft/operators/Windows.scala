@@ -18,7 +18,8 @@ import graft.core.{Catalog, QueryDef, Tables}
   */
 object Windows {
 
-  def defs: Seq[QueryDef] = Seq(q60Tumble, q61Hop, q62Session)
+  def defs: Seq[QueryDef] =
+    Seq(q60Tumble, q61Hop, q62Session, q108DynamicSession)
 
   private val tsCol = Catalog.tsFromNanos("ts")
 
@@ -95,6 +96,52 @@ object Windows {
     t.events
       .withColumn("t", tsCol)
       .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+      .agg(min(col("t")).as("session_start"), count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(col("user_id"), col("session_start"), col("n"), col("total"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Dynamic-gap session windows (reference SessionWindowAssigner's
+    * `withDynamicGap` — the per-event gap function): a purchase keeps the
+    * session alive for 60 minutes, any other event for 15. Spark's
+    * `session_window` takes the gap as an expression; an event extends
+    * its session to `t + gap(event)`, sessions merge while the next
+    * event starts before the running session end. The oracle restates
+    * exactly that as an island detection over the running max of
+    * per-event ends (a new session starts when `t` reaches every
+    * previous end). */
+  val q108DynamicSession: QueryDef = QueryDef("q108_dynamic_session",
+    """WITH e AS (
+      |  SELECT user_id, make_timestamp(epoch_us(ts)) AS t, value,
+      |    make_timestamp(epoch_us(ts)) + CASE event_type
+      |      WHEN 'purchase' THEN INTERVAL 60 MINUTE
+      |      ELSE INTERVAL 15 MINUTE END AS ev_end
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, t, value,
+      |    CASE WHEN max(ev_end) OVER (PARTITION BY user_id ORDER BY t
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR t >= max(ev_end) OVER (PARTITION BY user_id ORDER BY t
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, t, value,
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY t
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(t) AS session_start, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("t", tsCol)
+      .groupBy(session_window(col("t"),
+        when(col("event_type") === "purchase", "60 minutes")
+          .otherwise("15 minutes")), col("user_id"))
       .agg(min(col("t")).as("session_start"), count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
       .select(col("user_id"), col("session_start"), col("n"), col("total"))
