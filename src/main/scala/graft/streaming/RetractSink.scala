@@ -25,11 +25,21 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object RetractSink {
 
   /** Apply one changelog batch. `flagCol` holds +1 (accumulate) or -1
-    * (retract); `valueCol` is the measure being aggregated. */
+    * (retract); `valueCol` is the measure being aggregated.
+    *
+    * Unlike the upsert merge, the retraction algebra is additive — NOT
+    * idempotent under replay — so the streaming writer passes the engine's
+    * `batchId` and an already-applied id is skipped: Structured Streaming
+    * re-runs a failed batch with identical content, and the recorded
+    * high-water mark (written after the snapshot commits) turns that
+    * replay into a no-op, giving effectively-once application. Batch
+    * callers that pass no id (`batchId = -1`) are applied
+    * unconditionally. */
   def mergeBatch(batch: DataFrame, keys: Seq[String], flagCol: String,
-      valueCol: String, dir: String): Unit = {
+      valueCol: String, dir: String, batchId: Long = -1L): Unit = {
     require(keys.nonEmpty, "keys required")
     val spark = batch.sparkSession
+    if (batchId >= 0 && batchId <= lastApplied(spark, dir)) return
     val delta = batch.groupBy(keys.map(col): _*)
       .agg(sum(col(flagCol)).cast(LongType).as("cnt"),
         sum(col(flagCol).cast(DoubleType) * col(valueCol)).as("total"))
@@ -46,6 +56,28 @@ object RetractSink {
               .as("total")): _*)
       } else delta
     UpsertSink.writeSnapshot(merged.filter(col("cnt") =!= 0L), dir)
+    if (batchId >= 0) recordApplied(spark, dir, batchId)
+  }
+
+  private def markerPath(dir: String) = new Path(dir, "_applied_batch")
+
+  private def lastApplied(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes()).trim.toLong finally in.close()
+    }
+  }
+
+  private def recordApplied(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batchId: Long): Unit = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(batchId.toString.getBytes) finally out.close()
   }
 
   /** Streaming writer applying the changelog to `dir/current`. */
@@ -53,6 +85,6 @@ object RetractSink {
       valueCol: String, dir: String): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
-      .foreachBatch((batch: DataFrame, _: Long) =>
-        mergeBatch(batch, keys, flagCol, valueCol, dir))
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        mergeBatch(batch, keys, flagCol, valueCol, dir, id))
 }

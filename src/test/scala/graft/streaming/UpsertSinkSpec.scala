@@ -76,6 +76,34 @@ class UpsertSinkSpec extends SparkSpec {
     assert(st.size == 64 && st(7L) == "updated" && st(8L) == "v8")
   }
 
+  test("merge is idempotent: re-applying the same batch reproduces the state") {
+    import spark.implicits._
+    // the property that makes per-bucket atomicity safe under streaming
+    // batch replay (a failed batch re-runs with the same content)
+    val dir = Files.createTempDirectory("upsert-idem").toString
+    val b1 = Seq(Ev(1, 1, "a"), Ev(2, 1, "b")).toDF()
+    val b2 = Seq(Ev(1, 5, "c"), Ev(3, 1, "d")).toDF()
+    UpsertSink.mergeBatch(b1, Seq("k"), Seq("ver"), dir, nBuckets = 2)
+    UpsertSink.mergeBatch(b2, Seq("k"), Seq("ver"), dir, nBuckets = 2)
+    def state() = UpsertSink.currentState(spark, dir).as[Ev].collect()
+      .map(e => e.k -> (e.ver, e.payload)).toMap
+    val once = state()
+    UpsertSink.mergeBatch(b2, Seq("k"), Seq("ver"), dir, nBuckets = 2) // replay
+    assert(state() == once)
+    // the retraction algebra is additive — NOT replay-idempotent — so the
+    // sink tracks the applied batchId and skips an engine replay
+    val rdir = Files.createTempDirectory("retract-idem").toString
+    val c1 = Seq(Chg(1, 1, 10.0), Chg(2, 1, 7.0)).toDF()
+    RetractSink.mergeBatch(c1, Seq("k"), "flag", "v", rdir, batchId = 0)
+    RetractSink.mergeBatch(c1, Seq("k"), "flag", "v", rdir, batchId = 0) // replay
+    def cnts() = UpsertSink.currentState(spark, rdir).as[St].collect()
+      .map(s => s.k -> s.cnt).toMap
+    assert(cnts() == Map(1L -> 1L, 2L -> 1L), "replayed batch must be skipped")
+    // an id-less batch caller applies unconditionally (documented)
+    RetractSink.mergeBatch(c1, Seq("k"), "flag", "v", rdir)
+    assert(cnts() == Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("retract sink applies the ± changelog; a fully retracted key disappears") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
