@@ -19,8 +19,8 @@ import graft.core.QueryDef
 object TpcDsComposites {
 
   def defs: Seq[QueryDef] =
-    Seq(qds05, qds14, qds23, qds67, qds70, qds51, qds57, qds64, qds78,
-      qds88, qds95)
+    Seq(qds05, qds14, qds23, qds39, qds67, qds70, qds51, qds57, qds64,
+      qds78, qds88, qds95)
 
   private val REV =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2))"
@@ -268,6 +268,47 @@ object TpcDsComposites {
     sqlBoth("qds88_quantity_slices",
       s"SELECT * FROM\n${slices.mkString(",\n")}")
   }
+
+  /** q39 shape: per-series volatility screening — monthly mean and
+    * coefficient of variation per (brand, month) over a year of the
+    * fact, cov-thresholded, then the series self-joined on consecutive
+    * months (reference: tpcds/queries/1/q39a.sql — the inv CTE's
+    * stddev_samp/avg with the `CASE mean WHEN 0` guard, consumed twice
+    * for moy and moy+1). The stddev is decomposed into exact integer
+    * sums (sum, sum-of-squares, count — the very rewrite the reference's
+    * AggregateReduceFunctionsRule performs, SURVEY §2.4), so both
+    * engines evaluate identical double arithmetic regardless of
+    * aggregation order: quantities are whole numbers, the sums are
+    * exact, and sqrt is IEEE-correctly-rounded everywhere. */
+  val qds39: QueryDef = sqlBoth("qds39_monthly_volatility",
+    """WITH g AS (
+      |  SELECT p_brand, CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS sq,
+      |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sq2,
+      |    COUNT(*) AS n
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON p_partkey = l_partkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT p_brand, m,
+      |    CAST(sq AS DOUBLE) / n AS mean,
+      |    (CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+      |      / (n - 1) AS vs
+      |  FROM g WHERE n > 1),
+      |inv AS (
+      |  SELECT p_brand, m, mean,
+      |    CASE WHEN mean = 0 THEN NULL ELSE SQRT(vs) / mean END AS cov
+      |  FROM f
+      |  WHERE CASE WHEN mean = 0 THEN 0 ELSE SQRT(vs) / mean END > 0.5)
+      |SELECT i1.p_brand,
+      |  i1.m AS m1, round(i1.mean, 9) AS mean1, round(i1.cov, 9) AS cov1,
+      |  i2.m AS m2, round(i2.mean, 9) AS mean2, round(i2.cov, 9) AS cov2
+      |FROM inv i1 JOIN inv i2
+      |  ON i1.p_brand = i2.p_brand AND i1.m = 3 AND i2.m = 4
+      |ORDER BY i1.p_brand""".stripMargin)
 
   /** q78 shape — the ONE TPC-DS query the reference harness cannot run
     * (reference: TpcDsBatchExecITCase.scala:109 `// FIXME: Array("q78",
