@@ -435,30 +435,35 @@ object Dedup {
     var labels = cached
     var changed = true
     var rounds = 0
-    while (changed) {
-      rounds += 1
-      require(rounds <= maxRounds,
-        s"connected components did not converge in $maxRounds rounds — " +
-          "component diameter exceeds the bound; raise maxRounds or use a " +
-          "star-contraction variant for long-chain graphs")
-      val neighborMin = edges
-        .join(labels.select(col("node").as("dst"), col("cluster")), Seq("dst"))
-        .groupBy(col("src").as("node")).agg(min(col("cluster")).as("nmin"))
-      // the previous label rides along in the persisted round frame, so
-      // convergence is a filter over cached blocks, not another join
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .persist()
-      changed = !next.filter(col("cluster") =!= col("prev")).isEmpty
+    // unpersist on EVERY exit: the non-convergence throw below would
+    // otherwise leak the pinned edge relation and the last round frame
+    // into the session the caller is advised to retry in
+    try {
+      while (changed) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"connected components did not converge in $maxRounds rounds — " +
+            "component diameter exceeds the bound; raise maxRounds or use a " +
+            "star-contraction variant for long-chain graphs")
+        val neighborMin = edges
+          .join(labels.select(col("node").as("dst"), col("cluster")), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(min(col("cluster")).as("nmin"))
+        // the previous label rides along in the persisted round frame, so
+        // convergence is a filter over cached blocks, not another join
+        val next = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"), col("cluster").as("prev"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          .persist()
+        changed = !next.filter(col("cluster") =!= col("prev")).isEmpty
+        cached.unpersist()
+        cached = next
+        labels = next.select(col("node"), col("cluster"))
+      }
+      labels.localCheckpoint(true)
+    } finally {
       cached.unpersist()
-      cached = next
-      labels = next.select(col("node"), col("cluster"))
+      edges.unpersist()
     }
-    val out = labels.localCheckpoint(true)
-    cached.unpersist()
-    edges.unpersist()
-    out
   }
 
   /** Near-dup clusters over the documents corpus: the exact q45 Jaccard

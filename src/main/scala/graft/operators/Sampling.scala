@@ -47,13 +47,16 @@ object Sampling {
     * aggregate but is not cryptographic independence. */
   def pseudoRank(id: Column, seed: Long = 0L): Column = {
     require(seed >= 0 && seed < (1L << 46), s"seed out of range: $seed")
-    val x0 = (id + lit(seed + 1)) % M
+    // floor-mod seed step: a negative id would otherwise carry a negative
+    // rank through the chain and fall below every threshold (always kept,
+    // always 'train'); for non-negative ids this is the plain % unchanged
+    val x0 = ((id + lit(seed + 1)) % M + M) % M
     (1 to 3).foldLeft(x0)((x, _) => x * lit(48271L) % M)
   }
 
   /** The same rank as ANSI SQL text, for oracle construction. */
   private def pseudoRankSql(id: String, seed: Long = 0L): String =
-    s"(($id + ${seed + 1}) % $M * 48271 % $M * 48271 % $M * 48271 % $M)"
+    s"((($id + ${seed + 1}) % $M + $M) % $M * 48271 % $M * 48271 % $M * 48271 % $M)"
 
   /** Exactly min(k, |stratum|) rows per stratum, chosen by pseudo-random
     * rank (ties broken by id — a total order, so the result is unique).
@@ -80,8 +83,8 @@ object Sampling {
       weights: Map[String, Double], defaultWeight: Double,
       seed: Long = 0L): DataFrame = {
     val threshold = weights.toSeq.sortBy(_._1).foldLeft(
-      lit((defaultWeight * (M - 1)).toLong)) { case (acc, (s, w)) =>
-      when(col(strataCol) === s, lit((w * (M - 1)).toLong)).otherwise(acc)
+      lit((defaultWeight * M).toLong)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit((w * M).toLong)).otherwise(acc)
     }
     df.filter(pseudoRank(col(idCol), seed) < threshold)
   }
@@ -114,7 +117,7 @@ object Sampling {
         floor(least(lit(1.0), round(
           lit(targetFrac) * col("n_total") *
             (col("w_s").cast(DoubleType) / col("w_total").cast(DoubleType)) /
-            col("n_s"), 9)) * (M - 1)).cast(LongType))
+            col("n_s"), 9)) * M).cast(LongType))
       .select(col(strataCol), col("mix_threshold"))
     df.join(broadcast(thresholds), Seq(strataCol))
       .filter(pseudoRank(col(idCol), seed) < col("mix_threshold"))
@@ -130,8 +133,8 @@ object Sampling {
       valFrac: Double, seed: Long = 0L): DataFrame = {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0)
     val r = pseudoRank(col(idCol), seed)
-    val t1 = (trainFrac * (M - 1)).toLong
-    val t2 = ((trainFrac + valFrac) * (M - 1)).toLong
+    val t1 = (trainFrac * M).toLong
+    val t2 = ((trainFrac + valFrac) * M).toLong
     df.withColumn("split",
       when(r < t1, "train").when(r < t2, "val").otherwise("test"))
   }
@@ -158,10 +161,10 @@ object Sampling {
   val q55WeightedMixture: QueryDef = QueryDef("q55_weighted_mixture",
     s"""SELECT doc_id, source FROM documents
        |WHERE ${pseudoRankSql("doc_id", seed = 7)} < CASE source
-       |  WHEN 'src0' THEN ${(1.0 * (M - 1)).toLong}
-       |  WHEN 'src1' THEN ${(0.75 * (M - 1)).toLong}
-       |  WHEN 'src2' THEN ${(0.1 * (M - 1)).toLong}
-       |  ELSE ${(0.5 * (M - 1)).toLong} END
+       |  WHEN 'src0' THEN ${(1.0 * M).toLong}
+       |  WHEN 'src1' THEN ${(0.75 * M).toLong}
+       |  WHEN 'src2' THEN ${(0.1 * M).toLong}
+       |  ELSE ${(0.5 * M).toLong} END
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     weightedMixture(Tables(spark, dir).documents, "source", "doc_id",
       mixWeights, defaultWeight = 0.5, seed = 7)
@@ -174,8 +177,8 @@ object Sampling {
   val q56SplitAssign: QueryDef = QueryDef("q56_split_assign",
     s"""WITH s AS (
        |  SELECT source, CASE
-       |    WHEN ${pseudoRankSql("doc_id", seed = 11)} < ${(0.9 * (M - 1)).toLong} THEN 'train'
-       |    WHEN ${pseudoRankSql("doc_id", seed = 11)} < ${(0.95 * (M - 1)).toLong} THEN 'val'
+       |    WHEN ${pseudoRankSql("doc_id", seed = 11)} < ${(0.9 * M).toLong} THEN 'train'
+       |    WHEN ${pseudoRankSql("doc_id", seed = 11)} < ${(0.95 * M).toLong} THEN 'val'
        |    ELSE 'test' END AS split,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
        |  FROM documents)
@@ -205,7 +208,7 @@ object Sampling {
        |  SELECT source,
        |    CAST(FLOOR(LEAST(1.0, round(
        |      0.5 * n_total * (CAST(w_s AS DOUBLE) / CAST(w_total AS DOUBLE))
-       |        / n_s, 9)) * ${M - 1}) AS BIGINT) AS mix_threshold
+       |        / n_s, 9)) * $M) AS BIGINT) AS mix_threshold
        |  FROM w CROSS JOIN t)
        |SELECT doc_id, source FROM documents JOIN r USING (source)
        |WHERE ${pseudoRankSql("doc_id", seed = 13)} < mix_threshold

@@ -43,7 +43,7 @@ object Scrub {
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("card", "\\b\\d{13,16}\\b", "<CARD>"),
     ("ip", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"),
-    ("phone", "\\+?\\d{1,3}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}", "<PHONE>"))
+    ("phone", "(\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}", "<PHONE>"))
 
   /** (id, redacted, n_email, n_card, n_ip, n_phone) for any (id, text)
     * frame: a single generated projection — each stage counts its

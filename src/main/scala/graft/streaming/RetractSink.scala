@@ -24,16 +24,23 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object RetractSink {
 
+  /** Name of the applied-batch marker committed INSIDE each snapshot. */
+  private val AppliedMarker = "_applied_batch"
+
   /** Apply one changelog batch. `flagCol` holds +1 (accumulate) or -1
     * (retract); `valueCol` is the measure being aggregated.
     *
     * Unlike the upsert merge, the retraction algebra is additive — NOT
     * idempotent under replay — so the streaming writer passes the engine's
     * `batchId` and an already-applied id is skipped: Structured Streaming
-    * re-runs a failed batch with identical content, and the recorded
-    * high-water mark (written after the snapshot commits) turns that
-    * replay into a no-op, giving effectively-once application. Batch
-    * callers that pass no id (`batchId = -1`) are applied
+    * re-runs a failed batch with identical content, and the high-water
+    * mark turns that replay into a no-op. The marker file is written into
+    * the snapshot directory BEFORE the pointer flip publishes it, so
+    * marker and state commit atomically together — a crash at any point
+    * leaves either the old snapshot (batch unapplied, replay applies it
+    * once) or the new one (marker present, replay skipped); there is no
+    * window in which the state includes the batch but the marker does
+    * not. Batch callers that pass no id (`batchId = -1`) are applied
     * unconditionally. */
   def mergeBatch(batch: DataFrame, keys: Seq[String], flagCol: String,
       valueCol: String, dir: String, batchId: Long = -1L): Unit = {
@@ -43,42 +50,30 @@ object RetractSink {
     val delta = batch.groupBy(keys.map(col): _*)
       .agg(sum(col(flagCol)).cast(LongType).as("cnt"),
         sum(col(flagCol).cast(DoubleType) * col(valueCol)).as("total"))
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val current = new Path(dir, "current")
-    val merged =
-      if (fs.exists(current)) {
-        val old = spark.read.parquet(current.toString)
+    val merged = UpsertSink.snapshotPath(spark, dir) match {
+      case Some(snap) =>
+        val old = spark.read.parquet(snap.toString)
         old.as("o").join(delta.as("d"), keys, "full_outer")
           .select(keys.map(col) ++ Seq(
             (coalesce(col("o.cnt"), lit(0L)) + coalesce(col("d.cnt"), lit(0L)))
               .as("cnt"),
             (coalesce(col("o.total"), lit(0d)) + coalesce(col("d.total"), lit(0d)))
               .as("total")): _*)
-      } else delta
-    UpsertSink.writeSnapshot(merged.filter(col("cnt") =!= 0L), dir)
-    if (batchId >= 0) recordApplied(spark, dir, batchId)
+      case None => delta
+    }
+    // an id-less batch caller carries the streaming high-water mark
+    // forward instead of erasing it from the next snapshot
+    val marker =
+      if (batchId >= 0) Some(batchId.toString)
+      else UpsertSink.readSnapshotFile(spark, dir, AppliedMarker)
+    UpsertSink.writeSnapshot(merged.filter(col("cnt") =!= 0L), dir,
+      marker.map(AppliedMarker -> _).toMap)
   }
-
-  private def markerPath(dir: String) = new Path(dir, "_applied_batch")
 
   private def lastApplied(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Long = {
-    val p = markerPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes()).trim.toLong finally in.close()
-    }
-  }
-
-  private def recordApplied(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batchId: Long): Unit = {
-    val p = markerPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(batchId.toString.getBytes) finally out.close()
-  }
+      dir: String): Long =
+    UpsertSink.readSnapshotFile(spark, dir, AppliedMarker)
+      .map(_.trim.toLong).getOrElse(-1L)
 
   /** Streaming writer applying the changelog to `dir/current`. */
   def retractWriter(stream: DataFrame, keys: Seq[String], flagCol: String,

@@ -215,7 +215,18 @@ object StatefulOps {
           val (ripe, pending) = buf.partition(e => eventMicros(e.ts) <= wmUs)
           val ring = scala.collection.mutable.ArrayDeque.empty[Double]
           ring.addAll(st.ring)
+          // idle retention must hold even when the expiry timer has not
+          // fired yet: a row whose event-time gap from the previous row
+          // reaches the TTL starts a fresh frame HERE, deterministically,
+          // instead of racing the timer (which may share this very batch
+          // with the row) and framing against the stale ring
+          var prevUs = st.lastUs
           val out = ripe.map { e =>
+            val eUs = eventMicros(e.ts)
+            ttlUs.foreach { t =>
+              if (prevUs != Long.MinValue && eUs - prevUs >= t) ring.clear()
+            }
+            prevUs = eUs
             ring.append(e.value)
             if (ring.length > cap) ring.removeHead()
             FrameAgg(user, e.event_id, ring.length.toLong, ring.sum, ring.max)

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -9,23 +11,26 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 /** Keyed upsert sink — the reference's `UpsertStreamTableSink` contract
   * (reference: flink-table-api-java-bridge .../sinks/UpsertStreamTableSink.java:
   * setKeyFields + upsert/delete record stream), re-expressed as a
-  * Structured Streaming `foreachBatch` merge: the sink directory's
-  * `current` table always holds the latest row per key.
+  * Structured Streaming `foreachBatch` merge: the sink directory always
+  * exposes the latest row per key.
   *
   * Per micro-batch: collapse the batch to its latest row per key (by
   * `orderCols`, descending), anti-join the previous state on the keys,
-  * union, write a fresh snapshot, swap directories. The swap is
-  * rename-based — atomic for readers on a POSIX/HDFS filesystem under the
-  * streaming engine's single-writer guarantee; production deployments on
-  * object stores should back the same merge with a transactional table
-  * format, exactly as the reference delegates storage atomicity to the
-  * sink's backing system.
+  * union, write a fresh snapshot. Snapshots are versioned directories
+  * (`v0`, `v1`, …) published by a `_current` pointer file that is flipped
+  * with a single atomic rename — readers always resolve a complete
+  * snapshot, before or after the flip, never a half-swapped directory;
+  * the previous version is retained one generation for readers already
+  * inside it. Production deployments on object stores without atomic
+  * rename should back the same merge with a transactional table format,
+  * exactly as the reference delegates storage atomicity to the sink's
+  * backing system.
   *
   * Scale notes: the merge is one window (keep-last within the batch —
   * batch-sized, small) plus one anti-join against the state table keyed on
   * the upsert keys — the natural shuffle key. With `nBuckets = 1` the
-  * whole state table is rewritten per batch under a snapshot swap; with
-  * `nBuckets > 1` the state is hash-partitioned on the keys and each
+  * whole state table is rewritten per batch under the snapshot protocol;
+  * with `nBuckets > 1` the state is hash-partitioned on the keys and each
   * batch rewrites ONLY the buckets it touches (dynamic partition
   * overwrite — the standard merge-on-read refinement), so per-batch write
   * volume is proportional to touched buckets, not total state. The
@@ -48,17 +53,18 @@ object UpsertSink {
       .orderBy(orderCols.map(col(_).desc): _*)
     val latest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val current = new Path(dir, "current")
     if (nBuckets == 1) {
-      val merged =
-        if (fs.exists(current))
-          spark.read.parquet(current.toString)
+      val merged = snapshotPath(spark, dir) match {
+        case Some(snap) =>
+          spark.read.parquet(snap.toString)
             .join(latest.select(keys.map(col): _*), keys, "left_anti")
             .unionByName(latest)
-        else latest
+        case None => latest
+      }
       writeSnapshot(merged, dir)
     } else {
+      val fs = fileSystem(spark, dir)
+      val current = new Path(dir, "current")
       val bucketed = latest.withColumn("__bucket",
         pmod(hash(keys.map(col): _*), lit(nBuckets)))
       if (!fs.exists(current)) {
@@ -85,24 +91,74 @@ object UpsertSink {
     }
   }
 
-  /** Write a fresh `current` snapshot under `dir` via staging + rename —
-    * atomic for readers on rename-capable filesystems under the
-    * streaming engine's single-writer guarantee. Shared by the upsert
-    * and retract sinks. */
-  private[streaming] def writeSnapshot(merged: DataFrame, dir: String): Unit = {
-    val fs = new Path(dir).getFileSystem(
-      merged.sparkSession.sparkContext.hadoopConfiguration)
-    val current = new Path(dir, "current")
-    val staging = new Path(dir, "staging")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    val retiring = new Path(dir, "retiring")
-    if (fs.exists(retiring)) fs.delete(retiring, true)
-    if (fs.exists(current)) fs.rename(current, retiring)
-    fs.rename(staging, current)
-    fs.delete(retiring, true)
+  private def fileSystem(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pointer(dir: String) = new Path(dir, "_current")
+
+  /** Version the `_current` pointer names, or -1 before the first commit. */
+  private[streaming] def currentVersion(spark: SparkSession, dir: String): Int = {
+    val fs = fileSystem(spark, dir)
+    val p = pointer(dir)
+    if (!fs.exists(p)) -1
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+    }
   }
 
-  /** Streaming writer maintaining `dir/current` as latest-row-per-key. */
+  /** The committed snapshot directory, if any batch has committed. */
+  private[streaming] def snapshotPath(spark: SparkSession, dir: String): Option[Path] = {
+    val v = currentVersion(spark, dir)
+    if (v < 0) None else Some(new Path(dir, s"v$v"))
+  }
+
+  /** Write a fresh versioned snapshot under `dir` and flip the `_current`
+    * pointer with one atomic rename. `extraFiles` are small metadata files
+    * committed INSIDE the snapshot directory before it is published (the
+    * retract sink's applied-batch marker rides here, so marker and state
+    * commit together — no crash window between them). The previous
+    * snapshot is retained one generation for in-flight readers; older
+    * generations are deleted. Shared by the upsert and retract sinks. */
+  private[streaming] def writeSnapshot(merged: DataFrame, dir: String,
+      extraFiles: Map[String, String] = Map.empty): Unit = {
+    val spark = merged.sparkSession
+    val fs = fileSystem(spark, dir)
+    val prev = currentVersion(spark, dir)
+    val next = prev + 1
+    val snap = new Path(dir, s"v$next")
+    // leftover from a crashed attempt that never published
+    if (fs.exists(snap)) fs.delete(snap, true)
+    merged.write.mode("overwrite").parquet(snap.toString)
+    extraFiles.foreach { case (name, content) =>
+      val out = fs.create(new Path(snap, name), true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    val tmp = new Path(dir, "_current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, pointer(dir), Options.Rename.OVERWRITE)
+    if (prev >= 1) fs.delete(new Path(dir, s"v${prev - 1}"), true)
+  }
+
+  /** Read a small metadata file from the committed snapshot, if present. */
+  private[streaming] def readSnapshotFile(spark: SparkSession, dir: String,
+      name: String): Option[String] =
+    snapshotPath(spark, dir).flatMap { snap =>
+      val fs = fileSystem(spark, dir)
+      val p = new Path(snap, name)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    }
+
+  /** Streaming writer maintaining the latest-row-per-key state under `dir`. */
   def upsertWriter(stream: DataFrame, keys: Seq[String],
       orderCols: Seq[String], dir: String, nBuckets: Int = 1): DataStreamWriter[Row] =
     stream.writeStream
@@ -111,9 +167,12 @@ object UpsertSink {
         mergeBatch(batch, keys, orderCols, dir, nBuckets))
 
   /** Read the sink's current state (empty-schema-safe only once a batch
-    * has committed). */
-  def currentState(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val df = spark.read.parquet(new Path(dir, "current").toString)
+    * has committed). Resolves the versioned-snapshot pointer when present
+    * (nBuckets = 1 layout), else the in-place bucketed table. */
+  def currentState(spark: SparkSession, dir: String): DataFrame = {
+    val target = snapshotPath(spark, dir)
+      .getOrElse(new Path(dir, "current"))
+    val df = spark.read.parquet(target.toString)
     if (df.columns.contains("__bucket")) df.drop("__bucket") else df
   }
 }

@@ -32,6 +32,18 @@ class ScrubSpec extends SparkSpec {
     assert(r.getLong(2) === 0L && r.getLong(3) === 1L && r.getLong(5) === 0L)
   }
 
+  test("bare 10-digit phone formats redact without a country code") {
+    val docs = Seq(
+      (1L, "call 555-123-4567 today"),
+      (2L, "or (555) 123-4567 works"),
+      (3L, "even 5551234567 bare")).toDF("doc_id", "text")
+    val out = Scrub.piiRedact(docs).orderBy("doc_id").collect()
+    assert(out.forall(_.getLong(5) == 1L), out.map(_.getString(1)).mkString("; "))
+    assert(out(0).getString(1) === "call <PHONE> today")
+    assert(out(1).getString(1) === "or <PHONE> works")
+    assert(out(2).getString(1) === "even <PHONE> bare")
+  }
+
   test("repetitionSignals flags degenerate repetition and keeps clean text") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),

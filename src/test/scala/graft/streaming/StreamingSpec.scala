@@ -191,6 +191,30 @@ class StreamingSpec extends SparkSpec {
       s"expired ring must not leak into the new frame, got ${rows.toSeq}")
   }
 
+  test("bounded-ROWS idle TTL holds when the late row races the expiry timer") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // the gap row arrives in the SAME micro-batch window that would fire
+    // the TTL timer — the fresh-frame contract must hold without the
+    // timer having cleared the ring first
+    val input = MemoryStream[Event]
+    val query = rowsBoundedAggregates(input.toDS(), preceding = 2,
+      idleTtl = Some(java.time.Duration.ofMinutes(5))).writeStream
+      .format("memory").queryName("rowsttlrace").outputMode("append").start()
+    input.addData(Event(1, 101, ts(0), "view", 5.0), Event(9, 900, ts(1), "view", 0.0))
+    query.processAllAvailable()
+    // no intermediate batch: the 30-minutes-later row and the watermark
+    // advance land together
+    input.addData(Event(1, 102, ts(30), "view", 7.0), Event(9, 902, ts(60), "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("rowsttlrace").as[FrameAgg].collect()
+      .filter(_.user_id == 1).sortBy(_.event_id)
+    assert(rows.map(_.frame_sum).toSeq == Seq(5.0, 7.0),
+      s"a row past the idle horizon must start a fresh frame even when it " +
+        s"shares a batch with the expiry, got ${rows.toSeq}")
+  }
+
   test("bounded-RANGE frames follow event-time order when a row arrives late") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
