@@ -29,7 +29,8 @@ import graft.core.{QueryDef, Tables}
   */
 object Scrub {
 
-  def defs: Seq[QueryDef] = Seq(q100Repetition, q101PiiRedact)
+  def defs: Seq[QueryDef] =
+    Seq(q100Repetition, q101PiiRedact, q109CorpusReport)
 
   /** Redaction stages, applied in order. Order matters and is part of the
     * operator contract: card numbers are masked before phone numbers so a
@@ -116,13 +117,17 @@ object Scrub {
         col("top_bigram"), col("top_bigram_ratio"), col("keep"))
   }
 
-  /** Gopher-style repetition signals over the documents table. */
-  val q100Repetition: QueryDef = QueryDef("q100_repetition",
-    """WITH w AS (
-      |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
+  /** The q100 oracle's CTE chain, shared with the corpus report (q109):
+    * per-document repetition signals in DuckDB SQL, ending in a `rep`
+    * relation of (doc_id, source, n_words, dup_word_frac, top_bigram,
+    * top_bigram_ratio, keep). */
+  private val repetitionOracleCtes: String =
+    """w AS (
+      |  SELECT doc_id, source, length(text) AS n_chars,
+      |    string_split(text, ' ') AS ws
       |  FROM documents),
       |stats AS (
-      |  SELECT doc_id, n_chars, len(ws) AS n_words,
+      |  SELECT doc_id, source, n_chars, len(ws) AS n_words,
       |    round(1 - len(list_distinct(ws))::DOUBLE / len(ws), 6) AS dup_word_frac
       |  FROM w),
       |idx AS (
@@ -138,17 +143,60 @@ object Scrub {
       |  SELECT doc_id, bigram AS top_bigram, cnt FROM (
       |    SELECT *, row_number() OVER (
       |      PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn FROM cnt)
-      |  WHERE rn = 1)
-      |SELECT s.doc_id, s.n_words, s.dup_word_frac, t.top_bigram,
-      |  round(t.cnt * length(t.top_bigram)::DOUBLE / s.n_chars, 6) AS top_bigram_ratio,
-      |  CASE WHEN t.top_bigram IS NULL THEN 1
-      |       WHEN s.dup_word_frac <= 0.8 AND
-      |            round(t.cnt * length(t.top_bigram)::DOUBLE / s.n_chars, 6) <= 0.2
-      |       THEN 1 ELSE 0 END AS keep
-      |FROM stats s LEFT JOIN top t USING (doc_id)
-      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      |  WHERE rn = 1),
+      |rep AS (
+      |  SELECT s.doc_id, s.source, s.n_words, s.dup_word_frac, t.top_bigram,
+      |    round(t.cnt * length(t.top_bigram)::DOUBLE / s.n_chars, 6) AS top_bigram_ratio,
+      |    CASE WHEN t.top_bigram IS NULL THEN 1
+      |         WHEN s.dup_word_frac <= 0.8 AND
+      |              round(t.cnt * length(t.top_bigram)::DOUBLE / s.n_chars, 6) <= 0.2
+      |         THEN 1 ELSE 0 END AS keep
+      |  FROM stats s LEFT JOIN top t USING (doc_id))""".stripMargin
+
+  /** Gopher-style repetition signals over the documents table. */
+  val q100Repetition: QueryDef = QueryDef("q100_repetition",
+    s"""WITH $repetitionOracleCtes
+       |SELECT doc_id, n_words, dup_word_frac, top_bigram, top_bigram_ratio,
+       |  keep
+       |FROM rep ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     repetitionSignals(Tables(spark, dir).documents).orderBy(col("doc_id"))
   }
+
+  /** Per-source corpus report — the dataset-card aggregation: document
+    * and token totals, a corpus-level duplicate-word fraction from exact
+    * integer sums (never an average of per-doc doubles, whose partial-
+    * aggregation order would be engine-dependent), and the share of
+    * documents the repetition filter keeps. One join of two per-doc
+    * relations, grouped on the natural source key. */
+  val q109CorpusReport: QueryDef = QueryDef("q109_corpus_report",
+    s"""WITH $repetitionOracleCtes,
+       |tok AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+       |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       |    length(text) AS n_chars
+       |  FROM documents)
+       |SELECT r.source, count(*) AS n_docs,
+       |  CAST(SUM(t.n_ws) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(t.n_chars) AS BIGINT) AS total_chars,
+       |  round(1 - CAST(SUM(t.n_uniq) AS DOUBLE) / SUM(t.n_ws), 6) AS dup_word_frac,
+       |  round(CAST(SUM(r.keep) AS DOUBLE) / count(*), 6) AS keep_rate
+       |FROM rep r JOIN tok t ON r.doc_id = t.doc_id
+       |GROUP BY r.source ORDER BY r.source""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val rep = repetitionSignals(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val tok = TextAnalysis.tokenCounts(docs)
+    rep.join(tok, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(lit(1) - sum(col("n_uniq_tokens")).cast(DoubleType) /
+          sum(col("n_ws_tokens")), 6).as("dup_word_frac"),
+        round(sum(col("keep")).cast(DoubleType) / count(lit(1)), 6).as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
 
   /** PII redaction over the documents table. The fixture corpus is
     * synthetic and PII-free, so every count is 0 and the redacted text
