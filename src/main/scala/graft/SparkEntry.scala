@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.Relational.defs ++
       graft.operators.TpcH.defs ++
       graft.operators.TpcDsComposites.defs ++
+      graft.operators.TpcDsLiteral.defs ++
       graft.operators.FunctionSurface.defs ++
       graft.operators.TextAnalysis.defs ++
       graft.operators.Corpus.defs ++
