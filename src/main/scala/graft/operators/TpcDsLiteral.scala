@@ -35,8 +35,9 @@ import graft.core.{Catalog, QueryDef}
 object TpcDsLiteral {
 
   def defs: Seq[QueryDef] =
-    Seq(literal("qds03_literal", Q3), literal("qds42_literal", Q42),
-      literal("qds52_literal", Q52), literal("qds55_literal", Q55))
+    Seq(literal("qds03_literal", Q3), literal("qds19_literal", Q19),
+      literal("qds42_literal", Q42), literal("qds52_literal", Q52),
+      literal("qds55_literal", Q55))
 
   /** Register the TPC-DS-named views over the fixture tables. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
@@ -48,8 +49,26 @@ object TpcDsLiteral {
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
           .cast(IntegerType).as("ss_sold_date_sk"),
         col("l_partkey").as("ss_item_sk"),
+        col("o_custkey").as("ss_customer_sk"),
+        col("l_suppkey").as("ss_store_sk"),
         col("l_extendedprice").cast(DecimalType(12, 2)).as("ss_ext_sales_price"))
       .createOrReplaceTempView("store_sales")
+    // NOTE: shadows the fixture's `customer` name with the TPC-DS-shaped
+    // columns. Safe session-wide: every fixture SQL query goes through
+    // Catalog.registerAnalyzed, which drops fixture-named temp views on
+    // every call, and DataFrame-API queries read the parquet directly.
+    Catalog.load(spark, dir, "customer")
+      .select(col("c_custkey").as("c_customer_sk"),
+        col("c_nationkey").as("c_current_addr_sk"))
+      .createOrReplaceTempView("customer")
+    Catalog.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("ca_address_sk"),
+        (lit(10000L) + col("n_nationkey") * 137L).cast(StringType).as("ca_zip"))
+      .createOrReplaceTempView("customer_address")
+    Catalog.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("s_store_sk"),
+        (lit(10000L) + col("s_nationkey") * 137L).cast(StringType).as("s_zip"))
+      .createOrReplaceTempView("store")
     orders.select(to_date(col("o_orderdate")).as("d")).distinct()
       .select(
         datediff(col("d"), lit("1970-01-01").cast(DateType))
@@ -64,7 +83,9 @@ object TpcDsLiteral {
         col("p_type").as("i_category"),
         col("p_size").cast(IntegerType).as("i_category_id"),
         (col("p_partkey") % 50).cast(IntegerType).as("i_manager_id"),
-        (col("p_partkey") % 200).cast(IntegerType).as("i_manufact_id"))
+        (col("p_partkey") % 200).cast(IntegerType).as("i_manufact_id"),
+        concat(lit("Mfg#"), (col("p_partkey") % 200).cast(IntegerType).cast(StringType))
+          .as("i_manufact"))
       .createOrReplaceTempView("item")
   }
 
@@ -73,6 +94,8 @@ object TpcDsLiteral {
     """store_sales AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS ss_sold_date_sk,
       |    l_partkey AS ss_item_sk,
+      |    o_custkey AS ss_customer_sk,
+      |    l_suppkey AS ss_store_sk,
       |    CAST(l_extendedprice AS DECIMAL(12,2)) AS ss_ext_sales_price
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |date_dim AS (
@@ -85,8 +108,23 @@ object TpcDsLiteral {
       |    CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
       |    p_type AS i_category, CAST(p_size AS INT) AS i_category_id,
       |    CAST(p_partkey % 50 AS INT) AS i_manager_id,
-      |    CAST(p_partkey % 200 AS INT) AS i_manufact_id
-      |  FROM part)""".stripMargin
+      |    CAST(p_partkey % 200 AS INT) AS i_manufact_id,
+      |    'Mfg#' || CAST(CAST(p_partkey % 200 AS INT) AS VARCHAR) AS i_manufact
+      |  FROM part),
+      |customer AS (
+      |  -- schema-qualified: CTE names cannot carry a schema, so
+      |  -- main.customer resolves to the base fixture view even though
+      |  -- this CTE shadows the bare name
+      |  SELECT c_custkey AS c_customer_sk, c_nationkey AS c_current_addr_sk
+      |  FROM main.customer),
+      |customer_address AS (
+      |  SELECT n_nationkey AS ca_address_sk,
+      |    CAST(10000 + n_nationkey * 137 AS VARCHAR) AS ca_zip
+      |  FROM nation),
+      |store AS (
+      |  SELECT s_suppkey AS s_store_sk,
+      |    CAST(10000 + s_nationkey * 137 AS VARCHAR) AS s_zip
+      |  FROM supplier)""".stripMargin
 
   private def literal(name: String, body: String): QueryDef =
     QueryDef(name, s"WITH $duckViews\n$body") { (spark, dir) =>
@@ -114,6 +152,31 @@ object TpcDsLiteral {
       |         ,sum_agg desc
       |         ,brand_id
       | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q19.sql
+  private val Q19: String =
+    """select i_brand_id brand_id, i_brand brand, i_manufact_id, i_manufact,
+      |       sum(ss_ext_sales_price) ext_price
+      | from date_dim, store_sales, item,customer,customer_address,store
+      | where d_date_sk = ss_sold_date_sk
+      |   and ss_item_sk = i_item_sk
+      |   and i_manager_id=1
+      |   and d_moy=11
+      |   and d_year=1998
+      |   and ss_customer_sk = c_customer_sk
+      |   and c_current_addr_sk = ca_address_sk
+      |   and substr(ca_zip,1,5) <> substr(s_zip,1,5)
+      |   and ss_store_sk = s_store_sk
+      | group by i_brand
+      |      ,i_brand_id
+      |      ,i_manufact_id
+      |      ,i_manufact
+      | order by ext_price desc
+      |         ,i_brand
+      |         ,i_brand_id
+      |         ,i_manufact_id
+      |         ,i_manufact
+      |limit 100""".stripMargin
 
   // reference: tpcds/queries/1/q42.sql
   private val Q42: String =
