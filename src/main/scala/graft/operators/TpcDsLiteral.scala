@@ -39,6 +39,12 @@ object TpcDsLiteral {
       literal("qds42_literal", Q42), literal("qds52_literal", Q52),
       literal("qds55_literal", Q55))
 
+  /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
+    * diffs each against the reference file on disk (comment banners
+    * stripped, whitespace collapsed) to prove verbatimness. */
+  def texts: Map[String, String] =
+    Map("q3" -> Q3, "q19" -> Q19, "q42" -> Q42, "q52" -> Q52, "q55" -> Q55)
+
   /** Register the TPC-DS-named views over the fixture tables. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     val lineitem = Catalog.load(spark, dir, "lineitem")
@@ -143,11 +149,11 @@ object TpcDsLiteral {
       |      ,item
       | where dt.d_date_sk = store_sales.ss_sold_date_sk
       |   and store_sales.ss_item_sk = item.i_item_sk
-      |   and item.i_manufact_id = 128
+      |   and item.i_manufact_id = 1
       |   and dt.d_moy=11
       | group by dt.d_year
-      |      ,item.i_brand_id
       |      ,item.i_brand
+      |      ,item.i_brand_id
       | order by dt.d_year
       |         ,sum_agg desc
       |         ,brand_id
