@@ -15,9 +15,16 @@ class RelationalSpec extends SparkSpec {
 
 
   test("every declared query runs and returns rows at sf0.001") {
+    // legitimately empty on the thousandth-scale fixture: q18's EXCEPT is
+    // empty by construction, and the literal TPC-DS texts carry the
+    // reference's own highly selective year+month+manager filters
+    // (TpcDsLiteralSpec asserts they return rows at sf0.01, and the
+    // DuckDB gate hash-matches them there)
+    val emptyOk = Set("q18_except", "qds19_literal", "qds42_literal",
+      "qds52_literal", "qds55_literal")
     val empty = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val n = graft.SparkEntry.queries(name)(spark, sf()).count()
-      if (n == 0 && name != "q18_except") Some(name) else None
+      if (n == 0 && !emptyOk(name)) Some(name) else None
     }
     assert(empty.isEmpty, s"queries with zero rows: $empty")
   }
