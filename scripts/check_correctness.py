@@ -45,6 +45,22 @@ def main(out_dir, sf_dir):
             n_fail += 1
             continue
         ok = True
+        # Output-TYPE parity, not just value parity: the driver's hasher is
+        # representation-sensitive (pandas dtypes), so a value-exact result
+        # in a different type (HUGEINT vs BIGINT, DECIMAL(38,2) vs (22,2))
+        # still hash-fails. DESCRIBE both sides and require identical types.
+        try:
+            got_t = dict(r[:2] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall())
+            exp_t = dict(r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall())
+            if got_t != exp_t:
+                diff = {c: (got_t.get(c), exp_t.get(c))
+                        for c in set(got_t) | set(exp_t)
+                        if got_t.get(c) != exp_t.get(c)}
+                print(f"FAIL {name}: column types differ {diff}")
+                ok = False
+        except Exception as e:
+            print(f"WARN {name}: type check failed: {e}")
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             ok = False

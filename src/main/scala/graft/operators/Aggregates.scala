@@ -147,7 +147,7 @@ object Aggregates {
     val t = Tables(spark, dir)
     t.embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "v")))
-      .select(col("vec_id"), (col("i0") + 1).cast(IntegerType).as("i"), col("v"))
+      .select(col("vec_id"), (col("i0") + 1).cast(LongType).as("i"), col("v"))
       .filter(col("i") <= 8)
       .orderBy(col("vec_id"), col("i"))
   }

@@ -387,7 +387,7 @@ object Dedup {
   val q48SimHashPairs: QueryDef = QueryDef("q48_simhash_pairs",
     s"""WITH $duckSimhashSql
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  bit_count(xor(a.simhash, b.simhash)) AS dist
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>

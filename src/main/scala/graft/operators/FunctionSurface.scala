@@ -54,9 +54,9 @@ object FunctionSurface {
       upper(col("source")).as("src_uc"),
       initcap(col("source")).as("src_initcap"),
       trim(col("source"), "s").as("src_trim"),
-      instr(col("text"), "spark").as("spark_pos"),
+      instr(col("text"), "spark").cast(LongType).as("spark_pos"),
       ascii(col("source")).as("src_ascii"),
-      length(col("text")).as("text_len"),
+      length(col("text")).cast(LongType).as("text_len"),
       substring(col("text"), 1, 20).as("text_head"),
       GraftFunctions.splitIndex(col("text"), " ", 2).as("third_word"),
       md5(col("source")).as("src_md5"),
@@ -224,7 +224,7 @@ object FunctionSurface {
     val t = Tables(spark, dir)
     t.embeddings.filter(col("vec_id") < 100).select(
       col("vec_id"),
-      size(col("embedding")).as("dim"),
+      size(col("embedding")).cast(LongType).as("dim"),
       element_at(col("embedding"), 1).as("first_v"),
       element_at(col("embedding"), 64).as("last_v"),
       array_max(col("embedding")).as("max_v"),
@@ -263,7 +263,7 @@ object FunctionSurface {
     t.documents.select(
       col("doc_id"),
       translate(col("source"), "src", "XYZ").as("src_tr"),
-      instr(col("source"), "c").as("c_pos"),
+      instr(col("source"), "c").cast(LongType).as("c_pos"),
       substring(col("source"), 1, 3).as("l3"),
       col("source").substr(greatest(length(col("source")) - 1, lit(1)), lit(2)).as("r2"),
       chr(lit(65) + (col("doc_id") % 26).cast(IntegerType)).as("letter"),

@@ -104,7 +104,7 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     mediaTable(spark, dir).toDF()
       .select(col("doc_id"),
-        length(col("payload")).as("n_bytes"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
         col("format"), col("width"), col("height"),
         hex(substring(col("payload"), 1, 8)).as("header_hex"))
       .orderBy(col("doc_id"))

@@ -76,8 +76,9 @@ object Packing {
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, toks,
-      |    COALESCE(SUM(toks) OVER (ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 400 AS pack_id
+      |    CAST(COALESCE(SUM(toks) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      // 400 AS pack_id
       |  FROM t)
       |SELECT pack_id, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -310,8 +310,8 @@ object Relational {
     t.lineitem.createOrReplaceTempView("lineitem")
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
-        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
         |  SUM(l_quantity) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -414,10 +414,10 @@ object Relational {
     t.customer.filter(col("c_acctbal") > 9000)
       .select(
         col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
-        rank().over(byBal).as("rnk"),
-        dense_rank().over(byBal).as("drnk"),
-        row_number().over(uniq).as("rn"),
-        ntile(4).over(uniq).as("quartile"))
+        rank().over(byBal).cast(LongType).as("rnk"),
+        dense_rank().over(byBal).cast(LongType).as("drnk"),
+        row_number().over(uniq).cast(LongType).as("rn"),
+        ntile(4).over(uniq).cast(LongType).as("quartile"))
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
@@ -514,7 +514,7 @@ object Relational {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
     t.customer
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= 3)
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rn"))
       .orderBy(col("c_nationkey"), col("rn"))

@@ -182,7 +182,8 @@ object Sampling {
        |    ELSE 'test' END AS split,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
        |  FROM documents)
-       |SELECT source, split, count(*) AS n_docs, sum(toks) AS n_tokens
+       |SELECT source, split, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens
        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin) {
     (spark, dir) =>
       splitAssign(Tables(spark, dir).documents, "doc_id",

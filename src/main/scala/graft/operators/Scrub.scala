@@ -150,7 +150,7 @@ object Scrub {
       |    CASE WHEN t.top_bigram IS NULL THEN 1
       |         WHEN s.dup_word_frac <= 0.8 AND
       |              round(t.cnt * length(t.top_bigram)::DOUBLE / s.n_chars, 6) <= 0.2
-      |         THEN 1 ELSE 0 END AS keep
+      |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
       |  FROM stats s LEFT JOIN top t USING (doc_id))""".stripMargin
 
   /** Gopher-style repetition signals over the documents table. */

@@ -153,7 +153,7 @@ object Similarity {
             .sortBy { case (_, nid, cos) => (-cos, nid) }
             .take(k)
             .zipWithIndex
-            .map { case ((q, n, cos), i) => (q, n, i + 1, cos) }
+            .map { case ((q, n, cos), i) => (q, n, (i + 1).toLong, cos) }
         }
       }
       .toDF("query_id", "neighbor_id", "rnk", "cos")
@@ -313,7 +313,7 @@ object Similarity {
     candidates
       .withColumn("cos", dot(col("ea"), col("eb"), dim) /
         (sqrt(dot(col("ea"), col("ea"), dim)) * sqrt(dot(col("eb"), col("eb"), dim))))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 9).as("cos_r"))
@@ -420,7 +420,7 @@ object Similarity {
     candidates
       .withColumn("cos", dot(col("ea"), col("eb"), dim) /
         (sqrt(dot(col("ea"), col("ea"), dim)) * sqrt(dot(col("eb"), col("eb"), dim))))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 9).as("cos_r"))
@@ -475,7 +475,10 @@ object Similarity {
       .select(col(idCol), round(col("scale"), 9).as("scale_r"),
         col("q_embedding"), col("max_abs_err"))
 
-  /** Int8 quantization over the fixture embeddings. */
+  /** Int8 quantization over the fixture embeddings. The gated output
+    * serializes the int8 vector as a comma-joined string so the driver's
+    * pandas-based hasher (which cannot hash ndarray cells) can sort and
+    * hash it; the library API ([[quantizeInt8]]) keeps the typed array. */
   val q102QuantizeInt8: QueryDef = QueryDef("q102_quantize_int8",
     """WITH e AS (
       |  SELECT vec_id,
@@ -492,10 +495,17 @@ object Similarity {
       |      ELSE list_transform(e0, x -> CAST(round(x / scale) AS INT))
       |    END AS q_embedding
       |  FROM s)
-      |SELECT vec_id, round(scale, 9) AS scale_r, q_embedding,
+      |SELECT vec_id, round(scale, 9) AS scale_r,
+      |  array_to_string(list_transform(q_embedding,
+      |    x -> CAST(x AS VARCHAR)), ',') AS q_csv,
       |  round(list_max(list_transform(range(1, len(e0) + 1),
       |    i -> abs(e0[i] - q_embedding[i] * scale))), 6) AS max_abs_err
       |FROM q ORDER BY vec_id""".stripMargin) { (spark, dir) =>
-    quantizeInt8(Tables(spark, dir).embeddings).orderBy(col("vec_id"))
+    quantizeInt8(Tables(spark, dir).embeddings)
+      .select(col("vec_id"), col("scale_r"),
+        array_join(transform(col("q_embedding"), _.cast(StringType)), ",")
+          .as("q_csv"),
+        col("max_abs_err"))
+      .orderBy(col("vec_id"))
   }
 }

@@ -26,11 +26,11 @@ object TextAnalysis {
       textCol: String = "text"): org.apache.spark.sql.DataFrame =
     docs.select(
       col(idCol),
-      size(split(col(textCol), " ", -1)).as("n_ws_tokens"),
-      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
-      size(array_distinct(split(col(textCol), " ", -1))).as("n_uniq_tokens"),
-      length(col(textCol)).as("n_chars"),
-      length(regexp_replace(col(textCol), " ", "")).as("n_nonspace_chars"))
+      size(split(col(textCol), " ", -1)).cast(LongType).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType).as("n_bpe_tokens"),
+      size(array_distinct(split(col(textCol), " ", -1))).cast(LongType).as("n_uniq_tokens"),
+      length(col(textCol)).cast(LongType).as("n_chars"),
+      length(regexp_replace(col(textCol), " ", "")).cast(LongType).as("n_nonspace_chars"))
 
   /** Whitespace tokens, BPE-ish regex tokens, distinct tokens, chars. */
   val q40TokenCount: QueryDef = QueryDef("q40_token_count",

@@ -155,7 +155,7 @@ object TpcDsComposites {
        |  GROUP BY ROLLUP(p_brand, p_type))
        |SELECT p_brand, p_type, sumsales, rk FROM (
        |  SELECT p_brand, p_type, sumsales,
-       |         RANK() OVER (PARTITION BY p_brand ORDER BY sumsales DESC) AS rk
+       |         CAST(RANK() OVER (PARTITION BY p_brand ORDER BY sumsales DESC) AS BIGINT) AS rk
        |  FROM agg) x
        |WHERE rk <= 3
        |ORDER BY p_brand NULLS FIRST, rk, p_type NULLS FIRST""".stripMargin)
@@ -364,10 +364,13 @@ object TpcDsComposites {
     * CTE against the returns slice; count(DISTINCT key) over a
     * repeating join key plus exact-decimal money sums (reference:
     * tpcds/queries/1/q95.sql). The CTE must compute once — its exchange
-    * is reused by both consumers (spec-asserted). */
+    * is reused by both consumers (spec-asserted). DISTINCT inside the
+    * self-join CTE: both consumers are IN-subqueries, so per-supplier-pair
+    * fan-out is semantically invisible but quadratic on a skewed
+    * multi-supplier order — dedup at the source, not after the joins. */
   val qds95: QueryDef = sqlBoth("qds95_multi_supplier",
     s"""WITH li_ms AS (
-       |  SELECT l1.l_orderkey AS okey
+       |  SELECT DISTINCT l1.l_orderkey AS okey
        |  FROM lineitem l1, lineitem l2
        |  WHERE l1.l_orderkey = l2.l_orderkey
        |    AND l1.l_suppkey <> l2.l_suppkey),

@@ -24,7 +24,10 @@ import graft.core.{Catalog, QueryDef}
   * Mapping (deterministic, fixture-derived):
   *   - store_sales: one row per lineitem; sold-date key = epoch-day of
   *     the order date, item key = partkey, ext sales price = extended
-  *     price as exact DECIMAL(12,2) so the literal `sum(...)` is
+  *     price as exact DECIMAL(28,2) — wide enough that BOTH engines'
+  *     uncast literal `sum(...)` lands on the max precision DECIMAL(38,2)
+  *     (Spark sums p,s → min(38, p+10),s; DuckDB → DECIMAL(38,s)), so
+  *     the output type matches the oracle bit-for-bit and the sum is
   *     order-independent in both engines;
   *   - date_dim: the distinct order dates with (d_date_sk, d_year, d_moy);
   *   - item: parts with brand text/id (id parsed from 'Brand#nn'),
@@ -57,7 +60,7 @@ object TpcDsLiteral {
         col("l_partkey").as("ss_item_sk"),
         col("o_custkey").as("ss_customer_sk"),
         col("l_suppkey").as("ss_store_sk"),
-        col("l_extendedprice").cast(DecimalType(12, 2)).as("ss_ext_sales_price"))
+        col("l_extendedprice").cast(DecimalType(28, 2)).as("ss_ext_sales_price"))
       .createOrReplaceTempView("store_sales")
     // NOTE: shadows the fixture's `customer` name with the TPC-DS-shaped
     // columns. Safe session-wide: every fixture SQL query goes through
@@ -102,7 +105,7 @@ object TpcDsLiteral {
       |    l_partkey AS ss_item_sk,
       |    o_custkey AS ss_customer_sk,
       |    l_suppkey AS ss_store_sk,
-      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS ss_ext_sales_price
+      |    CAST(l_extendedprice AS DECIMAL(28,2)) AS ss_ext_sales_price
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |date_dim AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS INT) AS d_date_sk,

@@ -93,7 +93,8 @@ object StatefulBatch {
       |  FROM events) WHERE rank <= 3
       |ORDER BY user_id, rank""".stripMargin) { (spark, dir) =>
     StatefulOps.topNPerKey(StatefulOps.typedEvents(spark, dir), 3).toDF()
-      .select(col("user_id"), col("rank"), col("event_id"), col("value"))
+      .select(col("user_id"), col("rank").cast("bigint").as("rank"),
+        col("event_id"), col("value"))
       .orderBy(col("user_id"), col("rank"))
   }
 

@@ -53,11 +53,11 @@ class PipelineSpec extends SparkSpec {
 
   test("ann-ivf is run-to-run deterministic (decimal Lloyd updates)") {
     import org.apache.spark.sql.functions.col
-    def run(): Seq[(Long, Long, Int)] =
+    def run(): Seq[(Long, Long, Long)] =
       Similarity.annIvfNeighbors(
         graft.core.Catalog.load(spark, sf("sf0.01"), "embeddings"),
         col("vec_id") < 20, k = 3)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(run() == run(),
       "two identical IVF runs diverged - centroid training is order-dependent")
   }
