@@ -129,7 +129,12 @@ object TpcDsComposites {
   /** Channel EXCEPT + ROLLUP composite: parts moved in bulk (qty ≥ 48)
     * through the F channel but never in bulk through P, aggregated with a
     * brand/type rollup (grouping-set grammar over a set-op-derived
-    * dimension). */
+    * dimension). `only_f` is consumed as a JOIN relation, not an IN
+    * filter: the semi-join form gets inferred onto BOTH sides of the
+    * lineitem⋈part join and the whole EXCEPT pipeline (2 lineitem + 2
+    * orders scans) is planned twice; the join form computes it once —
+    * identical semantics because the EXCEPT output is a distinct key set
+    * and p_partkey is unique. */
   val qds67: QueryDef = sqlBoth("qds67_except_rollup",
     s"""WITH f_parts AS (
        |  SELECT DISTINCT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -137,10 +142,12 @@ object TpcDsComposites {
        |p_parts AS (
        |  SELECT DISTINCT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  WHERE o_orderstatus = 'P' AND l_quantity >= 48),
-       |only_f AS (SELECT l_partkey FROM f_parts EXCEPT SELECT l_partkey FROM p_parts)
+       |only_f AS (
+       |  SELECT l_partkey AS fkey FROM f_parts
+       |  EXCEPT SELECT l_partkey FROM p_parts)
        |SELECT p_brand, p_type, COUNT(*) AS n, CAST(SUM($REV) AS DOUBLE) AS revenue
        |FROM lineitem JOIN part ON p_partkey = l_partkey
-       |WHERE l_partkey IN (SELECT l_partkey FROM only_f)
+       |  JOIN only_f ON fkey = p_partkey
        |GROUP BY ROLLUP(p_brand, p_type)
        |ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST""".stripMargin)
 
