@@ -24,29 +24,55 @@ import graft.core.{Catalog, QueryDef}
   * Mapping (deterministic, fixture-derived):
   *   - store_sales: one row per lineitem; sold-date key = epoch-day of
   *     the order date, item key = partkey, ext sales price = extended
-  *     price as exact DECIMAL(28,2) — wide enough that BOTH engines'
-  *     uncast literal `sum(...)` lands on the max precision DECIMAL(38,2)
-  *     (Spark sums p,s → min(38, p+10),s; DuckDB → DECIMAL(38,s)), so
-  *     the output type matches the oracle bit-for-bit and the sum is
-  *     order-independent in both engines;
-  *   - date_dim: the distinct order dates with (d_date_sk, d_year, d_moy);
+  *     price as an INTEGER-VALUED DOUBLE (`floor(l_extendedprice)`).
+  *     Why not decimal: the ratio texts (q98's revenueratio, q59's
+  *     week-over-week divisions) divide aggregates, and DuckDB's
+  *     DECIMAL/DECIMAL yields DOUBLE while Spark yields DECIMAL(38,6) —
+  *     an unfixable output-type split for a verbatim text. Integer-valued
+  *     doubles keep both engines in DOUBLE end-to-end, every sum is
+  *     EXACT (integers < 2^53 sum associatively, so partial-aggregation
+  *     order is irrelevant), and each division rounds exactly once from
+  *     exact operands — bit-identical across engines. `floor`, not
+  *     `round`: both engines floor the same IEEE bits identically,
+  *     whereas Spark's round() goes through the shortest-decimal repr
+  *     and DuckDB's rounds the raw binary — they disagree on .49999…
+  *     doubles;
+  *   - date_dim: the distinct order dates with (d_date_sk, d_date,
+  *     d_year, d_moy, d_day_name, d_week_seq = epoch-day div 7,
+  *     d_month_seq = (year-1900)*12 + month-1 — the real TPC-DS month-seq
+  *     epoch, so q59's 1176..1199 window lands on 1998/1999, inside the
+  *     fixture's 1995-2001 order span);
   *   - item: parts with brand text/id (id parsed from 'Brand#nn'),
-  *     category = p_type, category id = p_size, and the two selective
-  *     filter columns the texts use derived as partkey residues
-  *     (i_manager_id = pk % 50, i_manufact_id = pk % 200).
+  *     category drawn from the ten real TPC-DS category names by
+  *     p_partkey % 10 (so q98's IN ('Electronics','Women','Men') filter
+  *     selects a deterministic ~30%), class = p_type, and the selective
+  *     filter columns derived as partkey residues (i_manager_id = pk %
+  *     50, i_manufact_id = pk % 200);
+  *   - store: suppliers with synthetic business id/name
+  *     ('store_N'/'Store#N') and zip.
   */
 object TpcDsLiteral {
 
   def defs: Seq[QueryDef] =
     Seq(literal("qds03_literal", Q3), literal("qds19_literal", Q19),
       literal("qds42_literal", Q42), literal("qds52_literal", Q52),
-      literal("qds55_literal", Q55))
+      literal("qds55_literal", Q55), literal("qds98_literal", Q98),
+      literal("qds59_literal", Q59))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
     * stripped, whitespace collapsed) to prove verbatimness. */
   def texts: Map[String, String] =
-    Map("q3" -> Q3, "q19" -> Q19, "q42" -> Q42, "q52" -> Q52, "q55" -> Q55)
+    Map("q3" -> Q3, "q19" -> Q19, "q42" -> Q42, "q52" -> Q52, "q55" -> Q55,
+      "q98" -> Q98, "q59" -> Q59)
+
+  /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
+    * the literal texts' category filters (q98's IN list) select a
+    * deterministic ~30% of items. */
+  private val CategoryNames: Seq[String] = Seq("Books", "Children",
+    "Electronics", "Home", "Jewelry", "Men", "Music", "Shoes", "Sports",
+    "Women")
+  private def TpcDsCategories = array(CategoryNames.map(lit): _*)
 
   /** Register the TPC-DS-named views over the fixture tables. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
@@ -60,7 +86,8 @@ object TpcDsLiteral {
         col("l_partkey").as("ss_item_sk"),
         col("o_custkey").as("ss_customer_sk"),
         col("l_suppkey").as("ss_store_sk"),
-        col("l_extendedprice").cast(DecimalType(28, 2)).as("ss_ext_sales_price"))
+        floor(col("l_extendedprice")).cast(DoubleType).as("ss_ext_sales_price"),
+        floor(col("l_extendedprice") / 10.0d).cast(DoubleType).as("ss_sales_price"))
       .createOrReplaceTempView("store_sales")
     // NOTE: shadows the fixture's `customer` name with the TPC-DS-shaped
     // columns. Safe session-wide: every fixture SQL query goes through
@@ -76,21 +103,35 @@ object TpcDsLiteral {
       .createOrReplaceTempView("customer_address")
     Catalog.load(spark, dir, "supplier")
       .select(col("s_suppkey").as("s_store_sk"),
+        concat(lit("store_"), col("s_suppkey").cast(StringType)).as("s_store_id"),
+        concat(lit("Store#"), col("s_suppkey").cast(StringType)).as("s_store_name"),
         (lit(10000L) + col("s_nationkey") * 137L).cast(StringType).as("s_zip"))
       .createOrReplaceTempView("store")
     orders.select(to_date(col("o_orderdate")).as("d")).distinct()
       .select(
         datediff(col("d"), lit("1970-01-01").cast(DateType))
           .cast(IntegerType).as("d_date_sk"),
+        col("d").as("d_date"),
         year(col("d")).cast(IntegerType).as("d_year"),
-        month(col("d")).cast(IntegerType).as("d_moy"))
+        month(col("d")).cast(IntegerType).as("d_moy"),
+        date_format(col("d"), "EEEE").as("d_day_name"),
+        (datediff(col("d"), lit("1970-01-01").cast(DateType))
+          .cast(IntegerType) / 7).cast(IntegerType).as("d_week_seq"),
+        ((year(col("d")) - 1900) * 12 + month(col("d")) - 1)
+          .cast(IntegerType).as("d_month_seq"))
       .createOrReplaceTempView("date_dim")
     part.select(
         col("p_partkey").as("i_item_sk"),
+        concat(lit("item_"), col("p_partkey").cast(StringType)).as("i_item_id"),
+        col("p_name").as("i_item_desc"),
         col("p_brand").as("i_brand"),
         substring(col("p_brand"), 7, 10).cast(IntegerType).as("i_brand_id"),
-        col("p_type").as("i_category"),
-        col("p_size").cast(IntegerType).as("i_category_id"),
+        element_at(TpcDsCategories, (col("p_partkey") % 10).cast(IntegerType) + 1)
+          .as("i_category"),
+        ((col("p_partkey") % 10) + 1).cast(IntegerType).as("i_category_id"),
+        col("p_type").as("i_class"),
+        col("p_size").cast(IntegerType).as("i_class_id"),
+        col("p_retailprice").as("i_current_price"),
         (col("p_partkey") % 50).cast(IntegerType).as("i_manager_id"),
         (col("p_partkey") % 200).cast(IntegerType).as("i_manufact_id"),
         concat(lit("Mfg#"), (col("p_partkey") % 200).cast(IntegerType).cast(StringType))
@@ -98,24 +139,35 @@ object TpcDsLiteral {
       .createOrReplaceTempView("item")
   }
 
-  /** The same three views as DuckDB CTE text, prepended to each oracle. */
+  /** The same views as DuckDB CTE text, prepended to each oracle. */
   private val duckViews: String =
-    """store_sales AS (
+    s"""store_sales AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS ss_sold_date_sk,
       |    l_partkey AS ss_item_sk,
       |    o_custkey AS ss_customer_sk,
       |    l_suppkey AS ss_store_sk,
-      |    CAST(l_extendedprice AS DECIMAL(28,2)) AS ss_ext_sales_price
+      |    CAST(floor(l_extendedprice) AS DOUBLE) AS ss_ext_sales_price,
+      |    CAST(floor(l_extendedprice / 10) AS DOUBLE) AS ss_sales_price
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |date_dim AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS INT) AS d_date_sk,
+      |    d AS d_date,
       |    CAST(EXTRACT(YEAR FROM d) AS INT) AS d_year,
-      |    CAST(EXTRACT(MONTH FROM d) AS INT) AS d_moy
+      |    CAST(EXTRACT(MONTH FROM d) AS INT) AS d_moy,
+      |    dayname(d) AS d_day_name,
+      |    CAST(date_diff('day', DATE '1970-01-01', d) // 7 AS INT) AS d_week_seq,
+      |    CAST((EXTRACT(YEAR FROM d) - 1900) * 12 + EXTRACT(MONTH FROM d) - 1 AS INT) AS d_month_seq
       |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)),
       |item AS (
-      |  SELECT p_partkey AS i_item_sk, p_brand AS i_brand,
+      |  SELECT p_partkey AS i_item_sk,
+      |    'item_' || CAST(p_partkey AS VARCHAR) AS i_item_id,
+      |    p_name AS i_item_desc,
+      |    p_brand AS i_brand,
       |    CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
-      |    p_type AS i_category, CAST(p_size AS INT) AS i_category_id,
+      |    (${CategoryNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(p_partkey % 10 AS INT) + 1] AS i_category,
+      |    CAST(p_partkey % 10 + 1 AS INT) AS i_category_id,
+      |    p_type AS i_class, CAST(p_size AS INT) AS i_class_id,
+      |    p_retailprice AS i_current_price,
       |    CAST(p_partkey % 50 AS INT) AS i_manager_id,
       |    CAST(p_partkey % 200 AS INT) AS i_manufact_id,
       |    'Mfg#' || CAST(CAST(p_partkey % 200 AS INT) AS VARCHAR) AS i_manufact
@@ -132,14 +184,23 @@ object TpcDsLiteral {
       |  FROM nation),
       |store AS (
       |  SELECT s_suppkey AS s_store_sk,
+      |    'store_' || CAST(s_suppkey AS VARCHAR) AS s_store_id,
+      |    'Store#' || CAST(s_suppkey AS VARCHAR) AS s_store_name,
       |    CAST(10000 + s_nationkey * 137 AS VARCHAR) AS s_zip
       |  FROM supplier)""".stripMargin
 
-  private def literal(name: String, body: String): QueryDef =
-    QueryDef(name, s"WITH $duckViews\n$body") { (spark, dir) =>
+  private def literal(name: String, body: String): QueryDef = {
+    // a text that opens with its own WITH clause (q59) splices into the
+    // adapter CTE list; Spark runs the body verbatim against temp views
+    val oracle =
+      if (body.trim.toLowerCase.startsWith("with"))
+        s"WITH $duckViews,\n${body.trim.drop(4)}"
+      else s"WITH $duckViews\n$body"
+    QueryDef(name, oracle) { (spark, dir) =>
       registerViews(spark, dir)
       spark.sql(body)
     }
+  }
 
   // reference: tpcds/queries/1/q3.sql (banner comments stripped)
   private val Q3: String =
@@ -229,6 +290,83 @@ object TpcDsLiteral {
       | order by dt.d_year
       |       ,ext_price desc
       |       ,brand_id
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q98.sql
+  private val Q98: String =
+    """select i_item_id
+      |      ,i_item_desc
+      |      ,i_category
+      |      ,i_class
+      |      ,i_current_price
+      |      ,sum(ss_ext_sales_price) as itemrevenue
+      |      ,sum(ss_ext_sales_price)*100/sum(sum(ss_ext_sales_price)) over
+      |          (partition by i_class) as revenueratio
+      |from
+      |	store_sales
+      |    	,item
+      |    	,date_dim
+      |where
+      |	ss_item_sk = i_item_sk
+      |  	and i_category in ('Electronics', 'Women', 'Men')
+      |  	and ss_sold_date_sk = d_date_sk
+      |	and d_date between cast('1998-01-02' as date)
+      |				and (cast('1998-01-02' as date) + INTERVAL '30' day)
+      |group by
+      |	i_item_id
+      |        ,i_item_desc
+      |        ,i_category
+      |        ,i_class
+      |        ,i_current_price
+      |order by
+      |	i_category
+      |        ,i_class
+      |        ,i_item_id
+      |        ,i_item_desc
+      |        ,revenueratio""".stripMargin
+
+  // reference: tpcds/queries/1/q59.sql
+  private val Q59: String =
+    """with wss as
+      | (select d_week_seq,
+      |        ss_store_sk,
+      |        sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,
+      |        sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,
+      |        sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) tue_sales,
+      |        sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,
+      |        sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,
+      |        sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,
+      |        sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales
+      | from store_sales,date_dim
+      | where d_date_sk = ss_sold_date_sk
+      | group by d_week_seq,ss_store_sk
+      | )
+      |  select  s_store_name1,s_store_id1,d_week_seq1
+      |       ,sun_sales1/sun_sales2,mon_sales1/mon_sales2
+      |       ,tue_sales1/tue_sales2,wed_sales1/wed_sales2,thu_sales1/thu_sales2
+      |       ,fri_sales1/fri_sales2,sat_sales1/sat_sales2
+      | from
+      | (select s_store_name s_store_name1,wss.d_week_seq d_week_seq1
+      |        ,s_store_id s_store_id1,sun_sales sun_sales1
+      |        ,mon_sales mon_sales1,tue_sales tue_sales1
+      |        ,wed_sales wed_sales1,thu_sales thu_sales1
+      |        ,fri_sales fri_sales1,sat_sales sat_sales1
+      |  from wss,store,date_dim d
+      |  where d.d_week_seq = wss.d_week_seq and
+      |        ss_store_sk = s_store_sk and
+      |        d_month_seq between 1176 and 1176 + 11) y,
+      | (select s_store_name s_store_name2,wss.d_week_seq d_week_seq2
+      |        ,s_store_id s_store_id2,sun_sales sun_sales2
+      |        ,mon_sales mon_sales2,tue_sales tue_sales2
+      |        ,wed_sales wed_sales2,thu_sales thu_sales2
+      |        ,fri_sales fri_sales2,sat_sales sat_sales2
+      |  from wss,store,date_dim d
+      |  where d.d_week_seq = wss.d_week_seq and
+      |        ss_store_sk = s_store_sk and
+      |        d_month_seq between 1176+ 12 and 1176 + 23) x
+      | where s_store_id1=s_store_id2
+      |   and d_week_seq1=d_week_seq2-52
+      | order by s_store_name1,s_store_id1,d_week_seq1
       |limit 100""".stripMargin
 
   // reference: tpcds/queries/1/q55.sql
