@@ -52,6 +52,97 @@ object EarlyFire {
     * emission (suppresses unchanged re-fires). */
   case class WinAgg(n: Long, sum: Double, emittedN: Long)
 
+  /** Per-open-window late-fire state: running aggregate, the count at the
+    * last emission, and whether the window's first final has fired. */
+  case class LateWinAgg(n: Long, sum: Double, emittedN: Long, closed: Boolean)
+
+  /** Tumbling-window aggregation with ALLOWED LATENESS: after the
+    * watermark closes a window the final fires as usual, but the window's
+    * aggregate is RETAINED for a further `allowedLateness` horizon, and
+    * any row arriving inside that horizon re-emits an updated final
+    * (`is_final = 2` — the reference's late firing). Once the horizon
+    * passes, state is dropped and later rows are discarded. (reference:
+    * PB/plan/utils/WindowEmitStrategy.scala:155-193 late-fire knobs;
+    * RT/operators/window/triggers/EventTimeTriggers.java
+    * `AfterEndOfWindow#withLateFirings`; WindowOperator's
+    * `allowedLateness` cleanup timer.)
+    *
+    * Execution: Spark's watermark delay is set to `delay +
+    * allowedLateness` so rows up to that late still reach the operator —
+    * the TRUE close watermark is then `sparkWatermark + allowedLateness`
+    * (= maxTs - delay, exactly the reference's watermark), and the Spark
+    * watermark IS the retention horizon: once it passes the window end
+    * the operator discards the group's rows and state in one branch
+    * (flatMapGroupsWithState does not itself filter below-watermark
+    * input, so the allowed-lateness drop is enforced in the operator),
+    * and no second timer family is needed. Late finals emit on arrival
+    * (late-fire interval 0, the tightest setting of the reference's
+    * late-fire delay knob).
+    *
+    * Batch collapse: every row folds before the single emission, so the
+    * output is exactly the plain tumbling aggregate with `is_final = 1`
+    * (what the DuckDB oracle hash-checks); the partial → final →
+    * late-final sequence is asserted by the streaming spec. */
+  def lateFireWindowAgg(events: Dataset[Event], window: java.time.Duration,
+      earlyFire: String = "1 second", delay: java.time.Duration,
+      allowedLateness: java.time.Duration): Dataset[WindowFire] = {
+    val winUs = window.toNanos / 1000
+    val lateUs = allowedLateness.toNanos / 1000
+    require(winUs > 0, s"window size must be positive, got $window")
+    require(lateUs >= 0, s"allowedLateness must be >= 0, got $allowedLateness")
+    val isBatch = !events.isStreaming
+    implicit val outEnc = Encoders.product[WindowFire]
+    implicit val stEnc = Encoders.product[LateWinAgg]
+    val wmDelay = s"${(delay.toNanos / 1000 + lateUs) / 1000} milliseconds"
+    events
+      .withWatermark("ts", wmDelay)
+      .groupByKey { e =>
+        val us = eventMicros(e.ts)
+        (e.user_id, us - math.floorMod(us, winUs))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        (key: (Long, Long), rows: Iterator[Event], state: GroupState[LateWinAgg]) => {
+          val (user, wStartUs) = key
+          var s = state.getOption.getOrElse(LateWinAgg(0L, 0.0, 0L, closed = false))
+          rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
+            .foreach(e => s = s.copy(n = s.n + 1, sum = s.sum + e.value))
+          if (isBatch) Iterator.single(WindowFire(user, wStartUs, s.n, s.sum, 1))
+          else {
+            val sparkWmUs = state.getCurrentWatermarkMs() * 1000L
+            val trueWmUs = sparkWmUs + lateUs
+            val wEndUs = wStartUs + winUs
+            if (sparkWmUs >= wEndUs) {
+              // retention horizon passed: discard any (late-arriving)
+              // rows and drop whatever state remains. Spark's
+              // flatMapGroupsWithState does not itself filter
+              // below-watermark input rows, so the horizon is enforced
+              // here — this branch IS the allowed-lateness drop.
+              if (state.exists) state.remove()
+              Iterator.empty
+            } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[WindowFire]
+            if (!s.closed && trueWmUs >= wEndUs) {
+              // the reference watermark passed the end: first final
+              s = s.copy(emittedN = s.n, closed = true)
+              out += WindowFire(user, wStartUs, s.n, s.sum, 1)
+            } else if (s.closed && s.n != s.emittedN) {
+              // late row(s) inside the allowed-lateness horizon
+              s = s.copy(emittedN = s.n)
+              out += WindowFire(user, wStartUs, s.n, s.sum, 2)
+            } else if (!s.closed && state.hasTimedOut && s.n != s.emittedN) {
+              // open window: early fire on the interval timer
+              s = s.copy(emittedN = s.n)
+              out += WindowFire(user, wStartUs, s.n, s.sum, 0)
+            }
+            state.update(s)
+            state.setTimeoutDuration(earlyFire)
+            out.iterator
+            }
+          }
+        })
+  }
+
   /** Tumbling-window count/sum per key with early fires every `earlyFire`
     * of processing time and a final on watermark close. */
   def earlyFireWindowAgg(events: Dataset[Event], window: java.time.Duration,

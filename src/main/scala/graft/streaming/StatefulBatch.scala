@@ -23,7 +23,7 @@ object StatefulBatch {
   def defs: Seq[QueryDef] =
     Seq(q72TopnState, q73KeepLastState, q74RunningOver, q88TemporalJoinState,
       q90CountTumble, q91CountSlide, q94RowsFrame, q95RangeFrame,
-      q97EarlyFire, q104UpsertSink, q105RetractApply)
+      q97EarlyFire, q110LateFire, q104UpsertSink, q105RetractApply)
 
   /** The upsert sink replayed over the events fixture as a bounded
     * stream (AvailableNow), then the sink's state table read back:
@@ -234,6 +234,29 @@ object StatefulBatch {
       |ORDER BY user_id, w_start_us""".stripMargin) { (spark, dir) =>
     EarlyFire.earlyFireWindowAgg(StatefulOps.typedEvents(spark, dir),
       java.time.Duration.ofHours(1)).toDF()
+      .select(col("user_id"), col("w_start_us"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"), col("is_final"))
+      .orderBy(col("user_id"), col("w_start_us"))
+  }
+
+  /** Allowed-lateness windowed aggregation (reference WindowEmitStrategy
+    * late fires + `AfterEndOfWindow#withLateFirings`) collapsed to batch:
+    * with no watermark every row folds before the single emission, i.e. a
+    * plain 1-hour tumbling aggregate — what the oracle hash-checks; the
+    * partial → final → late-final sequence is spec'd in LateFireSpec. */
+  val q110LateFire: QueryDef = QueryDef("q110_late_fire",
+    """WITH e AS (
+      |  SELECT user_id, value, epoch_us(ts) AS us FROM events)
+      |SELECT user_id,
+      |  us - (us % 3600000000) AS w_start_us,
+      |  COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value,
+      |  1 AS is_final
+      |FROM e
+      |GROUP BY 1, 2
+      |ORDER BY user_id, w_start_us""".stripMargin) { (spark, dir) =>
+    EarlyFire.lateFireWindowAgg(StatefulOps.typedEvents(spark, dir),
+      java.time.Duration.ofHours(1), delay = java.time.Duration.ZERO,
+      allowedLateness = java.time.Duration.ofMinutes(10)).toDF()
       .select(col("user_id"), col("w_start_us"), col("n_events"),
         round(col("sum_value"), 4).as("sum_value"), col("is_final"))
       .orderBy(col("user_id"), col("w_start_us"))
