@@ -70,14 +70,18 @@ object Corpus {
     * BEFORE the join (its size is benchmark-scale, not corpus-scale), so
     * the join is an equi-join of corpus shingles against a small
     * relation — at 100 TB this broadcasts; the corpus side stays where
-    * it is. Join key is the n-gram text itself; hash it (as the dedup
-    * family does) when n-gram payloads dominate the shuffle. */
+    * it is. The join key is `xxhash64(shingle)`, not the n-gram text:
+    * an 8-word shingle is ~50 bytes where the hash is 8, so the
+    * benchmark broadcast and the corpus-side join payload shrink ~6×
+    * (same trade as the dedup family; a 64-bit collision can claim one
+    * spurious shared n-gram — vanishing at benchmark-set scale). */
   def decontaminate(training: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 8): DataFrame = {
     val trainSh = Dedup.shingles(training, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val benchSh = Dedup.shingles(benchmark, idCol, textCol, n)
-      .select(col("shingle")).distinct()
-    trainSh.join(benchSh, Seq("shingle"))
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    trainSh.join(benchSh, Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
