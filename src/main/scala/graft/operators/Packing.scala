@@ -126,9 +126,9 @@ object Packing {
   }
 
   /** 32-token chunks with 8-token overlap over the documents corpus. The
-    * oracle enumerates chunk ids from a constant range (64 ≫ any
-    * fixture doc's chunk count) — an oracle-side shortcut only; the
-    * engine side derives the count per document. */
+    * oracle enumerates chunk ids up to the corpus-wide max(n_chunks) —
+    * derived, not a constant, so a longer-than-expected document can
+    * never silently truncate the oracle side. */
   val q106ChunkDocs: QueryDef = QueryDef("q106_chunk_docs",
     """WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws,
@@ -139,9 +139,11 @@ object Packing {
       |    CASE WHEN n <= 32 THEN 1
       |         ELSE CAST(CEIL((n - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
       |  FROM w),
+      |ids AS (
+      |  SELECT unnest(range(0, (SELECT MAX(n_chunks) FROM c))) AS i),
       |e AS (
       |  SELECT doc_id, ws, i AS chunk_id, CAST(i * 24 AS BIGINT) AS start
-      |  FROM c CROSS JOIN range(0, 64) AS t(i)
+      |  FROM c CROSS JOIN ids
       |  WHERE i < n_chunks)
       |SELECT doc_id, chunk_id,
       |  CAST(len(list_slice(ws, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens,

@@ -128,7 +128,14 @@ object Sampling {
     * long thresholds, assignment is per-row arithmetic (no shuffle), and
     * a document's split never changes when the corpus grows — the rank
     * depends only on the id, the property that keeps eval sets
-    * uncontaminated across dataset versions. */
+    * uncontaminated across dataset versions.
+    *
+    * COMPAT NOTE (one-time): the threshold scale changed from (M-1) to M
+    * when the w=1.0 edge was fixed (rank M-1 was wrongly dropped), which
+    * moved boundary documents between splits relative to assignments
+    * persisted under the old scale. Within any one version of this
+    * library the stability contract holds; consumers holding pre-fix
+    * split assignments should re-derive them once. */
   def splitAssign(df: DataFrame, idCol: String, trainFrac: Double,
       valFrac: Double, seed: Long = 0L): DataFrame = {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0)

@@ -33,16 +33,22 @@ object Scrub {
     Seq(q100Repetition, q101PiiRedact, q109CorpusReport)
 
   /** Redaction stages, applied in order. Order matters and is part of the
-    * operator contract: card numbers are masked before phone numbers so a
-    * 13-16 digit run is never half-claimed by the looser phone pattern;
-    * every count is taken on the text as already redacted by the earlier
-    * stages. Patterns stay inside the common Java-regex/RE2 subset (no
-    * lookaround, no backreferences) so one pattern string drives both the
-    * Spark side and any RE2-based engine a deployment checks against.
+    * operator contract: card numbers — plain 13-16 digit runs AND the
+    * separator-grouped 4-4-4-4 form — are masked before phone numbers so
+    * a card is never half-claimed by the looser phone pattern, and a
+    * `longnum` catch-all masks 17+ digit runs (which neither the
+    * boundary-anchored card pattern nor the 10-11-digit phone pattern
+    * can claim whole) before the phone stage can nibble their prefix and
+    * leave residual digits; every count is taken on the text as already
+    * redacted by the earlier stages. Patterns stay inside the common
+    * Java-regex/RE2 subset (no lookaround, no backreferences) so one
+    * pattern string drives both the Spark side and any RE2-based engine
+    * a deployment checks against.
     */
   val redactions: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("card", "\\b\\d{13,16}\\b", "<CARD>"),
+    ("card", "\\b\\d{4}([- ]\\d{4}){3}\\b|\\b\\d{13,16}\\b", "<CARD>"),
+    ("longnum", "\\b\\d{17,}\\b", "<NUM>"),
     ("ip", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"),
     ("phone", "(\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}", "<PHONE>"))
 

@@ -40,13 +40,19 @@ object RetractSink {
     * leaves either the old snapshot (batch unapplied, replay applies it
     * once) or the new one (marker present, replay skipped); there is no
     * window in which the state includes the batch but the marker does
-    * not. Batch callers that pass no id (`batchId = -1`) are applied
-    * unconditionally. */
+    * not. The marker carries the writer's `runId` alongside the batch id,
+    * and the skip applies only when the run matches: a query restarted
+    * with a FRESH checkpoint restarts batchIds at 0, and a batch-id-only
+    * high-water mark would silently swallow every batch of the new run
+    * against an existing sink dir. Batch callers that pass no id
+    * (`batchId = -1`) are applied unconditionally. */
   def mergeBatch(batch: DataFrame, keys: Seq[String], flagCol: String,
-      valueCol: String, dir: String, batchId: Long = -1L): Unit = {
+      valueCol: String, dir: String, batchId: Long = -1L,
+      runId: String = ""): Unit = {
     require(keys.nonEmpty, "keys required")
     val spark = batch.sparkSession
-    if (batchId >= 0 && batchId <= lastApplied(spark, dir)) return
+    if (batchId >= 0 && lastApplied(spark, dir).exists { case (run, id) =>
+        run == runId && batchId <= id }) return
     val delta = batch.groupBy(keys.map(col): _*)
       .agg(sum(col(flagCol)).cast(LongType).as("cnt"),
         sum(col(flagCol).cast(DoubleType) * col(valueCol)).as("total"))
@@ -64,22 +70,32 @@ object RetractSink {
     // an id-less batch caller carries the streaming high-water mark
     // forward instead of erasing it from the next snapshot
     val marker =
-      if (batchId >= 0) Some(batchId.toString)
+      if (batchId >= 0) Some(s"$runId:$batchId")
       else UpsertSink.readSnapshotFile(spark, dir, AppliedMarker)
     UpsertSink.writeSnapshot(merged.filter(col("cnt") =!= 0L), dir,
       marker.map(AppliedMarker -> _).toMap)
   }
 
+  /** The (runId, batchId) high-water mark of the committed snapshot. */
   private def lastApplied(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Long =
-    UpsertSink.readSnapshotFile(spark, dir, AppliedMarker)
-      .map(_.trim.toLong).getOrElse(-1L)
+      dir: String): Option[(String, Long)] =
+    UpsertSink.readSnapshotFile(spark, dir, AppliedMarker).map { text =>
+      val t = text.trim
+      t.lastIndexOf(':') match {
+        case -1 => ("", t.toLong) // pre-runId marker: legacy layout
+        case i => (t.take(i), t.drop(i + 1).toLong)
+      }
+    }
 
-  /** Streaming writer applying the changelog to `dir/current`. */
+  /** Streaming writer applying the changelog to `dir/current`. Each
+    * writer instance carries a fresh runId, so replay skipping never
+    * crosses a query restart. */
   def retractWriter(stream: DataFrame, keys: Seq[String], flagCol: String,
-      valueCol: String, dir: String): DataStreamWriter[Row] =
+      valueCol: String, dir: String): DataStreamWriter[Row] = {
+    val runId = java.util.UUID.randomUUID().toString
     stream.writeStream
       .outputMode("update")
       .foreachBatch((batch: DataFrame, id: Long) =>
-        mergeBatch(batch, keys, flagCol, valueCol, dir, id))
+        mergeBatch(batch, keys, flagCol, valueCol, dir, id, runId))
+  }
 }

@@ -31,13 +31,17 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * the upsert keys — the natural shuffle key. With `nBuckets = 1` the
   * whole state table is rewritten per batch under the snapshot protocol;
   * with `nBuckets > 1` the state is hash-partitioned on the keys and each
-  * batch rewrites ONLY the buckets it touches (dynamic partition
-  * overwrite — the standard merge-on-read refinement), so per-batch write
-  * volume is proportional to touched buckets, not total state. The
-  * bucketed path trades the all-or-nothing snapshot for per-bucket
-  * atomicity; that is safe under the streaming engine's semantics because
-  * the merge is IDEMPOTENT — re-applying the same batch after a failure
-  * reproduces the same state.
+  * batch rewrites ONLY the buckets it touches, under the same
+  * versioned-snapshot discipline: touched buckets stage into fresh
+  * per-bucket version dirs (`b<i>/v<n>`), and a MANIFEST file mapping
+  * every bucket to its current version is published by one atomic
+  * `_manifest` pointer rename. A crash anywhere before the flip leaves
+  * the old manifest — and therefore the complete old state — visible
+  * (orphaned version dirs are reclaimed by the replay), and readers
+  * always resolve a consistent all-bucket snapshot, so the bucketed path
+  * has the same crash atomicity and snapshot isolation as the nBuckets=1
+  * pointer swap; per-batch write volume stays proportional to touched
+  * buckets, not total state.
   */
 object UpsertSink {
 
@@ -64,31 +68,92 @@ object UpsertSink {
       writeSnapshot(merged, dir)
     } else {
       val fs = fileSystem(spark, dir)
-      val current = new Path(dir, "current")
       val bucketed = latest.withColumn("__bucket",
         pmod(hash(keys.map(col): _*), lit(nBuckets)))
-      if (!fs.exists(current)) {
-        bucketed.write.partitionBy("__bucket").parquet(current.toString)
-      } else {
-        // ≤ nBuckets small integers reach the driver — bounded by
-        // construction, independent of state or batch size
-        val touched = bucketed.select(col("__bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        // materialize the touched buckets BEFORE the overwrite job so the
-        // write never races its own input; the working set is the touched
-        // buckets only (partition-pruned scan), which is what bucketing
-        // bounds
-        val old = spark.read.parquet(current.toString)
-          .filter(col("__bucket").isin(touched: _*))
-          .localCheckpoint(true)
-        val merged = old
+      val mv = manifestVersion(spark, dir)
+      val manifest = readManifest(spark, dir)
+      // ≤ nBuckets small integers reach the driver — bounded by
+      // construction, independent of state or batch size
+      val touched = bucketed.select(col("__bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val oldPaths = touched.filter(manifest.contains)
+        .map(i => new Path(dir, s"b$i/v${manifest(i)}").toString)
+      val merged =
+        if (oldPaths.isEmpty) bucketed
+        else spark.read.parquet(oldPaths: _*)
+          .withColumn("__bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
           .join(bucketed.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(bucketed)
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__bucket").parquet(current.toString)
+      // stage the touched buckets, then move each into its next version
+      // dir; nothing is visible until the manifest pointer flips below
+      val stage = new Path(dir, "_stage")
+      if (fs.exists(stage)) fs.delete(stage, true)
+      merged.write.partitionBy("__bucket").parquet(stage.toString)
+      val next = touched.map(i => i -> (manifest.getOrElse(i, -1) + 1)).toMap
+      touched.foreach { i =>
+        val dest = new Path(dir, s"b$i/v${next(i)}")
+        // leftover from a crashed attempt that never published
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.mkdirs(new Path(dir, s"b$i"))
+        fs.rename(new Path(stage, s"__bucket=$i"), dest)
+      }
+      fs.delete(stage, true)
+      publishManifest(spark, dir, mv + 1, manifest ++ next)
+      // retain one generation per touched bucket for in-flight readers
+      touched.foreach { i =>
+        if (next(i) >= 2) fs.delete(new Path(dir, s"b$i/v${next(i) - 2}"), true)
       }
     }
+  }
+
+  private def manifestPointer(dir: String) = new Path(dir, "_manifest")
+
+  /** Version of the committed bucket manifest, or -1 before any commit. */
+  private[streaming] def manifestVersion(spark: SparkSession, dir: String): Int = {
+    val fs = fileSystem(spark, dir)
+    val p = manifestPointer(dir)
+    if (!fs.exists(p)) -1
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** The committed bucket → version map (empty before any commit). */
+  private[streaming] def readManifest(spark: SparkSession, dir: String): Map[Int, Int] = {
+    val mv = manifestVersion(spark, dir)
+    if (mv < 0) Map.empty
+    else {
+      val fs = fileSystem(spark, dir)
+      val in = fs.open(new Path(dir, s"manifest.v$mv"))
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(b, v) = line.split(":", 2)
+        b.toInt -> v.toInt
+      }.toMap
+    }
+  }
+
+  /** Write `manifest.v<mv>` then flip the `_manifest` pointer with one
+    * atomic rename; the previous manifest file is retained one
+    * generation. */
+  private def publishManifest(spark: SparkSession, dir: String, mv: Int,
+      entries: Map[Int, Int]): Unit = {
+    val fs = fileSystem(spark, dir)
+    val mfile = new Path(dir, s"manifest.v$mv")
+    val out = fs.create(mfile, true)
+    try out.write(entries.toSeq.sorted.map { case (b, v) => s"$b:$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val tmp = new Path(dir, "_manifest.tmp")
+    val pout = fs.create(tmp, true)
+    try pout.write(mv.toString.getBytes(StandardCharsets.UTF_8))
+    finally pout.close()
+    FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, manifestPointer(dir), Options.Rename.OVERWRITE)
+    if (mv >= 2) fs.delete(new Path(dir, s"manifest.v${mv - 2}"), false)
   }
 
   private def fileSystem(spark: SparkSession, dir: String): FileSystem =
@@ -168,11 +233,14 @@ object UpsertSink {
 
   /** Read the sink's current state (empty-schema-safe only once a batch
     * has committed). Resolves the versioned-snapshot pointer when present
-    * (nBuckets = 1 layout), else the in-place bucketed table. */
-  def currentState(spark: SparkSession, dir: String): DataFrame = {
-    val target = snapshotPath(spark, dir)
-      .getOrElse(new Path(dir, "current"))
-    val df = spark.read.parquet(target.toString)
-    if (df.columns.contains("__bucket")) df.drop("__bucket") else df
-  }
+    * (nBuckets = 1 layout), else the committed bucket manifest. */
+  def currentState(spark: SparkSession, dir: String): DataFrame =
+    snapshotPath(spark, dir) match {
+      case Some(snap) => spark.read.parquet(snap.toString)
+      case None =>
+        val paths = readManifest(spark, dir).toSeq.sorted
+          .map { case (b, v) => new Path(dir, s"b$b/v$v").toString }
+        require(paths.nonEmpty, s"no committed snapshot or manifest under $dir")
+        spark.read.parquet(paths: _*)
+    }
 }

@@ -18,18 +18,36 @@ class ScrubSpec extends SparkSpec {
       (3L, "clean text with no identifiers at all")).toDF("doc_id", "text")
     val out = Scrub.piiRedact(docs).orderBy("doc_id").collect()
     assert(out(0) === Row(1L,
-      "contact <EMAIL> or <EMAIL> today", 2L, 0L, 0L, 0L))
+      "contact <EMAIL> or <EMAIL> today", 2L, 0L, 0L, 0L, 0L))
     assert(out(1) === Row(2L,
-      "card <CARD> from <IP> call <PHONE>", 0L, 1L, 1L, 1L))
+      "card <CARD> from <IP> call <PHONE>", 0L, 1L, 0L, 1L, 1L))
     assert(out(2) === Row(3L,
-      "clean text with no identifiers at all", 0L, 0L, 0L, 0L))
+      "clean text with no identifiers at all", 0L, 0L, 0L, 0L, 0L))
   }
 
   test("card numbers are claimed by the card stage, not the phone stage") {
     val docs = Seq((1L, "pay 5500005555555559 now")).toDF("doc_id", "text")
     val r = Scrub.piiRedact(docs).collect().head
     assert(r.getString(1) === "pay <CARD> now")
-    assert(r.getLong(2) === 0L && r.getLong(3) === 1L && r.getLong(5) === 0L)
+    assert(r.getLong(2) === 0L && r.getLong(3) === 1L && r.getLong(6) === 0L)
+  }
+
+  test("separator-grouped cards are claimed whole by the card stage") {
+    val docs = Seq(
+      (1L, "pay 4111-1111-1111-1111 now"),
+      (2L, "pay 4111 1111 1111 1111 now")).toDF("doc_id", "text")
+    val out = Scrub.piiRedact(docs).orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getString(1) === "pay <CARD> now", r.getString(1))
+      assert(r.getLong(3) === 1L && r.getLong(6) === 0L)
+    }
+  }
+
+  test("17+ digit runs are masked whole, never part-claimed by phone") {
+    val docs = Seq((1L, "ref 12345678901234567890 end")).toDF("doc_id", "text")
+    val r = Scrub.piiRedact(docs).collect().head
+    assert(r.getString(1) === "ref <NUM> end", r.getString(1))
+    assert(r.getLong(3) === 0L && r.getLong(4) === 1L && r.getLong(6) === 0L)
   }
 
   test("bare 10-digit phone formats redact without a country code") {
@@ -38,7 +56,7 @@ class ScrubSpec extends SparkSpec {
       (2L, "or (555) 123-4567 works"),
       (3L, "even 5551234567 bare")).toDF("doc_id", "text")
     val out = Scrub.piiRedact(docs).orderBy("doc_id").collect()
-    assert(out.forall(_.getLong(5) == 1L), out.map(_.getString(1)).mkString("; "))
+    assert(out.forall(_.getLong(6) == 1L), out.map(_.getString(1)).mkString("; "))
     assert(out(0).getString(1) === "call <PHONE> today")
     assert(out(1).getString(1) === "or <PHONE> works")
     assert(out(2).getString(1) === "even <PHONE> bare")

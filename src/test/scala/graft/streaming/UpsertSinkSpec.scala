@@ -55,13 +55,14 @@ class UpsertSinkSpec extends SparkSpec {
     // seed every bucket
     UpsertSink.mergeBatch((0L until 64L).map(k => Ev(k, 1, s"v$k")).toDF(),
       Seq("k"), Seq("ver"), dir, nBuckets = n)
+    // the committed version dir per bucket: a rewritten bucket gets a
+    // fresh v<n>, an untouched one keeps its path
     def bucketFiles(): Map[String, Set[String]] =
-      JFiles.list(Paths.get(dir, "current")).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("__bucket="))
-        .map(p => p.getFileName.toString ->
-          JFiles.list(p).iterator().asScala.map(_.getFileName.toString)
-            .filter(_.endsWith(".parquet")).toSet)
-        .toMap
+      UpsertSink.readManifest(spark, dir).map { case (b, v) =>
+        s"b$b" -> JFiles.list(Paths.get(dir, s"b$b/v$v")).iterator().asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+          .map((f: String) => s"v$v/$f")
+      }
     val before = bucketFiles()
     assert(before.size == n, s"expected $n bucket dirs: ${before.keys}")
     // one-key batch touches exactly one bucket
