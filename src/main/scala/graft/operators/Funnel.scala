@@ -16,7 +16,7 @@ object Funnel {
 
   def defs: Seq[QueryDef] =
     Seq(q76Funnel, q83PatternRuns, q89MatchRecognize, q96PrevDefine,
-      q98ReluctantMatch, q99NextDefine)
+      q98ReluctantMatch, q99NextDefine, q111SkipToNextRow)
 
   /** Count view→click→purchase funnels per user (consecutive events,
     * event-time order). */
@@ -276,5 +276,41 @@ object Funnel {
       })
       .toDF()
       .orderBy(col("user_id"), col("view_id"))
+  }
+
+  case class PurchasePair(user_id: Long, first_purchase: Long,
+      second_purchase: Long)
+
+  /** AFTER MATCH SKIP TO NEXT ROW (reference
+    * FlinkSqlOperatorTable.java:1102-1108, CEP AfterMatchSkipStrategy):
+    * `PATTERN (P1 P2)` over consecutive purchases with the OVERLAPPING
+    * strategy — a run of k consecutive purchases yields k-1 pairs, where
+    * PAST LAST ROW would yield ⌊k/2⌋ (the difference is spec-asserted in
+    * the PatternMatch matrix). Every adjacent purchase pair is exactly a
+    * lead() window on both engines. */
+  val q111SkipToNextRow: QueryDef = QueryDef("q111_skip_next_row",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lead(event_id) OVER win AS next_id,
+      |    lead(event_type) OVER win AS next_type
+      |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id AS first_purchase, next_id AS second_purchase
+      |FROM seq
+      |WHERE event_type = 'purchase' AND next_type = 'purchase'
+      |ORDER BY user_id, first_purchase""".stripMargin) { (spark, dir) =>
+    import graft.streaming.PatternMatch._
+    import graft.streaming.StatefulOps
+    implicit val enc = org.apache.spark.sql.Encoders.product[PurchasePair]
+    matchPattern(StatefulOps.typedEvents(spark, dir), Seq(
+      Step("P1", _.event_type == "purchase", One),
+      Step("P2", _.event_type == "purchase", One)),
+      delay = "0 seconds",
+      (key, bound) => {
+        val b = bound.map(s => s.name -> s.rows).toMap
+        PurchasePair(key, b("P1").head.event_id, b("P2").head.event_id)
+      },
+      skip = SkipToNextRow)
+      .toDF()
+      .orderBy(col("user_id"), col("first_purchase"))
   }
 }

@@ -14,8 +14,9 @@ import graft.streaming.StatefulOps.Event
   * row-predicate with a quantifier — `A` (exactly one), `A?`, `A+`, `A*`
   * matched GREEDILY with backtracking, plus the reluctant forms `A??`,
   * `A+?`, `A*?` (shortest binding first) — over each key's
-  * event-time-ordered sequence, `AFTER MATCH SKIP PAST LAST ROW` (the
-  * reference's default).
+  * event-time-ordered sequence, with the full AFTER MATCH SKIP family
+  * ([[SkipStrategy]]): PAST LAST ROW (the reference's default), TO NEXT
+  * ROW, TO FIRST/LAST variable.
   * DEFINE predicates may reference the PREVIOUS or NEXT row in the key's
   * input order ([[Step.withPrev]] / [[Step.withNext]] — SQL `PREV(expr, 1)`
   * / `NEXT(expr, 1)`, reference MatchCodeGenerator.scala:82 /
@@ -49,6 +50,23 @@ import graft.streaming.StatefulOps.Event
   * without WITHIN the marker is load-bearing and retained.
   */
 object PatternMatch {
+
+  /** AFTER MATCH SKIP strategy (reference: FlinkSqlOperatorTable.java:1102-1108
+    * SKIP TO FIRST/LAST operators; CEP `AfterMatchSkipStrategy`). Decides
+    * where the NFA resumes after a completed match:
+    *   - [[SkipPastLastRow]] (the SQL default): after the match's last row
+    *     — matches never overlap;
+    *   - [[SkipToNextRow]]: at the row after the match's FIRST row —
+    *     overlapping matches from every viable start;
+    *   - [[SkipToFirst]]/[[SkipToLast]] (variable): at the first/last row
+    *     the named variable bound. A strategy that would resume at the
+    *     match's own start row (an infinite loop) is rejected at runtime,
+    *     as the reference rejects it. */
+  sealed trait SkipStrategy extends Serializable
+  case object SkipPastLastRow extends SkipStrategy
+  case object SkipToNextRow extends SkipStrategy
+  final case class SkipToFirst(variable: String) extends SkipStrategy
+  final case class SkipToLast(variable: String) extends SkipStrategy
 
   sealed trait Quant extends Serializable
   case object One extends Quant
@@ -240,16 +258,31 @@ object PatternMatch {
     go(0, start)
   }
 
-  /** Scan a sorted closed prefix: emit matches (skip past last row),
-    * return the bound-rows of each match and the index the buffer must be
-    * retained from (first row of an unadjudicated partial match).
+  /** Scan a sorted closed prefix: emit matches, resume per the AFTER
+    * MATCH `skip` strategy, return the bound-rows of each match and the
+    * index the buffer must be retained from (first row of an
+    * unadjudicated partial match — with an overlapping strategy that can
+    * precede already-emitted matches' rows, which stay buffered).
     * `withinUs == Long.MaxValue` means no WITHIN bound; otherwise each
     * attempt is confined to rows within `withinUs` of its start row and
     * becomes final once the watermark (`wmUs`) passes that window. */
   private def scan(steps: IndexedSeq[Step], rows: IndexedSeq[Event],
       finalInput: Boolean, wmUs: Long, withinUs: Long,
-      bufPrev: Option[Event]): (List[List[Bound]], Int) = {
+      bufPrev: Option[Event], skip: SkipStrategy): (List[List[Bound]], Int) = {
     import StatefulOps.eventMicros
+    def boundIdx(variable: String, binds: List[(Int, Int)], first: Boolean,
+        start: Int): Int = {
+      val si = steps.indexWhere(_.name == variable)
+      require(si >= 0, s"AFTER MATCH SKIP TO unknown pattern variable '$variable'")
+      val idxs = binds.collect { case (s, r) if s == si => r }
+      if (idxs.isEmpty) throw new IllegalStateException(
+        s"AFTER MATCH SKIP TO '$variable': the variable bound no rows in this match")
+      val t = if (first) idxs.min else idxs.max
+      if (t == start) throw new IllegalStateException(
+        s"AFTER MATCH SKIP TO '$variable' would restart the next match at the " +
+          "same row — an infinite loop; the reference rejects this strategy too")
+      t
+    }
     val out = List.newBuilder[List[Bound]]
     var i = 0
     var retain = rows.length
@@ -268,7 +301,13 @@ object PatternMatch {
           val byStep = binds.groupBy(_._1)
           out += steps.indices.map(si =>
             Bound(steps(si).name, byStep.getOrElse(si, Nil).map(p => rows(p._2)))).toList
-          i = math.max(e, i + 1) // guard: an all-optional empty match
+          val resume = skip match {
+            case SkipPastLastRow => e
+            case SkipToNextRow => i + 1
+            case SkipToFirst(v) => boundIdx(v, binds, first = true, start = i)
+            case SkipToLast(v) => boundIdx(v, binds, first = false, start = i)
+          }
+          i = math.max(resume, i + 1) // guard: an all-optional empty match
         case NoMatch => i += 1
         case NeedMore => retain = i; open = false
       }
@@ -283,7 +322,8 @@ object PatternMatch {
     * once the watermark closes the window. */
   def matchPattern[O: Encoder](events: Dataset[Event], steps: Seq[Step],
       delay: String, emit: (Long, Seq[Bound]) => O,
-      within: Option[java.time.Duration] = None): Dataset[O] = {
+      within: Option[java.time.Duration] = None,
+      skip: SkipStrategy = SkipPastLastRow): Dataset[O] = {
     require(steps.nonEmpty, "PATTERN must have at least one step")
     val stepsArr = steps.toIndexedSeq
     val isBatch = !events.isStreaming
@@ -325,7 +365,8 @@ object PatternMatch {
           val closedN = sorted.segmentLength(e => eventMicros(e.ts) <= wmUs)
           val bufPrev = st.flatMap(_.prev)
           val (matches, retainFrom) =
-            scan(stepsArr, sorted.take(closedN), isBatch, wmUs, withinUs, bufPrev)
+            scan(stepsArr, sorted.take(closedN), isBatch, wmUs, withinUs,
+              bufPrev, skip)
           val kept = sorted.slice(retainFrom, closedN) ++ sorted.drop(closedN)
           // the input row preceding the retained buffer, for PREV across
           // triggers; with everything consumed it is the last closed row

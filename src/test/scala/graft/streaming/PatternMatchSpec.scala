@@ -325,4 +325,53 @@ class PatternMatchSpec extends SparkSpec {
     assert(got == Seq(M(Seq(1), Nil, Nil)),
       s"the successor's arrival must adjudicate the held view, got $got")
   }
+
+  // ---- AFTER MATCH SKIP strategies (PP = two consecutive purchases) ----
+
+  private val PP = Seq(
+    Step("A", _.event_type == "purchase", One),
+    Step("B", _.event_type == "purchase", One))
+
+  private def purchases4 = Seq(
+    ev(1, 0, "purchase"), ev(2, 1, "purchase"),
+    ev(3, 2, "purchase"), ev(4, 3, "purchase"))
+
+  private def runSkip(events: Seq[Event], steps: Seq[Step],
+      skip: SkipStrategy): Seq[M] = {
+    import spark.implicits._
+    matchPattern(spark.createDataset(events), steps, "0 seconds",
+      (_: Long, bound: Seq[Bound]) => {
+        val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
+        M(by.getOrElse("A", Nil), by.getOrElse("B", Nil), by.getOrElse("C", Nil))
+      }, skip = skip).collect().toSeq.sortBy(_.a.headOption.getOrElse(0L))
+  }
+
+  test("skip past last row vs to next row: disjoint vs overlapping pairs") {
+    val past = runSkip(purchases4, PP, SkipPastLastRow)
+    assert(past.map(m => (m.a, m.b)) ==
+      Seq((Seq(1L), Seq(2L)), (Seq(3L), Seq(4L))),
+      s"PAST LAST ROW must yield disjoint pairs: $past")
+    val next = runSkip(purchases4, PP, SkipToNextRow)
+    assert(next.map(m => (m.a, m.b)) ==
+      Seq((Seq(1L), Seq(2L)), (Seq(2L), Seq(3L)), (Seq(3L), Seq(4L))),
+      s"TO NEXT ROW must yield every adjacent pair: $next")
+  }
+
+  test("skip to last variable resumes at that variable's row") {
+    val out = runSkip(purchases4, PP, SkipToLast("B"))
+    assert(out.map(m => (m.a, m.b)) ==
+      Seq((Seq(1L), Seq(2L)), (Seq(2L), Seq(3L)), (Seq(3L), Seq(4L))),
+      s"TO LAST B resumes at each match's B row: $out")
+  }
+
+  test("a skip target at the match's own start row is rejected") {
+    // TO FIRST A resumes where the match began — an infinite loop; the
+    // reference's CEP rejects the strategy at the same point
+    val e = intercept[Exception](runSkip(purchases4, PP, SkipToFirst("A")))
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("infinite loop"))),
+      s"expected the infinite-loop rejection, got $e")
+  }
 }
