@@ -19,7 +19,77 @@ object Aggregates {
 
   def defs: Seq[QueryDef] = Seq(
     q37LateralExplode, q38CollectAgg, q39WeightedAvgUdaf, q64ApproxDistinct,
-    q80FilterClause, q79OrdinalUnnest, q84ApproxPercentile)
+    q80FilterClause, q79OrdinalUnnest, q84ApproxPercentile, q112SplitDistinct)
+
+  /** Split-distinct-agg skew rewrite (reference
+    * SplitAggregateRule.scala:108, flag
+    * `table.optimizer.distinct-agg.split.enabled`): COUNT(DISTINCT x)
+    * GROUP BY k with a hot k melts one reducer — one state cell absorbs
+    * every distinct x of the hot key. The rewrite inserts a bucket level:
+    * level 1 groups by (k, hash(x) % nBuckets) so each hot key's distinct
+    * set spreads over nBuckets cells, level 2 sums the per-bucket distinct
+    * counts — EXACT, because the buckets partition the distinct values of
+    * x (a value always lands in the same bucket, so no distinct value is
+    * counted twice and none straddles buckets). Works on batch frames
+    * and, windowed ([[splitDistinctCountWindowed]]), on streams. */
+  def splitDistinctCount(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], distinctCol: String,
+      nBuckets: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    df.groupBy((groupCols.map(col) :+
+        pmod(xxhash64(col(distinctCol)), lit(nBuckets.toLong)).as("__dbucket")): _*)
+      .agg(count_distinct(col(distinctCol)).as("__pd"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__pd")).as("n_distinct"))
+  }
+
+  /** Streaming form of the split rewrite over event-time tumbling
+    * windows. Spark refuses COUNT(DISTINCT) on a stream outright, so the
+    * rewrite goes one level deeper than the reference's: distinctness
+    * becomes a streaming DEDUP on (window, key, value) — whose state
+    * spreads by the full dedup key, so a hot key's distinct set never
+    * concentrates in one cell (the skew the reference's rule exists to
+    * melt) and whose entries evict with the watermark (the window column
+    * carries the event time) — then a per-(window, key, bucket) count of
+    * the deduped rows IS the per-bucket distinct count, and the chained
+    * level-2 aggregation sums buckets per key. Exact, and collapses to
+    * the same result as [[splitDistinctCount]] in batch. */
+  def splitDistinctCountWindowed(events: org.apache.spark.sql.DataFrame,
+      tsCol: String, keyCol: String, distinctCol: String,
+      window: String, delay: String,
+      nBuckets: Int = 16): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .select(org.apache.spark.sql.functions.window(col(tsCol), window)
+          .as("window"),
+        col(keyCol), col(distinctCol),
+        pmod(xxhash64(col(distinctCol)), lit(nBuckets.toLong)).as("__dbucket"))
+      .dropDuplicates("window", keyCol, distinctCol)
+      .groupBy(col("window"), col(keyCol), col("__dbucket"))
+      .agg(count(lit(1)).as("__pd"))
+      .groupBy(col("window"), col(keyCol))
+      .agg(sum(col("__pd")).as("n_distinct"))
+
+  /** Split-distinct rewrite over the events table, collapsed to batch:
+    * distinct values seen per (user, hour window) — the oracle states the
+    * plain COUNT(DISTINCT), the engine runs the two-level rewrite, and
+    * exactness makes them hash-equal. */
+  val q112SplitDistinct: QueryDef = QueryDef("q112_split_distinct",
+    """SELECT user_id,
+      |  epoch_us(ts) - (epoch_us(ts) % 3600000000) AS w_start_us,
+      |  count(DISTINCT value) AS n_distinct
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY user_id, w_start_us""".stripMargin) {
+    (spark, dir) =>
+      val ev = Tables(spark, dir).events
+        .withColumn("__ts", graft.core.Catalog.tsFromNanos("ts"))
+      splitDistinctCountWindowed(ev, "__ts", "user_id", "value",
+        window = "1 hour", delay = "0 seconds")
+        .select(col("user_id"),
+          (unix_micros(col("window.start"))).as("w_start_us"),
+          col("n_distinct"))
+        .orderBy(col("user_id"), col("w_start_us"))
+  }
 
   /** UDTF: explode words laterally, global top-50 word frequencies. */
   val q37LateralExplode: QueryDef = QueryDef("q37_lateral_explode",
