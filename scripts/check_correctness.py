@@ -49,10 +49,15 @@ def main(out_dir, sf_dir):
         # representation-sensitive (pandas dtypes), so a value-exact result
         # in a different type (HUGEINT vs BIGINT, DECIMAL(38,2) vs (22,2))
         # still hash-fails. DESCRIBE both sides and require identical types.
+        # signed int widths all coerce to pandas int64 in the driver, so
+        # TINYINT..BIGINT are one family; HUGEINT (-> float64/object) and
+        # DECIMAL precision stay strict.
+        def tnorm(t):
+            return "INTLIKE" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
         try:
-            got_t = dict(r[:2] for r in con.execute(
+            got_t = dict((r[0], tnorm(r[1])) for r in con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall())
-            exp_t = dict(r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall())
+            exp_t = dict((r[0], tnorm(r[1])) for r in con.execute(f"DESCRIBE {sql}").fetchall())
             if got_t != exp_t:
                 diff = {c: (got_t.get(c), exp_t.get(c))
                         for c in set(got_t) | set(exp_t)

@@ -57,14 +57,17 @@ object TpcDsLiteral {
     Seq(literal("qds03_literal", Q3), literal("qds19_literal", Q19),
       literal("qds42_literal", Q42), literal("qds52_literal", Q52),
       literal("qds55_literal", Q55), literal("qds98_literal", Q98),
-      literal("qds59_literal", Q59))
+      literal("qds59_literal", Q59), literal("qds36_literal", Q36),
+      literal("qds53_literal", Q53), literal("qds63_literal", Q63),
+      literal("qds65_literal", Q65), literal("qds89_literal", Q89))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
     * stripped, whitespace collapsed) to prove verbatimness. */
   def texts: Map[String, String] =
     Map("q3" -> Q3, "q19" -> Q19, "q42" -> Q42, "q52" -> Q52, "q55" -> Q55,
-      "q98" -> Q98, "q59" -> Q59)
+      "q98" -> Q98, "q59" -> Q59, "q36" -> Q36, "q53" -> Q53, "q63" -> Q63,
+      "q65" -> Q65, "q89" -> Q89)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -73,6 +76,32 @@ object TpcDsLiteral {
     "Electronics", "Home", "Jewelry", "Men", "Music", "Shoes", "Sports",
     "Women")
   private def TpcDsCategories = array(CategoryNames.map(lit): _*)
+
+  /** Real TPC-DS class vocabulary (13 names — every class the literal
+    * q53/q63/q89 texts filter on), assigned by p_partkey % 13. The
+    * moduli 10 / 13 / 16 of category / class / brand are pairwise
+    * coprime-enough that the texts' conjunctive (category, class,
+    * brand) filters always hit a deterministic nonempty slice. */
+  private val ClassNames: Seq[String] = Seq("personal", "portable",
+    "reference", "self-help", "accessories", "classical", "fragrances",
+    "pants", "dresses", "newborn", "womens", "rock", "birdal")
+  private def TpcDsClasses = array(ClassNames.map(lit): _*)
+
+  /** Real TPC-DS-style brand strings (the 8 the q53/q63 texts name, plus
+    * filler in the same grammar), assigned by p_partkey % 16;
+    * i_brand_id = the same index + 1, so brand and id stay 1:1. */
+  private val BrandNames: Seq[String] = Seq("scholaramalgamalg #14",
+    "scholaramalgamalg #7", "exportiunivamalg #9", "scholaramalgamalg #9",
+    "amalgimporto #1", "edu packscholar #1", "exportiimporto #1",
+    "importoamalg #1", "corpnameless #3", "univmaxi #5", "amalgamalg #2",
+    "brandunivamalg #4", "edu packamalg #6", "exportischolar #8",
+    "importounivamalg #10", "maxinameless #12")
+  private def TpcDsBrands = array(BrandNames.map(lit): _*)
+
+  /** Store states by s_suppkey % 5 — 'TN' first so q36's state filter
+    * selects a deterministic fifth of the stores. */
+  private val StateNames: Seq[String] = Seq("TN", "KY", "GA", "OH", "TX")
+  private def TpcDsStates = array(StateNames.map(lit): _*)
 
   /** Register the TPC-DS-named views over the fixture tables. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
@@ -87,7 +116,10 @@ object TpcDsLiteral {
         col("o_custkey").as("ss_customer_sk"),
         col("l_suppkey").as("ss_store_sk"),
         floor(col("l_extendedprice")).cast(DoubleType).as("ss_ext_sales_price"),
-        floor(col("l_extendedprice") / 10.0d).cast(DoubleType).as("ss_sales_price"))
+        floor(col("l_extendedprice") / 10.0d).cast(DoubleType).as("ss_sales_price"),
+        (floor(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))) -
+          floor(col("l_extendedprice") * 0.85d)).cast(DoubleType)
+          .as("ss_net_profit"))
       .createOrReplaceTempView("store_sales")
     // NOTE: shadows the fixture's `customer` name with the TPC-DS-shaped
     // columns. Safe session-wide: every fixture SQL query goes through
@@ -105,6 +137,9 @@ object TpcDsLiteral {
       .select(col("s_suppkey").as("s_store_sk"),
         concat(lit("store_"), col("s_suppkey").cast(StringType)).as("s_store_id"),
         concat(lit("Store#"), col("s_suppkey").cast(StringType)).as("s_store_name"),
+        lit("Unknown").as("s_company_name"),
+        element_at(TpcDsStates, (col("s_suppkey") % 5).cast(IntegerType) + 1)
+          .as("s_state"),
         (lit(10000L) + col("s_nationkey") * 137L).cast(StringType).as("s_zip"))
       .createOrReplaceTempView("store")
     orders.select(to_date(col("o_orderdate")).as("d")).distinct()
@@ -118,20 +153,24 @@ object TpcDsLiteral {
         (datediff(col("d"), lit("1970-01-01").cast(DateType))
           .cast(IntegerType) / 7).cast(IntegerType).as("d_week_seq"),
         ((year(col("d")) - 1900) * 12 + month(col("d")) - 1)
-          .cast(IntegerType).as("d_month_seq"))
+          .cast(IntegerType).as("d_month_seq"),
+        ((month(col("d")) - 1) / 3 + 1).cast(IntegerType).as("d_qoy"))
       .createOrReplaceTempView("date_dim")
     part.select(
         col("p_partkey").as("i_item_sk"),
         concat(lit("item_"), col("p_partkey").cast(StringType)).as("i_item_id"),
         col("p_name").as("i_item_desc"),
-        col("p_brand").as("i_brand"),
-        substring(col("p_brand"), 7, 10).cast(IntegerType).as("i_brand_id"),
+        element_at(TpcDsBrands, (col("p_partkey") % 16).cast(IntegerType) + 1)
+          .as("i_brand"),
+        ((col("p_partkey") % 16) + 1).cast(IntegerType).as("i_brand_id"),
         element_at(TpcDsCategories, (col("p_partkey") % 10).cast(IntegerType) + 1)
           .as("i_category"),
         ((col("p_partkey") % 10) + 1).cast(IntegerType).as("i_category_id"),
-        col("p_type").as("i_class"),
-        col("p_size").cast(IntegerType).as("i_class_id"),
+        element_at(TpcDsClasses, (col("p_partkey") % 13).cast(IntegerType) + 1)
+          .as("i_class"),
+        ((col("p_partkey") % 13) + 1).cast(IntegerType).as("i_class_id"),
         col("p_retailprice").as("i_current_price"),
+        (col("p_retailprice") * 0.5d).as("i_wholesale_cost"),
         (col("p_partkey") % 50).cast(IntegerType).as("i_manager_id"),
         (col("p_partkey") % 200).cast(IntegerType).as("i_manufact_id"),
         concat(lit("Mfg#"), (col("p_partkey") % 200).cast(IntegerType).cast(StringType))
@@ -147,7 +186,9 @@ object TpcDsLiteral {
       |    o_custkey AS ss_customer_sk,
       |    l_suppkey AS ss_store_sk,
       |    CAST(floor(l_extendedprice) AS DOUBLE) AS ss_ext_sales_price,
-      |    CAST(floor(l_extendedprice / 10) AS DOUBLE) AS ss_sales_price
+      |    CAST(floor(l_extendedprice / 10) AS DOUBLE) AS ss_sales_price,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount))
+      |      - floor(l_extendedprice * 0.85) AS DOUBLE) AS ss_net_profit
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |date_dim AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS INT) AS d_date_sk,
@@ -156,18 +197,21 @@ object TpcDsLiteral {
       |    CAST(EXTRACT(MONTH FROM d) AS INT) AS d_moy,
       |    dayname(d) AS d_day_name,
       |    CAST(date_diff('day', DATE '1970-01-01', d) // 7 AS INT) AS d_week_seq,
-      |    CAST((EXTRACT(YEAR FROM d) - 1900) * 12 + EXTRACT(MONTH FROM d) - 1 AS INT) AS d_month_seq
+      |    CAST((EXTRACT(YEAR FROM d) - 1900) * 12 + EXTRACT(MONTH FROM d) - 1 AS INT) AS d_month_seq,
+      |    CAST((EXTRACT(MONTH FROM d) - 1) // 3 + 1 AS INT) AS d_qoy
       |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)),
       |item AS (
       |  SELECT p_partkey AS i_item_sk,
       |    'item_' || CAST(p_partkey AS VARCHAR) AS i_item_id,
       |    p_name AS i_item_desc,
-      |    p_brand AS i_brand,
-      |    CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
+      |    (${BrandNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(p_partkey % 16 AS INT) + 1] AS i_brand,
+      |    CAST(p_partkey % 16 + 1 AS INT) AS i_brand_id,
       |    (${CategoryNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(p_partkey % 10 AS INT) + 1] AS i_category,
       |    CAST(p_partkey % 10 + 1 AS INT) AS i_category_id,
-      |    p_type AS i_class, CAST(p_size AS INT) AS i_class_id,
+      |    (${ClassNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(p_partkey % 13 AS INT) + 1] AS i_class,
+      |    CAST(p_partkey % 13 + 1 AS INT) AS i_class_id,
       |    p_retailprice AS i_current_price,
+      |    p_retailprice * 0.5 AS i_wholesale_cost,
       |    CAST(p_partkey % 50 AS INT) AS i_manager_id,
       |    CAST(p_partkey % 200 AS INT) AS i_manufact_id,
       |    'Mfg#' || CAST(CAST(p_partkey % 200 AS INT) AS VARCHAR) AS i_manufact
@@ -186,6 +230,8 @@ object TpcDsLiteral {
       |  SELECT s_suppkey AS s_store_sk,
       |    'store_' || CAST(s_suppkey AS VARCHAR) AS s_store_id,
       |    'Store#' || CAST(s_suppkey AS VARCHAR) AS s_store_name,
+      |    'Unknown' AS s_company_name,
+      |    (${StateNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 5 AS INT) + 1] AS s_state,
       |    CAST(10000 + s_nationkey * 137 AS VARCHAR) AS s_zip
       |  FROM supplier)""".stripMargin
 
@@ -367,6 +413,150 @@ object TpcDsLiteral {
       | where s_store_id1=s_store_id2
       |   and d_week_seq1=d_week_seq2-52
       | order by s_store_name1,s_store_id1,d_week_seq1
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q36.sql
+  private val Q36: String =
+    """select
+      |    sum(ss_net_profit)/sum(ss_ext_sales_price) as gross_margin
+      |   ,i_category
+      |   ,i_class
+      |   ,grouping(i_category)+grouping(i_class) as lochierarchy
+      |   ,rank() over (
+      | 	partition by grouping(i_category)+grouping(i_class),
+      | 	case when grouping(i_class) = 0 then i_category end
+      | 	order by sum(ss_net_profit)/sum(ss_ext_sales_price) asc) as rank_within_parent
+      | from
+      |    store_sales
+      |   ,date_dim       d1
+      |   ,item
+      |   ,store
+      | where
+      |    d1.d_year = 1998
+      | and d1.d_date_sk = ss_sold_date_sk
+      | and i_item_sk  = ss_item_sk
+      | and s_store_sk  = ss_store_sk
+      | and s_state in ('TN','TN','TN','TN',
+      |                 'TN','TN','TN','TN')
+      | group by rollup(i_category,i_class)
+      | order by
+      |   lochierarchy desc
+      |  ,case when lochierarchy = 0 then i_category end
+      |  ,rank_within_parent
+      |  limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q53.sql
+  private val Q53: String =
+    """select  * from
+      |(select i_manufact_id,
+      |sum(ss_sales_price) sum_sales,
+      |avg(sum(ss_sales_price)) over (partition by i_manufact_id) avg_quarterly_sales
+      |from item, store_sales, date_dim, store
+      |where ss_item_sk = i_item_sk and
+      |ss_sold_date_sk = d_date_sk and
+      |ss_store_sk = s_store_sk and
+      |d_month_seq in (1176,1176+1,1176+2,1176+3,1176+4,1176+5,1176+6,1176+7,1176+8,1176+9,1176+10,1176+11) and
+      |((i_category in ('Books','Children','Electronics') and
+      |i_class in ('personal','portable','reference','self-help') and
+      |i_brand in ('scholaramalgamalg #14','scholaramalgamalg #7',
+      |		'exportiunivamalg #9','scholaramalgamalg #9'))
+      |or(i_category in ('Women','Music','Men') and
+      |i_class in ('accessories','classical','fragrances','pants') and
+      |i_brand in ('amalgimporto #1','edu packscholar #1','exportiimporto #1',
+      |		'importoamalg #1')))
+      |group by i_manufact_id, d_qoy ) tmp1
+      |where case when avg_quarterly_sales > 0
+      |	then abs (sum_sales - avg_quarterly_sales)/ avg_quarterly_sales
+      |	else null end > 0.1
+      |order by avg_quarterly_sales,
+      |	 sum_sales,
+      |	 i_manufact_id
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q63.sql
+  private val Q63: String =
+    """select  *
+      |from (select i_manager_id
+      |             ,sum(ss_sales_price) sum_sales
+      |             ,avg(sum(ss_sales_price)) over (partition by i_manager_id) avg_monthly_sales
+      |      from item
+      |          ,store_sales
+      |          ,date_dim
+      |          ,store
+      |      where ss_item_sk = i_item_sk
+      |        and ss_sold_date_sk = d_date_sk
+      |        and ss_store_sk = s_store_sk
+      |        and d_month_seq in (1176,1176+1,1176+2,1176+3,1176+4,1176+5,1176+6,1176+7,1176+8,1176+9,1176+10,1176+11)
+      |        and ((    i_category in ('Books','Children','Electronics')
+      |              and i_class in ('personal','portable','reference','self-help')
+      |              and i_brand in ('scholaramalgamalg #14','scholaramalgamalg #7',
+      |		                  'exportiunivamalg #9','scholaramalgamalg #9'))
+      |           or(    i_category in ('Women','Music','Men')
+      |              and i_class in ('accessories','classical','fragrances','pants')
+      |              and i_brand in ('amalgimporto #1','edu packscholar #1','exportiimporto #1',
+      |		                 'importoamalg #1')))
+      |group by i_manager_id, d_moy) tmp1
+      |where case when avg_monthly_sales > 0 then abs (sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1
+      |order by i_manager_id
+      |        ,avg_monthly_sales
+      |        ,sum_sales
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q65.sql
+  private val Q65: String =
+    """select
+      |	s_store_name,
+      |	i_item_desc,
+      |	sc.revenue,
+      |	i_current_price,
+      |	i_wholesale_cost,
+      |	i_brand
+      | from store, item,
+      |     (select ss_store_sk, avg(revenue) as ave
+      | 	from
+      | 	    (select  ss_store_sk, ss_item_sk,
+      | 		     sum(ss_sales_price) as revenue
+      | 		from store_sales, date_dim
+      | 		where ss_sold_date_sk = d_date_sk and d_month_seq between 1176 and 1176+11
+      | 		group by ss_store_sk, ss_item_sk) sa
+      | 	group by ss_store_sk) sb,
+      |     (select  ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue
+      | 	from store_sales, date_dim
+      | 	where ss_sold_date_sk = d_date_sk and d_month_seq between 1176 and 1176+11
+      | 	group by ss_store_sk, ss_item_sk) sc
+      | where sb.ss_store_sk = sc.ss_store_sk and
+      |       sc.revenue <= 0.1 * sb.ave and
+      |       s_store_sk = sc.ss_store_sk and
+      |       i_item_sk = sc.ss_item_sk
+      | order by s_store_name, i_item_desc
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q89.sql
+  private val Q89: String =
+    """select  *
+      |from(
+      |select i_category, i_class, i_brand,
+      |       s_store_name, s_company_name,
+      |       d_moy,
+      |       sum(ss_sales_price) sum_sales,
+      |       avg(sum(ss_sales_price)) over
+      |         (partition by i_category, i_brand, s_store_name, s_company_name)
+      |         avg_monthly_sales
+      |from item, store_sales, date_dim, store
+      |where ss_item_sk = i_item_sk and
+      |      ss_sold_date_sk = d_date_sk and
+      |      ss_store_sk = s_store_sk and
+      |      d_year in (1998) and
+      |        ((i_category in ('Women','Men','Children') and
+      |          i_class in ('dresses','accessories','newborn')
+      |         )
+      |      or (i_category in ('Shoes','Music','Jewelry') and
+      |          i_class in ('womens','rock','birdal')
+      |        ))
+      |group by i_category, i_class, i_brand,
+      |         s_store_name, s_company_name, d_moy) tmp1
+      |where case when (avg_monthly_sales <> 0) then (abs(sum_sales - avg_monthly_sales) / avg_monthly_sales) else null end > 0.1
+      |order by sum_sales - avg_monthly_sales, s_store_name
       |limit 100""".stripMargin
 
   // reference: tpcds/queries/1/q55.sql
