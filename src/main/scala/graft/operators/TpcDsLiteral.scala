@@ -59,7 +59,10 @@ object TpcDsLiteral {
       literal("qds55_literal", Q55), literal("qds98_literal", Q98),
       literal("qds59_literal", Q59), literal("qds36_literal", Q36),
       literal("qds53_literal", Q53), literal("qds63_literal", Q63),
-      literal("qds65_literal", Q65), literal("qds89_literal", Q89))
+      literal("qds65_literal", Q65), literal("qds89_literal", Q89),
+      literal("qds06_literal", Q6), literal("qds07_literal", Q7),
+      literal("qds73_literal", Q73),
+      literal("qds96_literal", Q96, outCols = Seq("cnt")))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -67,7 +70,8 @@ object TpcDsLiteral {
   def texts: Map[String, String] =
     Map("q3" -> Q3, "q19" -> Q19, "q42" -> Q42, "q52" -> Q52, "q55" -> Q55,
       "q98" -> Q98, "q59" -> Q59, "q36" -> Q36, "q53" -> Q53, "q63" -> Q63,
-      "q65" -> Q65, "q89" -> Q89)
+      "q65" -> Q65, "q89" -> Q89, "q6" -> Q6, "q7" -> Q7, "q73" -> Q73,
+      "q96" -> Q96)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -103,6 +107,27 @@ object TpcDsLiteral {
   private val StateNames: Seq[String] = Seq("TN", "KY", "GA", "OH", "TX")
   private def TpcDsStates = array(StateNames.map(lit): _*)
 
+  /** Demographic / name vocabularies for the synthesized dimension
+    * enumerations (all values the literal texts filter on, plus filler).
+    * Every synthesized table is a pure integer enumeration — `range(n)`
+    * plus modulo-indexed lists — stated once here and mirrored verbatim
+    * in the DuckDB CTEs, so both engines enumerate identical rows. */
+  private val MaritalStatuses = Seq("M", "S", "D", "W", "U")
+  private val EducationStatuses = Seq("Primary", "Secondary", "College",
+    "2 yr Degree", "4 yr Degree", "Advanced Degree", "Unknown")
+  private val BuyPotentials = Seq("1001-5000", "0-500", ">10000",
+    "5001-10000", "501-1000", "Unknown")
+  private val Salutations = Seq("Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir")
+  private val FirstNames = Seq("James", "Mary", "John", "Linda", "David",
+    "Susan", "Paul", "Karen", "Mark", "Lisa", "Alan")
+  private val LastNames = Seq("Smith", "Jones", "Brown", "Davis", "Wilson",
+    "Moore", "Taylor", "White", "Clark")
+  private val Counties = Seq("Williamson County", "Walker County",
+    "Ziebach County", "Luce County")
+  private val CdRows = 14000L
+  private val HdRows = 7200L
+  private val PromoRows = 300L
+
   /** Register the TPC-DS-named views over the fixture tables. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     val lineitem = Catalog.load(spark, dir, "lineitem")
@@ -119,7 +144,19 @@ object TpcDsLiteral {
         floor(col("l_extendedprice") / 10.0d).cast(DoubleType).as("ss_sales_price"),
         (floor(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))) -
           floor(col("l_extendedprice") * 0.85d)).cast(DoubleType)
-          .as("ss_net_profit"))
+          .as("ss_net_profit"),
+        col("l_quantity").as("ss_quantity"),
+        floor(col("l_extendedprice") / col("l_quantity")).cast(DoubleType)
+          .as("ss_list_price"),
+        floor(col("l_extendedprice") * col("l_discount")).cast(DoubleType)
+          .as("ss_coupon_amt"),
+        ((col("o_custkey") * 17L + col("l_partkey")) % CdRows + 1L).as("ss_cdemo_sk"),
+        ((col("o_custkey") * 13L + col("l_orderkey")) % HdRows + 1L).as("ss_hdemo_sk"),
+        ((col("l_partkey") + col("l_suppkey")) % PromoRows + 1L).as("ss_promo_sk"),
+        ((col("l_orderkey") * 7919L + col("l_linenumber") * 101L) % 86400L)
+          .as("ss_sold_time_sk"),
+        col("l_orderkey").as("ss_ticket_number"),
+        (col("o_custkey") % 25L).as("ss_addr_sk"))
       .createOrReplaceTempView("store_sales")
     // NOTE: shadows the fixture's `customer` name with the TPC-DS-shaped
     // columns. Safe session-wide: every fixture SQL query goes through
@@ -127,19 +164,36 @@ object TpcDsLiteral {
     // every call, and DataFrame-API queries read the parquet directly.
     Catalog.load(spark, dir, "customer")
       .select(col("c_custkey").as("c_customer_sk"),
-        col("c_nationkey").as("c_current_addr_sk"))
+        col("c_nationkey").as("c_current_addr_sk"),
+        element_at(array(FirstNames.map(lit): _*),
+          (col("c_custkey") % 11).cast(IntegerType) + 1).as("c_first_name"),
+        element_at(array(LastNames.map(lit): _*),
+          (col("c_custkey") % 9).cast(IntegerType) + 1).as("c_last_name"),
+        element_at(array(Salutations.map(lit): _*),
+          (col("c_custkey") % 6).cast(IntegerType) + 1).as("c_salutation"),
+        when(col("c_custkey") % 2 === 0, "Y").otherwise("N")
+          .as("c_preferred_cust_flag"))
       .createOrReplaceTempView("customer")
     Catalog.load(spark, dir, "nation")
       .select(col("n_nationkey").as("ca_address_sk"),
+        element_at(TpcDsStates, (col("n_nationkey") % 5).cast(IntegerType) + 1)
+          .as("ca_state"),
         (lit(10000L) + col("n_nationkey") * 137L).cast(StringType).as("ca_zip"))
       .createOrReplaceTempView("customer_address")
     Catalog.load(spark, dir, "supplier")
       .select(col("s_suppkey").as("s_store_sk"),
         concat(lit("store_"), col("s_suppkey").cast(StringType)).as("s_store_id"),
-        concat(lit("Store#"), col("s_suppkey").cast(StringType)).as("s_store_name"),
+        // exactly ONE store carries the TPC-DS template name 'ese' (q96's
+        // filter); every other name stays unique so ORDER BY s_store_name
+        // ... LIMIT cuts (q65) never tie at the boundary
+        when(col("s_suppkey") === 3, "ese")
+          .otherwise(concat(lit("Store#"), col("s_suppkey").cast(StringType)))
+          .as("s_store_name"),
         lit("Unknown").as("s_company_name"),
         element_at(TpcDsStates, (col("s_suppkey") % 5).cast(IntegerType) + 1)
           .as("s_state"),
+        element_at(array(Counties.map(lit): _*),
+          (col("s_suppkey") % 4).cast(IntegerType) + 1).as("s_county"),
         (lit(10000L) + col("s_nationkey") * 137L).cast(StringType).as("s_zip"))
       .createOrReplaceTempView("store")
     orders.select(to_date(col("o_orderdate")).as("d")).distinct()
@@ -154,8 +208,38 @@ object TpcDsLiteral {
           .cast(IntegerType) / 7).cast(IntegerType).as("d_week_seq"),
         ((year(col("d")) - 1900) * 12 + month(col("d")) - 1)
           .cast(IntegerType).as("d_month_seq"),
-        ((month(col("d")) - 1) / 3 + 1).cast(IntegerType).as("d_qoy"))
+        ((month(col("d")) - 1) / 3 + 1).cast(IntegerType).as("d_qoy"),
+        dayofmonth(col("d")).cast(IntegerType).as("d_dom"))
       .createOrReplaceTempView("date_dim")
+    // synthesized dimension enumerations: range(n) + modulo-indexed
+    // vocabularies, identical row-for-row to the DuckDB CTE mirrors
+    spark.range(CdRows).select(
+        (col("id") + 1L).as("cd_demo_sk"),
+        when(col("id") % 2 === 0, "M").otherwise("F").as("cd_gender"),
+        element_at(array(MaritalStatuses.map(lit): _*),
+          ((col("id") / 2) % 5).cast(IntegerType) + 1).as("cd_marital_status"),
+        element_at(array(EducationStatuses.map(lit): _*),
+          ((col("id") / 10) % 7).cast(IntegerType) + 1).as("cd_education_status"))
+      .createOrReplaceTempView("customer_demographics")
+    spark.range(HdRows).select(
+        (col("id") + 1L).as("hd_demo_sk"),
+        (col("id") % 10).cast(IntegerType).as("hd_dep_count"),
+        (col("id") % 6).cast(IntegerType).as("hd_vehicle_count"),
+        element_at(array(BuyPotentials.map(lit): _*),
+          ((col("id") / 10) % 6).cast(IntegerType) + 1).as("hd_buy_potential"))
+      .createOrReplaceTempView("household_demographics")
+    spark.range(86400L).select(
+        col("id").as("t_time_sk"),
+        (col("id") / 3600).cast(IntegerType).as("t_hour"),
+        ((col("id") % 3600) / 60).cast(IntegerType).as("t_minute"),
+        (col("id") % 60).cast(IntegerType).as("t_second"))
+      .createOrReplaceTempView("time_dim")
+    spark.range(PromoRows).select(
+        (col("id") + 1L).as("p_promo_sk"),
+        when(col("id") % 2 === 0, "N").otherwise("Y").as("p_channel_email"),
+        when(col("id") % 3 === 0, "N").otherwise("Y").as("p_channel_event"),
+        when(col("id") % 5 === 0, "Y").otherwise("N").as("p_channel_dmail"))
+      .createOrReplaceTempView("promotion")
     part.select(
         col("p_partkey").as("i_item_sk"),
         concat(lit("item_"), col("p_partkey").cast(StringType)).as("i_item_id"),
@@ -169,8 +253,12 @@ object TpcDsLiteral {
         element_at(TpcDsClasses, (col("p_partkey") % 13).cast(IntegerType) + 1)
           .as("i_class"),
         ((col("p_partkey") % 13) + 1).cast(IntegerType).as("i_class_id"),
-        col("p_retailprice").as("i_current_price"),
-        (col("p_retailprice") * 0.5d).as("i_wholesale_cost"),
+        // fixture retail prices span only 900..999 (max/avg = 1.05), so a
+        // partkey-derived spread widens them to 900..2199 — otherwise no
+        // item can clear q6's "price > 1.2 x category average" filter
+        (floor(col("p_retailprice")) + (col("p_partkey") % 7) * 200L)
+          .cast(DoubleType).as("i_current_price"),
+        (floor(col("p_retailprice")) * 0.5d).as("i_wholesale_cost"),
         (col("p_partkey") % 50).cast(IntegerType).as("i_manager_id"),
         (col("p_partkey") % 200).cast(IntegerType).as("i_manufact_id"),
         concat(lit("Mfg#"), (col("p_partkey") % 200).cast(IntegerType).cast(StringType))
@@ -188,7 +276,16 @@ object TpcDsLiteral {
       |    CAST(floor(l_extendedprice) AS DOUBLE) AS ss_ext_sales_price,
       |    CAST(floor(l_extendedprice / 10) AS DOUBLE) AS ss_sales_price,
       |    CAST(floor(l_extendedprice * (1.0 - l_discount))
-      |      - floor(l_extendedprice * 0.85) AS DOUBLE) AS ss_net_profit
+      |      - floor(l_extendedprice * 0.85) AS DOUBLE) AS ss_net_profit,
+      |    l_quantity AS ss_quantity,
+      |    CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) AS ss_list_price,
+      |    CAST(floor(l_extendedprice * l_discount) AS DOUBLE) AS ss_coupon_amt,
+      |    (o_custkey * 17 + l_partkey) % $CdRows + 1 AS ss_cdemo_sk,
+      |    (o_custkey * 13 + l_orderkey) % $HdRows + 1 AS ss_hdemo_sk,
+      |    (l_partkey + l_suppkey) % $PromoRows + 1 AS ss_promo_sk,
+      |    (l_orderkey * 7919 + l_linenumber * 101) % 86400 AS ss_sold_time_sk,
+      |    l_orderkey AS ss_ticket_number,
+      |    o_custkey % 25 AS ss_addr_sk
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |date_dim AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS INT) AS d_date_sk,
@@ -198,7 +295,8 @@ object TpcDsLiteral {
       |    dayname(d) AS d_day_name,
       |    CAST(date_diff('day', DATE '1970-01-01', d) // 7 AS INT) AS d_week_seq,
       |    CAST((EXTRACT(YEAR FROM d) - 1900) * 12 + EXTRACT(MONTH FROM d) - 1 AS INT) AS d_month_seq,
-      |    CAST((EXTRACT(MONTH FROM d) - 1) // 3 + 1 AS INT) AS d_qoy
+      |    CAST((EXTRACT(MONTH FROM d) - 1) // 3 + 1 AS INT) AS d_qoy,
+      |    CAST(EXTRACT(DAY FROM d) AS INT) AS d_dom
       |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)),
       |item AS (
       |  SELECT p_partkey AS i_item_sk,
@@ -210,8 +308,8 @@ object TpcDsLiteral {
       |    CAST(p_partkey % 10 + 1 AS INT) AS i_category_id,
       |    (${ClassNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(p_partkey % 13 AS INT) + 1] AS i_class,
       |    CAST(p_partkey % 13 + 1 AS INT) AS i_class_id,
-      |    p_retailprice AS i_current_price,
-      |    p_retailprice * 0.5 AS i_wholesale_cost,
+      |    CAST(floor(p_retailprice) + (p_partkey % 7) * 200 AS DOUBLE) AS i_current_price,
+      |    floor(p_retailprice) * 0.5 AS i_wholesale_cost,
       |    CAST(p_partkey % 50 AS INT) AS i_manager_id,
       |    CAST(p_partkey % 200 AS INT) AS i_manufact_id,
       |    'Mfg#' || CAST(CAST(p_partkey % 200 AS INT) AS VARCHAR) AS i_manufact
@@ -220,31 +318,71 @@ object TpcDsLiteral {
       |  -- schema-qualified: CTE names cannot carry a schema, so
       |  -- main.customer resolves to the base fixture view even though
       |  -- this CTE shadows the bare name
-      |  SELECT c_custkey AS c_customer_sk, c_nationkey AS c_current_addr_sk
+      |  SELECT c_custkey AS c_customer_sk, c_nationkey AS c_current_addr_sk,
+      |    (${FirstNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(c_custkey % 11 AS INT) + 1] AS c_first_name,
+      |    (${LastNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(c_custkey % 9 AS INT) + 1] AS c_last_name,
+      |    (${Salutations.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(c_custkey % 6 AS INT) + 1] AS c_salutation,
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag
       |  FROM main.customer),
       |customer_address AS (
       |  SELECT n_nationkey AS ca_address_sk,
+      |    (${StateNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 5 AS INT) + 1] AS ca_state,
       |    CAST(10000 + n_nationkey * 137 AS VARCHAR) AS ca_zip
       |  FROM nation),
       |store AS (
       |  SELECT s_suppkey AS s_store_sk,
       |    'store_' || CAST(s_suppkey AS VARCHAR) AS s_store_id,
-      |    'Store#' || CAST(s_suppkey AS VARCHAR) AS s_store_name,
+      |    CASE WHEN s_suppkey = 3 THEN 'ese'
+      |         ELSE 'Store#' || CAST(s_suppkey AS VARCHAR) END AS s_store_name,
       |    'Unknown' AS s_company_name,
       |    (${StateNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 5 AS INT) + 1] AS s_state,
+      |    (${Counties.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 4 AS INT) + 1] AS s_county,
       |    CAST(10000 + s_nationkey * 137 AS VARCHAR) AS s_zip
-      |  FROM supplier)""".stripMargin
+      |  FROM supplier),
+      |customer_demographics AS (
+      |  SELECT id + 1 AS cd_demo_sk,
+      |    CASE WHEN id % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+      |    (${MaritalStatuses.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((id // 2) % 5 AS INT) + 1] AS cd_marital_status,
+      |    (${EducationStatuses.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((id // 10) % 7 AS INT) + 1] AS cd_education_status
+      |  FROM range($CdRows) t(id)),
+      |household_demographics AS (
+      |  SELECT id + 1 AS hd_demo_sk,
+      |    CAST(id % 10 AS INT) AS hd_dep_count,
+      |    CAST(id % 6 AS INT) AS hd_vehicle_count,
+      |    (${BuyPotentials.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((id // 10) % 6 AS INT) + 1] AS hd_buy_potential
+      |  FROM range($HdRows) t(id)),
+      |time_dim AS (
+      |  SELECT id AS t_time_sk,
+      |    CAST(id // 3600 AS INT) AS t_hour,
+      |    CAST((id % 3600) // 60 AS INT) AS t_minute,
+      |    CAST(id % 60 AS INT) AS t_second
+      |  FROM range(86400) t(id)),
+      |promotion AS (
+      |  SELECT id + 1 AS p_promo_sk,
+      |    CASE WHEN id % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+      |    CASE WHEN id % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event,
+      |    CASE WHEN id % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail
+      |  FROM range($PromoRows) t(id))""".stripMargin
 
-  private def literal(name: String, body: String): QueryDef = {
+  private def literal(name: String, body: String,
+      outCols: Seq[String] = Nil): QueryDef = {
     // a text that opens with its own WITH clause (q59) splices into the
-    // adapter CTE list; Spark runs the body verbatim against temp views
+    // adapter CTE list; Spark runs the body verbatim against temp views.
+    // `outCols`, when given, renames the OUTPUT columns on both sides —
+    // for texts with unaliased aggregates (q96's bare count(*)) whose
+    // auto-generated names differ between engines; the text itself still
+    // runs unmodified (the oracle wraps it as a subquery with a column
+    // alias list, the Spark side renames the returned frame).
     val oracle =
-      if (body.trim.toLowerCase.startsWith("with"))
+      if (outCols.nonEmpty)
+        s"WITH $duckViews\nSELECT * FROM (\n$body\n) t(${outCols.mkString(", ")})"
+      else if (body.trim.toLowerCase.startsWith("with"))
         s"WITH $duckViews,\n${body.trim.drop(4)}"
       else s"WITH $duckViews\n$body"
     QueryDef(name, oracle) { (spark, dir) =>
       registerViews(spark, dir)
-      spark.sql(body)
+      val df = spark.sql(body)
+      if (outCols.nonEmpty) df.toDF(outCols: _*) else df
     }
   }
 
@@ -413,6 +551,97 @@ object TpcDsLiteral {
       | where s_store_id1=s_store_id2
       |   and d_week_seq1=d_week_seq2-52
       | order by s_store_name1,s_store_id1,d_week_seq1
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q6.sql
+  private val Q6: String =
+    """select  a.ca_state state, count(*) cnt
+      | from customer_address a
+      |     ,customer c
+      |     ,store_sales s
+      |     ,date_dim d
+      |     ,item i
+      | where       a.ca_address_sk = c.c_current_addr_sk
+      | 	and c.c_customer_sk = s.ss_customer_sk
+      | 	and s.ss_sold_date_sk = d.d_date_sk
+      | 	and s.ss_item_sk = i.i_item_sk
+      | 	and d.d_month_seq =
+      | 	     (select distinct (d_month_seq)
+      | 	      from date_dim
+      |               where d_year = 1998
+      | 	        and d_moy = 1 )
+      | 	and i.i_current_price > 1.2 *
+      |             (select avg(j.i_current_price)
+      | 	     from item j
+      | 	     where j.i_category = i.i_category)
+      | group by a.ca_state
+      | having count(*) >= 10
+      | order by cnt
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q7.sql
+  private val Q7: String =
+    """select  i_item_id,
+      |        avg(ss_quantity) agg1,
+      |        avg(ss_list_price) agg2,
+      |        avg(ss_coupon_amt) agg3,
+      |        avg(ss_sales_price) agg4
+      | from store_sales, customer_demographics, date_dim, item, promotion
+      | where ss_sold_date_sk = d_date_sk and
+      |       ss_item_sk = i_item_sk and
+      |       ss_cdemo_sk = cd_demo_sk and
+      |       ss_promo_sk = p_promo_sk and
+      |       cd_gender = 'M' and
+      |       cd_marital_status = 'M' and
+      |       cd_education_status = 'Primary' and
+      |       (p_channel_email = 'N' or p_channel_event = 'N') and
+      |       d_year = 1998
+      | group by i_item_id
+      | order by i_item_id
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q73.sql
+  private val Q73: String =
+    """select c_last_name
+      |       ,c_first_name
+      |       ,c_salutation
+      |       ,c_preferred_cust_flag
+      |       ,ss_ticket_number
+      |       ,cnt from
+      |   (select ss_ticket_number
+      |          ,ss_customer_sk
+      |          ,count(*) cnt
+      |    from store_sales,date_dim,store,household_demographics
+      |    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |    and store_sales.ss_store_sk = store.s_store_sk
+      |    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+      |    and date_dim.d_dom between 1 and 2
+      |    and (household_demographics.hd_buy_potential = '1001-5000' or
+      |         household_demographics.hd_buy_potential = '0-500')
+      |    and household_demographics.hd_vehicle_count > 0
+      |    and case when household_demographics.hd_vehicle_count > 0 then
+      |             household_demographics.hd_dep_count/ household_demographics.hd_vehicle_count else null end > 1
+      |    and date_dim.d_year in (1998,1998+1,1998+2)
+      |    and store.s_county in ('Williamson County','Williamson County','Williamson County','Williamson County')
+      |    group by ss_ticket_number,ss_customer_sk) dj,customer
+      |    where ss_customer_sk = c_customer_sk
+      |      and cnt between 1 and 5
+      |    order by cnt desc, c_last_name asc""".stripMargin
+
+  // reference: tpcds/queries/1/q96.sql
+  private val Q96: String =
+    """select  count(*)
+      |from store_sales
+      |    ,household_demographics
+      |    ,time_dim, store
+      |where ss_sold_time_sk = time_dim.t_time_sk
+      |    and ss_hdemo_sk = household_demographics.hd_demo_sk
+      |    and ss_store_sk = s_store_sk
+      |    and time_dim.t_hour = 20
+      |    and time_dim.t_minute >= 30
+      |    and household_demographics.hd_dep_count = 0
+      |    and store.s_store_name = 'ese'
+      |order by count(*)
       |limit 100""".stripMargin
 
   // reference: tpcds/queries/1/q36.sql
