@@ -12,14 +12,17 @@ import graft.core.{Catalog, QueryDef}
   * (reference: TpcDsBatchExecITCase.scala:104-139 over the .sql files
   * under src/test/resources/tpcds/queries/1/). The fixture catalog has no
   * 24-table TPC-DS schema, so the composite family (TpcDsComposites)
-  * transplants the *shapes*; this module closes part of the LITERAL gap:
-  * a view adapter maps the fixtures onto the TPC-DS names the simple
-  * star-report family touches (`store_sales`, `date_dim`, `item`), and
-  * the reference's own q3 / q42 / q52 / q55 texts (reference:
-  * tpcds/queries/1/{q3,q42,q52,q55}.sql, comment banners stripped,
-  * otherwise verbatim) run through `spark.sql` unchanged. The DuckDB
-  * oracle prepends the same view definitions as CTEs to the same literal
-  * text — one query body, two engines, the mapping stated once.
+  * transplants the *shapes*; this module closes the LITERAL gap for the
+  * whole store-channel family: a view adapter maps the fixtures onto the
+  * TPC-DS store_sales/date_dim/item/store/customer/customer_address
+  * names, synthesizes the pure dimension tables (customer_demographics /
+  * household_demographics / time_dim / promotion) as range(n)
+  * enumerations, and NINETEEN of the reference's own query texts
+  * (q3 q6 q7 q13 q19 q36 q42 q48 q52 q53 q55 q59 q63 q65 q73 q88 q89
+  * q96 q98, comment banners stripped, otherwise verbatim) run through
+  * `spark.sql` unchanged. The DuckDB oracle prepends the same view
+  * definitions as CTEs to the same literal text — one query body, two
+  * engines, the mapping stated once.
   *
   * Mapping (deterministic, fixture-derived):
   *   - store_sales: one row per lineitem; sold-date key = epoch-day of
@@ -62,7 +65,9 @@ object TpcDsLiteral {
       literal("qds65_literal", Q65), literal("qds89_literal", Q89),
       literal("qds06_literal", Q6), literal("qds07_literal", Q7),
       literal("qds73_literal", Q73),
-      literal("qds96_literal", Q96, outCols = Seq("cnt")))
+      literal("qds96_literal", Q96, outCols = Seq("cnt")),
+      literal("qds13_literal", Q13), literal("qds48_literal", Q48),
+      literal("qds88_literal", Q88))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -71,7 +76,7 @@ object TpcDsLiteral {
     Map("q3" -> Q3, "q19" -> Q19, "q42" -> Q42, "q52" -> Q52, "q55" -> Q55,
       "q98" -> Q98, "q59" -> Q59, "q36" -> Q36, "q53" -> Q53, "q63" -> Q63,
       "q65" -> Q65, "q89" -> Q89, "q6" -> Q6, "q7" -> Q7, "q73" -> Q73,
-      "q96" -> Q96)
+      "q96" -> Q96, "q13" -> Q13, "q48" -> Q48, "q88" -> Q88)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -156,7 +161,9 @@ object TpcDsLiteral {
         ((col("l_orderkey") * 7919L + col("l_linenumber") * 101L) % 86400L)
           .as("ss_sold_time_sk"),
         col("l_orderkey").as("ss_ticket_number"),
-        (col("o_custkey") % 25L).as("ss_addr_sk"))
+        (col("o_custkey") % 25L).as("ss_addr_sk"),
+        floor(col("l_extendedprice") * 0.8d).cast(DoubleType)
+          .as("ss_ext_wholesale_cost"))
       .createOrReplaceTempView("store_sales")
     // NOTE: shadows the fixture's `customer` name with the TPC-DS-shaped
     // columns. Safe session-wide: every fixture SQL query goes through
@@ -178,6 +185,7 @@ object TpcDsLiteral {
       .select(col("n_nationkey").as("ca_address_sk"),
         element_at(TpcDsStates, (col("n_nationkey") % 5).cast(IntegerType) + 1)
           .as("ca_state"),
+        lit("United States").as("ca_country"),
         (lit(10000L) + col("n_nationkey") * 137L).cast(StringType).as("ca_zip"))
       .createOrReplaceTempView("customer_address")
     Catalog.load(spark, dir, "supplier")
@@ -285,7 +293,8 @@ object TpcDsLiteral {
       |    (l_partkey + l_suppkey) % $PromoRows + 1 AS ss_promo_sk,
       |    (l_orderkey * 7919 + l_linenumber * 101) % 86400 AS ss_sold_time_sk,
       |    l_orderkey AS ss_ticket_number,
-      |    o_custkey % 25 AS ss_addr_sk
+      |    o_custkey % 25 AS ss_addr_sk,
+      |    CAST(floor(l_extendedprice * 0.8) AS DOUBLE) AS ss_ext_wholesale_cost
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |date_dim AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS INT) AS d_date_sk,
@@ -327,6 +336,7 @@ object TpcDsLiteral {
       |customer_address AS (
       |  SELECT n_nationkey AS ca_address_sk,
       |    (${StateNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 5 AS INT) + 1] AS ca_state,
+      |    'United States' AS ca_country,
       |    CAST(10000 + n_nationkey * 137 AS VARCHAR) AS ca_zip
       |  FROM nation),
       |store AS (
@@ -552,6 +562,216 @@ object TpcDsLiteral {
       |   and d_week_seq1=d_week_seq2-52
       | order by s_store_name1,s_store_id1,d_week_seq1
       |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q13.sql
+  private val Q13: String =
+    """select avg(ss_quantity)
+      |       ,avg(ss_ext_sales_price)
+      |       ,avg(ss_ext_wholesale_cost)
+      |       ,sum(ss_ext_wholesale_cost)
+      | from store_sales
+      |     ,store
+      |     ,customer_demographics
+      |     ,household_demographics
+      |     ,customer_address
+      |     ,date_dim
+      | where s_store_sk = ss_store_sk
+      | and  ss_sold_date_sk = d_date_sk and d_year = 2001
+      | and((ss_hdemo_sk=hd_demo_sk
+      |  and cd_demo_sk = ss_cdemo_sk
+      |  and cd_marital_status = 'U'
+      |  and cd_education_status = 'Unknown'
+      |  and ss_sales_price between 100.00 and 150.00
+      |  and hd_dep_count = 3
+      |     )or
+      |     (ss_hdemo_sk=hd_demo_sk
+      |  and cd_demo_sk = ss_cdemo_sk
+      |  and cd_marital_status = 'M'
+      |  and cd_education_status = 'Primary'
+      |  and ss_sales_price between 50.00 and 100.00
+      |  and hd_dep_count = 1
+      |     ) or
+      |     (ss_hdemo_sk=hd_demo_sk
+      |  and cd_demo_sk = ss_cdemo_sk
+      |  and cd_marital_status = 'S'
+      |  and cd_education_status = 'Secondary'
+      |  and ss_sales_price between 150.00 and 200.00
+      |  and hd_dep_count = 1
+      |     ))
+      | and((ss_addr_sk = ca_address_sk
+      |  and ca_country = 'United States'
+      |  and ca_state in ('ID', 'TN', 'SD')
+      |  and ss_net_profit between 100 and 200
+      |     ) or
+      |     (ss_addr_sk = ca_address_sk
+      |  and ca_country = 'United States'
+      |  and ca_state in ('AL', 'SC', 'OH')
+      |  and ss_net_profit between 150 and 300
+      |     ) or
+      |     (ss_addr_sk = ca_address_sk
+      |  and ca_country = 'United States'
+      |  and ca_state in ('LA', 'MO', 'GA')
+      |  and ss_net_profit between 50 and 250
+      |     ))""".stripMargin
+
+  // reference: tpcds/queries/1/q48.sql
+  private val Q48: String =
+    """select sum (ss_quantity)
+      | from store_sales, store, customer_demographics, customer_address, date_dim
+      | where s_store_sk = ss_store_sk
+      | and  ss_sold_date_sk = d_date_sk and d_year = 1998
+      | and
+      | (
+      |  (
+      |   cd_demo_sk = ss_cdemo_sk
+      |   and
+      |   cd_marital_status = 'U'
+      |   and
+      |   cd_education_status = 'Unknown'
+      |   and
+      |   ss_sales_price between 100.00 and 150.00
+      |   )
+      | or
+      |  (
+      |  cd_demo_sk = ss_cdemo_sk
+      |   and
+      |   cd_marital_status = 'M'
+      |   and
+      |   cd_education_status = 'Primary'
+      |   and
+      |   ss_sales_price between 50.00 and 100.00
+      |  )
+      | or
+      | (
+      |  cd_demo_sk = ss_cdemo_sk
+      |  and
+      |   cd_marital_status = 'S'
+      |   and
+      |   cd_education_status = 'Secondary'
+      |   and
+      |   ss_sales_price between 150.00 and 200.00
+      | )
+      | )
+      | and
+      | (
+      |  (
+      |  ss_addr_sk = ca_address_sk
+      |  and
+      |  ca_country = 'United States'
+      |  and
+      |  ca_state in ('ID', 'TN', 'SD')
+      |  and ss_net_profit between 0 and 2000
+      |  )
+      | or
+      |  (ss_addr_sk = ca_address_sk
+      |  and
+      |  ca_country = 'United States'
+      |  and
+      |  ca_state in ('AL', 'SC', 'OH')
+      |  and ss_net_profit between 150 and 3000
+      |  )
+      | or
+      |  (ss_addr_sk = ca_address_sk
+      |  and
+      |  ca_country = 'United States'
+      |  and
+      |  ca_state in ('LA', 'MO', 'GA')
+      |  and ss_net_profit between 50 and 25000
+      |  )
+      | )""".stripMargin
+
+  // reference: tpcds/queries/1/q88.sql
+  private val Q88: String =
+    """select  *
+      |from
+      | (select count(*) h8_30_to_9
+      | from store_sales, household_demographics , time_dim, store
+      | where ss_sold_time_sk = time_dim.t_time_sk
+      |     and ss_hdemo_sk = household_demographics.hd_demo_sk
+      |     and ss_store_sk = s_store_sk
+      |     and time_dim.t_hour = 8
+      |     and time_dim.t_minute >= 30
+      |     and ((household_demographics.hd_dep_count = -1 and household_demographics.hd_vehicle_count<=-1+2) or
+      |          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2) or
+      |          (household_demographics.hd_dep_count = 1 and household_demographics.hd_vehicle_count<=1+2))
+      |     and store.s_store_name = 'ese') s1,
+      | (select count(*) h9_to_9_30
+      | from store_sales, household_demographics , time_dim, store
+      | where ss_sold_time_sk = time_dim.t_time_sk
+      |     and ss_hdemo_sk = household_demographics.hd_demo_sk
+      |     and ss_store_sk = s_store_sk
+      |     and time_dim.t_hour = 9
+      |     and time_dim.t_minute < 30
+      |     and ((household_demographics.hd_dep_count = -1 and household_demographics.hd_vehicle_count<=-1+2) or
+      |          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2) or
+      |          (household_demographics.hd_dep_count = 1 and household_demographics.hd_vehicle_count<=1+2))
+      |     and store.s_store_name = 'ese') s2,
+      | (select count(*) h9_30_to_10
+      | from store_sales, household_demographics , time_dim, store
+      | where ss_sold_time_sk = time_dim.t_time_sk
+      |     and ss_hdemo_sk = household_demographics.hd_demo_sk
+      |     and ss_store_sk = s_store_sk
+      |     and time_dim.t_hour = 9
+      |     and time_dim.t_minute >= 30
+      |     and ((household_demographics.hd_dep_count = -1 and household_demographics.hd_vehicle_count<=-1+2) or
+      |          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2) or
+      |          (household_demographics.hd_dep_count = 1 and household_demographics.hd_vehicle_count<=1+2))
+      |     and store.s_store_name = 'ese') s3,
+      | (select count(*) h10_to_10_30
+      | from store_sales, household_demographics , time_dim, store
+      | where ss_sold_time_sk = time_dim.t_time_sk
+      |     and ss_hdemo_sk = household_demographics.hd_demo_sk
+      |     and ss_store_sk = s_store_sk
+      |     and time_dim.t_hour = 10
+      |     and time_dim.t_minute < 30
+      |     and ((household_demographics.hd_dep_count = -1 and household_demographics.hd_vehicle_count<=-1+2) or
+      |          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2) or
+      |          (household_demographics.hd_dep_count = 1 and household_demographics.hd_vehicle_count<=1+2))
+      |     and store.s_store_name = 'ese') s4,
+      | (select count(*) h10_30_to_11
+      | from store_sales, household_demographics , time_dim, store
+      | where ss_sold_time_sk = time_dim.t_time_sk
+      |     and ss_hdemo_sk = household_demographics.hd_demo_sk
+      |     and ss_store_sk = s_store_sk
+      |     and time_dim.t_hour = 10
+      |     and time_dim.t_minute >= 30
+      |     and ((household_demographics.hd_dep_count = -1 and household_demographics.hd_vehicle_count<=-1+2) or
+      |          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2) or
+      |          (household_demographics.hd_dep_count = 1 and household_demographics.hd_vehicle_count<=1+2))
+      |     and store.s_store_name = 'ese') s5,
+      | (select count(*) h11_to_11_30
+      | from store_sales, household_demographics , time_dim, store
+      | where ss_sold_time_sk = time_dim.t_time_sk
+      |     and ss_hdemo_sk = household_demographics.hd_demo_sk
+      |     and ss_store_sk = s_store_sk
+      |     and time_dim.t_hour = 11
+      |     and time_dim.t_minute < 30
+      |     and ((household_demographics.hd_dep_count = -1 and household_demographics.hd_vehicle_count<=-1+2) or
+      |          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2) or
+      |          (household_demographics.hd_dep_count = 1 and household_demographics.hd_vehicle_count<=1+2))
+      |     and store.s_store_name = 'ese') s6,
+      | (select count(*) h11_30_to_12
+      | from store_sales, household_demographics , time_dim, store
+      | where ss_sold_time_sk = time_dim.t_time_sk
+      |     and ss_hdemo_sk = household_demographics.hd_demo_sk
+      |     and ss_store_sk = s_store_sk
+      |     and time_dim.t_hour = 11
+      |     and time_dim.t_minute >= 30
+      |     and ((household_demographics.hd_dep_count = -1 and household_demographics.hd_vehicle_count<=-1+2) or
+      |          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2) or
+      |          (household_demographics.hd_dep_count = 1 and household_demographics.hd_vehicle_count<=1+2))
+      |     and store.s_store_name = 'ese') s7,
+      | (select count(*) h12_to_12_30
+      | from store_sales, household_demographics , time_dim, store
+      | where ss_sold_time_sk = time_dim.t_time_sk
+      |     and ss_hdemo_sk = household_demographics.hd_demo_sk
+      |     and ss_store_sk = s_store_sk
+      |     and time_dim.t_hour = 12
+      |     and time_dim.t_minute < 30
+      |     and ((household_demographics.hd_dep_count = -1 and household_demographics.hd_vehicle_count<=-1+2) or
+      |          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2) or
+      |          (household_demographics.hd_dep_count = 1 and household_demographics.hd_vehicle_count<=1+2))
+      |     and store.s_store_name = 'ese') s8""".stripMargin
 
   // reference: tpcds/queries/1/q6.sql
   private val Q6: String =

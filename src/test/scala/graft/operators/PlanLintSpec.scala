@@ -20,15 +20,15 @@ import graft.SparkSpec
   *    exactly one row at any data scale. The broadcast scalar is the
   *    plan you want at 100 TB; the alternative (a window over an empty
   *    partition spec) funnels the relation through one partition;
-  *  - qds88_quantity_slices: the reference q88's own shape — eight
-  *    cross-joined count(*) derived tables, every join side exactly one
-  *    row at any data scale.
+  *  - qds88_quantity_slices / qds88_literal: the reference q88's own
+  *    shape (composite and verbatim text) — eight cross-joined count(*)
+  *    derived tables, every join side exactly one row at any data scale.
   */
 class PlanLintSpec extends SparkSpec {
 
   private val whitelist =
     Set("q10_cross_join", "q87_recursive_cte", "q57_tfidf",
-      "q107_temperature_mix", "qds88_quantity_slices")
+      "q107_temperature_mix", "qds88_quantity_slices", "qds88_literal")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
