@@ -16,7 +16,7 @@ object Funnel {
 
   def defs: Seq[QueryDef] =
     Seq(q76Funnel, q83PatternRuns, q89MatchRecognize, q96PrevDefine,
-      q98ReluctantMatch, q99NextDefine, q111SkipToNextRow)
+      q98ReluctantMatch, q99NextDefine, q111SkipToNextRow, q113AllRows)
 
   /** Count view→click→purchase funnels per user (consecutive events,
     * event-time order). */
@@ -312,5 +312,53 @@ object Funnel {
       skip = SkipToNextRow)
       .toDF()
       .orderBy(col("user_id"), col("first_purchase"))
+  }
+
+  /** ALL ROWS PER MATCH with CLASSIFIER()/MATCH_NUMBER() and RUNNING vs
+    * FINAL counts (reference MatchCodeGenerator.scala:82,
+    * FlinkSqlOperatorTable RUNNING/FINAL): one output row per matched
+    * row of the q89 funnel (A=view, B+=clicks, C=purchase), tagged with
+    * the step that bound it, the per-key match ordinal, its position,
+    * and its classifier's running (per-prefix) and final (whole-match)
+    * counts. The oracle enumerates the same islands and derives each
+    * column arithmetically from the match span. */
+  val q113AllRows: QueryDef = QueryDef("q113_all_rows_match",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, rn, event_id, event_type,
+      |    MAX(CASE WHEN event_type <> 'click' THEN rn END) OVER
+      |      (PARTITION BY user_id ORDER BY rn
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s
+      |  FROM seq),
+      |hits AS (
+      |  SELECT p.user_id, p.s AS srn, p.rn AS prn,
+      |    row_number() OVER (PARTITION BY p.user_id ORDER BY p.rn) AS match_no
+      |  FROM marked p
+      |  JOIN seq v ON v.user_id = p.user_id AND v.rn = p.s AND v.event_type = 'view'
+      |  WHERE p.event_type = 'purchase' AND p.rn - p.s >= 2)
+      |SELECT h.user_id, CAST(h.match_no AS BIGINT) AS match_no,
+      |  CAST(q.rn - h.srn + 1 AS BIGINT) AS pos,
+      |  CASE WHEN q.rn = h.srn THEN 'A'
+      |       WHEN q.rn = h.prn THEN 'C' ELSE 'B' END AS classifier,
+      |  q.event_id,
+      |  CAST(CASE WHEN q.rn = h.srn OR q.rn = h.prn THEN 1
+      |            ELSE q.rn - h.srn END AS BIGINT) AS running_n,
+      |  CAST(CASE WHEN q.rn = h.srn OR q.rn = h.prn THEN 1
+      |            ELSE h.prn - h.srn - 1 END AS BIGINT) AS final_n
+      |FROM hits h
+      |JOIN seq q ON q.user_id = h.user_id AND q.rn BETWEEN h.srn AND h.prn
+      |ORDER BY h.user_id, match_no, pos""".stripMargin) { (spark, dir) =>
+    import graft.streaming.PatternMatch._
+    import graft.streaming.StatefulOps
+    matchPatternAllRows(StatefulOps.typedEvents(spark, dir), Seq(
+      Step("A", _.event_type == "view", One),
+      Step("B", _.event_type == "click", Plus),
+      Step("C", _.event_type == "purchase", One)),
+      delay = "0 seconds")
+      .toDF()
+      .orderBy(col("user_id"), col("match_no"), col("pos"))
   }
 }

@@ -109,8 +109,11 @@ object PatternMatch {
 
   /** `prev` carries the input row immediately before `rows.head` (dropped
     * from the buffer by consumption) so PREV predicates stay exact across
-    * triggers and match boundaries. */
-  case class BufState(rows: Seq[Event], prev: Option[Event])
+    * triggers and match boundaries; `nMatches` is the per-key
+    * MATCH_NUMBER high-water mark (exact in batch; in streaming it
+    * survives as long as the key holds any state). */
+  case class BufState(rows: Seq[Event], prev: Option[Event],
+      nMatches: Long = 0L)
 
   /** Result of attempting a match at a fixed start offset. */
   private sealed trait Attempt
@@ -323,7 +326,48 @@ object PatternMatch {
   def matchPattern[O: Encoder](events: Dataset[Event], steps: Seq[Step],
       delay: String, emit: (Long, Seq[Bound]) => O,
       within: Option[java.time.Duration] = None,
-      skip: SkipStrategy = SkipPastLastRow): Dataset[O] = {
+      skip: SkipStrategy = SkipPastLastRow): Dataset[O] =
+    matchPatternNumbered(events, steps, delay,
+      (key, _: Long, bound: Seq[Bound]) => Iterator.single(emit(key, bound)),
+      within, skip)
+
+  /** One output row per MATCHED ROW — SQL's `ALL ROWS PER MATCH` with
+    * `CLASSIFIER()` (the step that bound the row), `MATCH_NUMBER()` (the
+    * per-key 1-based match ordinal), the row's 1-based position in its
+    * match, and the RUNNING vs FINAL count of the row's own classifier
+    * (reference: MatchCodeGenerator.scala:82 `CLASSIFIER`/`MATCH_NUMBER`
+    * calls, FlinkSqlOperatorTable RUNNING/FINAL operators): `running_n`
+    * counts the classifier's rows up to and including this one — the
+    * RUNNING semantics every MEASURES expression has per row — while
+    * `final_n` is the whole-match count the FINAL modifier exposes. */
+  def matchPatternAllRows(events: Dataset[Event], steps: Seq[Step],
+      delay: String, within: Option[java.time.Duration] = None,
+      skip: SkipStrategy = SkipPastLastRow): Dataset[ClassifiedRow] = {
+    implicit val enc: Encoder[ClassifiedRow] = Encoders.product[ClassifiedRow]
+    matchPatternNumbered(events, steps, delay,
+      (key, matchNo: Long, bound: Seq[Bound]) => {
+        val finals = bound.map(b => b.name -> b.rows.size.toLong).toMap
+        val running = scala.collection.mutable.Map.empty[String, Long]
+        var pos = 0L
+        bound.iterator.flatMap(b => b.rows.iterator.map { row =>
+          pos += 1
+          val r = running.getOrElse(b.name, 0L) + 1
+          running(b.name) = r
+          ClassifiedRow(key, matchNo, pos, b.name, row.event_id,
+            r, finals(b.name))
+        })
+      }, within, skip)
+  }
+
+  /** One emitted row of [[matchPatternAllRows]]. */
+  final case class ClassifiedRow(user_id: Long, match_no: Long, pos: Long,
+      classifier: String, event_id: Long, running_n: Long, final_n: Long)
+
+  private def matchPatternNumbered[O: Encoder](events: Dataset[Event],
+      steps: Seq[Step], delay: String,
+      emitAll: (Long, Long, Seq[Bound]) => Iterator[O],
+      within: Option[java.time.Duration],
+      skip: SkipStrategy): Dataset[O] = {
     require(steps.nonEmpty, "PATTERN must have at least one step")
     val stepsArr = steps.toIndexedSeq
     val isBatch = !events.isStreaming
@@ -367,6 +411,8 @@ object PatternMatch {
           val (matches, retainFrom) =
             scan(stepsArr, sorted.take(closedN), isBatch, wmUs, withinUs,
               bufPrev, skip)
+          val baseNo = st.map(_.nMatches).getOrElse(0L)
+          val newCount = baseNo + matches.size
           val kept = sorted.slice(retainFrom, closedN) ++ sorted.drop(closedN)
           // the input row preceding the retained buffer, for PREV across
           // triggers; with everything consumed it is the last closed row
@@ -389,14 +435,14 @@ object PatternMatch {
                          else us + withinUs)
             if (usesPrev && newPrev.isDefined &&
                 (isBatch || markerDeadUs.exists(_ > wmUs))) {
-              state.update(BufState(Nil, newPrev))
+              state.update(BufState(Nil, newPrev, newCount))
               if (!isBatch && markerDeadUs.get != Long.MaxValue)
                 state.setTimeoutTimestamp(
                   math.max(markerDeadUs.get / 1000 + 1,
                     state.getCurrentWatermarkMs() + 1))
             } else state.remove()
           } else {
-            state.update(BufState(kept, newPrev))
+            state.update(BufState(kept, newPrev, newCount))
             if (!isBatch) {
               // ts-1 (ms) fires once the watermark REACHES the earliest
               // retained row (Spark fires strictly-after the registered
@@ -406,7 +452,9 @@ object PatternMatch {
                 math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
             }
           }
-          matches.iterator.map(emit(key, _))
+          matches.iterator.zipWithIndex.flatMap { case (m, i) =>
+            emitAll(key, baseNo + i + 1, m)
+          }
         })
   }
 }

@@ -364,6 +364,25 @@ class PatternMatchSpec extends SparkSpec {
       s"TO LAST B resumes at each match's B row: $out")
   }
 
+  test("all-rows-per-match emits classifier, match number and running/final counts") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, 0, "view"), ev(2, 1, "click"), ev(3, 2, "click"), ev(4, 3, "purchase"),
+      ev(5, 4, "view"), ev(6, 5, "click"), ev(7, 6, "purchase"))
+    val out = matchPatternAllRows(spark.createDataset(events), ABplusC,
+      "0 seconds").collect().sortBy(r => (r.match_no, r.pos)).toSeq
+    assert(out.map(r => (r.match_no, r.pos, r.classifier, r.event_id,
+      r.running_n, r.final_n)) == Seq(
+      (1L, 1L, "A", 1L, 1L, 1L),
+      (1L, 2L, "B", 2L, 1L, 2L), // RUNNING count(B)=1 of FINAL 2
+      (1L, 3L, "B", 3L, 2L, 2L),
+      (1L, 4L, "C", 4L, 1L, 1L),
+      (2L, 1L, "A", 5L, 1L, 1L),
+      (2L, 2L, "B", 6L, 1L, 1L),
+      (2L, 3L, "C", 7L, 1L, 1L)),
+      s"unexpected all-rows output: $out")
+  }
+
   test("a skip target at the match's own start row is rejected") {
     // TO FIRST A resumes where the match began — an infinite loop; the
     // reference's CEP rejects the strategy at the same point
