@@ -110,13 +110,28 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** The decode/feature pipeline (stub codec ⇒ rows-only gate; the spec
-    * pins shape, determinism and values). */
-  val q71MediaFeatures: QueryDef = QueryDef.rowsOnly("q71_media_features") {
-    (spark, dir) =>
-      extractFeatures(mediaTable(spark, dir)).toDF()
-        .select(col("doc_id"), col("format"), col("n_bytes"),
-          col("n_frames"), element_at(col("features"), 1).as("f0"))
-        .orderBy(col("doc_id"))
+  /** The decode/feature pipeline, fully oracle-checked: the stub codec's
+    * byte-histogram is SQL-expressible (the corpus is pure ASCII, so byte
+    * = codepoint), and the gated output recovers bin 0's RAW COUNT from
+    * the normalized float feature (`round(f0 * n_bytes)` — exact, the
+    * float's relative error is ~1e-7 of an integer < 2^10) instead of
+    * comparing the float division itself, whose last-ulp rounding is
+    * engine-specific. Frame count is the stride arithmetic
+    * `ceil(len / 32)`; bin-0 bytes are the codepoints ≡ 0 (mod 16),
+    * counted by the oracle with a character-class regex. */
+  val q71MediaFeatures: QueryDef = QueryDef("q71_media_features",
+    """SELECT doc_id,
+      |  ['png', 'jpeg', 'wav'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST((octet_length(encode(text)) + 31) // 32 AS BIGINT) AS n_frames,
+      |  CAST(length(regexp_replace(text, '[^\x10 0@P\x60p]', '', 'g')) AS BIGINT) AS b0
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("format"),
+        col("n_bytes").cast(LongType).as("n_bytes"),
+        col("n_frames").cast(LongType).as("n_frames"),
+        round(element_at(col("features"), 1).cast(DoubleType) * col("n_bytes"))
+          .cast(LongType).as("b0"))
+      .orderBy(col("doc_id"))
   }
 }
