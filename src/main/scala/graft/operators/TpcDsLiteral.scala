@@ -17,8 +17,8 @@ import graft.core.{Catalog, QueryDef}
   * TPC-DS store_sales/date_dim/item/store/customer/customer_address
   * names, synthesizes the pure dimension tables (customer_demographics /
   * household_demographics / time_dim / promotion) as range(n)
-  * enumerations, and NINETEEN of the reference's own query texts
-  * (q3 q6 q7 q13 q19 q36 q42 q48 q52 q53 q55 q59 q63 q65 q73 q88 q89
+  * enumerations, and TWENTY of the reference's own query texts
+  * (q1 q3 q6 q7 q13 q19 q36 q42 q48 q52 q53 q55 q59 q63 q65 q73 q88 q89
   * q96 q98, comment banners stripped, otherwise verbatim) run through
   * `spark.sql` unchanged. The DuckDB oracle prepends the same view
   * definitions as CTEs to the same literal text — one query body, two
@@ -67,7 +67,7 @@ object TpcDsLiteral {
       literal("qds73_literal", Q73),
       literal("qds96_literal", Q96, outCols = Seq("cnt")),
       literal("qds13_literal", Q13), literal("qds48_literal", Q48),
-      literal("qds88_literal", Q88))
+      literal("qds88_literal", Q88), literal("qds01_literal", Q1))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -76,7 +76,7 @@ object TpcDsLiteral {
     Map("q3" -> Q3, "q19" -> Q19, "q42" -> Q42, "q52" -> Q52, "q55" -> Q55,
       "q98" -> Q98, "q59" -> Q59, "q36" -> Q36, "q53" -> Q53, "q63" -> Q63,
       "q65" -> Q65, "q89" -> Q89, "q6" -> Q6, "q7" -> Q7, "q73" -> Q73,
-      "q96" -> Q96, "q13" -> Q13, "q48" -> Q48, "q88" -> Q88)
+      "q96" -> Q96, "q13" -> Q13, "q48" -> Q48, "q88" -> Q88, "q1" -> Q1)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -165,12 +165,27 @@ object TpcDsLiteral {
         floor(col("l_extendedprice") * 0.8d).cast(DoubleType)
           .as("ss_ext_wholesale_cost"))
       .createOrReplaceTempView("store_sales")
+    // store_returns: the returned slice of the same fact (l_returnflag
+    // 'R'), keyed like store_sales with a half-price return amount
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
+          .cast(IntegerType).as("sr_returned_date_sk"),
+        col("l_partkey").as("sr_item_sk"),
+        col("o_custkey").as("sr_customer_sk"),
+        col("l_suppkey").as("sr_store_sk"),
+        col("l_orderkey").as("sr_ticket_number"),
+        floor(col("l_extendedprice") * 0.5d).cast(DoubleType).as("sr_return_amt"))
+      .createOrReplaceTempView("store_returns")
     // NOTE: shadows the fixture's `customer` name with the TPC-DS-shaped
     // columns. Safe session-wide: every fixture SQL query goes through
     // Catalog.registerAnalyzed, which drops fixture-named temp views on
     // every call, and DataFrame-API queries read the parquet directly.
     Catalog.load(spark, dir, "customer")
       .select(col("c_custkey").as("c_customer_sk"),
+        concat(lit("cust_"), col("c_custkey").cast(StringType))
+          .as("c_customer_id"),
         col("c_nationkey").as("c_current_addr_sk"),
         element_at(array(FirstNames.map(lit): _*),
           (col("c_custkey") % 11).cast(IntegerType) + 1).as("c_first_name"),
@@ -296,6 +311,15 @@ object TpcDsLiteral {
       |    o_custkey % 25 AS ss_addr_sk,
       |    CAST(floor(l_extendedprice * 0.8) AS DOUBLE) AS ss_ext_wholesale_cost
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |store_returns AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS sr_returned_date_sk,
+      |    l_partkey AS sr_item_sk,
+      |    o_custkey AS sr_customer_sk,
+      |    l_suppkey AS sr_store_sk,
+      |    l_orderkey AS sr_ticket_number,
+      |    CAST(floor(l_extendedprice * 0.5) AS DOUBLE) AS sr_return_amt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'),
       |date_dim AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS INT) AS d_date_sk,
       |    d AS d_date,
@@ -327,7 +351,9 @@ object TpcDsLiteral {
       |  -- schema-qualified: CTE names cannot carry a schema, so
       |  -- main.customer resolves to the base fixture view even though
       |  -- this CTE shadows the bare name
-      |  SELECT c_custkey AS c_customer_sk, c_nationkey AS c_current_addr_sk,
+      |  SELECT c_custkey AS c_customer_sk,
+      |    'cust_' || CAST(c_custkey AS VARCHAR) AS c_customer_id,
+      |    c_nationkey AS c_current_addr_sk,
       |    (${FirstNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(c_custkey % 11 AS INT) + 1] AS c_first_name,
       |    (${LastNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(c_custkey % 9 AS INT) + 1] AS c_last_name,
       |    (${Salutations.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(c_custkey % 6 AS INT) + 1] AS c_salutation,
@@ -772,6 +798,31 @@ object TpcDsLiteral {
       |          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2) or
       |          (household_demographics.hd_dep_count = 1 and household_demographics.hd_vehicle_count<=1+2))
       |     and store.s_store_name = 'ese') s8""".stripMargin
+
+  // reference: tpcds/queries/1/q1.sql
+  private val Q1: String =
+    """with customer_total_return as
+      |(select sr_customer_sk as ctr_customer_sk
+      |,sr_store_sk as ctr_store_sk
+      |,sum(sr_return_amt) as ctr_total_return
+      |from store_returns
+      |,date_dim
+      |where sr_returned_date_sk = d_date_sk
+      |and d_year =1998
+      |group by sr_customer_sk
+      |,sr_store_sk)
+      | select  c_customer_id
+      |from customer_total_return ctr1
+      |,store
+      |,customer
+      |where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+      |from customer_total_return ctr2
+      |where ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+      |and s_store_sk = ctr1.ctr_store_sk
+      |and s_state = 'TN'
+      |and ctr1.ctr_customer_sk = c_customer_sk
+      |order by c_customer_id
+      |limit 100""".stripMargin
 
   // reference: tpcds/queries/1/q6.sql
   private val Q6: String =
