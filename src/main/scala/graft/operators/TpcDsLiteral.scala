@@ -17,9 +17,9 @@ import graft.core.{Catalog, QueryDef}
   * TPC-DS store_sales/date_dim/item/store/customer/customer_address
   * names, synthesizes the pure dimension tables (customer_demographics /
   * household_demographics / time_dim / promotion) as range(n)
-  * enumerations, and TWENTY of the reference's own query texts
-  * (q1 q3 q6 q7 q13 q19 q36 q42 q48 q52 q53 q55 q59 q63 q65 q73 q88 q89
-  * q96 q98, comment banners stripped, otherwise verbatim) run through
+  * enumerations, and TWENTY-FOUR of the reference's own query texts
+  * (q1 q3 q6 q7 q13 q19 q36 q42 q43 q47 q48 q50 q52 q53 q55 q59 q63 q65
+  * q70 q73 q88 q89 q96 q98, comment banners stripped, otherwise verbatim) run through
   * `spark.sql` unchanged. The DuckDB oracle prepends the same view
   * definitions as CTEs to the same literal text — one query body, two
   * engines, the mapping stated once.
@@ -67,7 +67,14 @@ object TpcDsLiteral {
       literal("qds73_literal", Q73),
       literal("qds96_literal", Q96, outCols = Seq("cnt")),
       literal("qds13_literal", Q13), literal("qds48_literal", Q48),
-      literal("qds88_literal", Q88), literal("qds01_literal", Q1))
+      literal("qds88_literal", Q88), literal("qds01_literal", Q1),
+      literal("qds43_literal", Q43), literal("qds47_literal", Q47),
+      literal("qds70_literal", Q70),
+      literal("qds50_literal", Q50, outCols = Seq("s_store_name",
+        "s_company_id", "s_street_number", "s_street_name", "s_street_type",
+        "s_suite_number", "s_city", "s_county", "s_state", "s_zip",
+        "d30", "d31_60", "d61_90", "d91_120", "d_over_120"),
+        castBigint = Set("d30", "d31_60", "d61_90", "d91_120", "d_over_120")))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -76,7 +83,8 @@ object TpcDsLiteral {
     Map("q3" -> Q3, "q19" -> Q19, "q42" -> Q42, "q52" -> Q52, "q55" -> Q55,
       "q98" -> Q98, "q59" -> Q59, "q36" -> Q36, "q53" -> Q53, "q63" -> Q63,
       "q65" -> Q65, "q89" -> Q89, "q6" -> Q6, "q7" -> Q7, "q73" -> Q73,
-      "q96" -> Q96, "q13" -> Q13, "q48" -> Q48, "q88" -> Q88, "q1" -> Q1)
+      "q96" -> Q96, "q13" -> Q13, "q48" -> Q48, "q88" -> Q88, "q1" -> Q1,
+      "q43" -> Q43, "q47" -> Q47, "q50" -> Q50, "q70" -> Q70)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -129,6 +137,11 @@ object TpcDsLiteral {
     "Moore", "Taylor", "White", "Clark")
   private val Counties = Seq("Williamson County", "Walker County",
     "Ziebach County", "Luce County")
+  private val StreetNames = Seq("Main", "Oak", "Park", "Cedar", "Elm",
+    "Maple")
+  private val StreetTypes = Seq("Street", "Ave", "Blvd", "Ct")
+  private val CityNames = Seq("Midway", "Fairview", "Oak Grove",
+    "Five Points", "Centerville", "Riverside")
   private val CdRows = 14000L
   private val HdRows = 7200L
   private val PromoRows = 300L
@@ -177,6 +190,13 @@ object TpcDsLiteral {
         col("l_suppkey").as("sr_store_sk"),
         col("l_orderkey").as("sr_ticket_number"),
         floor(col("l_extendedprice") * 0.5d).cast(DoubleType).as("sr_return_amt"))
+      // the return lands 0..149 days after the sale (orderkey-derived),
+      // so q50's day-bucket arithmetic exercises every band; a return
+      // date with no order on it simply finds no date_dim row — the
+      // same deterministic drop on both engines
+      .withColumn("sr_returned_date_sk",
+        (col("sr_returned_date_sk") +
+          (col("sr_ticket_number") * 31L) % 150L).cast(IntegerType))
       .createOrReplaceTempView("store_returns")
     // NOTE: shadows the fixture's `customer` name with the TPC-DS-shaped
     // columns. Safe session-wide: every fixture SQL query goes through
@@ -217,7 +237,18 @@ object TpcDsLiteral {
           .as("s_state"),
         element_at(array(Counties.map(lit): _*),
           (col("s_suppkey") % 4).cast(IntegerType) + 1).as("s_county"),
-        (lit(10000L) + col("s_nationkey") * 137L).cast(StringType).as("s_zip"))
+        (lit(10000L) + col("s_nationkey") * 137L).cast(StringType).as("s_zip"),
+        (col("s_suppkey") % 5 + 1).cast(IntegerType).as("s_company_id"),
+        (col("s_suppkey") % 999).cast(StringType).as("s_street_number"),
+        element_at(array(StreetNames.map(lit): _*),
+          (col("s_suppkey") % 6).cast(IntegerType) + 1).as("s_street_name"),
+        element_at(array(StreetTypes.map(lit): _*),
+          (col("s_suppkey") % 4).cast(IntegerType) + 1).as("s_street_type"),
+        concat(lit("Suite "), ((col("s_suppkey") % 10) * 10).cast(StringType))
+          .as("s_suite_number"),
+        element_at(array(CityNames.map(lit): _*),
+          (col("s_suppkey") % 6).cast(IntegerType) + 1).as("s_city"),
+        (lit(-5) + (col("s_suppkey") % 2)).cast(IntegerType).as("s_gmt_offset"))
       .createOrReplaceTempView("store")
     orders.select(to_date(col("o_orderdate")).as("d")).distinct()
       .select(
@@ -312,7 +343,8 @@ object TpcDsLiteral {
       |    CAST(floor(l_extendedprice * 0.8) AS DOUBLE) AS ss_ext_wholesale_cost
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |store_returns AS (
-      |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS sr_returned_date_sk,
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      + (l_orderkey * 31) % 150 AS INT) AS sr_returned_date_sk,
       |    l_partkey AS sr_item_sk,
       |    o_custkey AS sr_customer_sk,
       |    l_suppkey AS sr_store_sk,
@@ -373,7 +405,14 @@ object TpcDsLiteral {
       |    'Unknown' AS s_company_name,
       |    (${StateNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 5 AS INT) + 1] AS s_state,
       |    (${Counties.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 4 AS INT) + 1] AS s_county,
-      |    CAST(10000 + s_nationkey * 137 AS VARCHAR) AS s_zip
+      |    CAST(10000 + s_nationkey * 137 AS VARCHAR) AS s_zip,
+      |    CAST(s_suppkey % 5 + 1 AS INT) AS s_company_id,
+      |    CAST(s_suppkey % 999 AS VARCHAR) AS s_street_number,
+      |    (${StreetNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 6 AS INT) + 1] AS s_street_name,
+      |    (${StreetTypes.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 4 AS INT) + 1] AS s_street_type,
+      |    'Suite ' || CAST((s_suppkey % 10) * 10 AS VARCHAR) AS s_suite_number,
+      |    (${CityNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 6 AS INT) + 1] AS s_city,
+      |    CAST(-5 + (s_suppkey % 2) AS INT) AS s_gmt_offset
       |  FROM supplier),
       |customer_demographics AS (
       |  SELECT id + 1 AS cd_demo_sk,
@@ -401,20 +440,30 @@ object TpcDsLiteral {
       |  FROM range($PromoRows) t(id))""".stripMargin
 
   private def literal(name: String, body: String,
-      outCols: Seq[String] = Nil): QueryDef = {
+      outCols: Seq[String] = Nil,
+      castBigint: Set[String] = Set.empty): QueryDef = {
     // a text that opens with its own WITH clause (q59) splices into the
     // adapter CTE list; Spark runs the body verbatim against temp views.
     // `outCols`, when given, renames the OUTPUT columns on both sides —
     // for texts with unaliased aggregates (q96's bare count(*)) whose
     // auto-generated names differ between engines; the text itself still
     // runs unmodified (the oracle wraps it as a subquery with a column
-    // alias list, the Spark side renames the returned frame).
+    // alias list, the Spark side renames the returned frame). The oracle
+    // copy also swaps backtick identifier quoting for double quotes —
+    // the reference texts are Flink-dialect (q50's `30 days ` aliases),
+    // which Spark parses natively but DuckDB does not.
+    val duckBody = body.replace('`', '"')
+    // `castBigint` names outCols whose DuckDB type needs pinning to
+    // BIGINT (an uncast textual sum(1) returns HUGEINT there; Spark
+    // returns BIGINT) — applied in the oracle's outer projection only.
     val oracle =
-      if (outCols.nonEmpty)
-        s"WITH $duckViews\nSELECT * FROM (\n$body\n) t(${outCols.mkString(", ")})"
-      else if (body.trim.toLowerCase.startsWith("with"))
-        s"WITH $duckViews,\n${body.trim.drop(4)}"
-      else s"WITH $duckViews\n$body"
+      if (outCols.nonEmpty) {
+        val proj = outCols.map(c =>
+          if (castBigint(c)) s"CAST($c AS BIGINT) AS $c" else c).mkString(", ")
+        s"WITH $duckViews\nSELECT $proj FROM (\n$duckBody\n) t(${outCols.mkString(", ")})"
+      } else if (body.trim.toLowerCase.startsWith("with"))
+        s"WITH $duckViews,\n${duckBody.trim.drop(4)}"
+      else s"WITH $duckViews\n$duckBody"
     QueryDef(name, oracle) { (spark, dir) =>
       registerViews(spark, dir)
       val df = spark.sql(body)
@@ -823,6 +872,173 @@ object TpcDsLiteral {
       |and ctr1.ctr_customer_sk = c_customer_sk
       |order by c_customer_id
       |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q43.sql
+  private val Q43: String =
+    """select  s_store_name, s_store_id,
+      |        sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,
+      |        sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,
+      |        sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) tue_sales,
+      |        sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,
+      |        sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,
+      |        sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,
+      |        sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales
+      | from date_dim, store_sales, store
+      | where d_date_sk = ss_sold_date_sk and
+      |       s_store_sk = ss_store_sk and
+      |       s_gmt_offset = -5 and
+      |       d_year = 1998
+      | group by s_store_name, s_store_id
+      | order by s_store_name, s_store_id,sun_sales,mon_sales,tue_sales,wed_sales,thu_sales,fri_sales,sat_sales
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q47.sql
+  private val Q47: String =
+    """with v1 as(
+      | select i_category, i_brand,
+      |        s_store_name, s_company_name,
+      |        d_year, d_moy,
+      |        sum(ss_sales_price) sum_sales,
+      |        avg(sum(ss_sales_price)) over
+      |          (partition by i_category, i_brand,
+      |                     s_store_name, s_company_name, d_year)
+      |          avg_monthly_sales,
+      |        rank() over
+      |          (partition by i_category, i_brand,
+      |                     s_store_name, s_company_name
+      |           order by d_year, d_moy) rn
+      | from item, store_sales, date_dim, store
+      | where ss_item_sk = i_item_sk and
+      |       ss_sold_date_sk = d_date_sk and
+      |       ss_store_sk = s_store_sk and
+      |       (
+      |         d_year = 1999 or
+      |         ( d_year = 1999-1 and d_moy =12) or
+      |         ( d_year = 1999+1 and d_moy =1)
+      |       )
+      | group by i_category, i_brand,
+      |          s_store_name, s_company_name,
+      |          d_year, d_moy),
+      | v2 as(
+      | select v1.i_category
+      |        ,v1.d_year
+      |        ,v1.avg_monthly_sales
+      |        ,v1.sum_sales, v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+      | from v1, v1 v1_lag, v1 v1_lead
+      | where v1.i_category = v1_lag.i_category and
+      |       v1.i_category = v1_lead.i_category and
+      |       v1.i_brand = v1_lag.i_brand and
+      |       v1.i_brand = v1_lead.i_brand and
+      |       v1.s_store_name = v1_lag.s_store_name and
+      |       v1.s_store_name = v1_lead.s_store_name and
+      |       v1.s_company_name = v1_lag.s_company_name and
+      |       v1.s_company_name = v1_lead.s_company_name and
+      |       v1.rn = v1_lag.rn + 1 and
+      |       v1.rn = v1_lead.rn - 1)
+      |  select  *
+      | from v2
+      | where  d_year = 1999 and
+      |        avg_monthly_sales > 0 and
+      |        case when avg_monthly_sales > 0 then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1
+      | order by sum_sales - avg_monthly_sales, 3
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q50.sql
+  private val Q50: String =
+    """select
+      |   s_store_name
+      |  ,s_company_id
+      |  ,s_street_number
+      |  ,s_street_name
+      |  ,s_street_type
+      |  ,s_suite_number
+      |  ,s_city
+      |  ,s_county
+      |  ,s_state
+      |  ,s_zip
+      |  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk <= 30 ) then 1 else 0 end)  AS `30 days `
+      |  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 30) and
+      |                 (sr_returned_date_sk - ss_sold_date_sk <= 60) then 1 else 0 end )  as `31 - 60 days `
+      |  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 60) and
+      |                 (sr_returned_date_sk - ss_sold_date_sk <= 90) then 1 else 0 end)  as `61 - 90 days `
+      |  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 90) and
+      |                 (sr_returned_date_sk - ss_sold_date_sk <= 120) then 1 else 0 end)  as `91 - 120 days `
+      |  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk  > 120) then 1 else 0 end)  as `>120 days `
+      |from
+      |   store_sales
+      |  ,store_returns
+      |  ,store
+      |  ,date_dim d1
+      |  ,date_dim d2
+      |where
+      |    d2.d_year = 1998
+      |and d2.d_moy  = 8
+      |and ss_ticket_number = sr_ticket_number
+      |and ss_item_sk = sr_item_sk
+      |and ss_sold_date_sk   = d1.d_date_sk
+      |and sr_returned_date_sk   = d2.d_date_sk
+      |and ss_customer_sk = sr_customer_sk
+      |and ss_store_sk = s_store_sk
+      |group by
+      |   s_store_name
+      |  ,s_company_id
+      |  ,s_street_number
+      |  ,s_street_name
+      |  ,s_street_type
+      |  ,s_suite_number
+      |  ,s_city
+      |  ,s_county
+      |  ,s_state
+      |  ,s_zip
+      |order by s_store_name
+      |        ,s_company_id
+      |        ,s_street_number
+      |        ,s_street_name
+      |        ,s_street_type
+      |        ,s_suite_number
+      |        ,s_city
+      |        ,s_county
+      |        ,s_state
+      |        ,s_zip
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q70.sql
+  private val Q70: String =
+    """select
+      |    sum(ss_net_profit) as total_sum
+      |   ,s_state
+      |   ,s_county
+      |   ,grouping(s_state)+grouping(s_county) as lochierarchy
+      |   ,rank() over (
+      | 	partition by grouping(s_state)+grouping(s_county),
+      | 	case when grouping(s_county) = 0 then s_state end
+      | 	order by sum(ss_net_profit) desc) as rank_within_parent
+      | from
+      |    store_sales
+      |   ,date_dim       d1
+      |   ,store
+      | where
+      |    d1.d_month_seq between 1176 and 1176+11
+      | and d1.d_date_sk = ss_sold_date_sk
+      | and s_store_sk  = ss_store_sk
+      | and s_state in
+      |             ( select s_state
+      |               from  (select s_state as s_state,
+      | 			    rank() over ( partition by s_state order by sum(ss_net_profit) desc) as ranking
+      |                      from   store_sales, store, date_dim
+      |                      where  d_month_seq between 1176 and 1176+11
+      | 			    and d_date_sk = ss_sold_date_sk
+      | 			    and s_store_sk  = ss_store_sk
+      |                      group by s_state
+      |                     ) tmp1
+      |               where ranking <= 5
+      |             )
+      | group by rollup(s_state,s_county)
+      | order by
+      |   lochierarchy desc
+      |  ,case when lochierarchy = 0 then s_state end
+      |  ,rank_within_parent
+      | limit 100""".stripMargin
 
   // reference: tpcds/queries/1/q6.sql
   private val Q6: String =
