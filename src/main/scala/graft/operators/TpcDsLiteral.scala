@@ -74,7 +74,12 @@ object TpcDsLiteral {
         "s_company_id", "s_street_number", "s_street_name", "s_street_type",
         "s_suite_number", "s_city", "s_county", "s_state", "s_zip",
         "d30", "d31_60", "d61_90", "d91_120", "d_over_120"),
-        castBigint = Set("d30", "d31_60", "d61_90", "d91_120", "d_over_120")))
+        castBigint = Set("d30", "d31_60", "d61_90", "d91_120", "d_over_120")),
+      literal("qds08_literal", Q8),
+      literal("qds28_literal", Q28), literal("qds46_literal", Q46),
+      literal("qds68_literal", Q68),
+      literal("qds79_literal", Q79, outCols = Seq("c_last_name",
+        "c_first_name", "s_city_30", "ss_ticket_number", "amt", "profit")))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -84,7 +89,8 @@ object TpcDsLiteral {
       "q98" -> Q98, "q59" -> Q59, "q36" -> Q36, "q53" -> Q53, "q63" -> Q63,
       "q65" -> Q65, "q89" -> Q89, "q6" -> Q6, "q7" -> Q7, "q73" -> Q73,
       "q96" -> Q96, "q13" -> Q13, "q48" -> Q48, "q88" -> Q88, "q1" -> Q1,
-      "q43" -> Q43, "q47" -> Q47, "q50" -> Q50, "q70" -> Q70)
+      "q43" -> Q43, "q47" -> Q47, "q50" -> Q50, "q70" -> Q70,
+      "q8" -> Q8, "q28" -> Q28, "q46" -> Q46, "q68" -> Q68, "q79" -> Q79)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -176,7 +182,13 @@ object TpcDsLiteral {
         col("l_orderkey").as("ss_ticket_number"),
         (col("o_custkey") % 25L).as("ss_addr_sk"),
         floor(col("l_extendedprice") * 0.8d).cast(DoubleType)
-          .as("ss_ext_wholesale_cost"))
+          .as("ss_ext_wholesale_cost"),
+        floor(col("l_extendedprice") * 0.8d / col("l_quantity"))
+          .cast(DoubleType).as("ss_wholesale_cost"),
+        floor(col("l_extendedprice") * 1.2d).cast(DoubleType)
+          .as("ss_ext_list_price"),
+        floor(col("l_extendedprice") * 0.08d).cast(DoubleType)
+          .as("ss_ext_tax"))
       .createOrReplaceTempView("store_sales")
     // store_returns: the returned slice of the same fact (l_returnflag
     // 'R'), keyed like store_sales with a half-price return amount
@@ -221,7 +233,9 @@ object TpcDsLiteral {
         element_at(TpcDsStates, (col("n_nationkey") % 5).cast(IntegerType) + 1)
           .as("ca_state"),
         lit("United States").as("ca_country"),
-        (lit(10000L) + col("n_nationkey") * 137L).cast(StringType).as("ca_zip"))
+        (lit(10000L) + col("n_nationkey") * 137L).cast(StringType).as("ca_zip"),
+        element_at(array(CityNames.map(lit): _*),
+          (col("n_nationkey") % 6).cast(IntegerType) + 1).as("ca_city"))
       .createOrReplaceTempView("customer_address")
     Catalog.load(spark, dir, "supplier")
       .select(col("s_suppkey").as("s_store_sk"),
@@ -248,7 +262,9 @@ object TpcDsLiteral {
           .as("s_suite_number"),
         element_at(array(CityNames.map(lit): _*),
           (col("s_suppkey") % 6).cast(IntegerType) + 1).as("s_city"),
-        (lit(-5) + (col("s_suppkey") % 2)).cast(IntegerType).as("s_gmt_offset"))
+        (lit(-5) + (col("s_suppkey") % 2)).cast(IntegerType).as("s_gmt_offset"),
+        (lit(200) + (col("s_suppkey") * 7) % 100).cast(IntegerType)
+          .as("s_number_employees"))
       .createOrReplaceTempView("store")
     orders.select(to_date(col("o_orderdate")).as("d")).distinct()
       .select(
@@ -263,7 +279,11 @@ object TpcDsLiteral {
         ((year(col("d")) - 1900) * 12 + month(col("d")) - 1)
           .cast(IntegerType).as("d_month_seq"),
         ((month(col("d")) - 1) / 3 + 1).cast(IntegerType).as("d_qoy"),
-        dayofmonth(col("d")).cast(IntegerType).as("d_dom"))
+        dayofmonth(col("d")).cast(IntegerType).as("d_dom"),
+        // 0=Sunday..6=Saturday from the epoch-day integer (1970-01-01
+        // was a Thursday), engine-independent by construction
+        ((datediff(col("d"), lit("1970-01-01").cast(DateType)) + 4) % 7)
+          .cast(IntegerType).as("d_dow"))
       .createOrReplaceTempView("date_dim")
     // synthesized dimension enumerations: range(n) + modulo-indexed
     // vocabularies, identical row-for-row to the DuckDB CTE mirrors
@@ -340,7 +360,10 @@ object TpcDsLiteral {
       |    (l_orderkey * 7919 + l_linenumber * 101) % 86400 AS ss_sold_time_sk,
       |    l_orderkey AS ss_ticket_number,
       |    o_custkey % 25 AS ss_addr_sk,
-      |    CAST(floor(l_extendedprice * 0.8) AS DOUBLE) AS ss_ext_wholesale_cost
+      |    CAST(floor(l_extendedprice * 0.8) AS DOUBLE) AS ss_ext_wholesale_cost,
+      |    CAST(floor(l_extendedprice * 0.8 / l_quantity) AS DOUBLE) AS ss_wholesale_cost,
+      |    CAST(floor(l_extendedprice * 1.2) AS DOUBLE) AS ss_ext_list_price,
+      |    CAST(floor(l_extendedprice * 0.08) AS DOUBLE) AS ss_ext_tax
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |store_returns AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
@@ -361,7 +384,8 @@ object TpcDsLiteral {
       |    CAST(date_diff('day', DATE '1970-01-01', d) // 7 AS INT) AS d_week_seq,
       |    CAST((EXTRACT(YEAR FROM d) - 1900) * 12 + EXTRACT(MONTH FROM d) - 1 AS INT) AS d_month_seq,
       |    CAST((EXTRACT(MONTH FROM d) - 1) // 3 + 1 AS INT) AS d_qoy,
-      |    CAST(EXTRACT(DAY FROM d) AS INT) AS d_dom
+      |    CAST(EXTRACT(DAY FROM d) AS INT) AS d_dom,
+      |    CAST((date_diff('day', DATE '1970-01-01', d) + 4) % 7 AS INT) AS d_dow
       |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)),
       |item AS (
       |  SELECT p_partkey AS i_item_sk,
@@ -395,7 +419,8 @@ object TpcDsLiteral {
       |  SELECT n_nationkey AS ca_address_sk,
       |    (${StateNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 5 AS INT) + 1] AS ca_state,
       |    'United States' AS ca_country,
-      |    CAST(10000 + n_nationkey * 137 AS VARCHAR) AS ca_zip
+      |    CAST(10000 + n_nationkey * 137 AS VARCHAR) AS ca_zip,
+      |    (${CityNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 6 AS INT) + 1] AS ca_city
       |  FROM nation),
       |store AS (
       |  SELECT s_suppkey AS s_store_sk,
@@ -412,7 +437,8 @@ object TpcDsLiteral {
       |    (${StreetTypes.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 4 AS INT) + 1] AS s_street_type,
       |    'Suite ' || CAST((s_suppkey % 10) * 10 AS VARCHAR) AS s_suite_number,
       |    (${CityNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 6 AS INT) + 1] AS s_city,
-      |    CAST(-5 + (s_suppkey % 2) AS INT) AS s_gmt_offset
+      |    CAST(-5 + (s_suppkey % 2) AS INT) AS s_gmt_offset,
+      |    CAST(200 + (s_suppkey * 7) % 100 AS INT) AS s_number_employees
       |  FROM supplier),
       |customer_demographics AS (
       |  SELECT id + 1 AS cd_demo_sk,
@@ -1287,5 +1313,266 @@ object TpcDsLiteral {
       |       and d_year=1998
       | group by i_brand, i_brand_id
       | order by ext_price desc, i_brand_id
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q8.sql
+  private val Q8: String =
+    """select  s_store_name
+      |      ,sum(ss_net_profit)
+      | from store_sales
+      |     ,date_dim
+      |     ,store,
+      |     (select ca_zip
+      |     from (
+      |      SELECT substr(ca_zip,1,5) ca_zip
+      |      FROM customer_address
+      |      WHERE substr(ca_zip,1,5) IN (
+      |                          '10000','10001','10002','10003','10004','10005',
+      |                          '10006','10007','10008','10009','10010',
+      |                          '10011','10012','10013','10014','10015',
+      |                          '10016','10017','10018','10019','10020',
+      |                          '10021','10022','10023','10024','10025',
+      |                          '10026','10027','10028','10029','10030',
+      |                          '10031','10032','10033','10034','10035',
+      |                          '10036','10037','10038','10039','10040',
+      |                          '10041','10042','10043','10044','10045',
+      |                          '10046','10047','10048','10049','10050',
+      |                          '10051','10052','10053','10054','10055',
+      |                          '10056','10057','10058','10059','10060',
+      |                          '10061','10062','10063','10064','10065',
+      |                          '10066','10067','10068','10069','10070',
+      |                          '10071','10072','10073','10074','10075',
+      |                          '10076','10077','10078','10079','10080',
+      |                          '10081','10082','10083','10084','10085',
+      |                          '10086','10087','10088','10089','10090',
+      |                          '10091','10092','10093','10094','10095',
+      |                          '10096','10097','10098','10099','10100',
+      |                          '10101','10102','10103','10104','10105',
+      |                          '10106','10107','10108','10109','10110',
+      |                          '10111','10112','10113','10114','10115',
+      |                          '10116','10117','10118','10119','10120',
+      |                          '10121','10122','10123','10124','10125',
+      |                          '10126','10127','10128','10129','10130',
+      |                          '10131','10132','10133','10134','10135',
+      |                          '10136','10137','10138','10139','10140',
+      |                          '10141','10142','10143','10144','10145',
+      |                          '10146','10147','10148','10149','10150',
+      |                          '10151','10152','10153','10154','10155',
+      |                          '10156','10157','10158','10159','10160',
+      |                          '10161','10162','10163','10164','10165',
+      |                          '10166','10167','10168','10169','10170',
+      |                          '10171','10172','10173','10174','10175',
+      |                          '10176','10177','10178','10179','10180',
+      |                          '10181','10182','10183','10184','10185',
+      |                          '10186','10187','10188','10189','10190',
+      |                          '10191','10192','10193','10194','10195',
+      |                          '10196','10197','10198','10199','10200',
+      |                          '10201','10202','10203','10204','10205',
+      |                          '10206','10207','10208','10209','10210',
+      |                          '10211','10212','10213','10214','10215',
+      |                          '10216','10217','10218','10219','10220',
+      |                          '10221','10222','10223','10224','10225',
+      |                          '10226','10227','10228','10229','10230',
+      |                          '10231','10232','10233','10234','10235',
+      |                          '10236','10237','10238','10239','10240',
+      |                          '10241','10242','10243','10244','10245',
+      |                          '10246','10247','10248','10249','10250',
+      |                          '10251','10252','10253','10254','10255',
+      |                          '10256','10257','10258','10259','10260',
+      |                          '10261','10262','10263','10264','10265',
+      |                          '10266','10267','10268','10269','10270',
+      |                          '10271','10272','10273','10274','10275',
+      |                          '10276','10277','10278','10279','10280',
+      |                          '10281','10282','10283','10284','10285',
+      |                          '10286','10287','10288','10289','10290',
+      |                          '10291','10292','10293','10294','10295',
+      |                          '10296','10297','10298','10299','10300',
+      |                          '10301','10302','10303','10304','10305',
+      |                          '10306','10307','10308','10309','10310',
+      |                          '10311','10312','10313','10314','10315',
+      |                          '10316','10317','10318','10319','10320',
+      |                          '10321','10322','10323','10324','10325',
+      |                          '10326','10327','10328','10329','10330',
+      |                          '10331','10332','10333','10334','10335',
+      |                          '10336','10337','10338','10339','10340',
+      |                          '10341','10342','10343','10344','10345',
+      |                          '10346','10347','10348','10349','10350',
+      |                          '10351','10352','10353','10354','10355',
+      |                          '10356','10357','10358','10359','10360',
+      |                          '10361','10362','10363','10364','10365',
+      |                          '10366','10367','10368','10369','10370',
+      |                          '10371','10372','10373','10374','10375',
+      |                          '10376','10377','10378','10379','10380',
+      |                          '10381','10382','10383','10384','10385',
+      |                          '10386','10387','10388','10389','10390',
+      |                          '10391','10392','10393','10394','10395',
+      |                          '10396','10397','10398','10399')
+      |     intersect
+      |      select ca_zip
+      |      from (SELECT substr(ca_zip,1,5) ca_zip,count(*) cnt
+      |            FROM customer_address, customer
+      |            WHERE ca_address_sk = c_current_addr_sk and
+      |                  c_preferred_cust_flag='Y'
+      |            group by ca_zip
+      |            having count(*) > 10)A1)A2) V1
+      | where ss_store_sk = s_store_sk
+      |  and ss_sold_date_sk = d_date_sk
+      |  and d_qoy = 1 and d_year = 1998
+      |  and (substr(s_zip,1,2) = substr(V1.ca_zip,1,2))
+      | group by s_store_name
+      | order by s_store_name
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q28.sql
+  private val Q28: String =
+    """select  *
+      |from (select avg(ss_list_price) B1_LP
+      |            ,count(ss_list_price) B1_CNT
+      |            ,count(distinct ss_list_price) B1_CNTD
+      |      from store_sales
+      |      where ss_quantity between 0 and 5
+      |        and (ss_list_price between 0 and 0+10 
+      |             or ss_coupon_amt between 0 and 0+1000
+      |             or ss_wholesale_cost between 0 and 0+20)) B1,
+      |     (select avg(ss_list_price) B2_LP
+      |            ,count(ss_list_price) B2_CNT
+      |            ,count(distinct ss_list_price) B2_CNTD
+      |      from store_sales
+      |      where ss_quantity between 6 and 10
+      |        and (ss_list_price between 1 and 1+10
+      |          or ss_coupon_amt between 1 and 1+1000
+      |          or ss_wholesale_cost between 1 and 1+20)) B2,
+      |     (select avg(ss_list_price) B3_LP
+      |            ,count(ss_list_price) B3_CNT
+      |            ,count(distinct ss_list_price) B3_CNTD
+      |      from store_sales
+      |      where ss_quantity between 11 and 15
+      |        and (ss_list_price between 2 and 2+10
+      |          or ss_coupon_amt between 2 and 2+1000
+      |          or ss_wholesale_cost between 2 and 2+20)) B3,
+      |     (select avg(ss_list_price) B4_LP
+      |            ,count(ss_list_price) B4_CNT
+      |            ,count(distinct ss_list_price) B4_CNTD
+      |      from store_sales
+      |      where ss_quantity between 16 and 20
+      |        and (ss_list_price between 3 and 3+10
+      |          or ss_coupon_amt between 3 and 3+1000
+      |          or ss_wholesale_cost between 3 and 3+20)) B4,
+      |     (select avg(ss_list_price) B5_LP
+      |            ,count(ss_list_price) B5_CNT
+      |            ,count(distinct ss_list_price) B5_CNTD
+      |      from store_sales
+      |      where ss_quantity between 21 and 25
+      |        and (ss_list_price between 4 and 4+10
+      |          or ss_coupon_amt between 4 and 4+1000
+      |          or ss_wholesale_cost between 4 and 4+20)) B5,
+      |     (select avg(ss_list_price) B6_LP
+      |            ,count(ss_list_price) B6_CNT
+      |            ,count(distinct ss_list_price) B6_CNTD
+      |      from store_sales
+      |      where ss_quantity between 26 and 30
+      |        and (ss_list_price between 5 and 5+10
+      |          or ss_coupon_amt between 5 and 5+1000
+      |          or ss_wholesale_cost between 5 and 5+20)) B6
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q46.sql
+  private val Q46: String =
+    """select  c_last_name
+      |       ,c_first_name
+      |       ,ca_city
+      |       ,bought_city
+      |       ,ss_ticket_number
+      |       ,amt,profit 
+      | from
+      |   (select ss_ticket_number
+      |          ,ss_customer_sk
+      |          ,ca_city bought_city
+      |          ,sum(ss_coupon_amt) amt
+      |          ,sum(ss_net_profit) profit
+      |    from store_sales,date_dim,store,household_demographics,customer_address 
+      |    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |    and store_sales.ss_store_sk = store.s_store_sk  
+      |    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+      |    and store_sales.ss_addr_sk = customer_address.ca_address_sk
+      |    and (household_demographics.hd_dep_count = 0 or
+      |         household_demographics.hd_vehicle_count= -1)
+      |    and date_dim.d_dow in (6,0)
+      |    and date_dim.d_year in (1998,1998+1,1998+2) 
+      |    and store.s_city in ('Midway','Fairview','Fairview','Fairview','Fairview') 
+      |    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,ca_city) dn,customer,customer_address current_addr
+      |    where ss_customer_sk = c_customer_sk
+      |      and customer.c_current_addr_sk = current_addr.ca_address_sk
+      |      and current_addr.ca_city <> bought_city
+      |  order by c_last_name
+      |          ,c_first_name
+      |          ,ca_city
+      |          ,bought_city
+      |          ,ss_ticket_number
+      |  limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q68.sql
+  private val Q68: String =
+    """select  c_last_name
+      |       ,c_first_name
+      |       ,ca_city
+      |       ,bought_city
+      |       ,ss_ticket_number
+      |       ,extended_price
+      |       ,extended_tax
+      |       ,list_price
+      | from (select ss_ticket_number
+      |             ,ss_customer_sk
+      |             ,ca_city bought_city
+      |             ,sum(ss_ext_sales_price) extended_price 
+      |             ,sum(ss_ext_list_price) list_price
+      |             ,sum(ss_ext_tax) extended_tax 
+      |       from store_sales
+      |           ,date_dim
+      |           ,store
+      |           ,household_demographics
+      |           ,customer_address 
+      |       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |         and store_sales.ss_store_sk = store.s_store_sk  
+      |        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+      |        and store_sales.ss_addr_sk = customer_address.ca_address_sk
+      |        and date_dim.d_dom between 1 and 2 
+      |        and (household_demographics.hd_dep_count = 0 or
+      |             household_demographics.hd_vehicle_count= -1)
+      |        and date_dim.d_year in (1998,1998+1,1998+2)
+      |        and store.s_city in ('Midway','Fairview')
+      |       group by ss_ticket_number
+      |               ,ss_customer_sk
+      |               ,ss_addr_sk,ca_city) dn
+      |      ,customer
+      |      ,customer_address current_addr
+      | where ss_customer_sk = c_customer_sk
+      |   and customer.c_current_addr_sk = current_addr.ca_address_sk
+      |   and current_addr.ca_city <> bought_city
+      | order by c_last_name
+      |         ,ss_ticket_number
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q79.sql
+  private val Q79: String =
+    """select 
+      |  c_last_name,c_first_name,substr(s_city,1,30),ss_ticket_number,amt,profit
+      |  from
+      |   (select ss_ticket_number
+      |          ,ss_customer_sk
+      |          ,store.s_city
+      |          ,sum(ss_coupon_amt) amt
+      |          ,sum(ss_net_profit) profit
+      |    from store_sales,date_dim,store,household_demographics
+      |    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |    and store_sales.ss_store_sk = store.s_store_sk  
+      |    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+      |    and (household_demographics.hd_dep_count = 0 or household_demographics.hd_vehicle_count > -1)
+      |    and date_dim.d_dow = 1
+      |    and date_dim.d_year in (1998,1998+1,1998+2) 
+      |    and store.s_number_employees between 200 and 295
+      |    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,store.s_city) ms,customer
+      |    where ss_customer_sk = c_customer_sk
+      | order by c_last_name,c_first_name,substr(s_city,1,30), profit
       |limit 100""".stripMargin
 }

@@ -22,13 +22,16 @@ import graft.SparkSpec
   *    partition spec) funnels the relation through one partition;
   *  - qds88_quantity_slices / qds88_literal: the reference q88's own
   *    shape (composite and verbatim text) — eight cross-joined count(*)
-  *    derived tables, every join side exactly one row at any data scale.
+  *    derived tables, every join side exactly one row at any data scale;
+  *  - qds28_literal: same family — six cross-joined single-row
+  *    aggregate buckets (the verbatim q28 text).
   */
 class PlanLintSpec extends SparkSpec {
 
   private val whitelist =
     Set("q10_cross_join", "q87_recursive_cte", "q57_tfidf",
-      "q107_temperature_mix", "qds88_quantity_slices", "qds88_literal")
+      "q107_temperature_mix", "qds88_quantity_slices", "qds88_literal",
+      "qds28_literal")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
