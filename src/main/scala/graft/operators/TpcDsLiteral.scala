@@ -79,7 +79,9 @@ object TpcDsLiteral {
       literal("qds28_literal", Q28), literal("qds46_literal", Q46),
       literal("qds68_literal", Q68),
       literal("qds79_literal", Q79, outCols = Seq("c_last_name",
-        "c_first_name", "s_city_30", "ss_ticket_number", "amt", "profit")))
+        "c_first_name", "s_city_30", "ss_ticket_number", "amt", "profit")),
+      literal("qds41_literal", Q41), literal("qds24a_literal", Q24A),
+      literal("qds24b_literal", Q24B))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -90,7 +92,8 @@ object TpcDsLiteral {
       "q65" -> Q65, "q89" -> Q89, "q6" -> Q6, "q7" -> Q7, "q73" -> Q73,
       "q96" -> Q96, "q13" -> Q13, "q48" -> Q48, "q88" -> Q88, "q1" -> Q1,
       "q43" -> Q43, "q47" -> Q47, "q50" -> Q50, "q70" -> Q70,
-      "q8" -> Q8, "q28" -> Q28, "q46" -> Q46, "q68" -> Q68, "q79" -> Q79)
+      "q8" -> Q8, "q28" -> Q28, "q46" -> Q46, "q68" -> Q68, "q79" -> Q79,
+      "q41" -> Q41, "q24a" -> Q24A, "q24b" -> Q24B)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -148,6 +151,18 @@ object TpcDsLiteral {
   private val StreetTypes = Seq("Street", "Ave", "Blvd", "Ct")
   private val CityNames = Seq("Midway", "Fairview", "Oak Grove",
     "Five Points", "Centerville", "Riverside")
+
+  /** The 16 colors q41's branches name, in its own pairing order (so a
+    * branch's color pair is two adjacent indices); likewise the 16 unit
+    * names and 6 sizes. q24 filters on yellow/almond — indices 0/1. */
+  private val ColorNames = Seq("yellow", "almond", "antique", "aquamarine",
+    "azure", "beige", "bisque", "black", "blanched", "blue", "blush",
+    "brown", "burlywood", "burnished", "chartreuse", "chiffon")
+  private val UnitNames = Seq("N/A", "Unknown", "Each", "Dozen", "Case",
+    "Pallet", "Gross", "Carton", "Box", "Bunch", "Bundle", "Oz", "Lb",
+    "Ton", "Ounce", "Pound")
+  private val SizeNames = Seq("N/A", "petite", "small", "medium", "large",
+    "extra large")
   private val CdRows = 14000L
   private val HdRows = 7200L
   private val PromoRows = 300L
@@ -188,7 +203,9 @@ object TpcDsLiteral {
         floor(col("l_extendedprice") * 1.2d).cast(DoubleType)
           .as("ss_ext_list_price"),
         floor(col("l_extendedprice") * 0.08d).cast(DoubleType)
-          .as("ss_ext_tax"))
+          .as("ss_ext_tax"),
+        floor(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast(DoubleType).as("ss_net_paid"))
       .createOrReplaceTempView("store_sales")
     // store_returns: the returned slice of the same fact (l_returnflag
     // 'R'), keyed like store_sales with a half-price return amount
@@ -226,7 +243,11 @@ object TpcDsLiteral {
         element_at(array(Salutations.map(lit): _*),
           (col("c_custkey") % 6).cast(IntegerType) + 1).as("c_salutation"),
         when(col("c_custkey") % 2 === 0, "Y").otherwise("N")
-          .as("c_preferred_cust_flag"))
+          .as("c_preferred_cust_flag"),
+        // every fixture customer is US-born, so q24's
+        // `c_birth_country = upper(ca_country)` keeps all rows —
+        // the join's selectivity lives in s_zip = ca_zip instead
+        lit("UNITED STATES").as("c_birth_country"))
       .createOrReplaceTempView("customer")
     Catalog.load(spark, dir, "nation")
       .select(col("n_nationkey").as("ca_address_sk"),
@@ -264,7 +285,8 @@ object TpcDsLiteral {
           (col("s_suppkey") % 6).cast(IntegerType) + 1).as("s_city"),
         (lit(-5) + (col("s_suppkey") % 2)).cast(IntegerType).as("s_gmt_offset"),
         (lit(200) + (col("s_suppkey") * 7) % 100).cast(IntegerType)
-          .as("s_number_employees"))
+          .as("s_number_employees"),
+        ((col("s_suppkey") % 10) + 1).cast(IntegerType).as("s_market_id"))
       .createOrReplaceTempView("store")
     orders.select(to_date(col("o_orderdate")).as("d")).distinct()
       .select(
@@ -334,9 +356,30 @@ object TpcDsLiteral {
           .cast(DoubleType).as("i_current_price"),
         (floor(col("p_retailprice")) * 0.5d).as("i_wholesale_cost"),
         (col("p_partkey") % 50).cast(IntegerType).as("i_manager_id"),
-        (col("p_partkey") % 200).cast(IntegerType).as("i_manufact_id"),
-        concat(lit("Mfg#"), (col("p_partkey") % 200).cast(IntegerType).cast(StringType))
-          .as("i_manufact"))
+        // manufact_id spans 0..999 so q41's `between 667 and 707` outer
+        // filter has a real window; the manufact NAME groups 1% of items
+        // (pk % 100) so a correlated manufacturer has ~20 items at
+        // sf0.01 — enough for q41's conjunctive attribute branches to
+        // find a sibling (name and id are deliberately decoupled, like
+        // real TPC-DS where a manufact name carries many items)
+        (col("p_partkey") % 1000).cast(IntegerType).as("i_manufact_id"),
+        concat(lit("Mfg#"), (col("p_partkey") % 100).cast(IntegerType).cast(StringType))
+          .as("i_manufact"),
+        col("p_name").as("i_product_name"),
+        // attribute cycles with periods 7/3/5 against the vocab sizes
+        // 16/16/6: pairwise non-aligned, so q41/q24's conjunctive
+        // (category, color, units, size) branches each select a small
+        // deterministic nonempty slice (simulated: 10 inner matches,
+        // 6 result items at sf0.01)
+        element_at(array(ColorNames.map(lit): _*),
+          ((col("p_partkey") / 7).cast(LongType) % 16).cast(IntegerType) + 1)
+          .as("i_color"),
+        element_at(array(UnitNames.map(lit): _*),
+          ((col("p_partkey") / 3).cast(LongType) % 16).cast(IntegerType) + 1)
+          .as("i_units"),
+        element_at(array(SizeNames.map(lit): _*),
+          ((col("p_partkey") / 5).cast(LongType) % 6).cast(IntegerType) + 1)
+          .as("i_size"))
       .createOrReplaceTempView("item")
   }
 
@@ -363,7 +406,8 @@ object TpcDsLiteral {
       |    CAST(floor(l_extendedprice * 0.8) AS DOUBLE) AS ss_ext_wholesale_cost,
       |    CAST(floor(l_extendedprice * 0.8 / l_quantity) AS DOUBLE) AS ss_wholesale_cost,
       |    CAST(floor(l_extendedprice * 1.2) AS DOUBLE) AS ss_ext_list_price,
-      |    CAST(floor(l_extendedprice * 0.08) AS DOUBLE) AS ss_ext_tax
+      |    CAST(floor(l_extendedprice * 0.08) AS DOUBLE) AS ss_ext_tax,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS ss_net_paid
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |store_returns AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
@@ -400,8 +444,12 @@ object TpcDsLiteral {
       |    CAST(floor(p_retailprice) + (p_partkey % 7) * 200 AS DOUBLE) AS i_current_price,
       |    floor(p_retailprice) * 0.5 AS i_wholesale_cost,
       |    CAST(p_partkey % 50 AS INT) AS i_manager_id,
-      |    CAST(p_partkey % 200 AS INT) AS i_manufact_id,
-      |    'Mfg#' || CAST(CAST(p_partkey % 200 AS INT) AS VARCHAR) AS i_manufact
+      |    CAST(p_partkey % 1000 AS INT) AS i_manufact_id,
+      |    'Mfg#' || CAST(CAST(p_partkey % 100 AS INT) AS VARCHAR) AS i_manufact,
+      |    p_name AS i_product_name,
+      |    (${ColorNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((p_partkey // 7) % 16 AS INT) + 1] AS i_color,
+      |    (${UnitNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((p_partkey // 3) % 16 AS INT) + 1] AS i_units,
+      |    (${SizeNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((p_partkey // 5) % 6 AS INT) + 1] AS i_size
       |  FROM part),
       |customer AS (
       |  -- schema-qualified: CTE names cannot carry a schema, so
@@ -413,7 +461,8 @@ object TpcDsLiteral {
       |    (${FirstNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(c_custkey % 11 AS INT) + 1] AS c_first_name,
       |    (${LastNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(c_custkey % 9 AS INT) + 1] AS c_last_name,
       |    (${Salutations.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(c_custkey % 6 AS INT) + 1] AS c_salutation,
-      |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+      |    'UNITED STATES' AS c_birth_country
       |  FROM main.customer),
       |customer_address AS (
       |  SELECT n_nationkey AS ca_address_sk,
@@ -438,7 +487,8 @@ object TpcDsLiteral {
       |    'Suite ' || CAST((s_suppkey % 10) * 10 AS VARCHAR) AS s_suite_number,
       |    (${CityNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 6 AS INT) + 1] AS s_city,
       |    CAST(-5 + (s_suppkey % 2) AS INT) AS s_gmt_offset,
-      |    CAST(200 + (s_suppkey * 7) % 100 AS INT) AS s_number_employees
+      |    CAST(200 + (s_suppkey * 7) % 100 AS INT) AS s_number_employees,
+      |    CAST(s_suppkey % 10 + 1 AS INT) AS s_market_id
       |  FROM supplier),
       |customer_demographics AS (
       |  SELECT id + 1 AS cd_demo_sk,
@@ -1575,4 +1625,156 @@ object TpcDsLiteral {
       |    where ss_customer_sk = c_customer_sk
       | order by c_last_name,c_first_name,substr(s_city,1,30), profit
       |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q41.sql
+  private val Q41: String =
+    """select  distinct(i_product_name)
+      | from item i1
+      | where i_manufact_id between 667 and 667+40 
+      |   and (select count(*) as item_cnt
+      |        from item
+      |        where (i_manufact = i1.i_manufact and
+      |        ((i_category = 'Women' and 
+      |        (i_color = 'yellow' or i_color = 'almond') and 
+      |        (i_units = 'N/A' or i_units = 'Unknown') and
+      |        (i_size = 'N/A' or i_size = 'petite')
+      |        ) or
+      |        (i_category = 'Women' and
+      |        (i_color = 'antique' or i_color = 'aquamarine') and
+      |        (i_units = 'Each' or i_units = 'Dozen') and
+      |        (i_size = 'small' or i_size = 'medium')
+      |        ) or
+      |        (i_category = 'Men' and
+      |        (i_color = 'azure' or i_color = 'beige') and
+      |        (i_units = 'Case' or i_units = 'Pallet') and
+      |        (i_size = 'large' or i_size = 'extra large')
+      |        ) or
+      |        (i_category = 'Men' and
+      |        (i_color = 'bisque' or i_color = 'black') and
+      |        (i_units = 'Gross' or i_units = 'Carton') and
+      |        (i_size = 'N/A' or i_size = 'petite')
+      |        ))) or
+      |       (i_manufact = i1.i_manufact and
+      |        ((i_category = 'Women' and 
+      |        (i_color = 'blanched' or i_color = 'blue') and 
+      |        (i_units = 'Box' or i_units = 'Bunch') and
+      |        (i_size = 'N/A' or i_size = 'petite')
+      |        ) or
+      |        (i_category = 'Women' and
+      |        (i_color = 'blush' or i_color = 'brown') and
+      |        (i_units = 'Bundle' or i_units = 'Oz') and
+      |        (i_size = 'small' or i_size = 'medium')
+      |        ) or
+      |        (i_category = 'Men' and
+      |        (i_color = 'burlywood' or i_color = 'burnished') and
+      |        (i_units = 'Lb' or i_units = 'Ton') and
+      |        (i_size = 'large' or i_size = 'extra large')
+      |        ) or
+      |        (i_category = 'Men' and
+      |        (i_color = 'chartreuse' or i_color = 'chiffon') and
+      |        (i_units = 'Ounce' or i_units = 'Pound') and
+      |        (i_size = 'N/A' or i_size = 'petite')
+      |        )))) > 0
+      | order by i_product_name
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q24a.sql
+  private val Q24A: String =
+    """with ssales as
+      |(select c_last_name
+      |      ,c_first_name
+      |      ,s_store_name
+      |      ,ca_state
+      |      ,s_state
+      |      ,i_color
+      |      ,i_current_price
+      |      ,i_manager_id
+      |      ,i_units
+      |      ,i_size
+      |      ,sum(ss_net_paid) netpaid
+      |from store_sales
+      |    ,store_returns
+      |    ,store
+      |    ,item
+      |    ,customer
+      |    ,customer_address
+      |where ss_ticket_number = sr_ticket_number
+      |  and ss_item_sk = sr_item_sk
+      |  and ss_customer_sk = c_customer_sk
+      |  and ss_item_sk = i_item_sk
+      |  and ss_store_sk = s_store_sk
+      |  and c_birth_country = upper(ca_country)
+      |  and s_zip = ca_zip
+      |and s_market_id=5
+      |group by c_last_name
+      |        ,c_first_name
+      |        ,s_store_name
+      |        ,ca_state
+      |        ,s_state
+      |        ,i_color
+      |        ,i_current_price
+      |        ,i_manager_id
+      |        ,i_units
+      |        ,i_size)
+      |select c_last_name
+      |      ,c_first_name
+      |      ,s_store_name
+      |      ,sum(netpaid) paid
+      |from ssales
+      |where i_color = 'yellow'
+      |group by c_last_name
+      |        ,c_first_name
+      |        ,s_store_name
+      |having sum(netpaid) > (select 0.05*avg(netpaid)
+      |                                 from ssales)""".stripMargin
+
+  // reference: tpcds/queries/1/q24b.sql
+  private val Q24B: String =
+    """with ssales as
+      |(select c_last_name
+      |      ,c_first_name
+      |      ,s_store_name
+      |      ,ca_state
+      |      ,s_state
+      |      ,i_color
+      |      ,i_current_price
+      |      ,i_manager_id
+      |      ,i_units
+      |      ,i_size
+      |      ,sum(ss_net_paid) netpaid
+      |from store_sales
+      |    ,store_returns
+      |    ,store
+      |    ,item
+      |    ,customer
+      |    ,customer_address
+      |where ss_ticket_number = sr_ticket_number
+      |  and ss_item_sk = sr_item_sk
+      |  and ss_customer_sk = c_customer_sk
+      |  and ss_item_sk = i_item_sk
+      |  and ss_store_sk = s_store_sk
+      |  and c_birth_country = upper(ca_country)
+      |  and s_zip = ca_zip
+      |  and s_market_id = 5
+      |group by c_last_name
+      |        ,c_first_name
+      |        ,s_store_name
+      |        ,ca_state
+      |        ,s_state
+      |        ,i_color
+      |        ,i_current_price
+      |        ,i_manager_id
+      |        ,i_units
+      |        ,i_size)
+      |select c_last_name
+      |      ,c_first_name
+      |      ,s_store_name
+      |      ,sum(netpaid) paid
+      |from ssales
+      |where i_color = 'almond'
+      |group by c_last_name
+      |        ,c_first_name
+      |        ,s_store_name
+      |having sum(netpaid) > (select 0.05*avg(netpaid)
+      |                           from ssales)""".stripMargin
 }

@@ -26,7 +26,11 @@ class RelationalSpec extends SparkSpec {
       "qds06_literal",
       // q8's zip INTERSECT needs > 10 preferred customers per zip;
       // sf0.001 has ~6 customers per address
-      "qds08_literal")
+      "qds08_literal",
+      // q41's conjunctive (category, color, units, size) branches need a
+      // sibling among ~2 items per manufacturer name at sf0.001
+      // (simulated: 6 result items at sf0.01, 0 at sf0.001)
+      "qds41_literal")
     val empty = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val n = graft.SparkEntry.queries(name)(spark, sf()).count()
       if (n == 0 && !emptyOk(name)) Some(name) else None
