@@ -81,7 +81,9 @@ object TpcDsLiteral {
       literal("qds79_literal", Q79, outCols = Seq("c_last_name",
         "c_first_name", "s_city_30", "ss_ticket_number", "amt", "profit")),
       literal("qds41_literal", Q41), literal("qds24a_literal", Q24A),
-      literal("qds24b_literal", Q24B))
+      literal("qds24b_literal", Q24B),
+      literal("qds09_literal", Q9), literal("qds93_literal", Q93),
+      literal("qds84_literal", Q84))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -93,7 +95,8 @@ object TpcDsLiteral {
       "q96" -> Q96, "q13" -> Q13, "q48" -> Q48, "q88" -> Q88, "q1" -> Q1,
       "q43" -> Q43, "q47" -> Q47, "q50" -> Q50, "q70" -> Q70,
       "q8" -> Q8, "q28" -> Q28, "q46" -> Q46, "q68" -> Q68, "q79" -> Q79,
-      "q41" -> Q41, "q24a" -> Q24A, "q24b" -> Q24B)
+      "q41" -> Q41, "q24a" -> Q24A, "q24b" -> Q24B,
+      "q9" -> Q9, "q93" -> Q93, "q84" -> Q84)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -166,6 +169,11 @@ object TpcDsLiteral {
   private val CdRows = 14000L
   private val HdRows = 7200L
   private val PromoRows = 300L
+  private val ReasonRows = 10L
+  private val ReasonDescs = Seq("Package was damaged", "Wrong size",
+    "Changed mind", "Arrived late", "Did not like the color",
+    "Did not like the warranty", "Found a better price", "Gift exchange",
+    "Duplicate purchase", "No reason given")
 
   /** Register the TPC-DS-named views over the fixture tables. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
@@ -205,7 +213,9 @@ object TpcDsLiteral {
         floor(col("l_extendedprice") * 0.08d).cast(DoubleType)
           .as("ss_ext_tax"),
         floor(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
-          .cast(DoubleType).as("ss_net_paid"))
+          .cast(DoubleType).as("ss_net_paid"),
+        floor(col("l_extendedprice") * col("l_discount")).cast(DoubleType)
+          .as("ss_ext_discount_amt"))
       .createOrReplaceTempView("store_sales")
     // store_returns: the returned slice of the same fact (l_returnflag
     // 'R'), keyed like store_sales with a half-price return amount
@@ -218,7 +228,14 @@ object TpcDsLiteral {
         col("o_custkey").as("sr_customer_sk"),
         col("l_suppkey").as("sr_store_sk"),
         col("l_orderkey").as("sr_ticket_number"),
-        floor(col("l_extendedprice") * 0.5d).cast(DoubleType).as("sr_return_amt"))
+        floor(col("l_extendedprice") * 0.5d).cast(DoubleType).as("sr_return_amt"),
+        floor(col("l_quantity") / 2).cast(IntegerType).as("sr_return_quantity"),
+        ((col("l_orderkey") + col("l_partkey")) % ReasonRows + 1L)
+          .as("sr_reason_sk"),
+        // the returning customer's CURRENT demographic key (same formula
+        // as the customer view), so q84's sr_cdemo_sk = c_current_cdemo_sk
+        // chain finds that customer's returns
+        ((col("o_custkey") * 19L) % CdRows + 1L).as("sr_cdemo_sk"))
       // the return lands 0..149 days after the sale (orderkey-derived),
       // so q50's day-bucket arithmetic exercises every band; a return
       // date with no order on it simply finds no date_dim row — the
@@ -247,7 +264,9 @@ object TpcDsLiteral {
         // every fixture customer is US-born, so q24's
         // `c_birth_country = upper(ca_country)` keeps all rows —
         // the join's selectivity lives in s_zip = ca_zip instead
-        lit("UNITED STATES").as("c_birth_country"))
+        lit("UNITED STATES").as("c_birth_country"),
+        ((col("c_custkey") * 19L) % CdRows + 1L).as("c_current_cdemo_sk"),
+        ((col("c_custkey") * 23L) % HdRows + 1L).as("c_current_hdemo_sk"))
       .createOrReplaceTempView("customer")
     Catalog.load(spark, dir, "nation")
       .select(col("n_nationkey").as("ca_address_sk"),
@@ -322,8 +341,20 @@ object TpcDsLiteral {
         (col("id") % 10).cast(IntegerType).as("hd_dep_count"),
         (col("id") % 6).cast(IntegerType).as("hd_vehicle_count"),
         element_at(array(BuyPotentials.map(lit): _*),
-          ((col("id") / 10) % 6).cast(IntegerType) + 1).as("hd_buy_potential"))
+          ((col("id") / 10) % 6).cast(IntegerType) + 1).as("hd_buy_potential"),
+        (col("id") % 20 + 1L).as("hd_income_band_sk"))
       .createOrReplaceTempView("household_demographics")
+    spark.range(20L).select(
+        (col("id") + 1L).as("ib_income_band_sk"),
+        (col("id") * 10000L).as("ib_lower_bound"),
+        (col("id") * 10000L + 9999L).as("ib_upper_bound"))
+      .createOrReplaceTempView("income_band")
+    spark.range(ReasonRows).select(
+        (col("id") + 1L).as("r_reason_sk"),
+        element_at(array(ReasonDescs.map(lit): _*),
+          (col("id") % ReasonDescs.size).cast(IntegerType) + 1)
+          .as("r_reason_desc"))
+      .createOrReplaceTempView("reason")
     spark.range(86400L).select(
         col("id").as("t_time_sk"),
         (col("id") / 3600).cast(IntegerType).as("t_hour"),
@@ -407,7 +438,8 @@ object TpcDsLiteral {
       |    CAST(floor(l_extendedprice * 0.8 / l_quantity) AS DOUBLE) AS ss_wholesale_cost,
       |    CAST(floor(l_extendedprice * 1.2) AS DOUBLE) AS ss_ext_list_price,
       |    CAST(floor(l_extendedprice * 0.08) AS DOUBLE) AS ss_ext_tax,
-      |    CAST(floor(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS ss_net_paid
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS ss_net_paid,
+      |    CAST(floor(l_extendedprice * l_discount) AS DOUBLE) AS ss_ext_discount_amt
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |store_returns AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
@@ -416,7 +448,10 @@ object TpcDsLiteral {
       |    o_custkey AS sr_customer_sk,
       |    l_suppkey AS sr_store_sk,
       |    l_orderkey AS sr_ticket_number,
-      |    CAST(floor(l_extendedprice * 0.5) AS DOUBLE) AS sr_return_amt
+      |    CAST(floor(l_extendedprice * 0.5) AS DOUBLE) AS sr_return_amt,
+      |    CAST(floor(l_quantity / 2) AS INT) AS sr_return_quantity,
+      |    (l_orderkey + l_partkey) % $ReasonRows + 1 AS sr_reason_sk,
+      |    (o_custkey * 19) % $CdRows + 1 AS sr_cdemo_sk
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_returnflag = 'R'),
       |date_dim AS (
@@ -462,7 +497,9 @@ object TpcDsLiteral {
       |    (${LastNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(c_custkey % 9 AS INT) + 1] AS c_last_name,
       |    (${Salutations.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(c_custkey % 6 AS INT) + 1] AS c_salutation,
       |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
-      |    'UNITED STATES' AS c_birth_country
+      |    'UNITED STATES' AS c_birth_country,
+      |    (c_custkey * 19) % $CdRows + 1 AS c_current_cdemo_sk,
+      |    (c_custkey * 23) % $HdRows + 1 AS c_current_hdemo_sk
       |  FROM main.customer),
       |customer_address AS (
       |  SELECT n_nationkey AS ca_address_sk,
@@ -500,8 +537,18 @@ object TpcDsLiteral {
       |  SELECT id + 1 AS hd_demo_sk,
       |    CAST(id % 10 AS INT) AS hd_dep_count,
       |    CAST(id % 6 AS INT) AS hd_vehicle_count,
-      |    (${BuyPotentials.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((id // 10) % 6 AS INT) + 1] AS hd_buy_potential
+      |    (${BuyPotentials.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((id // 10) % 6 AS INT) + 1] AS hd_buy_potential,
+      |    id % 20 + 1 AS hd_income_band_sk
       |  FROM range($HdRows) t(id)),
+      |income_band AS (
+      |  SELECT id + 1 AS ib_income_band_sk,
+      |    id * 10000 AS ib_lower_bound,
+      |    id * 10000 + 9999 AS ib_upper_bound
+      |  FROM range(20) t(id)),
+      |reason AS (
+      |  SELECT id + 1 AS r_reason_sk,
+      |    (${ReasonDescs.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(id % ${ReasonDescs.size} AS INT) + 1] AS r_reason_desc
+      |  FROM range($ReasonRows) t(id)),
       |time_dim AS (
       |  SELECT id AS t_time_sk,
       |    CAST(id // 3600 AS INT) AS t_hour,
@@ -1777,4 +1824,93 @@ object TpcDsLiteral {
       |        ,s_store_name
       |having sum(netpaid) > (select 0.05*avg(netpaid)
       |                           from ssales)""".stripMargin
+
+  // reference: tpcds/queries/1/q9.sql
+  private val Q9: String =
+    """select case when (select count(*) 
+      |                  from store_sales 
+      |                  where ss_quantity between 1 and 20) > 1
+      |            then (select avg(ss_ext_discount_amt) 
+      |                  from store_sales 
+      |                  where ss_quantity between 1 and 20) 
+      |            else (select avg(ss_net_paid)
+      |                  from store_sales
+      |                  where ss_quantity between 1 and 20) end bucket1 ,
+      |       case when (select count(*)
+      |                  from store_sales
+      |                  where ss_quantity between 21 and 40) > 2
+      |            then (select avg(ss_ext_discount_amt)
+      |                  from store_sales
+      |                  where ss_quantity between 21 and 40) 
+      |            else (select avg(ss_net_paid)
+      |                  from store_sales
+      |                  where ss_quantity between 21 and 40) end bucket2,
+      |       case when (select count(*)
+      |                  from store_sales
+      |                  where ss_quantity between 41 and 60) > 3
+      |            then (select avg(ss_ext_discount_amt)
+      |                  from store_sales
+      |                  where ss_quantity between 41 and 60)
+      |            else (select avg(ss_net_paid)
+      |                  from store_sales
+      |                  where ss_quantity between 41 and 60) end bucket3,
+      |       case when (select count(*)
+      |                  from store_sales
+      |                  where ss_quantity between 61 and 80) > 4
+      |            then (select avg(ss_ext_discount_amt)
+      |                  from store_sales
+      |                  where ss_quantity between 61 and 80)
+      |            else (select avg(ss_net_paid)
+      |                  from store_sales
+      |                  where ss_quantity between 61 and 80) end bucket4,
+      |       case when (select count(*)
+      |                  from store_sales
+      |                  where ss_quantity between 81 and 100) > 5
+      |            then (select avg(ss_ext_discount_amt)
+      |                  from store_sales
+      |                  where ss_quantity between 81 and 100)
+      |            else (select avg(ss_net_paid)
+      |                  from store_sales
+      |                  where ss_quantity between 81 and 100) end bucket5
+      |from reason
+      |where r_reason_sk = 1""".stripMargin
+
+  // reference: tpcds/queries/1/q93.sql
+  private val Q93: String =
+    """select  ss_customer_sk
+      |            ,sum(act_sales) sumsales
+      |      from (select ss_item_sk
+      |                  ,ss_ticket_number
+      |                  ,ss_customer_sk
+      |                  ,case when sr_return_quantity is not null then (ss_quantity-sr_return_quantity)*ss_sales_price
+      |                                                            else (ss_quantity*ss_sales_price) end act_sales
+      |            from store_sales left outer join store_returns on (sr_item_sk = ss_item_sk
+      |                                                               and sr_ticket_number = ss_ticket_number)
+      |                ,reason
+      |            where sr_reason_sk = r_reason_sk
+      |              and r_reason_desc = 'Package was damaged') t
+      |      group by ss_customer_sk
+      |      order by sumsales, ss_customer_sk
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q84.sql
+  private val Q84: String =
+    """select  c_customer_id as customer_id
+      |       , coalesce(c_last_name,'') || ', ' || coalesce(c_first_name,'') as customername
+      | from customer
+      |     ,customer_address
+      |     ,customer_demographics
+      |     ,household_demographics
+      |     ,income_band
+      |     ,store_returns
+      | where ca_city	        =  'Midway'
+      |   and c_current_addr_sk = ca_address_sk
+      |   and ib_lower_bound   >=  0
+      |   and ib_upper_bound   <=  0 + 50000
+      |   and ib_income_band_sk = hd_income_band_sk
+      |   and cd_demo_sk = c_current_cdemo_sk
+      |   and hd_demo_sk = c_current_hdemo_sk
+      |   and sr_cdemo_sk = cd_demo_sk
+      | order by c_customer_id
+      | limit 100""".stripMargin
 }
