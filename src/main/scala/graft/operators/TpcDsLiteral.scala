@@ -83,7 +83,11 @@ object TpcDsLiteral {
       literal("qds41_literal", Q41), literal("qds24a_literal", Q24A),
       literal("qds24b_literal", Q24B),
       literal("qds09_literal", Q9), literal("qds93_literal", Q93),
-      literal("qds84_literal", Q84))
+      literal("qds84_literal", Q84),
+      literal("qds15_literal", Q15), literal("qds20_literal", Q20),
+      literal("qds12_literal", Q12), literal("qds86_literal", Q86),
+      literal("qds32_literal", Q32, outCols = Seq("excess_discount_amt")),
+      literal("qds92_literal", Q92, outCols = Seq("excess_discount_amt")))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -96,7 +100,9 @@ object TpcDsLiteral {
       "q43" -> Q43, "q47" -> Q47, "q50" -> Q50, "q70" -> Q70,
       "q8" -> Q8, "q28" -> Q28, "q46" -> Q46, "q68" -> Q68, "q79" -> Q79,
       "q41" -> Q41, "q24a" -> Q24A, "q24b" -> Q24B,
-      "q9" -> Q9, "q93" -> Q93, "q84" -> Q84)
+      "q9" -> Q9, "q93" -> Q93, "q84" -> Q84,
+      "q15" -> Q15, "q20" -> Q20, "q12" -> Q12, "q86" -> Q86,
+      "q32" -> Q32, "q92" -> Q92)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -180,6 +186,56 @@ object TpcDsLiteral {
     val lineitem = Catalog.load(spark, dir, "lineitem")
     val orders = Catalog.load(spark, dir, "orders")
     val part = Catalog.load(spark, dir, "part")
+    // catalog_sales / web_sales: disjoint l_linenumber slices of the same
+    // fact (store keeps every line — it is the dominant channel in TPC-DS
+    // too), with the store_sales price formulas under bill_/ship_ naming.
+    // One projection builder, two channels; DuckDB mirrors via duckChannel.
+    def channelFact(p: String, lnMod: Int): Unit =
+      lineitem.filter(col("l_linenumber") % 3 === lnMod)
+        .join(orders, col("l_orderkey") === col("o_orderkey")).select(
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
+            .cast(IntegerType).as(s"${p}_sold_date_sk"),
+          ((col("l_orderkey") * 7919L + col("l_linenumber") * 101L) % 86400L)
+            .as(s"${p}_sold_time_sk"),
+          col("l_partkey").as(s"${p}_item_sk"),
+          col("o_custkey").as(s"${p}_bill_customer_sk"),
+          col("o_custkey").as(s"${p}_ship_customer_sk"),
+          col("l_orderkey").as(s"${p}_order_number"),
+          col("l_quantity").as(s"${p}_quantity"),
+          floor(col("l_extendedprice")).cast(DoubleType)
+            .as(s"${p}_ext_sales_price"),
+          floor(col("l_extendedprice") / 10.0d).cast(DoubleType)
+            .as(s"${p}_sales_price"),
+          floor(col("l_extendedprice") / col("l_quantity")).cast(DoubleType)
+            .as(s"${p}_list_price"),
+          floor(col("l_extendedprice") * 1.2d).cast(DoubleType)
+            .as(s"${p}_ext_list_price"),
+          (floor(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))) -
+            floor(col("l_extendedprice") * 0.85d)).cast(DoubleType)
+            .as(s"${p}_net_profit"),
+          floor(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+            .cast(DoubleType).as(s"${p}_net_paid"),
+          floor(col("l_extendedprice") * col("l_discount")).cast(DoubleType)
+            .as(s"${p}_ext_discount_amt"),
+          floor(col("l_extendedprice") * col("l_discount")).cast(DoubleType)
+            .as(s"${p}_coupon_amt"),
+          floor(col("l_extendedprice") * 0.8d / col("l_quantity"))
+            .cast(DoubleType).as(s"${p}_wholesale_cost"),
+          floor(col("l_extendedprice") * 0.8d).cast(DoubleType)
+            .as(s"${p}_ext_wholesale_cost"),
+          floor(col("l_extendedprice") * 0.08d).cast(DoubleType)
+            .as(s"${p}_ext_tax"),
+          ((col("l_partkey") + col("l_suppkey")) % PromoRows + 1L)
+            .as(s"${p}_promo_sk"),
+          ((col("o_custkey") * 17L + col("l_partkey")) % CdRows + 1L)
+            .as(s"${p}_bill_cdemo_sk"),
+          ((col("o_custkey") * 13L + col("l_orderkey")) % HdRows + 1L)
+            .as(s"${p}_bill_hdemo_sk"),
+          (col("o_custkey") % 25L).as(s"${p}_bill_addr_sk"),
+          (col("o_custkey") % 25L).as(s"${p}_ship_addr_sk"))
+        .createOrReplaceTempView(if (p == "cs") "catalog_sales" else "web_sales")
+    channelFact("cs", 1)
+    channelFact("ws", 2)
     lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
@@ -414,9 +470,43 @@ object TpcDsLiteral {
       .createOrReplaceTempView("item")
   }
 
+  /** DuckDB mirror of `channelFact` — same projection battery under the
+    * channel's prefix, same l_linenumber slice. */
+  private def duckChannel(p: String, lnMod: Int): String =
+    s"""  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS ${p}_sold_date_sk,
+      |    (l_orderkey * 7919 + l_linenumber * 101) % 86400 AS ${p}_sold_time_sk,
+      |    l_partkey AS ${p}_item_sk,
+      |    o_custkey AS ${p}_bill_customer_sk,
+      |    o_custkey AS ${p}_ship_customer_sk,
+      |    l_orderkey AS ${p}_order_number,
+      |    l_quantity AS ${p}_quantity,
+      |    CAST(floor(l_extendedprice) AS DOUBLE) AS ${p}_ext_sales_price,
+      |    CAST(floor(l_extendedprice / 10) AS DOUBLE) AS ${p}_sales_price,
+      |    CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) AS ${p}_list_price,
+      |    CAST(floor(l_extendedprice * 1.2) AS DOUBLE) AS ${p}_ext_list_price,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount))
+      |      - floor(l_extendedprice * 0.85) AS DOUBLE) AS ${p}_net_profit,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS ${p}_net_paid,
+      |    CAST(floor(l_extendedprice * l_discount) AS DOUBLE) AS ${p}_ext_discount_amt,
+      |    CAST(floor(l_extendedprice * l_discount) AS DOUBLE) AS ${p}_coupon_amt,
+      |    CAST(floor(l_extendedprice * 0.8 / l_quantity) AS DOUBLE) AS ${p}_wholesale_cost,
+      |    CAST(floor(l_extendedprice * 0.8) AS DOUBLE) AS ${p}_ext_wholesale_cost,
+      |    CAST(floor(l_extendedprice * 0.08) AS DOUBLE) AS ${p}_ext_tax,
+      |    (l_partkey + l_suppkey) % $PromoRows + 1 AS ${p}_promo_sk,
+      |    (o_custkey * 17 + l_partkey) % $CdRows + 1 AS ${p}_bill_cdemo_sk,
+      |    (o_custkey * 13 + l_orderkey) % $HdRows + 1 AS ${p}_bill_hdemo_sk,
+      |    o_custkey % 25 AS ${p}_bill_addr_sk,
+      |    o_custkey % 25 AS ${p}_ship_addr_sk
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_linenumber % 3 = $lnMod""".stripMargin
+
   /** The same views as DuckDB CTE text, prepended to each oracle. */
   private val duckViews: String =
-    s"""store_sales AS (
+    s"""catalog_sales AS (
+      |${duckChannel("cs", 1)}),
+      |web_sales AS (
+      |${duckChannel("ws", 2)}),
+      |store_sales AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS ss_sold_date_sk,
       |    l_partkey AS ss_item_sk,
       |    o_custkey AS ss_customer_sk,
@@ -1912,5 +2002,163 @@ object TpcDsLiteral {
       |   and hd_demo_sk = c_current_hdemo_sk
       |   and sr_cdemo_sk = cd_demo_sk
       | order by c_customer_id
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q15.sql
+  private val Q15: String =
+    """select  ca_zip
+      |       ,sum(cs_sales_price)
+      | from catalog_sales
+      |     ,customer
+      |     ,customer_address
+      |     ,date_dim
+      | where cs_bill_customer_sk = c_customer_sk
+      | 	and c_current_addr_sk = ca_address_sk 
+      | 	and ( substr(ca_zip,1,5) in ('85669', '86197','88274','83405','86475',
+      |                                   '85392', '85460', '80348', '81792')
+      | 	      or ca_state in ('CA','WA','GA')
+      | 	      or cs_sales_price > 500)
+      | 	and cs_sold_date_sk = d_date_sk
+      | 	and d_qoy = 1 and d_year = 1998
+      | group by ca_zip
+      | order by ca_zip
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q20.sql
+  private val Q20: String =
+    """select  i_item_id
+      |       ,i_item_desc 
+      |       ,i_category 
+      |       ,i_class 
+      |       ,i_current_price
+      |       ,sum(cs_ext_sales_price) as itemrevenue 
+      |       ,sum(cs_ext_sales_price)*100/sum(sum(cs_ext_sales_price)) over
+      |           (partition by i_class) as revenueratio
+      | from	catalog_sales
+      |     ,item 
+      |     ,date_dim
+      | where cs_item_sk = i_item_sk 
+      |   and i_category in ('Electronics', 'Women', 'Men')
+      |   and cs_sold_date_sk = d_date_sk
+      | and d_date between cast('1998-01-02' as date) 
+      | 				and (cast('1998-01-02' as date) + INTERVAL '30' day)
+      | group by i_item_id
+      |         ,i_item_desc 
+      |         ,i_category
+      |         ,i_class
+      |         ,i_current_price
+      | order by i_category
+      |         ,i_class
+      |         ,i_item_id
+      |         ,i_item_desc
+      |         ,revenueratio
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q12.sql
+  private val Q12: String =
+    """SELECT  i_item_id
+      |      ,i_item_desc 
+      |      ,i_category 
+      |      ,i_class 
+      |      ,i_current_price
+      |      ,sum(ws_ext_sales_price) as itemrevenue 
+      |      ,sum(ws_ext_sales_price)*100/sum(sum(ws_ext_sales_price)) over
+      |          (partition by i_class) as revenueratio
+      |FROM
+      |	  web_sales, item, date_dim
+      |where 
+      |	ws_item_sk = i_item_sk 
+      |  	and i_category in ('Electronics', 'Women', 'Men')
+      |  	and ws_sold_date_sk = d_date_sk
+      |	and d_date between cast('1998-01-02' as date) 
+      |				and (cast('1998-01-02' as date) + INTERVAL '30' day)
+      |GROUP BY
+      |  i_item_id, i_item_desc, i_category, i_class, i_current_price
+      |ORDER BY
+      |  i_category, i_class, i_item_id, i_item_desc, revenueratio
+      |LIMIT 100""".stripMargin
+
+  // reference: tpcds/queries/1/q32.sql
+  private val Q32: String =
+    """select  sum(cs_ext_discount_amt)  as `excess discount amount`
+      |from 
+      |   catalog_sales 
+      |   ,item 
+      |   ,date_dim
+      |where
+      |i_manufact_id = 1
+      |and i_item_sk = cs_item_sk 
+      |and d_date between '1998-01-02' and 
+      |        (cast('1998-01-02' as date) + INTERVAL '90' day)
+      |and d_date_sk = cs_sold_date_sk 
+      |and cs_ext_discount_amt  
+      |     > ( 
+      |         select 
+      |            1.3 * avg(cs_ext_discount_amt) 
+      |         from 
+      |            catalog_sales 
+      |           ,date_dim
+      |         where 
+      |              cs_item_sk = i_item_sk 
+      |          and d_date between '1998-01-02' and
+      |                             (cast('1998-01-02' as date) + INTERVAL '90' day)
+      |          and d_date_sk = cs_sold_date_sk 
+      |      ) 
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q92.sql
+  private val Q92: String =
+    """select  
+      |   sum(ws_ext_discount_amt)  as `Excess Discount Amount `
+      |from 
+      |    web_sales 
+      |   ,item 
+      |   ,date_dim
+      |where
+      |i_manufact_id = 1
+      |and i_item_sk = ws_item_sk 
+      |and d_date between '1998-01-02' and 
+      |        (cast('1998-01-02' as date) + INTERVAL '90' day)
+      |and d_date_sk = ws_sold_date_sk 
+      |and ws_ext_discount_amt  
+      |     > ( 
+      |         SELECT 
+      |            1.3 * avg(ws_ext_discount_amt) 
+      |         FROM 
+      |            web_sales 
+      |           ,date_dim
+      |         WHERE 
+      |              ws_item_sk = i_item_sk 
+      |          and d_date between '1998-01-02' and
+      |                             (cast('1998-01-02' as date) + INTERVAL '90' day)
+      |          and d_date_sk = ws_sold_date_sk 
+      |      ) 
+      |order by sum(ws_ext_discount_amt)
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q86.sql
+  private val Q86: String =
+    """select   
+      |    sum(ws_net_paid) as total_sum
+      |   ,i_category
+      |   ,i_class
+      |   ,grouping(i_category)+grouping(i_class) as lochierarchy
+      |   ,rank() over (
+      | 	partition by grouping(i_category)+grouping(i_class),
+      | 	case when grouping(i_class) = 0 then i_category end 
+      | 	order by sum(ws_net_paid) desc) as rank_within_parent
+      | from
+      |    web_sales
+      |   ,date_dim       d1
+      |   ,item
+      | where
+      |    d1.d_month_seq between 1176 and 1176+11
+      | and d1.d_date_sk = ws_sold_date_sk
+      | and i_item_sk  = ws_item_sk
+      | group by rollup(i_category,i_class)
+      | order by
+      |   lochierarchy desc,
+      |   case when lochierarchy = 0 then i_category end,
+      |   rank_within_parent
       | limit 100""".stripMargin
 }
