@@ -87,7 +87,13 @@ object TpcDsLiteral {
       literal("qds15_literal", Q15), literal("qds20_literal", Q20),
       literal("qds12_literal", Q12), literal("qds86_literal", Q86),
       literal("qds32_literal", Q32, outCols = Seq("excess_discount_amt")),
-      literal("qds92_literal", Q92, outCols = Seq("excess_discount_amt")))
+      literal("qds92_literal", Q92, outCols = Seq("excess_discount_amt")),
+      literal("qds02_literal", Q2, outCols = Seq("d_week_seq1", "r_sun",
+        "r_mon", "r_tue", "r_wed", "r_thu", "r_fri", "r_sat")),
+      literal("qds74_literal", Q74), literal("qds76_literal", Q76),
+      literal("qds97_literal", Q97, outCols = Seq("store_only",
+        "catalog_only", "store_and_catalog"),
+        castBigint = Set("store_only", "catalog_only", "store_and_catalog")))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -102,7 +108,8 @@ object TpcDsLiteral {
       "q41" -> Q41, "q24a" -> Q24A, "q24b" -> Q24B,
       "q9" -> Q9, "q93" -> Q93, "q84" -> Q84,
       "q15" -> Q15, "q20" -> Q20, "q12" -> Q12, "q86" -> Q86,
-      "q32" -> Q32, "q92" -> Q92)
+      "q32" -> Q32, "q92" -> Q92,
+      "q2" -> Q2, "q74" -> Q74, "q76" -> Q76, "q97" -> Q97)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -198,8 +205,10 @@ object TpcDsLiteral {
           ((col("l_orderkey") * 7919L + col("l_linenumber") * 101L) % 86400L)
             .as(s"${p}_sold_time_sk"),
           col("l_partkey").as(s"${p}_item_sk"),
-          col("o_custkey").as(s"${p}_bill_customer_sk"),
-          col("o_custkey").as(s"${p}_ship_customer_sk"),
+          when(col("o_custkey") % 40 === 0, lit(null))
+            .otherwise(col("o_custkey")).as(s"${p}_bill_customer_sk"),
+          when(col("o_custkey") % 40 === 0, lit(null))
+            .otherwise(col("o_custkey")).as(s"${p}_ship_customer_sk"),
           col("l_orderkey").as(s"${p}_order_number"),
           col("l_quantity").as(s"${p}_quantity"),
           floor(col("l_extendedprice")).cast(DoubleType)
@@ -241,7 +250,10 @@ object TpcDsLiteral {
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
           .cast(IntegerType).as("ss_sold_date_sk"),
         col("l_partkey").as("ss_item_sk"),
-        col("o_custkey").as("ss_customer_sk"),
+        // 1-in-40 orders are anonymous (NULL customer) so q76's
+        // IS NULL channel branches select a real deterministic slice
+        when(col("o_custkey") % 40 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("ss_customer_sk"),
         col("l_suppkey").as("ss_store_sk"),
         floor(col("l_extendedprice")).cast(DoubleType).as("ss_ext_sales_price"),
         floor(col("l_extendedprice") / 10.0d).cast(DoubleType).as("ss_sales_price"),
@@ -331,7 +343,9 @@ object TpcDsLiteral {
         lit("United States").as("ca_country"),
         (lit(10000L) + col("n_nationkey") * 137L).cast(StringType).as("ca_zip"),
         element_at(array(CityNames.map(lit): _*),
-          (col("n_nationkey") % 6).cast(IntegerType) + 1).as("ca_city"))
+          (col("n_nationkey") % 6).cast(IntegerType) + 1).as("ca_city"),
+        (lit(-5) + (col("n_nationkey") % 2)).cast(IntegerType)
+          .as("ca_gmt_offset"))
       .createOrReplaceTempView("customer_address")
     Catalog.load(spark, dir, "supplier")
       .select(col("s_suppkey").as("s_store_sk"),
@@ -476,8 +490,8 @@ object TpcDsLiteral {
     s"""  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS ${p}_sold_date_sk,
       |    (l_orderkey * 7919 + l_linenumber * 101) % 86400 AS ${p}_sold_time_sk,
       |    l_partkey AS ${p}_item_sk,
-      |    o_custkey AS ${p}_bill_customer_sk,
-      |    o_custkey AS ${p}_ship_customer_sk,
+      |    CASE WHEN o_custkey % 40 = 0 THEN NULL ELSE o_custkey END AS ${p}_bill_customer_sk,
+      |    CASE WHEN o_custkey % 40 = 0 THEN NULL ELSE o_custkey END AS ${p}_ship_customer_sk,
       |    l_orderkey AS ${p}_order_number,
       |    l_quantity AS ${p}_quantity,
       |    CAST(floor(l_extendedprice) AS DOUBLE) AS ${p}_ext_sales_price,
@@ -509,7 +523,7 @@ object TpcDsLiteral {
       |store_sales AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS ss_sold_date_sk,
       |    l_partkey AS ss_item_sk,
-      |    o_custkey AS ss_customer_sk,
+      |    CASE WHEN o_custkey % 40 = 0 THEN NULL ELSE o_custkey END AS ss_customer_sk,
       |    l_suppkey AS ss_store_sk,
       |    CAST(floor(l_extendedprice) AS DOUBLE) AS ss_ext_sales_price,
       |    CAST(floor(l_extendedprice / 10) AS DOUBLE) AS ss_sales_price,
@@ -596,7 +610,8 @@ object TpcDsLiteral {
       |    (${StateNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 5 AS INT) + 1] AS ca_state,
       |    'United States' AS ca_country,
       |    CAST(10000 + n_nationkey * 137 AS VARCHAR) AS ca_zip,
-      |    (${CityNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 6 AS INT) + 1] AS ca_city
+      |    (${CityNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 6 AS INT) + 1] AS ca_city,
+      |    CAST(-5 + (n_nationkey % 2) AS INT) AS ca_gmt_offset
       |  FROM nation),
       |store AS (
       |  SELECT s_suppkey AS s_store_sk,
@@ -2161,4 +2176,174 @@ object TpcDsLiteral {
       |   case when lochierarchy = 0 then i_category end,
       |   rank_within_parent
       | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q2.sql
+  private val Q2: String =
+    """with wscs as
+      | (select sold_date_sk
+      |        ,sales_price
+      |  from  (select ws_sold_date_sk sold_date_sk
+      |              ,ws_ext_sales_price sales_price
+      |        from web_sales )
+      |        union all
+      |        (select cs_sold_date_sk sold_date_sk
+      |              ,cs_ext_sales_price sales_price
+      |        from catalog_sales)),
+      | wswscs as 
+      | (select d_week_seq,
+      |        sum(case when (d_day_name='Sunday') then sales_price else null end) sun_sales,
+      |        sum(case when (d_day_name='Monday') then sales_price else null end) mon_sales,
+      |        sum(case when (d_day_name='Tuesday') then sales_price else  null end) tue_sales,
+      |        sum(case when (d_day_name='Wednesday') then sales_price else null end) wed_sales,
+      |        sum(case when (d_day_name='Thursday') then sales_price else null end) thu_sales,
+      |        sum(case when (d_day_name='Friday') then sales_price else null end) fri_sales,
+      |        sum(case when (d_day_name='Saturday') then sales_price else null end) sat_sales
+      | from wscs
+      |     ,date_dim
+      | where d_date_sk = sold_date_sk
+      | group by d_week_seq)
+      | select d_week_seq1
+      |       ,round(sun_sales1/sun_sales2,2)
+      |       ,round(mon_sales1/mon_sales2,2)
+      |       ,round(tue_sales1/tue_sales2,2)
+      |       ,round(wed_sales1/wed_sales2,2)
+      |       ,round(thu_sales1/thu_sales2,2)
+      |       ,round(fri_sales1/fri_sales2,2)
+      |       ,round(sat_sales1/sat_sales2,2)
+      | from
+      | (select wswscs.d_week_seq d_week_seq1
+      |        ,sun_sales sun_sales1
+      |        ,mon_sales mon_sales1
+      |        ,tue_sales tue_sales1
+      |        ,wed_sales wed_sales1
+      |        ,thu_sales thu_sales1
+      |        ,fri_sales fri_sales1
+      |        ,sat_sales sat_sales1
+      |  from wswscs,date_dim 
+      |  where date_dim.d_week_seq = wswscs.d_week_seq and
+      |        d_year = 1998) y,
+      | (select wswscs.d_week_seq d_week_seq2
+      |        ,sun_sales sun_sales2
+      |        ,mon_sales mon_sales2
+      |        ,tue_sales tue_sales2
+      |        ,wed_sales wed_sales2
+      |        ,thu_sales thu_sales2
+      |        ,fri_sales fri_sales2
+      |        ,sat_sales sat_sales2
+      |  from wswscs
+      |      ,date_dim 
+      |  where date_dim.d_week_seq = wswscs.d_week_seq and
+      |        d_year = 1998+1) z
+      | where d_week_seq1=d_week_seq2-53
+      | order by d_week_seq1""".stripMargin
+
+  // reference: tpcds/queries/1/q74.sql
+  private val Q74: String =
+    """with year_total as (
+      | select c_customer_id customer_id
+      |       ,c_first_name customer_first_name
+      |       ,c_last_name customer_last_name
+      |       ,d_year as `year`
+      |       ,sum(ss_net_paid) year_total
+      |       ,'s' sale_type
+      | from customer
+      |     ,store_sales
+      |     ,date_dim
+      | where c_customer_sk = ss_customer_sk
+      |   and ss_sold_date_sk = d_date_sk
+      |   and d_year in (1998,1998+1)
+      | group by c_customer_id
+      |         ,c_first_name
+      |         ,c_last_name
+      |         ,d_year
+      | union all
+      | select c_customer_id customer_id
+      |       ,c_first_name customer_first_name
+      |       ,c_last_name customer_last_name
+      |       ,d_year as `year`
+      |       ,sum(ws_net_paid) year_total
+      |       ,'w' sale_type
+      | from customer
+      |     ,web_sales
+      |     ,date_dim
+      | where c_customer_sk = ws_bill_customer_sk
+      |   and ws_sold_date_sk = d_date_sk
+      |   and d_year in (1998,1998+1)
+      | group by c_customer_id
+      |         ,c_first_name
+      |         ,c_last_name
+      |         ,d_year
+      |         )
+      |  select 
+      |        t_s_secyear.customer_id, t_s_secyear.customer_first_name, t_s_secyear.customer_last_name
+      | from year_total t_s_firstyear
+      |     ,year_total t_s_secyear
+      |     ,year_total t_w_firstyear
+      |     ,year_total t_w_secyear
+      | where t_s_secyear.customer_id = t_s_firstyear.customer_id
+      |         and t_s_firstyear.customer_id = t_w_secyear.customer_id
+      |         and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      |         and t_s_firstyear.sale_type = 's'
+      |         and t_w_firstyear.sale_type = 'w'
+      |         and t_s_secyear.sale_type = 's'
+      |         and t_w_secyear.sale_type = 'w'
+      |         and t_s_firstyear.`year` = 1998
+      |         and t_s_secyear.`year` = 1998+1
+      |         and t_w_firstyear.`year` = 1998
+      |         and t_w_secyear.`year` = 1998+1
+      |         and t_s_firstyear.year_total > 0
+      |         and t_w_firstyear.year_total > 0
+      |         and case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else null end
+      |           > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end
+      | order by 1,2,3
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q76.sql
+  private val Q76: String =
+    """select  channel, col_name, d_year, d_qoy, i_category, COUNT(*) sales_cnt, SUM(ext_sales_price) sales_amt FROM (
+      |        SELECT 'store' as channel, 'ss_customer_sk' col_name, d_year, d_qoy, i_category, ss_ext_sales_price ext_sales_price
+      |         FROM store_sales, item, date_dim
+      |         WHERE ss_customer_sk IS NULL
+      |           AND ss_sold_date_sk=d_date_sk
+      |           AND ss_item_sk=i_item_sk
+      |        UNION ALL
+      |        SELECT 'web' as channel, 'ws_bill_customer_sk' col_name, d_year, d_qoy, i_category, ws_ext_sales_price ext_sales_price
+      |         FROM web_sales, item, date_dim
+      |         WHERE ws_bill_customer_sk IS NULL
+      |           AND ws_sold_date_sk=d_date_sk
+      |           AND ws_item_sk=i_item_sk
+      |        UNION ALL
+      |        SELECT 'catalog' as channel, 'cs_bill_customer_sk' col_name, d_year, d_qoy, i_category, cs_ext_sales_price ext_sales_price
+      |         FROM catalog_sales, item, date_dim
+      |         WHERE cs_bill_customer_sk IS NULL
+      |           AND cs_sold_date_sk=d_date_sk
+      |           AND cs_item_sk=i_item_sk) foo
+      |GROUP BY channel, col_name, d_year, d_qoy, i_category
+      |ORDER BY channel, col_name, d_year, d_qoy, i_category
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q97.sql
+  private val Q97: String =
+    """with ssci as (
+      |select ss_customer_sk customer_sk
+      |      ,ss_item_sk item_sk
+      |from store_sales,date_dim
+      |where ss_sold_date_sk = d_date_sk
+      |  and d_month_seq between 1176 and 1176 + 11
+      |group by ss_customer_sk
+      |        ,ss_item_sk),
+      |csci as(
+      | select cs_bill_customer_sk customer_sk
+      |      ,cs_item_sk item_sk
+      |from catalog_sales,date_dim
+      |where cs_sold_date_sk = d_date_sk
+      |  and d_month_seq between 1176 and 1176 + 11
+      |group by cs_bill_customer_sk
+      |        ,cs_item_sk)
+      | select  sum(case when ssci.customer_sk is not null and csci.customer_sk is null then 1 else 0 end) store_only
+      |      ,sum(case when ssci.customer_sk is null and csci.customer_sk is not null then 1 else 0 end) catalog_only
+      |      ,sum(case when ssci.customer_sk is not null and csci.customer_sk is not null then 1 else 0 end) store_and_catalog
+      |from ssci full outer join csci on (ssci.customer_sk=csci.customer_sk
+      |                               and ssci.item_sk = csci.item_sk)
+      |limit 100""".stripMargin
 }
