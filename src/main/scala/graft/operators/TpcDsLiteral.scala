@@ -93,7 +93,11 @@ object TpcDsLiteral {
       literal("qds74_literal", Q74), literal("qds76_literal", Q76),
       literal("qds97_literal", Q97, outCols = Seq("store_only",
         "catalog_only", "store_and_catalog"),
-        castBigint = Set("store_only", "catalog_only", "store_and_catalog")))
+        castBigint = Set("store_only", "catalog_only", "store_and_catalog")),
+      literal("qds04_literal", Q4), literal("qds11_literal", Q11),
+      literal("qds33_literal", Q33), literal("qds45_literal", Q45),
+      literal("qds51_literal", Q51), literal("qds56_literal", Q56),
+      literal("qds60_literal", Q60))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -109,7 +113,9 @@ object TpcDsLiteral {
       "q9" -> Q9, "q93" -> Q93, "q84" -> Q84,
       "q15" -> Q15, "q20" -> Q20, "q12" -> Q12, "q86" -> Q86,
       "q32" -> Q32, "q92" -> Q92,
-      "q2" -> Q2, "q74" -> Q74, "q76" -> Q76, "q97" -> Q97)
+      "q2" -> Q2, "q74" -> Q74, "q76" -> Q76, "q97" -> Q97,
+      "q4" -> Q4, "q11" -> Q11, "q33" -> Q33, "q45" -> Q45,
+      "q51" -> Q51, "q56" -> Q56, "q60" -> Q60)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -197,7 +203,11 @@ object TpcDsLiteral {
     // fact (store keeps every line — it is the dominant channel in TPC-DS
     // too), with the store_sales price formulas under bill_/ship_ naming.
     // One projection builder, two channels; DuckDB mirrors via duckChannel.
-    def channelFact(p: String, lnMod: Int): Unit =
+    // each channel has its own unit-price divisor (store 10, catalog 9,
+    // web 8): web lines are a subset of store lines, so an identical
+    // formula would make q51's "web cumulative overtakes store" filter
+    // empty by construction; the spread lets web-heavy item-dates win
+    def channelFact(p: String, lnMod: Int, priceDiv: Double): Unit =
       lineitem.filter(col("l_linenumber") % 3 === lnMod)
         .join(orders, col("l_orderkey") === col("o_orderkey")).select(
           datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
@@ -213,7 +223,7 @@ object TpcDsLiteral {
           col("l_quantity").as(s"${p}_quantity"),
           floor(col("l_extendedprice")).cast(DoubleType)
             .as(s"${p}_ext_sales_price"),
-          floor(col("l_extendedprice") / 10.0d).cast(DoubleType)
+          floor(col("l_extendedprice") / priceDiv).cast(DoubleType)
             .as(s"${p}_sales_price"),
           floor(col("l_extendedprice") / col("l_quantity")).cast(DoubleType)
             .as(s"${p}_list_price"),
@@ -243,8 +253,8 @@ object TpcDsLiteral {
           (col("o_custkey") % 25L).as(s"${p}_bill_addr_sk"),
           (col("o_custkey") % 25L).as(s"${p}_ship_addr_sk"))
         .createOrReplaceTempView(if (p == "cs") "catalog_sales" else "web_sales")
-    channelFact("cs", 1)
-    channelFact("ws", 2)
+    channelFact("cs", 1, 9.0d)
+    channelFact("ws", 2, 8.0d)
     lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
@@ -334,7 +344,11 @@ object TpcDsLiteral {
         // the join's selectivity lives in s_zip = ca_zip instead
         lit("UNITED STATES").as("c_birth_country"),
         ((col("c_custkey") * 19L) % CdRows + 1L).as("c_current_cdemo_sk"),
-        ((col("c_custkey") * 23L) % HdRows + 1L).as("c_current_hdemo_sk"))
+        ((col("c_custkey") * 23L) % HdRows + 1L).as("c_current_hdemo_sk"),
+        // NULL like real TPC-DS's always-empty c_login
+        lit(null).cast(StringType).as("c_login"),
+        concat(lit("cust_"), col("c_custkey").cast(StringType),
+          lit("@example.com")).as("c_email_address"))
       .createOrReplaceTempView("customer")
     Catalog.load(spark, dir, "nation")
       .select(col("n_nationkey").as("ca_address_sk"),
@@ -486,7 +500,7 @@ object TpcDsLiteral {
 
   /** DuckDB mirror of `channelFact` — same projection battery under the
     * channel's prefix, same l_linenumber slice. */
-  private def duckChannel(p: String, lnMod: Int): String =
+  private def duckChannel(p: String, lnMod: Int, priceDiv: Int): String =
     s"""  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS ${p}_sold_date_sk,
       |    (l_orderkey * 7919 + l_linenumber * 101) % 86400 AS ${p}_sold_time_sk,
       |    l_partkey AS ${p}_item_sk,
@@ -495,7 +509,7 @@ object TpcDsLiteral {
       |    l_orderkey AS ${p}_order_number,
       |    l_quantity AS ${p}_quantity,
       |    CAST(floor(l_extendedprice) AS DOUBLE) AS ${p}_ext_sales_price,
-      |    CAST(floor(l_extendedprice / 10) AS DOUBLE) AS ${p}_sales_price,
+      |    CAST(floor(l_extendedprice / $priceDiv) AS DOUBLE) AS ${p}_sales_price,
       |    CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) AS ${p}_list_price,
       |    CAST(floor(l_extendedprice * 1.2) AS DOUBLE) AS ${p}_ext_list_price,
       |    CAST(floor(l_extendedprice * (1.0 - l_discount))
@@ -517,9 +531,9 @@ object TpcDsLiteral {
   /** The same views as DuckDB CTE text, prepended to each oracle. */
   private val duckViews: String =
     s"""catalog_sales AS (
-      |${duckChannel("cs", 1)}),
+      |${duckChannel("cs", 1, 9)}),
       |web_sales AS (
-      |${duckChannel("ws", 2)}),
+      |${duckChannel("ws", 2, 8)}),
       |store_sales AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS ss_sold_date_sk,
       |    l_partkey AS ss_item_sk,
@@ -603,7 +617,9 @@ object TpcDsLiteral {
       |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
       |    'UNITED STATES' AS c_birth_country,
       |    (c_custkey * 19) % $CdRows + 1 AS c_current_cdemo_sk,
-      |    (c_custkey * 23) % $HdRows + 1 AS c_current_hdemo_sk
+      |    (c_custkey * 23) % $HdRows + 1 AS c_current_hdemo_sk,
+      |    CAST(NULL AS VARCHAR) AS c_login,
+      |    'cust_' || CAST(c_custkey AS VARCHAR) || '@example.com' AS c_email_address
       |  FROM main.customer),
       |customer_address AS (
       |  SELECT n_nationkey AS ca_address_sk,
@@ -2346,4 +2362,487 @@ object TpcDsLiteral {
       |from ssci full outer join csci on (ssci.customer_sk=csci.customer_sk
       |                               and ssci.item_sk = csci.item_sk)
       |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q4.sql
+  private val Q4: String =
+    """with year_total as (
+      | select c_customer_id customer_id
+      |       ,c_first_name customer_first_name
+      |       ,c_last_name customer_last_name
+      |       ,c_preferred_cust_flag customer_preferred_cust_flag
+      |       ,c_birth_country customer_birth_country
+      |       ,c_login customer_login
+      |       ,c_email_address customer_email_address
+      |       ,d_year dyear
+      |       ,sum(((ss_ext_list_price-ss_ext_wholesale_cost-ss_ext_discount_amt)+ss_ext_sales_price)/2) year_total
+      |       ,'s' sale_type
+      | from customer
+      |     ,store_sales
+      |     ,date_dim
+      | where c_customer_sk = ss_customer_sk
+      |   and ss_sold_date_sk = d_date_sk
+      | group by c_customer_id
+      |         ,c_first_name
+      |         ,c_last_name
+      |         ,c_preferred_cust_flag
+      |         ,c_birth_country
+      |         ,c_login
+      |         ,c_email_address
+      |         ,d_year
+      | union all
+      | select c_customer_id customer_id
+      |       ,c_first_name customer_first_name
+      |       ,c_last_name customer_last_name
+      |       ,c_preferred_cust_flag customer_preferred_cust_flag
+      |       ,c_birth_country customer_birth_country
+      |       ,c_login customer_login
+      |       ,c_email_address customer_email_address
+      |       ,d_year dyear
+      |       ,sum((((cs_ext_list_price-cs_ext_wholesale_cost-cs_ext_discount_amt)+cs_ext_sales_price)/2) ) year_total
+      |       ,'c' sale_type
+      | from customer
+      |     ,catalog_sales
+      |     ,date_dim
+      | where c_customer_sk = cs_bill_customer_sk
+      |   and cs_sold_date_sk = d_date_sk
+      | group by c_customer_id
+      |         ,c_first_name
+      |         ,c_last_name
+      |         ,c_preferred_cust_flag
+      |         ,c_birth_country
+      |         ,c_login
+      |         ,c_email_address
+      |         ,d_year
+      |union all
+      | select c_customer_id customer_id
+      |       ,c_first_name customer_first_name
+      |       ,c_last_name customer_last_name
+      |       ,c_preferred_cust_flag customer_preferred_cust_flag
+      |       ,c_birth_country customer_birth_country
+      |       ,c_login customer_login
+      |       ,c_email_address customer_email_address
+      |       ,d_year dyear
+      |       ,sum((((ws_ext_list_price-ws_ext_wholesale_cost-ws_ext_discount_amt)+ws_ext_sales_price)/2) ) year_total
+      |       ,'w' sale_type
+      | from customer
+      |     ,web_sales
+      |     ,date_dim
+      | where c_customer_sk = ws_bill_customer_sk
+      |   and ws_sold_date_sk = d_date_sk
+      | group by c_customer_id
+      |         ,c_first_name
+      |         ,c_last_name
+      |         ,c_preferred_cust_flag
+      |         ,c_birth_country
+      |         ,c_login
+      |         ,c_email_address
+      |         ,d_year
+      |         )
+      |  select  
+      |                  t_s_secyear.customer_id
+      |                 ,t_s_secyear.customer_first_name
+      |                 ,t_s_secyear.customer_last_name
+      |                 ,t_s_secyear.customer_preferred_cust_flag
+      | from year_total t_s_firstyear
+      |     ,year_total t_s_secyear
+      |     ,year_total t_c_firstyear
+      |     ,year_total t_c_secyear
+      |     ,year_total t_w_firstyear
+      |     ,year_total t_w_secyear
+      | where t_s_secyear.customer_id = t_s_firstyear.customer_id
+      |   and t_s_firstyear.customer_id = t_c_secyear.customer_id
+      |   and t_s_firstyear.customer_id = t_c_firstyear.customer_id
+      |   and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      |   and t_s_firstyear.customer_id = t_w_secyear.customer_id
+      |   and t_s_firstyear.sale_type = 's'
+      |   and t_c_firstyear.sale_type = 'c'
+      |   and t_w_firstyear.sale_type = 'w'
+      |   and t_s_secyear.sale_type = 's'
+      |   and t_c_secyear.sale_type = 'c'
+      |   and t_w_secyear.sale_type = 'w'
+      |   and t_s_firstyear.dyear =  1998
+      |   and t_s_secyear.dyear = 1998+1
+      |   and t_c_firstyear.dyear =  1998
+      |   and t_c_secyear.dyear =  1998+1
+      |   and t_w_firstyear.dyear = 1998
+      |   and t_w_secyear.dyear = 1998+1
+      |   and t_s_firstyear.year_total > 0
+      |   and t_c_firstyear.year_total > 0
+      |   and t_w_firstyear.year_total > 0
+      |   and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end
+      |           > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end
+      |   and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end
+      |           > case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else null end
+      | order by t_s_secyear.customer_id
+      |         ,t_s_secyear.customer_first_name
+      |         ,t_s_secyear.customer_last_name
+      |         ,t_s_secyear.customer_preferred_cust_flag
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q11.sql
+  private val Q11: String =
+    """with year_total as (
+      | select c_customer_id customer_id
+      |       ,c_first_name customer_first_name
+      |       ,c_last_name customer_last_name
+      |       ,c_preferred_cust_flag customer_preferred_cust_flag
+      |       ,c_birth_country customer_birth_country
+      |       ,c_login customer_login
+      |       ,c_email_address customer_email_address
+      |       ,d_year dyear
+      |       ,sum(ss_ext_list_price-ss_ext_discount_amt) year_total
+      |       ,'s' sale_type
+      | from customer
+      |     ,store_sales
+      |     ,date_dim
+      | where c_customer_sk = ss_customer_sk
+      |   and ss_sold_date_sk = d_date_sk
+      | group by c_customer_id
+      |         ,c_first_name
+      |         ,c_last_name
+      |         ,c_preferred_cust_flag 
+      |         ,c_birth_country
+      |         ,c_login
+      |         ,c_email_address
+      |         ,d_year 
+      | union all
+      | select c_customer_id customer_id
+      |       ,c_first_name customer_first_name
+      |       ,c_last_name customer_last_name
+      |       ,c_preferred_cust_flag customer_preferred_cust_flag
+      |       ,c_birth_country customer_birth_country
+      |       ,c_login customer_login
+      |       ,c_email_address customer_email_address
+      |       ,d_year dyear
+      |       ,sum(ws_ext_list_price-ws_ext_discount_amt) year_total
+      |       ,'w' sale_type
+      | from customer
+      |     ,web_sales
+      |     ,date_dim
+      | where c_customer_sk = ws_bill_customer_sk
+      |   and ws_sold_date_sk = d_date_sk
+      | group by c_customer_id
+      |         ,c_first_name
+      |         ,c_last_name
+      |         ,c_preferred_cust_flag 
+      |         ,c_birth_country
+      |         ,c_login
+      |         ,c_email_address
+      |         ,d_year
+      |         )
+      |  select  
+      |                  t_s_secyear.customer_id
+      |                 ,t_s_secyear.customer_first_name
+      |                 ,t_s_secyear.customer_last_name
+      |                 ,t_s_secyear.customer_preferred_cust_flag
+      | from year_total t_s_firstyear
+      |     ,year_total t_s_secyear
+      |     ,year_total t_w_firstyear
+      |     ,year_total t_w_secyear
+      | where t_s_secyear.customer_id = t_s_firstyear.customer_id
+      |         and t_s_firstyear.customer_id = t_w_secyear.customer_id
+      |         and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      |         and t_s_firstyear.sale_type = 's'
+      |         and t_w_firstyear.sale_type = 'w'
+      |         and t_s_secyear.sale_type = 's'
+      |         and t_w_secyear.sale_type = 'w'
+      |         and t_s_firstyear.dyear = 1998
+      |         and t_s_secyear.dyear = 1998+1
+      |         and t_w_firstyear.dyear = 1998
+      |         and t_w_secyear.dyear = 1998+1
+      |         and t_s_firstyear.year_total > 0
+      |         and t_w_firstyear.year_total > 0
+      |         and case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else 0.0 end
+      |             > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else 0.0 end
+      | order by t_s_secyear.customer_id
+      |         ,t_s_secyear.customer_first_name
+      |         ,t_s_secyear.customer_last_name
+      |         ,t_s_secyear.customer_preferred_cust_flag
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q33.sql
+  private val Q33: String =
+    """with ss as (
+      | select
+      |          i_manufact_id,sum(ss_ext_sales_price) total_sales
+      | from
+      | 	store_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where
+      |         i_manufact_id in (select
+      |  i_manufact_id
+      |from
+      | item
+      |where i_category in ('Books'))
+      | and     ss_item_sk              = i_item_sk
+      | and     ss_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1998
+      | and     d_moy                   = 1
+      | and     ss_addr_sk              = ca_address_sk
+      | and     ca_gmt_offset           = -5 
+      | group by i_manufact_id),
+      | cs as (
+      | select
+      |          i_manufact_id,sum(cs_ext_sales_price) total_sales
+      | from
+      | 	catalog_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where
+      |         i_manufact_id               in (select
+      |  i_manufact_id
+      |from
+      | item
+      |where i_category in ('Books'))
+      | and     cs_item_sk              = i_item_sk
+      | and     cs_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1998
+      | and     d_moy                   = 1
+      | and     cs_bill_addr_sk         = ca_address_sk
+      | and     ca_gmt_offset           = -5 
+      | group by i_manufact_id),
+      | ws as (
+      | select
+      |          i_manufact_id,sum(ws_ext_sales_price) total_sales
+      | from
+      | 	web_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where
+      |         i_manufact_id               in (select
+      |  i_manufact_id
+      |from
+      | item
+      |where i_category in ('Books'))
+      | and     ws_item_sk              = i_item_sk
+      | and     ws_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1998
+      | and     d_moy                   = 1
+      | and     ws_bill_addr_sk         = ca_address_sk
+      | and     ca_gmt_offset           = -5
+      | group by i_manufact_id)
+      |  select  i_manufact_id ,sum(total_sales) total_sales
+      | from  (select * from ss 
+      |        union all
+      |        select * from cs 
+      |        union all
+      |        select * from ws) tmp1
+      | group by i_manufact_id
+      | order by total_sales
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q45.sql
+  private val Q45: String =
+    """select  ca_zip, ca_city, sum(ws_sales_price)
+      | from web_sales, customer, customer_address, date_dim, item
+      | where ws_bill_customer_sk = c_customer_sk
+      | 	and c_current_addr_sk = ca_address_sk 
+      | 	and ws_item_sk = i_item_sk 
+      | 	and ( substr(ca_zip,1,5) in ('85669', '86197','88274','83405','86475', '85392', '85460', '80348', '81792')
+      | 	      or 
+      | 	      i_item_id in (select i_item_id
+      |                             from item
+      |                             where i_item_sk in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+      |                             )
+      | 	    )
+      | 	and ws_sold_date_sk = d_date_sk
+      | 	and d_qoy = 1 and d_year = 1998
+      | group by ca_zip, ca_city
+      | order by ca_zip, ca_city
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q51.sql
+  private val Q51: String =
+    """WITH web_v1 as (
+      |select
+      |  ws_item_sk item_sk, d_date,
+      |  sum(sum(ws_sales_price))
+      |      over (partition by ws_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+      |from web_sales
+      |    ,date_dim
+      |where ws_sold_date_sk=d_date_sk
+      |  and d_month_seq between 1176 and 1176+11
+      |  and ws_item_sk is not NULL
+      |group by ws_item_sk, d_date),
+      |store_v1 as (
+      |select
+      |  ss_item_sk item_sk, d_date,
+      |  sum(sum(ss_sales_price))
+      |      over (partition by ss_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+      |from store_sales
+      |    ,date_dim
+      |where ss_sold_date_sk=d_date_sk
+      |  and d_month_seq between 1176 and 1176+11
+      |  and ss_item_sk is not NULL
+      |group by ss_item_sk, d_date)
+      | select  *
+      |from (select item_sk
+      |     ,d_date
+      |     ,web_sales
+      |     ,store_sales
+      |     ,max(web_sales)
+      |         over (partition by item_sk order by d_date rows between unbounded preceding and current row) web_cumulative
+      |     ,max(store_sales)
+      |         over (partition by item_sk order by d_date rows between unbounded preceding and current row) store_cumulative
+      |     from (select case when web.item_sk is not null then web.item_sk else store.item_sk end item_sk
+      |                 ,case when web.d_date is not null then web.d_date else store.d_date end d_date
+      |                 ,web.cume_sales web_sales
+      |                 ,store.cume_sales store_sales
+      |           from web_v1 web full outer join store_v1 store on (web.item_sk = store.item_sk
+      |                                                          and web.d_date = store.d_date)
+      |          )x )y
+      |where web_cumulative > store_cumulative
+      |order by item_sk
+      |        ,d_date
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q56.sql
+  private val Q56: String =
+    """with ss as (
+      | select i_item_id,sum(ss_ext_sales_price) total_sales
+      | from
+      | 	store_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where i_item_id in (select
+      |     i_item_id
+      |from item
+      |where i_color in ('yellow','almond','antique'))
+      | and     ss_item_sk              = i_item_sk
+      | and     ss_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1998
+      | and     d_moy                   = 1
+      | and     ss_addr_sk              = ca_address_sk
+      | and     ca_gmt_offset           = -5 
+      | group by i_item_id),
+      | cs as (
+      | select i_item_id,sum(cs_ext_sales_price) total_sales
+      | from
+      | 	catalog_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where
+      |         i_item_id               in (select
+      |  i_item_id
+      |from item
+      |where i_color in ('yellow','almond','antique'))
+      | and     cs_item_sk              = i_item_sk
+      | and     cs_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1998
+      | and     d_moy                   = 1
+      | and     cs_bill_addr_sk         = ca_address_sk
+      | and     ca_gmt_offset           = -5 
+      | group by i_item_id),
+      | ws as (
+      | select i_item_id,sum(ws_ext_sales_price) total_sales
+      | from
+      | 	web_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where
+      |         i_item_id               in (select
+      |  i_item_id
+      |from item
+      |where i_color in ('yellow','almond','antique'))
+      | and     ws_item_sk              = i_item_sk
+      | and     ws_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1998
+      | and     d_moy                   = 1
+      | and     ws_bill_addr_sk         = ca_address_sk
+      | and     ca_gmt_offset           = -5
+      | group by i_item_id)
+      |  select  i_item_id ,sum(total_sales) total_sales
+      | from  (select * from ss 
+      |        union all
+      |        select * from cs 
+      |        union all
+      |        select * from ws) tmp1
+      | group by i_item_id
+      | order by total_sales
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q60.sql
+  private val Q60: String =
+    """with ss as (
+      | select
+      |          i_item_id,sum(ss_ext_sales_price) total_sales
+      | from
+      | 	store_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where
+      |         i_item_id in (select
+      |  i_item_id
+      |from
+      | item
+      |where i_category in ('Children'))
+      | and     ss_item_sk              = i_item_sk
+      | and     ss_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1998
+      | and     d_moy                   = 8
+      | and     ss_addr_sk              = ca_address_sk
+      | and     ca_gmt_offset           = -5 
+      | group by i_item_id),
+      | cs as (
+      | select
+      |          i_item_id,sum(cs_ext_sales_price) total_sales
+      | from
+      | 	catalog_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where
+      |         i_item_id               in (select
+      |  i_item_id
+      |from
+      | item
+      |where i_category in ('Children'))
+      | and     cs_item_sk              = i_item_sk
+      | and     cs_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1998
+      | and     d_moy                   = 8
+      | and     cs_bill_addr_sk         = ca_address_sk
+      | and     ca_gmt_offset           = -5 
+      | group by i_item_id),
+      | ws as (
+      | select
+      |          i_item_id,sum(ws_ext_sales_price) total_sales
+      | from
+      | 	web_sales,
+      | 	date_dim,
+      |         customer_address,
+      |         item
+      | where
+      |         i_item_id               in (select
+      |  i_item_id
+      |from
+      | item
+      |where i_category in ('Children'))
+      | and     ws_item_sk              = i_item_sk
+      | and     ws_sold_date_sk         = d_date_sk
+      | and     d_year                  = 1998
+      | and     d_moy                   = 8
+      | and     ws_bill_addr_sk         = ca_address_sk
+      | and     ca_gmt_offset           = -5
+      | group by i_item_id)
+      |  select   
+      |  i_item_id
+      |,sum(total_sales) total_sales
+      | from  (select * from ss 
+      |        union all
+      |        select * from cs 
+      |        union all
+      |        select * from ws) tmp1
+      | group by i_item_id
+      | order by i_item_id
+      |      ,total_sales
+      | limit 100""".stripMargin
 }
