@@ -97,7 +97,11 @@ object TpcDsLiteral {
       literal("qds04_literal", Q4), literal("qds11_literal", Q11),
       literal("qds33_literal", Q33), literal("qds45_literal", Q45),
       literal("qds51_literal", Q51), literal("qds56_literal", Q56),
-      literal("qds60_literal", Q60))
+      literal("qds60_literal", Q60),
+      literal("qds26_literal", Q26), literal("qds31_literal", Q31),
+      literal("qds44_literal", Q44),
+      literal("qds38_literal", Q38, outCols = Seq("cnt")),
+      literal("qds87_literal", Q87, outCols = Seq("cnt")))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -115,7 +119,9 @@ object TpcDsLiteral {
       "q32" -> Q32, "q92" -> Q92,
       "q2" -> Q2, "q74" -> Q74, "q76" -> Q76, "q97" -> Q97,
       "q4" -> Q4, "q11" -> Q11, "q33" -> Q33, "q45" -> Q45,
-      "q51" -> Q51, "q56" -> Q56, "q60" -> Q60)
+      "q51" -> Q51, "q56" -> Q56, "q60" -> Q60,
+      "q26" -> Q26, "q31" -> Q31, "q44" -> Q44, "q38" -> Q38,
+      "q87" -> Q87)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -359,7 +365,9 @@ object TpcDsLiteral {
         element_at(array(CityNames.map(lit): _*),
           (col("n_nationkey") % 6).cast(IntegerType) + 1).as("ca_city"),
         (lit(-5) + (col("n_nationkey") % 2)).cast(IntegerType)
-          .as("ca_gmt_offset"))
+          .as("ca_gmt_offset"),
+        element_at(array(Counties.map(lit): _*),
+          (col("n_nationkey") % 4).cast(IntegerType) + 1).as("ca_county"))
       .createOrReplaceTempView("customer_address")
     Catalog.load(spark, dir, "supplier")
       .select(col("s_suppkey").as("s_store_sk"),
@@ -627,7 +635,8 @@ object TpcDsLiteral {
       |    'United States' AS ca_country,
       |    CAST(10000 + n_nationkey * 137 AS VARCHAR) AS ca_zip,
       |    (${CityNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 6 AS INT) + 1] AS ca_city,
-      |    CAST(-5 + (n_nationkey % 2) AS INT) AS ca_gmt_offset
+      |    CAST(-5 + (n_nationkey % 2) AS INT) AS ca_gmt_offset,
+      |    (${Counties.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 4 AS INT) + 1] AS ca_county
       |  FROM nation),
       |store AS (
       |  SELECT s_suppkey AS s_store_sk,
@@ -2845,4 +2854,157 @@ object TpcDsLiteral {
       | order by i_item_id
       |      ,total_sales
       | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q26.sql
+  private val Q26: String =
+    """select  i_item_id, 
+      |        avg(cs_quantity) agg1,
+      |        avg(cs_list_price) agg2,
+      |        avg(cs_coupon_amt) agg3,
+      |        avg(cs_sales_price) agg4 
+      | from catalog_sales, customer_demographics, date_dim, item, promotion
+      | where cs_sold_date_sk = d_date_sk and
+      |       cs_item_sk = i_item_sk and
+      |       cs_bill_cdemo_sk = cd_demo_sk and
+      |       cs_promo_sk = p_promo_sk and
+      |       cd_gender = 'M' and 
+      |       cd_marital_status = 'M' and
+      |       cd_education_status = 'Primary' and
+      |       (p_channel_email = 'N' or p_channel_event = 'N') and
+      |       d_year = 1998 
+      | group by i_item_id
+      | order by i_item_id
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q38.sql
+  private val Q38: String =
+    """select  count(*) from (
+      |    select distinct c_last_name, c_first_name, d_date
+      |    from store_sales, date_dim, customer
+      |          where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |      and store_sales.ss_customer_sk = customer.c_customer_sk
+      |      and d_month_seq between 1176 and 1176 + 11
+      |  intersect
+      |    select distinct c_last_name, c_first_name, d_date
+      |    from catalog_sales, date_dim, customer
+      |          where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+      |      and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+      |      and d_month_seq between 1176 and 1176 + 11
+      |  intersect
+      |    select distinct c_last_name, c_first_name, d_date
+      |    from web_sales, date_dim, customer
+      |          where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+      |      and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+      |      and d_month_seq between 1176 and 1176 + 11
+      |) hot_cust
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q87.sql
+  private val Q87: String =
+    """select count(*) 
+      |from ((select distinct c_last_name, c_first_name, d_date
+      |       from store_sales, date_dim, customer
+      |       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |         and store_sales.ss_customer_sk = customer.c_customer_sk
+      |         and d_month_seq between 1176 and 1176+11)
+      |       except
+      |      (select distinct c_last_name, c_first_name, d_date
+      |       from catalog_sales, date_dim, customer
+      |       where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+      |         and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+      |         and d_month_seq between 1176 and 1176+11)
+      |       except
+      |      (select distinct c_last_name, c_first_name, d_date
+      |       from web_sales, date_dim, customer
+      |       where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+      |         and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+      |         and d_month_seq between 1176 and 1176+11)
+      |) cool_cust""".stripMargin
+
+  // reference: tpcds/queries/1/q31.sql
+  private val Q31: String =
+    """with ss as
+      | (select ca_county,d_qoy, d_year,sum(ss_ext_sales_price) as store_sales
+      | from store_sales,date_dim,customer_address
+      | where ss_sold_date_sk = d_date_sk
+      |  and ss_addr_sk=ca_address_sk
+      | group by ca_county,d_qoy, d_year),
+      | ws as
+      | (select ca_county,d_qoy, d_year,sum(ws_ext_sales_price) as web_sales
+      | from web_sales,date_dim,customer_address
+      | where ws_sold_date_sk = d_date_sk
+      |  and ws_bill_addr_sk=ca_address_sk
+      | group by ca_county,d_qoy, d_year)
+      | select 
+      |        ss1.ca_county
+      |       ,ss1.d_year
+      |       ,ws2.web_sales/ws1.web_sales web_q1_q2_increase
+      |       ,ss2.store_sales/ss1.store_sales store_q1_q2_increase
+      |       ,ws3.web_sales/ws2.web_sales web_q2_q3_increase
+      |       ,ss3.store_sales/ss2.store_sales store_q2_q3_increase
+      | from
+      |        ss ss1
+      |       ,ss ss2
+      |       ,ss ss3
+      |       ,ws ws1
+      |       ,ws ws2
+      |       ,ws ws3
+      | where
+      |    ss1.d_qoy = 1
+      |    and ss1.d_year = 1998
+      |    and ss1.ca_county = ss2.ca_county
+      |    and ss2.d_qoy = 2
+      |    and ss2.d_year = 1998
+      | and ss2.ca_county = ss3.ca_county
+      |    and ss3.d_qoy = 3
+      |    and ss3.d_year = 1998
+      |    and ss1.ca_county = ws1.ca_county
+      |    and ws1.d_qoy = 1
+      |    and ws1.d_year = 1998
+      |    and ws1.ca_county = ws2.ca_county
+      |    and ws2.d_qoy = 2
+      |    and ws2.d_year = 1998
+      |    and ws1.ca_county = ws3.ca_county
+      |    and ws3.d_qoy = 3
+      |    and ws3.d_year =1998
+      |    and case when ws1.web_sales > 0 then ws2.web_sales/ws1.web_sales else null end 
+      |       > case when ss1.store_sales > 0 then ss2.store_sales/ss1.store_sales else null end
+      |    and case when ws2.web_sales > 0 then ws3.web_sales/ws2.web_sales else null end
+      |       > case when ss2.store_sales > 0 then ss3.store_sales/ss2.store_sales else null end
+      | order by ss1.ca_county""".stripMargin
+
+  // reference: tpcds/queries/1/q44.sql
+  private val Q44: String =
+    """select  asceding.rnk, i1.i_product_name best_performing, i2.i_product_name worst_performing
+      |from(select *
+      |     from (select item_sk,rank() over (order by rank_col asc) rnk
+      |           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col 
+      |                 from store_sales ss1
+      |                 where ss_store_sk = 1
+      |                 group by ss_item_sk
+      |                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+      |                                                  from store_sales
+      |                                                  where ss_store_sk = 1
+      |                                                    and ss_customer_sk is null
+      |                                                  group by ss_store_sk))V1)V11
+      |     where rnk  < 11) asceding,
+      |    (select *
+      |     from (select item_sk,rank() over (order by rank_col desc) rnk
+      |           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+      |                 from store_sales ss1
+      |                 where ss_store_sk = 1
+      |                 group by ss_item_sk
+      |                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+      |                                                  from store_sales
+      |                                                  where ss_store_sk = 1
+      |                                                    and ss_customer_sk is null
+      |                                                  group by ss_store_sk))V2)V21
+      |     where rnk  < 11) descending,
+      |item i1,
+      |item i2
+      |where asceding.rnk = descending.rnk 
+      |  and i1.i_item_sk=asceding.item_sk
+      |  and i2.i_item_sk=descending.item_sk
+      |order by asceding.rnk
+      |limit 100""".stripMargin
 }
