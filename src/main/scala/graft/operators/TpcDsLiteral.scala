@@ -101,7 +101,10 @@ object TpcDsLiteral {
       literal("qds26_literal", Q26), literal("qds31_literal", Q31),
       literal("qds44_literal", Q44),
       literal("qds38_literal", Q38, outCols = Seq("cnt")),
-      literal("qds87_literal", Q87, outCols = Seq("cnt")))
+      literal("qds87_literal", Q87, outCols = Seq("cnt")),
+      literal("qds30_literal", Q30), literal("qds81_literal", Q81),
+      literal("qds25_literal", Q25), literal("qds29_literal", Q29),
+      literal("qds17_literal", Q17))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -121,7 +124,8 @@ object TpcDsLiteral {
       "q4" -> Q4, "q11" -> Q11, "q33" -> Q33, "q45" -> Q45,
       "q51" -> Q51, "q56" -> Q56, "q60" -> Q60,
       "q26" -> Q26, "q31" -> Q31, "q44" -> Q44, "q38" -> Q38,
-      "q87" -> Q87)
+      "q87" -> Q87, "q30" -> Q30, "q81" -> Q81, "q25" -> Q25,
+      "q29" -> Q29, "q17" -> Q17)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -191,6 +195,7 @@ object TpcDsLiteral {
     "Ton", "Ounce", "Pound")
   private val SizeNames = Seq("N/A", "petite", "small", "medium", "large",
     "extra large")
+  private val LocationTypes = Seq("apartment", "condo", "single family")
   private val CdRows = 14000L
   private val HdRows = 7200L
   private val PromoRows = 300L
@@ -261,6 +266,35 @@ object TpcDsLiteral {
         .createOrReplaceTempView(if (p == "cs") "catalog_sales" else "web_sales")
     channelFact("cs", 1, 9.0d)
     channelFact("ws", 2, 8.0d)
+    // catalog_returns / web_returns: the R-flagged rows of each channel's
+    // slice, shaped like store_returns (return lands 0..149 days after
+    // the sale). TPC-DS quirk preserved: catalog says cr_return_AMOUNT,
+    // web says wr_return_AMT.
+    def channelReturns(p: String, lnMod: Int, amtCol: String): Unit =
+      lineitem.filter(col("l_linenumber") % 3 === lnMod &&
+          col("l_returnflag") === "R")
+        .join(orders, col("l_orderkey") === col("o_orderkey")).select(
+          (datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType)) +
+            (col("l_orderkey") * 31L) % 150L).cast(IntegerType)
+            .as(s"${p}_returned_date_sk"),
+          col("l_partkey").as(s"${p}_item_sk"),
+          col("o_custkey").as(s"${p}_returning_customer_sk"),
+          col("o_custkey").as(s"${p}_refunded_customer_sk"),
+          col("l_orderkey").as(s"${p}_order_number"),
+          floor(col("l_extendedprice") * 0.5d).cast(DoubleType).as(amtCol),
+          floor(col("l_extendedprice") * 0.55d).cast(DoubleType)
+            .as(s"${p}_return_amt_inc_tax"),
+          floor(col("l_quantity") / 2).cast(DoubleType)
+            .as(s"${p}_return_quantity"),
+          floor(col("l_extendedprice") * 0.3d).cast(DoubleType)
+            .as(s"${p}_net_loss"),
+          (col("o_custkey") % 25L).as(s"${p}_returning_addr_sk"),
+          (col("o_custkey") % 25L).as(s"${p}_refunded_addr_sk"),
+          ((col("l_orderkey") + col("l_partkey")) % ReasonRows + 1L)
+            .as(s"${p}_reason_sk"))
+        .createOrReplaceTempView(if (p == "cr") "catalog_returns" else "web_returns")
+    channelReturns("cr", 1, "cr_return_amount")
+    channelReturns("wr", 2, "wr_return_amt")
     lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
@@ -313,13 +347,15 @@ object TpcDsLiteral {
         col("l_suppkey").as("sr_store_sk"),
         col("l_orderkey").as("sr_ticket_number"),
         floor(col("l_extendedprice") * 0.5d).cast(DoubleType).as("sr_return_amt"),
-        floor(col("l_quantity") / 2).cast(IntegerType).as("sr_return_quantity"),
+        floor(col("l_quantity") / 2).cast(DoubleType).as("sr_return_quantity"),
         ((col("l_orderkey") + col("l_partkey")) % ReasonRows + 1L)
           .as("sr_reason_sk"),
         // the returning customer's CURRENT demographic key (same formula
         // as the customer view), so q84's sr_cdemo_sk = c_current_cdemo_sk
         // chain finds that customer's returns
-        ((col("o_custkey") * 19L) % CdRows + 1L).as("sr_cdemo_sk"))
+        ((col("o_custkey") * 19L) % CdRows + 1L).as("sr_cdemo_sk"),
+        floor(col("l_extendedprice") * 0.3d).cast(DoubleType)
+          .as("sr_net_loss"))
       // the return lands 0..149 days after the sale (orderkey-derived),
       // so q50's day-bucket arithmetic exercises every band; a return
       // date with no order on it simply finds no date_dim row — the
@@ -354,7 +390,13 @@ object TpcDsLiteral {
         // NULL like real TPC-DS's always-empty c_login
         lit(null).cast(StringType).as("c_login"),
         concat(lit("cust_"), col("c_custkey").cast(StringType),
-          lit("@example.com")).as("c_email_address"))
+          lit("@example.com")).as("c_email_address"),
+        ((col("c_custkey") * 7) % 28 + 1).cast(IntegerType).as("c_birth_day"),
+        ((col("c_custkey") * 11) % 12 + 1).cast(IntegerType).as("c_birth_month"),
+        (lit(1924) + (col("c_custkey") * 13) % 68).cast(IntegerType)
+          .as("c_birth_year"),
+        (lit(2450000L) + col("c_custkey") % 1000L).cast(StringType)
+          .as("c_last_review_date"))
       .createOrReplaceTempView("customer")
     Catalog.load(spark, dir, "nation")
       .select(col("n_nationkey").as("ca_address_sk"),
@@ -367,7 +409,18 @@ object TpcDsLiteral {
         (lit(-5) + (col("n_nationkey") % 2)).cast(IntegerType)
           .as("ca_gmt_offset"),
         element_at(array(Counties.map(lit): _*),
-          (col("n_nationkey") % 4).cast(IntegerType) + 1).as("ca_county"))
+          (col("n_nationkey") % 4).cast(IntegerType) + 1).as("ca_county"),
+        ((col("n_nationkey") * 3) % 999).cast(StringType)
+          .as("ca_street_number"),
+        element_at(array(StreetNames.map(lit): _*),
+          (col("n_nationkey") % 6).cast(IntegerType) + 1).as("ca_street_name"),
+        element_at(array(StreetTypes.map(lit): _*),
+          (col("n_nationkey") % 4).cast(IntegerType) + 1).as("ca_street_type"),
+        concat(lit("Suite "), ((col("n_nationkey") % 10) * 10).cast(StringType))
+          .as("ca_suite_number"),
+        element_at(array(LocationTypes.map(lit): _*),
+          (col("n_nationkey") % 3).cast(IntegerType) + 1)
+          .as("ca_location_type"))
       .createOrReplaceTempView("customer_address")
     Catalog.load(spark, dir, "supplier")
       .select(col("s_suppkey").as("s_store_sk"),
@@ -416,7 +469,10 @@ object TpcDsLiteral {
         // 0=Sunday..6=Saturday from the epoch-day integer (1970-01-01
         // was a Thursday), engine-independent by construction
         ((datediff(col("d"), lit("1970-01-01").cast(DateType)) + 4) % 7)
-          .cast(IntegerType).as("d_dow"))
+          .cast(IntegerType).as("d_dow"),
+        concat(year(col("d")).cast(StringType), lit("Q"),
+          (((month(col("d")) - 1) / 3 + 1).cast(IntegerType)).cast(StringType))
+          .as("d_quarter_name"))
       .createOrReplaceTempView("date_dim")
     // synthesized dimension enumerations: range(n) + modulo-indexed
     // vocabularies, identical row-for-row to the DuckDB CTE mirrors
@@ -536,12 +592,34 @@ object TpcDsLiteral {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 3 = $lnMod""".stripMargin
 
+  /** DuckDB mirror of `channelReturns`. */
+  private def duckReturns(p: String, lnMod: Int, amtCol: String): String =
+    s"""  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      + (l_orderkey * 31) % 150 AS INT) AS ${p}_returned_date_sk,
+      |    l_partkey AS ${p}_item_sk,
+      |    o_custkey AS ${p}_returning_customer_sk,
+      |    o_custkey AS ${p}_refunded_customer_sk,
+      |    l_orderkey AS ${p}_order_number,
+      |    CAST(floor(l_extendedprice * 0.5) AS DOUBLE) AS $amtCol,
+      |    CAST(floor(l_extendedprice * 0.55) AS DOUBLE) AS ${p}_return_amt_inc_tax,
+      |    CAST(floor(l_quantity / 2) AS DOUBLE) AS ${p}_return_quantity,
+      |    CAST(floor(l_extendedprice * 0.3) AS DOUBLE) AS ${p}_net_loss,
+      |    o_custkey % 25 AS ${p}_returning_addr_sk,
+      |    o_custkey % 25 AS ${p}_refunded_addr_sk,
+      |    (l_orderkey + l_partkey) % $ReasonRows + 1 AS ${p}_reason_sk
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_linenumber % 3 = $lnMod AND l_returnflag = 'R'""".stripMargin
+
   /** The same views as DuckDB CTE text, prepended to each oracle. */
   private val duckViews: String =
     s"""catalog_sales AS (
       |${duckChannel("cs", 1, 9)}),
       |web_sales AS (
       |${duckChannel("ws", 2, 8)}),
+      |catalog_returns AS (
+      |${duckReturns("cr", 1, "cr_return_amount")}),
+      |web_returns AS (
+      |${duckReturns("wr", 2, "wr_return_amt")}),
       |store_sales AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS ss_sold_date_sk,
       |    l_partkey AS ss_item_sk,
@@ -575,9 +653,10 @@ object TpcDsLiteral {
       |    l_suppkey AS sr_store_sk,
       |    l_orderkey AS sr_ticket_number,
       |    CAST(floor(l_extendedprice * 0.5) AS DOUBLE) AS sr_return_amt,
-      |    CAST(floor(l_quantity / 2) AS INT) AS sr_return_quantity,
+      |    CAST(floor(l_quantity / 2) AS DOUBLE) AS sr_return_quantity,
       |    (l_orderkey + l_partkey) % $ReasonRows + 1 AS sr_reason_sk,
-      |    (o_custkey * 19) % $CdRows + 1 AS sr_cdemo_sk
+      |    (o_custkey * 19) % $CdRows + 1 AS sr_cdemo_sk,
+      |    CAST(floor(l_extendedprice * 0.3) AS DOUBLE) AS sr_net_loss
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_returnflag = 'R'),
       |date_dim AS (
@@ -590,7 +669,9 @@ object TpcDsLiteral {
       |    CAST((EXTRACT(YEAR FROM d) - 1900) * 12 + EXTRACT(MONTH FROM d) - 1 AS INT) AS d_month_seq,
       |    CAST((EXTRACT(MONTH FROM d) - 1) // 3 + 1 AS INT) AS d_qoy,
       |    CAST(EXTRACT(DAY FROM d) AS INT) AS d_dom,
-      |    CAST((date_diff('day', DATE '1970-01-01', d) + 4) % 7 AS INT) AS d_dow
+      |    CAST((date_diff('day', DATE '1970-01-01', d) + 4) % 7 AS INT) AS d_dow,
+      |    CAST(EXTRACT(YEAR FROM d) AS VARCHAR) || 'Q' ||
+      |      CAST(CAST((EXTRACT(MONTH FROM d) - 1) // 3 + 1 AS INT) AS VARCHAR) AS d_quarter_name
       |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)),
       |item AS (
       |  SELECT p_partkey AS i_item_sk,
@@ -627,7 +708,11 @@ object TpcDsLiteral {
       |    (c_custkey * 19) % $CdRows + 1 AS c_current_cdemo_sk,
       |    (c_custkey * 23) % $HdRows + 1 AS c_current_hdemo_sk,
       |    CAST(NULL AS VARCHAR) AS c_login,
-      |    'cust_' || CAST(c_custkey AS VARCHAR) || '@example.com' AS c_email_address
+      |    'cust_' || CAST(c_custkey AS VARCHAR) || '@example.com' AS c_email_address,
+      |    CAST((c_custkey * 7) % 28 + 1 AS INT) AS c_birth_day,
+      |    CAST((c_custkey * 11) % 12 + 1 AS INT) AS c_birth_month,
+      |    CAST(1924 + (c_custkey * 13) % 68 AS INT) AS c_birth_year,
+      |    CAST(2450000 + c_custkey % 1000 AS VARCHAR) AS c_last_review_date
       |  FROM main.customer),
       |customer_address AS (
       |  SELECT n_nationkey AS ca_address_sk,
@@ -636,7 +721,12 @@ object TpcDsLiteral {
       |    CAST(10000 + n_nationkey * 137 AS VARCHAR) AS ca_zip,
       |    (${CityNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 6 AS INT) + 1] AS ca_city,
       |    CAST(-5 + (n_nationkey % 2) AS INT) AS ca_gmt_offset,
-      |    (${Counties.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 4 AS INT) + 1] AS ca_county
+      |    (${Counties.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 4 AS INT) + 1] AS ca_county,
+      |    CAST((n_nationkey * 3) % 999 AS VARCHAR) AS ca_street_number,
+      |    (${StreetNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 6 AS INT) + 1] AS ca_street_name,
+      |    (${StreetTypes.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 4 AS INT) + 1] AS ca_street_type,
+      |    'Suite ' || CAST((n_nationkey % 10) * 10 AS VARCHAR) AS ca_suite_number,
+      |    (${LocationTypes.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 3 AS INT) + 1] AS ca_location_type
       |  FROM nation),
       |store AS (
       |  SELECT s_suppkey AS s_store_sk,
@@ -3006,5 +3096,207 @@ object TpcDsLiteral {
       |  and i1.i_item_sk=asceding.item_sk
       |  and i2.i_item_sk=descending.item_sk
       |order by asceding.rnk
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q30.sql
+  private val Q30: String =
+    """with customer_total_return as
+      | (select wr_returning_customer_sk as ctr_customer_sk
+      |        ,ca_state as ctr_state, 
+      | 	sum(wr_return_amt) as ctr_total_return
+      | from web_returns
+      |     ,date_dim
+      |     ,customer_address
+      | where wr_returned_date_sk = d_date_sk 
+      |   and d_year =1999
+      |   and wr_returning_addr_sk = ca_address_sk 
+      | group by wr_returning_customer_sk
+      |         ,ca_state)
+      |  select  c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag
+      |       ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address
+      |       ,c_last_review_date,ctr_total_return
+      | from customer_total_return ctr1
+      |     ,customer_address
+      |     ,customer
+      | where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+      | 			  from customer_total_return ctr2 
+      |                  	  where ctr1.ctr_state = ctr2.ctr_state)
+      |       and ca_address_sk = c_current_addr_sk
+      |       and ca_state = 'TN'
+      |       and ctr1.ctr_customer_sk = c_customer_sk
+      | order by c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag
+      |                  ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address
+      |                  ,c_last_review_date,ctr_total_return
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q81.sql
+  private val Q81: String =
+    """with customer_total_return as
+      | (select cr_returning_customer_sk as ctr_customer_sk
+      |        ,ca_state as ctr_state, 
+      | 	sum(cr_return_amt_inc_tax) as ctr_total_return
+      | from catalog_returns
+      |     ,date_dim
+      |     ,customer_address
+      | where cr_returned_date_sk = d_date_sk 
+      |   and d_year =1998
+      |   and cr_returning_addr_sk = ca_address_sk 
+      | group by cr_returning_customer_sk
+      |         ,ca_state )
+      |  select  c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
+      |                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
+      |                  ,ca_location_type,ctr_total_return
+      | from customer_total_return ctr1
+      |     ,customer_address
+      |     ,customer
+      | where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+      | 			  from customer_total_return ctr2 
+      |                  	  where ctr1.ctr_state = ctr2.ctr_state)
+      |       and ca_address_sk = c_current_addr_sk
+      |       and ca_state = 'TN'
+      |       and ctr1.ctr_customer_sk = c_customer_sk
+      | order by c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
+      |                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
+      |                  ,ca_location_type,ctr_total_return
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q25.sql
+  private val Q25: String =
+    """select  
+      | i_item_id
+      | ,i_item_desc
+      | ,s_store_id
+      | ,s_store_name
+      | ,sum(ss_net_profit) as store_sales_profit
+      | ,sum(sr_net_loss) as store_returns_loss
+      | ,sum(cs_net_profit) as catalog_sales_profit
+      | from
+      | store_sales
+      | ,store_returns
+      | ,catalog_sales
+      | ,date_dim d1
+      | ,date_dim d2
+      | ,date_dim d3
+      | ,store
+      | ,item
+      | where
+      | d1.d_moy = 4
+      | and d1.d_year = 1998
+      | and d1.d_date_sk = ss_sold_date_sk
+      | and i_item_sk = ss_item_sk
+      | and s_store_sk = ss_store_sk
+      | and ss_customer_sk = sr_customer_sk
+      | and ss_item_sk = sr_item_sk
+      | and ss_ticket_number = sr_ticket_number
+      | and sr_returned_date_sk = d2.d_date_sk
+      | and d2.d_moy               between 4 and  10
+      | and d2.d_year              = 1998
+      | and sr_customer_sk = cs_bill_customer_sk
+      | and sr_item_sk = cs_item_sk
+      | and cs_sold_date_sk = d3.d_date_sk
+      | and d3.d_moy               between 4 and  10 
+      | and d3.d_year              = 1998
+      | group by
+      | i_item_id
+      | ,i_item_desc
+      | ,s_store_id
+      | ,s_store_name
+      | order by
+      | i_item_id
+      | ,i_item_desc
+      | ,s_store_id
+      | ,s_store_name
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q29.sql
+  private val Q29: String =
+    """select   
+      |     i_item_id
+      |    ,i_item_desc
+      |    ,s_store_id
+      |    ,s_store_name
+      |    ,sum(ss_quantity)        as store_sales_quantity
+      |    ,sum(sr_return_quantity) as store_returns_quantity
+      |    ,sum(cs_quantity)        as catalog_sales_quantity
+      | from
+      |    store_sales
+      |   ,store_returns
+      |   ,catalog_sales
+      |   ,date_dim             d1
+      |   ,date_dim             d2
+      |   ,date_dim             d3
+      |   ,store
+      |   ,item
+      | where
+      |     d1.d_moy               = 4 
+      | and d1.d_year              = 1998
+      | and d1.d_date_sk           = ss_sold_date_sk
+      | and i_item_sk              = ss_item_sk
+      | and s_store_sk             = ss_store_sk
+      | and ss_customer_sk         = sr_customer_sk
+      | and ss_item_sk             = sr_item_sk
+      | and ss_ticket_number       = sr_ticket_number
+      | and sr_returned_date_sk    = d2.d_date_sk
+      | and d2.d_moy               between 4 and  4 + 3 
+      | and d2.d_year              = 1998
+      | and sr_customer_sk         = cs_bill_customer_sk
+      | and sr_item_sk             = cs_item_sk
+      | and cs_sold_date_sk        = d3.d_date_sk     
+      | and d3.d_year              in (1998,1998+1,1998+2)
+      | group by
+      |    i_item_id
+      |   ,i_item_desc
+      |   ,s_store_id
+      |   ,s_store_name
+      | order by
+      |    i_item_id 
+      |   ,i_item_desc
+      |   ,s_store_id
+      |   ,s_store_name
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q17.sql
+  private val Q17: String =
+    """select  i_item_id
+      |       ,i_item_desc
+      |       ,s_state
+      |       ,count(ss_quantity) as store_sales_quantitycount
+      |       ,avg(ss_quantity) as store_sales_quantityave
+      |       ,stddev_samp(ss_quantity) as store_sales_quantitystdev
+      |       ,stddev_samp(ss_quantity)/avg(ss_quantity) as store_sales_quantitycov
+      |       ,count(sr_return_quantity) as store_returns_quantitycount
+      |       ,avg(sr_return_quantity) as store_returns_quantityave
+      |       ,stddev_samp(sr_return_quantity) as store_returns_quantitystdev
+      |       ,stddev_samp(sr_return_quantity)/avg(sr_return_quantity) as store_returns_quantitycov
+      |       ,count(cs_quantity) as catalog_sales_quantitycount ,avg(cs_quantity) as catalog_sales_quantityave
+      |       ,stddev_samp(cs_quantity) as catalog_sales_quantitystdev
+      |       ,stddev_samp(cs_quantity)/avg(cs_quantity) as catalog_sales_quantitycov
+      | from store_sales
+      |     ,store_returns
+      |     ,catalog_sales
+      |     ,date_dim d1
+      |     ,date_dim d2
+      |     ,date_dim d3
+      |     ,store
+      |     ,item
+      | where d1.d_quarter_name = '1998Q1'
+      |   and d1.d_date_sk = ss_sold_date_sk
+      |   and i_item_sk = ss_item_sk
+      |   and s_store_sk = ss_store_sk
+      |   and ss_customer_sk = sr_customer_sk
+      |   and ss_item_sk = sr_item_sk
+      |   and ss_ticket_number = sr_ticket_number
+      |   and sr_returned_date_sk = d2.d_date_sk
+      |   and d2.d_quarter_name in ('1998Q1','1998Q2','1998Q3')
+      |   and sr_customer_sk = cs_bill_customer_sk
+      |   and sr_item_sk = cs_item_sk
+      |   and cs_sold_date_sk = d3.d_date_sk
+      |   and d3.d_quarter_name in ('1998Q1','1998Q2','1998Q3')
+      | group by i_item_id
+      |         ,i_item_desc
+      |         ,s_state
+      | order by i_item_id
+      |         ,i_item_desc
+      |         ,s_state
       |limit 100""".stripMargin
 }
