@@ -104,7 +104,14 @@ object TpcDsLiteral {
       literal("qds87_literal", Q87, outCols = Seq("cnt")),
       literal("qds30_literal", Q30), literal("qds81_literal", Q81),
       literal("qds25_literal", Q25), literal("qds29_literal", Q29),
-      literal("qds17_literal", Q17))
+      literal("qds17_literal", Q17),
+      literal("qds83_literal", Q83), literal("qds10_literal", Q10),
+      literal("qds69_literal", Q69),
+      literal("qds35_literal", Q35, outCols = Seq("ca_state", "cd_gender",
+        "cd_marital_status", "cd_dep_count", "cnt1", "sum_dep1", "sum_dep2",
+        "sum_dep3", "cd_dep_employed_count", "cnt2", "sum_emp1", "sum_emp2",
+        "sum_emp3", "cd_dep_college_count", "cnt3", "sum_col1", "sum_col2",
+        "sum_col3")))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -125,7 +132,8 @@ object TpcDsLiteral {
       "q51" -> Q51, "q56" -> Q56, "q60" -> Q60,
       "q26" -> Q26, "q31" -> Q31, "q44" -> Q44, "q38" -> Q38,
       "q87" -> Q87, "q30" -> Q30, "q81" -> Q81, "q25" -> Q25,
-      "q29" -> Q29, "q17" -> Q17)
+      "q29" -> Q29, "q17" -> Q17, "q83" -> Q83, "q10" -> Q10,
+      "q35" -> Q35, "q69" -> Q69)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -196,6 +204,7 @@ object TpcDsLiteral {
   private val SizeNames = Seq("N/A", "petite", "small", "medium", "large",
     "extra large")
   private val LocationTypes = Seq("apartment", "condo", "single family")
+  private val CreditRatings = Seq("Low Risk", "Good", "High Risk", "Unknown")
   private val CdRows = 14000L
   private val HdRows = 7200L
   private val PromoRows = 300L
@@ -482,7 +491,19 @@ object TpcDsLiteral {
         element_at(array(MaritalStatuses.map(lit): _*),
           ((col("id") / 2) % 5).cast(IntegerType) + 1).as("cd_marital_status"),
         element_at(array(EducationStatuses.map(lit): _*),
-          ((col("id") / 10) % 7).cast(IntegerType) + 1).as("cd_education_status"))
+          ((col("id") / 10) % 7).cast(IntegerType) + 1).as("cd_education_status"),
+        (((col("id") / 70).cast(LongType) % 20 + 1) * 500).cast(IntegerType)
+          .as("cd_purchase_estimate"),
+        element_at(array(CreditRatings.map(lit): _*),
+          ((col("id") / 140).cast(LongType) % 4).cast(IntegerType) + 1)
+          .as("cd_credit_rating"),
+        // DOUBLE, not INT: the q35 family sums these, and DuckDB sums
+        // every integer width to HUGEINT while Spark says BIGINT
+        (col("id") % 7).cast(DoubleType).as("cd_dep_count"),
+        ((col("id") / 7).cast(LongType) % 7).cast(DoubleType)
+          .as("cd_dep_employed_count"),
+        ((col("id") / 49).cast(LongType) % 7).cast(DoubleType)
+          .as("cd_dep_college_count"))
       .createOrReplaceTempView("customer_demographics")
     spark.range(HdRows).select(
         (col("id") + 1L).as("hd_demo_sk"),
@@ -751,7 +772,12 @@ object TpcDsLiteral {
       |  SELECT id + 1 AS cd_demo_sk,
       |    CASE WHEN id % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
       |    (${MaritalStatuses.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((id // 2) % 5 AS INT) + 1] AS cd_marital_status,
-      |    (${EducationStatuses.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((id // 10) % 7 AS INT) + 1] AS cd_education_status
+      |    (${EducationStatuses.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((id // 10) % 7 AS INT) + 1] AS cd_education_status,
+      |    CAST(((id // 70) % 20 + 1) * 500 AS INT) AS cd_purchase_estimate,
+      |    (${CreditRatings.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((id // 140) % 4 AS INT) + 1] AS cd_credit_rating,
+      |    CAST(id % 7 AS DOUBLE) AS cd_dep_count,
+      |    CAST((id // 7) % 7 AS DOUBLE) AS cd_dep_employed_count,
+      |    CAST((id // 49) % 7 AS DOUBLE) AS cd_dep_college_count
       |  FROM range($CdRows) t(id)),
       |household_demographics AS (
       |  SELECT id + 1 AS hd_demo_sk,
@@ -3299,4 +3325,235 @@ object TpcDsLiteral {
       |         ,i_item_desc
       |         ,s_state
       |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q83.sql
+  private val Q83: String =
+    """with sr_items as
+      | (select i_item_id item_id,
+      |        sum(sr_return_quantity) sr_item_qty
+      | from store_returns,
+      |      item,
+      |      date_dim
+      | where sr_item_sk = i_item_sk
+      | and   d_date    in 
+      |	(select d_date
+      |	from date_dim
+      |	where d_week_seq in 
+      |		(select d_week_seq
+      |		from date_dim
+      |	  where d_date in ('1998-01-02','1998-08-02','1998-11-02')))
+      | and   sr_returned_date_sk   = d_date_sk
+      | group by i_item_id),
+      | cr_items as
+      | (select i_item_id item_id,
+      |        sum(cr_return_quantity) cr_item_qty
+      | from catalog_returns,
+      |      item,
+      |      date_dim
+      | where cr_item_sk = i_item_sk
+      | and   d_date    in 
+      |	(select d_date
+      |	from date_dim
+      |	where d_week_seq in 
+      |		(select d_week_seq
+      |		from date_dim
+      |	  where d_date in ('1998-01-02','1998-08-02','1998-11-02')))
+      | and   cr_returned_date_sk   = d_date_sk
+      | group by i_item_id),
+      | wr_items as
+      | (select i_item_id item_id,
+      |        sum(wr_return_quantity) wr_item_qty
+      | from web_returns,
+      |      item,
+      |      date_dim
+      | where wr_item_sk = i_item_sk
+      | and   d_date    in 
+      |	(select d_date
+      |	from date_dim
+      |	where d_week_seq in 
+      |		(select d_week_seq
+      |		from date_dim
+      |		where d_date in ('1998-01-02','1998-08-02','1998-11-02')))
+      | and   wr_returned_date_sk   = d_date_sk
+      | group by i_item_id)
+      |  select  sr_items.item_id
+      |       ,sr_item_qty
+      |       ,sr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 sr_dev
+      |       ,cr_item_qty
+      |       ,cr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 cr_dev
+      |       ,wr_item_qty
+      |       ,wr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 wr_dev
+      |       ,(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 average
+      | from sr_items
+      |     ,cr_items
+      |     ,wr_items
+      | where sr_items.item_id=cr_items.item_id
+      |   and sr_items.item_id=wr_items.item_id 
+      | order by sr_items.item_id
+      |         ,sr_item_qty
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q10.sql
+  private val Q10: String =
+    """select  
+      |  cd_gender,
+      |  cd_marital_status,
+      |  cd_education_status,
+      |  count(*) cnt1,
+      |  cd_purchase_estimate,
+      |  count(*) cnt2,
+      |  cd_credit_rating,
+      |  count(*) cnt3,
+      |  cd_dep_count,
+      |  count(*) cnt4,
+      |  cd_dep_employed_count,
+      |  count(*) cnt5,
+      |  cd_dep_college_count,
+      |  count(*) cnt6
+      | from
+      |  customer c,customer_address ca,customer_demographics
+      | where
+      |  c.c_current_addr_sk = ca.ca_address_sk and
+      |  ca_county in ('Washington County','Williamson County','Ziebach County','Walker County','Fairfield County') and
+      |  cd_demo_sk = c.c_current_cdemo_sk and 
+      |  exists (select *
+      |          from store_sales,date_dim
+      |          where c.c_customer_sk = ss_customer_sk and
+      |                ss_sold_date_sk = d_date_sk and
+      |                d_year = 1999 and
+      |                d_moy between 1 and 1+3) and
+      |   (exists (select *
+      |            from web_sales,date_dim
+      |            where c.c_customer_sk = ws_bill_customer_sk and
+      |                  ws_sold_date_sk = d_date_sk and
+      |                  d_year = 1999 and
+      |                  d_moy between 1 ANd 1+3) or 
+      |    exists (select * 
+      |            from catalog_sales,date_dim
+      |            where c.c_customer_sk = cs_ship_customer_sk and
+      |                  cs_sold_date_sk = d_date_sk and
+      |                  d_year = 1999 and
+      |                  d_moy between 1 and 1+3))
+      | group by cd_gender,
+      |          cd_marital_status,
+      |          cd_education_status,
+      |          cd_purchase_estimate,
+      |          cd_credit_rating,
+      |          cd_dep_count,
+      |          cd_dep_employed_count,
+      |          cd_dep_college_count
+      | order by cd_gender,
+      |          cd_marital_status,
+      |          cd_education_status,
+      |          cd_purchase_estimate,
+      |          cd_credit_rating,
+      |          cd_dep_count,
+      |          cd_dep_employed_count,
+      |          cd_dep_college_count
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q35.sql
+  private val Q35: String =
+    """select   
+      |  ca_state,
+      |  cd_gender,
+      |  cd_marital_status,
+      |  cd_dep_count,
+      |  count(*) cnt1,
+      |  sum(cd_dep_count),
+      |  sum(cd_dep_count),
+      |  sum(cd_dep_count),
+      |  cd_dep_employed_count,
+      |  count(*) cnt2,
+      |  sum(cd_dep_employed_count),
+      |  sum(cd_dep_employed_count),
+      |  sum(cd_dep_employed_count),
+      |  cd_dep_college_count,
+      |  count(*) cnt3,
+      |  sum(cd_dep_college_count),
+      |  sum(cd_dep_college_count),
+      |  sum(cd_dep_college_count)
+      | from
+      |  customer c,customer_address ca,customer_demographics
+      | where
+      |  c.c_current_addr_sk = ca.ca_address_sk and
+      |  cd_demo_sk = c.c_current_cdemo_sk and 
+      |  exists (select *
+      |          from store_sales,date_dim
+      |          where c.c_customer_sk = ss_customer_sk and
+      |                ss_sold_date_sk = d_date_sk and
+      |                d_year = 1999 and
+      |                d_qoy < 4) and
+      |   (exists (select *
+      |            from web_sales,date_dim
+      |            where c.c_customer_sk = ws_bill_customer_sk and
+      |                  ws_sold_date_sk = d_date_sk and
+      |                  d_year = 1999 and
+      |                  d_qoy < 4) or 
+      |    exists (select * 
+      |            from catalog_sales,date_dim
+      |            where c.c_customer_sk = cs_ship_customer_sk and
+      |                  cs_sold_date_sk = d_date_sk and
+      |                  d_year = 1999 and
+      |                  d_qoy < 4))
+      | group by ca_state,
+      |          cd_gender,
+      |          cd_marital_status,
+      |          cd_dep_count,
+      |          cd_dep_employed_count,
+      |          cd_dep_college_count
+      | order by ca_state,
+      |          cd_gender,
+      |          cd_marital_status,
+      |          cd_dep_count,
+      |          cd_dep_employed_count,
+      |          cd_dep_college_count
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q69.sql
+  private val Q69: String =
+    """select  
+      |  cd_gender,
+      |  cd_marital_status,
+      |  cd_education_status,
+      |  count(*) cnt1,
+      |  cd_purchase_estimate,
+      |  count(*) cnt2,
+      |  cd_credit_rating,
+      |  count(*) cnt3
+      | from
+      |  customer c,customer_address ca,customer_demographics
+      | where
+      |  c.c_current_addr_sk = ca.ca_address_sk and
+      |  ca_state in ('ID','TN','SD') and
+      |  cd_demo_sk = c.c_current_cdemo_sk and 
+      |  exists (select *
+      |          from store_sales,date_dim
+      |          where c.c_customer_sk = ss_customer_sk and
+      |                ss_sold_date_sk = d_date_sk and
+      |                d_year = 1999 and
+      |                d_moy between 1 and 1+2) and
+      |   (not exists (select *
+      |            from web_sales,date_dim
+      |            where c.c_customer_sk = ws_bill_customer_sk and
+      |                  ws_sold_date_sk = d_date_sk and
+      |                  d_year = 1999 and
+      |                  d_moy between 1 and 1+2) and
+      |    not exists (select * 
+      |            from catalog_sales,date_dim
+      |            where c.c_customer_sk = cs_ship_customer_sk and
+      |                  cs_sold_date_sk = d_date_sk and
+      |                  d_year = 1999 and
+      |                  d_moy between 1 and 1+2))
+      | group by cd_gender,
+      |          cd_marital_status,
+      |          cd_education_status,
+      |          cd_purchase_estimate,
+      |          cd_credit_rating
+      | order by cd_gender,
+      |          cd_marital_status,
+      |          cd_education_status,
+      |          cd_purchase_estimate,
+      |          cd_credit_rating
+      | limit 100""".stripMargin
 }

@@ -30,7 +30,11 @@ class RelationalSpec extends SparkSpec {
       // q41's conjunctive (category, color, units, size) branches need a
       // sibling among ~2 items per manufacturer name at sf0.001
       // (simulated: 6 result items at sf0.01, 0 at sf0.001)
-      "qds41_literal")
+      "qds41_literal",
+      // q69 needs a 1999-Q1 store buyer with NO web/catalog line in the
+      // same window; q83 an item returned in all three channels in the
+      // same weeks — both need more than ~150 customers / 6k lines
+      "qds69_literal", "qds83_literal")
     val empty = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val n = graft.SparkEntry.queries(name)(spark, sf()).count()
       if (n == 0 && !emptyOk(name)) Some(name) else None
