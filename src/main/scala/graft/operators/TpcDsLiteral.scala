@@ -111,7 +111,14 @@ object TpcDsLiteral {
         "cd_marital_status", "cd_dep_count", "cnt1", "sum_dep1", "sum_dep2",
         "sum_dep3", "cd_dep_employed_count", "cnt2", "sum_emp1", "sum_emp2",
         "sum_emp3", "cd_dep_college_count", "cnt3", "sum_col1", "sum_col2",
-        "sum_col3")))
+        "sum_col3")),
+      // q58's bare `order by item_id` is fine for Spark's resolver but
+      // ambiguous for DuckDB's stricter binder; the three item_id columns
+      // are equi-joined, so pinning one is semantics-preserving — a
+      // dialect shim on the oracle side only, like the backtick rewrite
+      literal("qds58_literal", Q58, oracleFixup =
+        _.replace("order by item_id", "order by ss_items.item_id")),
+      literal("qds23a_literal", Q23A, outCols = Seq("total_sales")))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -133,7 +140,7 @@ object TpcDsLiteral {
       "q26" -> Q26, "q31" -> Q31, "q44" -> Q44, "q38" -> Q38,
       "q87" -> Q87, "q30" -> Q30, "q81" -> Q81, "q25" -> Q25,
       "q29" -> Q29, "q17" -> Q17, "q83" -> Q83, "q10" -> Q10,
-      "q35" -> Q35, "q69" -> Q69)
+      "q35" -> Q35, "q69" -> Q69, "q58" -> Q58, "q23a" -> Q23A)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -226,8 +233,13 @@ object TpcDsLiteral {
     // each channel has its own unit-price divisor (store 10, catalog 9,
     // web 8): web lines are a subset of store lines, so an identical
     // formula would make q51's "web cumulative overtakes store" filter
-    // empty by construction; the spread lets web-heavy item-dates win
-    def channelFact(p: String, lnMod: Int, priceDiv: Double): Unit =
+    // empty by construction; the spread lets web-heavy item-dates win.
+    // extMul is a per-channel markup on the EXT sales price (catalog
+    // 2.85, web 3.1): each channel carries ~1/3 of the lines, so without
+    // it store's per-item revenue is always ~3x a channel's and q58's
+    // "all three channels within ±10%" band is empty by construction.
+    def channelFact(p: String, lnMod: Int, priceDiv: Double,
+        extMul: Double): Unit =
       lineitem.filter(col("l_linenumber") % 3 === lnMod)
         .join(orders, col("l_orderkey") === col("o_orderkey")).select(
           datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
@@ -241,7 +253,7 @@ object TpcDsLiteral {
             .otherwise(col("o_custkey")).as(s"${p}_ship_customer_sk"),
           col("l_orderkey").as(s"${p}_order_number"),
           col("l_quantity").as(s"${p}_quantity"),
-          floor(col("l_extendedprice")).cast(DoubleType)
+          floor(col("l_extendedprice") * extMul).cast(DoubleType)
             .as(s"${p}_ext_sales_price"),
           floor(col("l_extendedprice") / priceDiv).cast(DoubleType)
             .as(s"${p}_sales_price"),
@@ -273,8 +285,8 @@ object TpcDsLiteral {
           (col("o_custkey") % 25L).as(s"${p}_bill_addr_sk"),
           (col("o_custkey") % 25L).as(s"${p}_ship_addr_sk"))
         .createOrReplaceTempView(if (p == "cs") "catalog_sales" else "web_sales")
-    channelFact("cs", 1, 9.0d)
-    channelFact("ws", 2, 8.0d)
+    channelFact("cs", 1, 9.0d, 2.85d)
+    channelFact("ws", 2, 8.0d, 3.1d)
     // catalog_returns / web_returns: the R-flagged rows of each channel's
     // slice, shaped like store_returns (return lands 0..149 days after
     // the sale). TPC-DS quirk preserved: catalog says cr_return_AMOUNT,
@@ -585,7 +597,8 @@ object TpcDsLiteral {
 
   /** DuckDB mirror of `channelFact` — same projection battery under the
     * channel's prefix, same l_linenumber slice. */
-  private def duckChannel(p: String, lnMod: Int, priceDiv: Int): String =
+  private def duckChannel(p: String, lnMod: Int, priceDiv: Int,
+      extMul: String): String =
     s"""  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS ${p}_sold_date_sk,
       |    (l_orderkey * 7919 + l_linenumber * 101) % 86400 AS ${p}_sold_time_sk,
       |    l_partkey AS ${p}_item_sk,
@@ -593,7 +606,7 @@ object TpcDsLiteral {
       |    CASE WHEN o_custkey % 40 = 0 THEN NULL ELSE o_custkey END AS ${p}_ship_customer_sk,
       |    l_orderkey AS ${p}_order_number,
       |    l_quantity AS ${p}_quantity,
-      |    CAST(floor(l_extendedprice) AS DOUBLE) AS ${p}_ext_sales_price,
+      |    CAST(floor(l_extendedprice * $extMul) AS DOUBLE) AS ${p}_ext_sales_price,
       |    CAST(floor(l_extendedprice / $priceDiv) AS DOUBLE) AS ${p}_sales_price,
       |    CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) AS ${p}_list_price,
       |    CAST(floor(l_extendedprice * 1.2) AS DOUBLE) AS ${p}_ext_list_price,
@@ -634,9 +647,9 @@ object TpcDsLiteral {
   /** The same views as DuckDB CTE text, prepended to each oracle. */
   private val duckViews: String =
     s"""catalog_sales AS (
-      |${duckChannel("cs", 1, 9)}),
+      |${duckChannel("cs", 1, 9, "2.85")}),
       |web_sales AS (
-      |${duckChannel("ws", 2, 8)}),
+      |${duckChannel("ws", 2, 8, "3.1")}),
       |catalog_returns AS (
       |${duckReturns("cr", 1, "cr_return_amount")}),
       |web_returns AS (
@@ -810,7 +823,8 @@ object TpcDsLiteral {
 
   private def literal(name: String, body: String,
       outCols: Seq[String] = Nil,
-      castBigint: Set[String] = Set.empty): QueryDef = {
+      castBigint: Set[String] = Set.empty,
+      oracleFixup: String => String = identity): QueryDef = {
     // a text that opens with its own WITH clause (q59) splices into the
     // adapter CTE list; Spark runs the body verbatim against temp views.
     // `outCols`, when given, renames the OUTPUT columns on both sides —
@@ -821,7 +835,7 @@ object TpcDsLiteral {
     // copy also swaps backtick identifier quoting for double quotes —
     // the reference texts are Flink-dialect (q50's `30 days ` aliases),
     // which Spark parses natively but DuckDB does not.
-    val duckBody = body.replace('`', '"')
+    val duckBody = oracleFixup(body.replace('`', '"'))
     // `castBigint` names outCols whose DuckDB type needs pinning to
     // BIGINT (an uncast textual sum(1) returns HUGEINT there; Spark
     // returns BIGINT) — applied in the oracle's outer projection only.
@@ -3556,4 +3570,122 @@ object TpcDsLiteral {
       |          cd_purchase_estimate,
       |          cd_credit_rating
       | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q58.sql
+  private val Q58: String =
+    """with ss_items as
+      | (select i_item_id item_id
+      |        ,sum(ss_ext_sales_price) ss_item_rev 
+      | from store_sales
+      |     ,item
+      |     ,date_dim
+      | where ss_item_sk = i_item_sk
+      |   and d_date in (select d_date
+      |                  from date_dim
+      |                  where d_week_seq = (select d_week_seq 
+      |                                      from date_dim
+      |                                      where d_date = '1998-01-02'))
+      |   and ss_sold_date_sk   = d_date_sk
+      | group by i_item_id),
+      | cs_items as
+      | (select i_item_id item_id
+      |        ,sum(cs_ext_sales_price) cs_item_rev
+      |  from catalog_sales
+      |      ,item
+      |      ,date_dim
+      | where cs_item_sk = i_item_sk
+      |  and  d_date in (select d_date
+      |                  from date_dim
+      |                  where d_week_seq = (select d_week_seq 
+      |                                      from date_dim
+      |                                      where d_date = '1998-01-02'))
+      |  and  cs_sold_date_sk = d_date_sk
+      | group by i_item_id),
+      | ws_items as
+      | (select i_item_id item_id
+      |        ,sum(ws_ext_sales_price) ws_item_rev
+      |  from web_sales
+      |      ,item
+      |      ,date_dim
+      | where ws_item_sk = i_item_sk
+      |  and  d_date in (select d_date
+      |                  from date_dim
+      |                  where d_week_seq =(select d_week_seq 
+      |                                     from date_dim
+      |                                     where d_date = '1998-01-02'))
+      |  and ws_sold_date_sk   = d_date_sk
+      | group by i_item_id)
+      |  select  ss_items.item_id
+      |       ,ss_item_rev
+      |       ,ss_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ss_dev
+      |       ,cs_item_rev
+      |       ,cs_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 cs_dev
+      |       ,ws_item_rev
+      |       ,ws_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ws_dev
+      |       ,(ss_item_rev+cs_item_rev+ws_item_rev)/3 average
+      | from ss_items,cs_items,ws_items
+      | where ss_items.item_id=cs_items.item_id
+      |   and ss_items.item_id=ws_items.item_id 
+      |   and ss_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+      |   and ss_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+      |   and cs_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+      |   and cs_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+      |   and ws_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+      |   and ws_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+      | order by item_id
+      |         ,ss_item_rev
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q23a.sql
+  private val Q23A: String =
+    """with frequent_ss_items as 
+      | (select substr(i_item_desc,1,30) itemdesc,i_item_sk item_sk,d_date solddate,count(*) cnt
+      |  from store_sales
+      |      ,date_dim 
+      |      ,item
+      |  where ss_sold_date_sk = d_date_sk
+      |    and ss_item_sk = i_item_sk 
+      |    and d_year in (1998,1998+1,1998+2,1998+3)
+      |  group by substr(i_item_desc,1,30),i_item_sk,d_date
+      |  having count(*) >4),
+      | max_store_sales as
+      | (select max(csales) tpcds_cmax 
+      |  from (select c_customer_sk,sum(ss_quantity*ss_sales_price) csales
+      |        from store_sales
+      |            ,customer
+      |            ,date_dim 
+      |        where ss_customer_sk = c_customer_sk
+      |         and ss_sold_date_sk = d_date_sk
+      |         and d_year in (1998,1998+1,1998+2,1998+3) 
+      |        group by c_customer_sk)),
+      | best_ss_customer as
+      | (select c_customer_sk,sum(ss_quantity*ss_sales_price) ssales
+      |  from store_sales
+      |      ,customer
+      |  where ss_customer_sk = c_customer_sk
+      |  group by c_customer_sk
+      |  having sum(ss_quantity*ss_sales_price) > (95/100.0) * (select
+      |  *
+      |from
+      | max_store_sales))
+      |  select  sum(sales)
+      | from (select cs_quantity*cs_list_price sales
+      |       from catalog_sales
+      |           ,date_dim 
+      |       where d_year = 1998 
+      |         and d_moy = 1 
+      |         and cs_sold_date_sk = d_date_sk 
+      |         and cs_item_sk in (select item_sk from frequent_ss_items)
+      |         and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+      |      union all
+      |      select ws_quantity*ws_list_price sales
+      |       from web_sales 
+      |           ,date_dim 
+      |       where d_year = 1998 
+      |         and d_moy = 1 
+      |         and ws_sold_date_sk = d_date_sk 
+      |         and ws_item_sk in (select item_sk from frequent_ss_items)
+      |         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)) 
+      | limit 100""".stripMargin
+
 }

@@ -34,7 +34,10 @@ class RelationalSpec extends SparkSpec {
       // q69 needs a 1999-Q1 store buyer with NO web/catalog line in the
       // same window; q83 an item returned in all three channels in the
       // same weeks — both need more than ~150 customers / 6k lines
-      "qds69_literal", "qds83_literal")
+      "qds69_literal", "qds83_literal",
+      // q58 needs one item sold in all three channels inside one week
+      // (sanctioned-empty even at sf0.01 — see TpcDsLiteralSpec)
+      "qds58_literal")
     val empty = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val n = graft.SparkEntry.queries(name)(spark, sf()).count()
       if (n == 0 && !emptyOk(name)) Some(name) else None
