@@ -118,7 +118,53 @@ object TpcDsLiteral {
       // dialect shim on the oracle side only, like the backtick rewrite
       literal("qds58_literal", Q58, oracleFixup =
         _.replace("order by item_id", "order by ss_items.item_id")),
-      literal("qds23a_literal", Q23A, outCols = Seq("total_sales")))
+      literal("qds23a_literal", Q23A, outCols = Seq("total_sales")),
+      literal("qds62_literal", Q62, outCols = Seq("w_name_20", "sm_type",
+        "web_name", "d30", "d31_60", "d61_90", "d91_120", "d_over_120"),
+        castBigint = Set("d30", "d31_60", "d61_90", "d91_120", "d_over_120")),
+      literal("qds99_literal", Q99, outCols = Seq("w_name_20", "sm_type",
+        "cc_name", "d30", "d31_60", "d61_90", "d91_120", "d_over_120"),
+        castBigint = Set("d30", "d31_60", "d61_90", "d91_120", "d_over_120")),
+      literal("qds94_literal", Q94, outCols = Seq("order_cnt",
+        "total_ship_cost", "total_net_profit")),
+      literal("qds95_literal", Q95, outCols = Seq("order_cnt",
+        "total_ship_cost", "total_net_profit")),
+      literal("qds91_literal", Q91), literal("qds66_literal", Q66),
+      literal("qds16_literal", Q16, outCols = Seq("order_cnt",
+        "total_ship_cost", "total_net_profit")),
+      literal("qds27_literal", Q27),
+      literal("qds67_literal", Q67, oracleFixup = orderByNullsFirst),
+      literal("qds14a_literal", Q14A, outCols = Seq("channel", "i_brand_id",
+        "i_class_id", "i_category_id", "sum_sales", "sum_number_sales"),
+        castBigint = Set("sum_number_sales"),
+        oracleFixup = orderByNullsFirst),
+      // q14b's star expands a self-cross of this_year/prev_year — twelve
+      // columns with six duplicated names; positional renames on both sides
+      literal("qds14b_literal", Q14B, outCols = Seq("ty_channel",
+        "ty_brand_id", "ty_class_id", "ty_category_id", "ty_sales",
+        "ty_number_sales", "ly_channel", "ly_brand_id", "ly_class_id",
+        "ly_category_id", "ly_sales", "ly_number_sales")),
+      literal("qds18_literal", Q18, outCols = Seq("i_item_id", "ca_country",
+        "ca_state", "ca_county", "agg1", "agg2", "agg3", "agg4", "agg5",
+        "agg6", "agg7"),
+        oracleTypes = Seq("agg1", "agg2", "agg3", "agg4", "agg5", "agg6",
+          "agg7").map(_ -> "DECIMAL(16,6)").toMap,
+        oracleFixup = orderByNullsFirst),
+      literal("qds57_literal", Q57), literal("qds75_literal", Q75),
+      literal("qds78_literal", Q78),
+      literal("qds05_literal", Q5, oracleFixup = orderByNullsFirst),
+      literal("qds77_literal", Q77, oracleFixup = orderByNullsFirst),
+      literal("qds80_literal", Q80, oracleFixup = orderByNullsFirst),
+      literal("qds49_literal", Q49, oracleFixup = q49Ratios),
+      literal("qds61_literal", Q61, outCols = Seq("promotions", "total",
+        "promo_pct"), oracleFixup =
+        _.replace("cast(promotions as decimal(15,4))/" +
+          "cast(total as decimal(15,4))*100",
+          duckRatio100("promotions", "total"))),
+      literal("qds71_literal", Q71),
+      literal("qds90_literal", Q90, oracleFixup =
+        _.replace("cast(amc as decimal(15,4))/cast(pmc as decimal(15,4))",
+          duckRatio20("amc", "pmc"))))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -140,7 +186,13 @@ object TpcDsLiteral {
       "q26" -> Q26, "q31" -> Q31, "q44" -> Q44, "q38" -> Q38,
       "q87" -> Q87, "q30" -> Q30, "q81" -> Q81, "q25" -> Q25,
       "q29" -> Q29, "q17" -> Q17, "q83" -> Q83, "q10" -> Q10,
-      "q35" -> Q35, "q69" -> Q69, "q58" -> Q58, "q23a" -> Q23A)
+      "q35" -> Q35, "q69" -> Q69, "q58" -> Q58, "q23a" -> Q23A,
+      "q62" -> Q62, "q99" -> Q99, "q94" -> Q94, "q95" -> Q95,
+      "q91" -> Q91, "q66" -> Q66, "q16" -> Q16, "q27" -> Q27,
+      "q67" -> Q67, "q14a" -> Q14A, "q14b" -> Q14B, "q18" -> Q18,
+      "q57" -> Q57, "q75" -> Q75, "q78" -> Q78, "q5" -> Q5,
+      "q49" -> Q49, "q61" -> Q61, "q71" -> Q71, "q77" -> Q77,
+      "q80" -> Q80, "q90" -> Q90)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -220,6 +272,17 @@ object TpcDsLiteral {
     "Changed mind", "Arrived late", "Did not like the color",
     "Did not like the warranty", "Found a better price", "Gift exchange",
     "Duplicate purchase", "No reason given")
+  private val WhRows = 5L
+  private val SmRows = 20L
+  private val WebRows = 10L
+  private val WpRows = 100L
+  private val CcRows = 6L
+  private val CpRows = 50L
+  private val ShipModeTypes = Seq("EXPRESS", "NEXT DAY", "OVERNIGHT",
+    "REGULAR", "TWO DAY")
+  private val Carriers = Seq("PRIVATECARRIER", "UPS", "DIAMOND", "JONES",
+    "FEDEX")
+  private val WebCompanies = Seq("pri", "able", "ese", "ought", "anti")
 
   /** Register the TPC-DS-named views over the fixture tables. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
@@ -239,9 +302,9 @@ object TpcDsLiteral {
     // it store's per-item revenue is always ~3x a channel's and q58's
     // "all three channels within ±10%" band is empty by construction.
     def channelFact(p: String, lnMod: Int, priceDiv: Double,
-        extMul: Double): Unit =
+        extMul: Double, extra: Seq[org.apache.spark.sql.Column] = Nil): Unit =
       lineitem.filter(col("l_linenumber") % 3 === lnMod)
-        .join(orders, col("l_orderkey") === col("o_orderkey")).select(
+        .join(orders, col("l_orderkey") === col("o_orderkey")).select(Seq(
           datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
             .cast(IntegerType).as(s"${p}_sold_date_sk"),
           ((col("l_orderkey") * 7919L + col("l_linenumber") * 101L) % 86400L)
@@ -283,10 +346,31 @@ object TpcDsLiteral {
           ((col("o_custkey") * 13L + col("l_orderkey")) % HdRows + 1L)
             .as(s"${p}_bill_hdemo_sk"),
           (col("o_custkey") % 25L).as(s"${p}_bill_addr_sk"),
-          (col("o_custkey") % 25L).as(s"${p}_ship_addr_sk"))
+          (col("o_custkey") % 25L).as(s"${p}_ship_addr_sk"),
+          // shipping: the parcel leaves 1..150 days after the sale, from
+          // a per-LINE warehouse (so one order spans warehouses — q94/q95
+          // probe exactly that) via a per-line ship mode
+          (datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType)) +
+            lit(1) + (col("l_orderkey") * 17L + col("l_linenumber") * 7L) % 150L)
+            .cast(IntegerType).as(s"${p}_ship_date_sk"),
+          ((col("l_orderkey") + col("l_linenumber")) % WhRows + 1L)
+            .as(s"${p}_warehouse_sk"),
+          ((col("l_orderkey") * 3L + col("l_linenumber")) % SmRows + 1L)
+            .as(s"${p}_ship_mode_sk"),
+          ((col("o_custkey") * 13L + col("l_orderkey")) % HdRows + 1L)
+            .as(s"${p}_ship_hdemo_sk"),
+          floor(col("l_extendedprice") * 0.12d).cast(DoubleType)
+            .as(s"${p}_ext_ship_cost")) ++ extra: _*)
         .createOrReplaceTempView(if (p == "cs") "catalog_sales" else "web_sales")
-    channelFact("cs", 1, 9.0d, 2.85d)
-    channelFact("ws", 2, 8.0d, 3.1d)
+    channelFact("cs", 1, 9.0d, 2.85d, Seq(
+      ((col("l_orderkey") + col("o_custkey")) % CcRows + 1L)
+        .as("cs_call_center_sk"),
+      ((col("l_orderkey") * 5L + col("l_linenumber")) % CpRows + 1L)
+        .as("cs_catalog_page_sk")))
+    channelFact("ws", 2, 8.0d, 3.1d, Seq(
+      (col("l_orderkey") % WebRows + 1L).as("ws_web_site_sk"),
+      ((col("l_orderkey") + col("o_custkey")) % WpRows + 1L)
+        .as("ws_web_page_sk")))
     // catalog_returns / web_returns: the R-flagged rows of each channel's
     // slice, shaped like store_returns (return lands 0..149 days after
     // the sale). TPC-DS quirk preserved: catalog says cr_return_AMOUNT,
@@ -312,7 +396,27 @@ object TpcDsLiteral {
           (col("o_custkey") % 25L).as(s"${p}_returning_addr_sk"),
           (col("o_custkey") % 25L).as(s"${p}_refunded_addr_sk"),
           ((col("l_orderkey") + col("l_partkey")) % ReasonRows + 1L)
-            .as(s"${p}_reason_sk"))
+            .as(s"${p}_reason_sk"),
+          ((col("l_orderkey") + col("o_custkey")) % CcRows + 1L)
+            .as(s"${p}_call_center_sk"),
+          floor(col("l_extendedprice") * 0.4d).cast(DoubleType)
+            .as(s"${p}_refunded_cash"),
+          floor(col("l_extendedprice") * 0.02d).cast(DoubleType)
+            .as(s"${p}_fee"),
+          // refunded = returning = the customer's CURRENT demographic
+          // key (same formula as the customer view), so q85's cd1/cd2
+          // marital+education equality joins hold by construction
+          ((col("o_custkey") * 19L) % CdRows + 1L)
+            .as(s"${p}_refunded_cdemo_sk"),
+          ((col("o_custkey") * 19L) % CdRows + 1L)
+            .as(s"${p}_returning_cdemo_sk"),
+          // same formulas as the sales-side page keys: a return's page
+          // is the page it was sold from (q5/q77/q80 union sales and
+          // returns per page)
+          ((col("l_orderkey") + col("o_custkey")) % WpRows + 1L)
+            .as(s"${p}_web_page_sk"),
+          ((col("l_orderkey") * 5L + col("l_linenumber")) % CpRows + 1L)
+            .as(s"${p}_catalog_page_sk"))
         .createOrReplaceTempView(if (p == "cr") "catalog_returns" else "web_returns")
     channelReturns("cr", 1, "cr_return_amount")
     channelReturns("wr", 2, "wr_return_amt")
@@ -427,7 +531,9 @@ object TpcDsLiteral {
         (lit(10000L) + col("n_nationkey") * 137L).cast(StringType).as("ca_zip"),
         element_at(array(CityNames.map(lit): _*),
           (col("n_nationkey") % 6).cast(IntegerType) + 1).as("ca_city"),
-        (lit(-5) + (col("n_nationkey") % 2)).cast(IntegerType)
+        // -6/-5 (store keeps -5/-4): q33/q56/q60 filter ca_gmt = -5,
+        // q91 filters -6 — both slices must exist
+        (lit(-6) + (col("n_nationkey") % 2)).cast(IntegerType)
           .as("ca_gmt_offset"),
         element_at(array(Counties.map(lit): _*),
           (col("n_nationkey") % 4).cast(IntegerType) + 1).as("ca_county"),
@@ -468,7 +574,9 @@ object TpcDsLiteral {
           .as("s_suite_number"),
         element_at(array(CityNames.map(lit): _*),
           (col("s_suppkey") % 6).cast(IntegerType) + 1).as("s_city"),
-        (lit(-5) + (col("s_suppkey") % 2)).cast(IntegerType).as("s_gmt_offset"),
+        // -6/-5: q43 filters s_gmt = -5, q61 filters -6 — both slices
+        // must exist (mirrors customer_address's -6/-5 split)
+        (lit(-6) + (col("s_suppkey") % 2)).cast(IntegerType).as("s_gmt_offset"),
         (lit(200) + (col("s_suppkey") * 7) % 100).cast(IntegerType)
           .as("s_number_employees"),
         ((col("s_suppkey") % 10) + 1).cast(IntegerType).as("s_market_id"))
@@ -538,16 +646,71 @@ object TpcDsLiteral {
       .createOrReplaceTempView("reason")
     spark.range(86400L).select(
         col("id").as("t_time_sk"),
+        col("id").as("t_time"),
         (col("id") / 3600).cast(IntegerType).as("t_hour"),
         ((col("id") % 3600) / 60).cast(IntegerType).as("t_minute"),
-        (col("id") % 60).cast(IntegerType).as("t_second"))
+        (col("id") % 60).cast(IntegerType).as("t_second"),
+        // wide meal windows (6h each): q71's meal-time slice of the
+        // uniform sold-time hash must survive its 2% manager filter
+        when((col("id") / 3600).cast(IntegerType).between(5, 10), "breakfast")
+          .when((col("id") / 3600).cast(IntegerType).between(17, 22), "dinner")
+          .otherwise(lit(null)).as("t_meal_time"))
       .createOrReplaceTempView("time_dim")
+    spark.range(WhRows).select(
+        (col("id") + 1L).as("w_warehouse_sk"),
+        concat(lit("Warehouse#"), (col("id") + 1L).cast(StringType))
+          .as("w_warehouse_name"),
+        ((col("id") + 1L) * 1000L).as("w_warehouse_sq_ft"),
+        element_at(array(CityNames.map(lit): _*),
+          (col("id") % 6).cast(IntegerType) + 1).as("w_city"),
+        element_at(array(Counties.map(lit): _*),
+          (col("id") % 4).cast(IntegerType) + 1).as("w_county"),
+        element_at(TpcDsStates, (col("id") % 5).cast(IntegerType) + 1)
+          .as("w_state"),
+        lit("United States").as("w_country"))
+      .createOrReplaceTempView("warehouse")
+    spark.range(SmRows).select(
+        (col("id") + 1L).as("sm_ship_mode_sk"),
+        element_at(array(ShipModeTypes.map(lit): _*),
+          (col("id") % 5).cast(IntegerType) + 1).as("sm_type"),
+        element_at(array(Carriers.map(lit): _*),
+          ((col("id") / 5) % 5).cast(IntegerType) + 1).as("sm_carrier"),
+        concat(lit("code_"), col("id").cast(StringType)).as("sm_code"))
+      .createOrReplaceTempView("ship_mode")
+    spark.range(WebRows).select(
+        (col("id") + 1L).as("web_site_sk"),
+        concat(lit("web_"), (col("id") + 1L).cast(StringType))
+          .as("web_site_id"),
+        concat(lit("site_"), (col("id") + 1L).cast(StringType)).as("web_name"),
+        element_at(array(WebCompanies.map(lit): _*),
+          (col("id") % 5).cast(IntegerType) + 1).as("web_company_name"))
+      .createOrReplaceTempView("web_site")
+    spark.range(WpRows).select(
+        (col("id") + 1L).as("wp_web_page_sk"),
+        (lit(4800L) + (col("id") % 50) * 10L).as("wp_char_count"))
+      .createOrReplaceTempView("web_page")
+    spark.range(CcRows).select(
+        (col("id") + 1L).as("cc_call_center_sk"),
+        concat(lit("cc_"), (col("id") + 1L).cast(StringType))
+          .as("cc_call_center_id"),
+        concat(lit("center_"), (col("id") + 1L).cast(StringType)).as("cc_name"),
+        element_at(array(FirstNames.map(lit): _*),
+          (col("id") % 11).cast(IntegerType) + 1).as("cc_manager"),
+        element_at(array(Counties.map(lit): _*),
+          (col("id") % 4).cast(IntegerType) + 1).as("cc_county"))
+      .createOrReplaceTempView("call_center")
     spark.range(PromoRows).select(
         (col("id") + 1L).as("p_promo_sk"),
         when(col("id") % 2 === 0, "N").otherwise("Y").as("p_channel_email"),
         when(col("id") % 3 === 0, "N").otherwise("Y").as("p_channel_event"),
-        when(col("id") % 5 === 0, "Y").otherwise("N").as("p_channel_dmail"))
+        when(col("id") % 5 === 0, "Y").otherwise("N").as("p_channel_dmail"),
+        when(col("id") % 7 === 0, "Y").otherwise("N").as("p_channel_tv"))
       .createOrReplaceTempView("promotion")
+    spark.range(CpRows).select(
+        (col("id") + 1L).as("cp_catalog_page_sk"),
+        concat(lit("page_"), (col("id") + 1L).cast(StringType))
+          .as("cp_catalog_page_id"))
+      .createOrReplaceTempView("catalog_page")
     part.select(
         col("p_partkey").as("i_item_sk"),
         concat(lit("item_"), col("p_partkey").cast(StringType)).as("i_item_id"),
@@ -598,7 +761,7 @@ object TpcDsLiteral {
   /** DuckDB mirror of `channelFact` — same projection battery under the
     * channel's prefix, same l_linenumber slice. */
   private def duckChannel(p: String, lnMod: Int, priceDiv: Int,
-      extMul: String): String =
+      extMul: String, extra: String = ""): String =
     s"""  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS ${p}_sold_date_sk,
       |    (l_orderkey * 7919 + l_linenumber * 101) % 86400 AS ${p}_sold_time_sk,
       |    l_partkey AS ${p}_item_sk,
@@ -622,7 +785,13 @@ object TpcDsLiteral {
       |    (o_custkey * 17 + l_partkey) % $CdRows + 1 AS ${p}_bill_cdemo_sk,
       |    (o_custkey * 13 + l_orderkey) % $HdRows + 1 AS ${p}_bill_hdemo_sk,
       |    o_custkey % 25 AS ${p}_bill_addr_sk,
-      |    o_custkey % 25 AS ${p}_ship_addr_sk
+      |    o_custkey % 25 AS ${p}_ship_addr_sk,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      + 1 + (l_orderkey * 17 + l_linenumber * 7) % 150 AS INT) AS ${p}_ship_date_sk,
+      |    (l_orderkey + l_linenumber) % $WhRows + 1 AS ${p}_warehouse_sk,
+      |    (l_orderkey * 3 + l_linenumber) % $SmRows + 1 AS ${p}_ship_mode_sk,
+      |    (o_custkey * 13 + l_orderkey) % $HdRows + 1 AS ${p}_ship_hdemo_sk,
+      |    CAST(floor(l_extendedprice * 0.12) AS DOUBLE) AS ${p}_ext_ship_cost$extra
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 3 = $lnMod""".stripMargin
 
@@ -640,16 +809,27 @@ object TpcDsLiteral {
       |    CAST(floor(l_extendedprice * 0.3) AS DOUBLE) AS ${p}_net_loss,
       |    o_custkey % 25 AS ${p}_returning_addr_sk,
       |    o_custkey % 25 AS ${p}_refunded_addr_sk,
-      |    (l_orderkey + l_partkey) % $ReasonRows + 1 AS ${p}_reason_sk
+      |    (l_orderkey + l_partkey) % $ReasonRows + 1 AS ${p}_reason_sk,
+      |    (l_orderkey + o_custkey) % $CcRows + 1 AS ${p}_call_center_sk,
+      |    CAST(floor(l_extendedprice * 0.4) AS DOUBLE) AS ${p}_refunded_cash,
+      |    CAST(floor(l_extendedprice * 0.02) AS DOUBLE) AS ${p}_fee,
+      |    (o_custkey * 19) % $CdRows + 1 AS ${p}_refunded_cdemo_sk,
+      |    (o_custkey * 19) % $CdRows + 1 AS ${p}_returning_cdemo_sk,
+      |    (l_orderkey + o_custkey) % $WpRows + 1 AS ${p}_web_page_sk,
+      |    (l_orderkey * 5 + l_linenumber) % $CpRows + 1 AS ${p}_catalog_page_sk
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 3 = $lnMod AND l_returnflag = 'R'""".stripMargin
 
   /** The same views as DuckDB CTE text, prepended to each oracle. */
   private val duckViews: String =
     s"""catalog_sales AS (
-      |${duckChannel("cs", 1, 9, "2.85")}),
+      |${duckChannel("cs", 1, 9, "2.85", s""",
+      |    (l_orderkey + o_custkey) % $CcRows + 1 AS cs_call_center_sk,
+      |    (l_orderkey * 5 + l_linenumber) % $CpRows + 1 AS cs_catalog_page_sk""")}),
       |web_sales AS (
-      |${duckChannel("ws", 2, 8, "3.1")}),
+      |${duckChannel("ws", 2, 8, "3.1", s""",
+      |    l_orderkey % $WebRows + 1 AS ws_web_site_sk,
+      |    (l_orderkey + o_custkey) % $WpRows + 1 AS ws_web_page_sk""")}),
       |catalog_returns AS (
       |${duckReturns("cr", 1, "cr_return_amount")}),
       |web_returns AS (
@@ -754,7 +934,7 @@ object TpcDsLiteral {
       |    'United States' AS ca_country,
       |    CAST(10000 + n_nationkey * 137 AS VARCHAR) AS ca_zip,
       |    (${CityNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 6 AS INT) + 1] AS ca_city,
-      |    CAST(-5 + (n_nationkey % 2) AS INT) AS ca_gmt_offset,
+      |    CAST(-6 + (n_nationkey % 2) AS INT) AS ca_gmt_offset,
       |    (${Counties.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 4 AS INT) + 1] AS ca_county,
       |    CAST((n_nationkey * 3) % 999 AS VARCHAR) AS ca_street_number,
       |    (${StreetNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(n_nationkey % 6 AS INT) + 1] AS ca_street_name,
@@ -777,7 +957,7 @@ object TpcDsLiteral {
       |    (${StreetTypes.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 4 AS INT) + 1] AS s_street_type,
       |    'Suite ' || CAST((s_suppkey % 10) * 10 AS VARCHAR) AS s_suite_number,
       |    (${CityNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(s_suppkey % 6 AS INT) + 1] AS s_city,
-      |    CAST(-5 + (s_suppkey % 2) AS INT) AS s_gmt_offset,
+      |    CAST(-6 + (s_suppkey % 2) AS INT) AS s_gmt_offset,
       |    CAST(200 + (s_suppkey * 7) % 100 AS INT) AS s_number_employees,
       |    CAST(s_suppkey % 10 + 1 AS INT) AS s_market_id
       |  FROM supplier),
@@ -810,20 +990,62 @@ object TpcDsLiteral {
       |  FROM range($ReasonRows) t(id)),
       |time_dim AS (
       |  SELECT id AS t_time_sk,
+      |    id AS t_time,
       |    CAST(id // 3600 AS INT) AS t_hour,
       |    CAST((id % 3600) // 60 AS INT) AS t_minute,
-      |    CAST(id % 60 AS INT) AS t_second
+      |    CAST(id % 60 AS INT) AS t_second,
+      |    CASE WHEN id // 3600 BETWEEN 5 AND 10 THEN 'breakfast'
+      |         WHEN id // 3600 BETWEEN 17 AND 22 THEN 'dinner'
+      |         ELSE NULL END AS t_meal_time
       |  FROM range(86400) t(id)),
+      |warehouse AS (
+      |  SELECT id + 1 AS w_warehouse_sk,
+      |    'Warehouse#' || CAST(id + 1 AS VARCHAR) AS w_warehouse_name,
+      |    (id + 1) * 1000 AS w_warehouse_sq_ft,
+      |    (${CityNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(id % 6 AS INT) + 1] AS w_city,
+      |    (${Counties.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(id % 4 AS INT) + 1] AS w_county,
+      |    (${StateNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(id % 5 AS INT) + 1] AS w_state,
+      |    'United States' AS w_country
+      |  FROM range($WhRows) t(id)),
+      |ship_mode AS (
+      |  SELECT id + 1 AS sm_ship_mode_sk,
+      |    (${ShipModeTypes.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(id % 5 AS INT) + 1] AS sm_type,
+      |    (${Carriers.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST((id // 5) % 5 AS INT) + 1] AS sm_carrier,
+      |    'code_' || CAST(id AS VARCHAR) AS sm_code
+      |  FROM range($SmRows) t(id)),
+      |web_site AS (
+      |  SELECT id + 1 AS web_site_sk,
+      |    'web_' || CAST(id + 1 AS VARCHAR) AS web_site_id,
+      |    'site_' || CAST(id + 1 AS VARCHAR) AS web_name,
+      |    (${WebCompanies.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(id % 5 AS INT) + 1] AS web_company_name
+      |  FROM range($WebRows) t(id)),
+      |web_page AS (
+      |  SELECT id + 1 AS wp_web_page_sk,
+      |    4800 + (id % 50) * 10 AS wp_char_count
+      |  FROM range($WpRows) t(id)),
+      |call_center AS (
+      |  SELECT id + 1 AS cc_call_center_sk,
+      |    'cc_' || CAST(id + 1 AS VARCHAR) AS cc_call_center_id,
+      |    'center_' || CAST(id + 1 AS VARCHAR) AS cc_name,
+      |    (${FirstNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(id % 11 AS INT) + 1] AS cc_manager,
+      |    (${Counties.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(id % 4 AS INT) + 1] AS cc_county
+      |  FROM range($CcRows) t(id)),
       |promotion AS (
       |  SELECT id + 1 AS p_promo_sk,
       |    CASE WHEN id % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
       |    CASE WHEN id % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event,
-      |    CASE WHEN id % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail
-      |  FROM range($PromoRows) t(id))""".stripMargin
+      |    CASE WHEN id % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+      |    CASE WHEN id % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
+      |  FROM range($PromoRows) t(id)),
+      |catalog_page AS (
+      |  SELECT id + 1 AS cp_catalog_page_sk,
+      |    'page_' || CAST(id + 1 AS VARCHAR) AS cp_catalog_page_id
+      |  FROM range($CpRows) t(id))""".stripMargin
 
   private def literal(name: String, body: String,
       outCols: Seq[String] = Nil,
       castBigint: Set[String] = Set.empty,
+      oracleTypes: Map[String, String] = Map.empty,
       oracleFixup: String => String = identity): QueryDef = {
     // a text that opens with its own WITH clause (q59) splices into the
     // adapter CTE list; Spark runs the body verbatim against temp views.
@@ -838,11 +1060,14 @@ object TpcDsLiteral {
     val duckBody = oracleFixup(body.replace('`', '"'))
     // `castBigint` names outCols whose DuckDB type needs pinning to
     // BIGINT (an uncast textual sum(1) returns HUGEINT there; Spark
-    // returns BIGINT) — applied in the oracle's outer projection only.
+    // returns BIGINT); `oracleTypes` generalizes it to any target type
+    // (DuckDB's avg(DECIMAL) says DOUBLE where Spark says DECIMAL(p+4,
+    // s+4)) — both applied in the oracle's outer projection only.
     val oracle =
       if (outCols.nonEmpty) {
-        val proj = outCols.map(c =>
-          if (castBigint(c)) s"CAST($c AS BIGINT) AS $c" else c).mkString(", ")
+        val types = oracleTypes ++ castBigint.map(_ -> "BIGINT")
+        val proj = outCols.map(c => types.get(c)
+          .map(t => s"CAST($c AS $t) AS $c").getOrElse(c)).mkString(", ")
         s"WITH $duckViews\nSELECT $proj FROM (\n$duckBody\n) t(${outCols.mkString(", ")})"
       } else if (body.trim.toLowerCase.startsWith("with"))
         s"WITH $duckViews,\n${duckBody.trim.drop(4)}"
@@ -852,6 +1077,63 @@ object TpcDsLiteral {
       val df = spark.sql(body)
       if (outCols.nonEmpty) df.toDF(outCols: _*) else df
     }
+  }
+
+  /** Dialect shim: append NULLS FIRST to every key of the final
+    * ORDER BY. Spark sorts ASC NULLS FIRST, DuckDB NULLS LAST — the
+    * difference only shows when a LIMIT cuts across the NULL rows a
+    * ROLLUP emits into the sort keys (q5/q14a/q18/q67/q77/q80).
+    * Semantics-preserving vs the Spark run; oracle copy only. */
+  private def orderByNullsFirst(body: String): String = {
+    val low = body.toLowerCase
+    val i = low.lastIndexOf("order by")
+    val j = low.indexOf("limit", i)
+    val keys = body.substring(i + 8, j).split(",").map(_.trim).map(k =>
+      // DESC agrees already (both engines put NULLS LAST); only ASC splits
+      if (k.toLowerCase.endsWith("desc")) k else s"$k nulls first")
+    body.substring(0, i) + keys.mkString("order by ", ", ", "\n") +
+      body.substring(j)
+  }
+
+  private val E20 = "100000000000000000000"
+  private val E19 = "10000000000000000000"
+
+  /** DuckDB types DECIMAL/DECIMAL division as DOUBLE where Spark says
+    * DECIMAL(15,4)/DECIMAL(15,4) -> DECIMAL(35,20) (exact rational,
+    * HALF_UP at scale 20). Mirror Spark exactly in the oracle: HUGEINT
+    * half-up division at scale 20, rendered to a decimal string (the
+    * 20 fraction digits split 10+10 to stay within BIGINT printf args).
+    * Positive operands only — the texts divide sums of positives. */
+  private def duckRatio20(a: String, b: String): String = {
+    val x = s"((CAST($a AS HUGEINT) * $E20 + CAST($b AS HUGEINT) // 2)" +
+      s" // CAST($b AS HUGEINT))"
+    s"CAST(printf('%d.%010d%010d', CAST($x // $E20 AS BIGINT), " +
+      s"CAST(($x % $E20) // 10000000000 AS BIGINT), " +
+      s"CAST($x % 10000000000 AS BIGINT)) AS DECIMAL(35,20))"
+  }
+
+  /** Same, for the ratio-times-100 shape (q61): Spark's DECIMAL(35,20)
+    * * 100 overflows precision 38 and rescales to DECIMAL(38,19) — the
+    * scale drop is exact (x*100 then drop one digit = x*10). */
+  private def duckRatio100(a: String, b: String): String = {
+    val x10 = s"(((CAST($a AS HUGEINT) * $E20 + CAST($b AS HUGEINT) // 2)" +
+      s" // CAST($b AS HUGEINT)) * 10)"
+    s"CAST(printf('%d.%010d%09d', CAST($x10 // $E19 AS BIGINT), " +
+      s"CAST(($x10 % $E19) // 1000000000 AS BIGINT), " +
+      s"CAST($x10 % 1000000000 AS BIGINT)) AS DECIMAL(38,19))"
+  }
+
+  /** q49's six verbatim `cast(sum(coalesce(x,0)) as decimal(15,4)) /
+    * cast(sum(coalesce(y,0)) as decimal(15,4))` ratios, re-expressed
+    * exactly (also keeps the oracle's RANK() ties identical to Spark's,
+    * which ranks over the exact decimals). */
+  private def q49Ratios(body: String): String = {
+    val pat = ("""\(cast\(sum\(coalesce\((\w+\.\w+),0\)\) as """ +
+      """decimal\(15,4\)\)\s*/\s*cast\(sum\(coalesce\((\w+\.\w+),0\)\) """ +
+      """as decimal\(15,4\)\s*\)\s*\)""").r
+    pat.replaceAllIn(body, m => scala.util.matching.Regex.quoteReplacement(
+      duckRatio20(s"sum(coalesce(${m.group(1)},0))",
+        s"sum(coalesce(${m.group(2)},0))")))
   }
 
   // reference: tpcds/queries/1/q3.sql (banner comments stripped)
@@ -3688,4 +3970,1458 @@ object TpcDsLiteral {
       |         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)) 
       | limit 100""".stripMargin
 
+  // reference: tpcds/queries/1/q62.sql
+  private val Q62: String =
+    """select  
+      |   substr(w_warehouse_name,1,20)
+      |  ,sm_type
+      |  ,web_name
+      |  ,sum(case when (ws_ship_date_sk - ws_sold_date_sk <= 30 ) then 1 else 0 end)  as `30 days `
+      |  ,sum(case when (ws_ship_date_sk - ws_sold_date_sk > 30) and 
+      |                 (ws_ship_date_sk - ws_sold_date_sk <= 60) then 1 else 0 end )  as `31-60 days `
+      |  ,sum(case when (ws_ship_date_sk - ws_sold_date_sk > 60) and 
+      |                 (ws_ship_date_sk - ws_sold_date_sk <= 90) then 1 else 0 end)  as `61-90 days `
+      |  ,sum(case when (ws_ship_date_sk - ws_sold_date_sk > 90) and
+      |                 (ws_ship_date_sk - ws_sold_date_sk <= 120) then 1 else 0 end)  as `91-120 days `
+      |  ,sum(case when (ws_ship_date_sk - ws_sold_date_sk  > 120) then 1 else 0 end)  as `>120 days `
+      |from
+      |   web_sales
+      |  ,warehouse
+      |  ,ship_mode
+      |  ,web_site
+      |  ,date_dim
+      |where
+      |    d_month_seq between 1176 and 1176 + 11
+      |and ws_ship_date_sk   = d_date_sk
+      |and ws_warehouse_sk   = w_warehouse_sk
+      |and ws_ship_mode_sk   = sm_ship_mode_sk
+      |and ws_web_site_sk    = web_site_sk
+      |group by
+      |   substr(w_warehouse_name,1,20)
+      |  ,sm_type
+      |  ,web_name
+      |order by substr(w_warehouse_name,1,20)
+      |        ,sm_type
+      |       ,web_name
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q99.sql
+  private val Q99: String =
+    """select  
+      |   substr(w_warehouse_name,1,20)
+      |  ,sm_type
+      |  ,cc_name
+      |  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk <= 30 ) then 1 else 0 end)  as `30 days `
+      |  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 30) and 
+      |                 (cs_ship_date_sk - cs_sold_date_sk <= 60) then 1 else 0 end )  as `31-60 days `
+      |  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 60) and 
+      |                 (cs_ship_date_sk - cs_sold_date_sk <= 90) then 1 else 0 end)  as `61-90 days `
+      |  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 90) and
+      |                 (cs_ship_date_sk - cs_sold_date_sk <= 120) then 1 else 0 end)  as `91-120 days `
+      |  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk  > 120) then 1 else 0 end)  as `>120 days `
+      |from
+      |   catalog_sales
+      |  ,warehouse
+      |  ,ship_mode
+      |  ,call_center
+      |  ,date_dim
+      |where
+      |    d_month_seq between 1176 and 1176 + 11
+      |and cs_ship_date_sk   = d_date_sk
+      |and cs_warehouse_sk   = w_warehouse_sk
+      |and cs_ship_mode_sk   = sm_ship_mode_sk
+      |and cs_call_center_sk = cc_call_center_sk
+      |group by
+      |   substr(w_warehouse_name,1,20)
+      |  ,sm_type
+      |  ,cc_name
+      |order by substr(w_warehouse_name,1,20)
+      |        ,sm_type
+      |        ,cc_name
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q94.sql
+  private val Q94: String =
+    """select  
+      |   count(distinct ws_order_number) as `order count `
+      |  ,sum(ws_ext_ship_cost) as `total shipping cost `
+      |  ,sum(ws_net_profit) as `total net profit `
+      |from
+      |   web_sales ws1
+      |  ,date_dim
+      |  ,customer_address
+      |  ,web_site
+      |where
+      |    d_date between '1999-02-01' and
+      |           (cast('1999-02-01' as date) + INTERVAL '60' day)
+      |and ws1.ws_ship_date_sk = d_date_sk
+      |and ws1.ws_ship_addr_sk = ca_address_sk
+      |and ca_state = 'TN'
+      |and ws1.ws_web_site_sk = web_site_sk
+      |and web_company_name = 'pri'
+      |and exists (select *
+      |            from web_sales ws2
+      |            where ws1.ws_order_number = ws2.ws_order_number
+      |              and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      |and not exists(select *
+      |               from web_returns wr1
+      |               where ws1.ws_order_number = wr1.wr_order_number)
+      |order by count(distinct ws_order_number)
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q95.sql
+  private val Q95: String =
+    """with ws_wh as
+      |(select ws1.ws_order_number,ws1.ws_warehouse_sk wh1,ws2.ws_warehouse_sk wh2
+      | from web_sales ws1,web_sales ws2
+      | where ws1.ws_order_number = ws2.ws_order_number
+      |   and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      | select  
+      |   count(distinct ws_order_number) as `order count `
+      |  ,sum(ws_ext_ship_cost) as `total shipping cost `
+      |  ,sum(ws_net_profit) as `total net profit `
+      |from
+      |   web_sales ws1
+      |  ,date_dim
+      |  ,customer_address
+      |  ,web_site
+      |where
+      |    d_date between '1999-02-01' and
+      |           (cast('1999-02-01' as date) + INTERVAL '60' day)
+      |and ws1.ws_ship_date_sk = d_date_sk
+      |and ws1.ws_ship_addr_sk = ca_address_sk
+      |and ca_state = 'TN'
+      |and ws1.ws_web_site_sk = web_site_sk
+      |and web_company_name = 'pri'
+      |and ws1.ws_order_number in (select ws_order_number
+      |                            from ws_wh)
+      |and ws1.ws_order_number in (select wr_order_number
+      |                            from web_returns,ws_wh
+      |                            where wr_order_number = ws_wh.ws_order_number)
+      |order by count(distinct ws_order_number)
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q91.sql
+  private val Q91: String =
+    """select  
+      |        cc_call_center_id Call_Center,
+      |        cc_name Call_Center_Name,
+      |        cc_manager Manager,
+      |        sum(cr_net_loss) Returns_Loss
+      |from
+      |        call_center,
+      |        catalog_returns,
+      |        date_dim,
+      |        customer,
+      |        customer_address,
+      |        customer_demographics,
+      |        household_demographics
+      |where
+      |        cr_call_center_sk       = cc_call_center_sk
+      |and     cr_returned_date_sk     = d_date_sk
+      |and     cr_returning_customer_sk= c_customer_sk
+      |and     cd_demo_sk              = c_current_cdemo_sk
+      |and     hd_demo_sk              = c_current_hdemo_sk
+      |and     ca_address_sk           = c_current_addr_sk
+      |and     d_year                  = 1998 
+      |and     d_moy                   = 11
+      |and     ( (cd_marital_status       = 'M' and cd_education_status     = 'Unknown')
+      |        or(cd_marital_status       = 'W' and cd_education_status     = 'Advanced Degree'))
+      |and     hd_buy_potential like '1001-5000%'
+      |and     ca_gmt_offset           = -6
+      |group by cc_call_center_id,cc_name,cc_manager,cd_marital_status,cd_education_status
+      |order by sum(cr_net_loss) desc""".stripMargin
+
+  // reference: tpcds/queries/1/q66.sql
+  private val Q66: String =
+    """select   
+      |         w_warehouse_name
+      | 	,w_warehouse_sq_ft
+      | 	,w_city
+      | 	,w_county
+      | 	,w_state
+      | 	,w_country
+      |        ,ship_carriers
+      |        ,`year`
+      | 	,sum(jan_sales) as jan_sales
+      | 	,sum(feb_sales) as feb_sales
+      | 	,sum(mar_sales) as mar_sales
+      | 	,sum(apr_sales) as apr_sales
+      | 	,sum(may_sales) as may_sales
+      | 	,sum(jun_sales) as jun_sales
+      | 	,sum(jul_sales) as jul_sales
+      | 	,sum(aug_sales) as aug_sales
+      | 	,sum(sep_sales) as sep_sales
+      | 	,sum(oct_sales) as oct_sales
+      | 	,sum(nov_sales) as nov_sales
+      | 	,sum(dec_sales) as dec_sales
+      | 	,sum(jan_sales/w_warehouse_sq_ft) as jan_sales_per_sq_foot
+      | 	,sum(feb_sales/w_warehouse_sq_ft) as feb_sales_per_sq_foot
+      | 	,sum(mar_sales/w_warehouse_sq_ft) as mar_sales_per_sq_foot
+      | 	,sum(apr_sales/w_warehouse_sq_ft) as apr_sales_per_sq_foot
+      | 	,sum(may_sales/w_warehouse_sq_ft) as may_sales_per_sq_foot
+      | 	,sum(jun_sales/w_warehouse_sq_ft) as jun_sales_per_sq_foot
+      | 	,sum(jul_sales/w_warehouse_sq_ft) as jul_sales_per_sq_foot
+      | 	,sum(aug_sales/w_warehouse_sq_ft) as aug_sales_per_sq_foot
+      | 	,sum(sep_sales/w_warehouse_sq_ft) as sep_sales_per_sq_foot
+      | 	,sum(oct_sales/w_warehouse_sq_ft) as oct_sales_per_sq_foot
+      | 	,sum(nov_sales/w_warehouse_sq_ft) as nov_sales_per_sq_foot
+      | 	,sum(dec_sales/w_warehouse_sq_ft) as dec_sales_per_sq_foot
+      | 	,sum(jan_net) as jan_net
+      | 	,sum(feb_net) as feb_net
+      | 	,sum(mar_net) as mar_net
+      | 	,sum(apr_net) as apr_net
+      | 	,sum(may_net) as may_net
+      | 	,sum(jun_net) as jun_net
+      | 	,sum(jul_net) as jul_net
+      | 	,sum(aug_net) as aug_net
+      | 	,sum(sep_net) as sep_net
+      | 	,sum(oct_net) as oct_net
+      | 	,sum(nov_net) as nov_net
+      | 	,sum(dec_net) as dec_net
+      | from (
+      |     select 
+      | 	w_warehouse_name
+      | 	,w_warehouse_sq_ft
+      | 	,w_city
+      | 	,w_county
+      | 	,w_state
+      | 	,w_country
+      | 	,'PRIVATECARRIER' || ',' || 'UPS' as ship_carriers
+      |       ,d_year as `year`
+      | 	,sum(case when d_moy = 1 
+      | 		then ws_sales_price* ws_quantity else 0 end) as jan_sales
+      | 	,sum(case when d_moy = 2 
+      | 		then ws_sales_price* ws_quantity else 0 end) as feb_sales
+      | 	,sum(case when d_moy = 3 
+      | 		then ws_sales_price* ws_quantity else 0 end) as mar_sales
+      | 	,sum(case when d_moy = 4 
+      | 		then ws_sales_price* ws_quantity else 0 end) as apr_sales
+      | 	,sum(case when d_moy = 5 
+      | 		then ws_sales_price* ws_quantity else 0 end) as may_sales
+      | 	,sum(case when d_moy = 6 
+      | 		then ws_sales_price* ws_quantity else 0 end) as jun_sales
+      | 	,sum(case when d_moy = 7 
+      | 		then ws_sales_price* ws_quantity else 0 end) as jul_sales
+      | 	,sum(case when d_moy = 8 
+      | 		then ws_sales_price* ws_quantity else 0 end) as aug_sales
+      | 	,sum(case when d_moy = 9 
+      | 		then ws_sales_price* ws_quantity else 0 end) as sep_sales
+      | 	,sum(case when d_moy = 10 
+      | 		then ws_sales_price* ws_quantity else 0 end) as oct_sales
+      | 	,sum(case when d_moy = 11
+      | 		then ws_sales_price* ws_quantity else 0 end) as nov_sales
+      | 	,sum(case when d_moy = 12
+      | 		then ws_sales_price* ws_quantity else 0 end) as dec_sales
+      | 	,sum(case when d_moy = 1 
+      | 		then ws_net_paid * ws_quantity else 0 end) as jan_net
+      | 	,sum(case when d_moy = 2
+      | 		then ws_net_paid * ws_quantity else 0 end) as feb_net
+      | 	,sum(case when d_moy = 3 
+      | 		then ws_net_paid * ws_quantity else 0 end) as mar_net
+      | 	,sum(case when d_moy = 4 
+      | 		then ws_net_paid * ws_quantity else 0 end) as apr_net
+      | 	,sum(case when d_moy = 5 
+      | 		then ws_net_paid * ws_quantity else 0 end) as may_net
+      | 	,sum(case when d_moy = 6 
+      | 		then ws_net_paid * ws_quantity else 0 end) as jun_net
+      | 	,sum(case when d_moy = 7 
+      | 		then ws_net_paid * ws_quantity else 0 end) as jul_net
+      | 	,sum(case when d_moy = 8 
+      | 		then ws_net_paid * ws_quantity else 0 end) as aug_net
+      | 	,sum(case when d_moy = 9 
+      | 		then ws_net_paid * ws_quantity else 0 end) as sep_net
+      | 	,sum(case when d_moy = 10 
+      | 		then ws_net_paid * ws_quantity else 0 end) as oct_net
+      | 	,sum(case when d_moy = 11
+      | 		then ws_net_paid * ws_quantity else 0 end) as nov_net
+      | 	,sum(case when d_moy = 12
+      | 		then ws_net_paid * ws_quantity else 0 end) as dec_net
+      |     from
+      |          web_sales
+      |         ,warehouse
+      |         ,date_dim
+      |         ,time_dim
+      | 	  ,ship_mode
+      |     where
+      |            ws_warehouse_sk =  w_warehouse_sk
+      |        and ws_sold_date_sk = d_date_sk
+      |        and ws_sold_time_sk = t_time_sk
+      | 	and ws_ship_mode_sk = sm_ship_mode_sk
+      |        and d_year = 1998
+      | 	and t_time between 1 and 1+28800 
+      | 	and sm_carrier in ('PRIVATECARRIER','UPS')
+      |     group by 
+      |        w_warehouse_name
+      | 	,w_warehouse_sq_ft
+      | 	,w_city
+      | 	,w_county
+      | 	,w_state
+      | 	,w_country
+      |       ,d_year
+      | union all
+      |     select 
+      | 	w_warehouse_name
+      | 	,w_warehouse_sq_ft
+      | 	,w_city
+      | 	,w_county
+      | 	,w_state
+      | 	,w_country
+      | 	,'PRIVATECARRIER' || ',' || 'UPS' as ship_carriers
+      |       ,d_year as `year`
+      | 	,sum(case when d_moy = 1 
+      | 		then cs_sales_price* cs_quantity else 0 end) as jan_sales
+      | 	,sum(case when d_moy = 2 
+      | 		then cs_sales_price* cs_quantity else 0 end) as feb_sales
+      | 	,sum(case when d_moy = 3 
+      | 		then cs_sales_price* cs_quantity else 0 end) as mar_sales
+      | 	,sum(case when d_moy = 4 
+      | 		then cs_sales_price* cs_quantity else 0 end) as apr_sales
+      | 	,sum(case when d_moy = 5 
+      | 		then cs_sales_price* cs_quantity else 0 end) as may_sales
+      | 	,sum(case when d_moy = 6 
+      | 		then cs_sales_price* cs_quantity else 0 end) as jun_sales
+      | 	,sum(case when d_moy = 7 
+      | 		then cs_sales_price* cs_quantity else 0 end) as jul_sales
+      | 	,sum(case when d_moy = 8 
+      | 		then cs_sales_price* cs_quantity else 0 end) as aug_sales
+      | 	,sum(case when d_moy = 9 
+      | 		then cs_sales_price* cs_quantity else 0 end) as sep_sales
+      | 	,sum(case when d_moy = 10 
+      | 		then cs_sales_price* cs_quantity else 0 end) as oct_sales
+      | 	,sum(case when d_moy = 11
+      | 		then cs_sales_price* cs_quantity else 0 end) as nov_sales
+      | 	,sum(case when d_moy = 12
+      | 		then cs_sales_price* cs_quantity else 0 end) as dec_sales
+      | 	,sum(case when d_moy = 1 
+      | 		then cs_net_paid * cs_quantity else 0 end) as jan_net
+      | 	,sum(case when d_moy = 2 
+      | 		then cs_net_paid * cs_quantity else 0 end) as feb_net
+      | 	,sum(case when d_moy = 3 
+      | 		then cs_net_paid * cs_quantity else 0 end) as mar_net
+      | 	,sum(case when d_moy = 4 
+      | 		then cs_net_paid * cs_quantity else 0 end) as apr_net
+      | 	,sum(case when d_moy = 5 
+      | 		then cs_net_paid * cs_quantity else 0 end) as may_net
+      | 	,sum(case when d_moy = 6 
+      | 		then cs_net_paid * cs_quantity else 0 end) as jun_net
+      | 	,sum(case when d_moy = 7 
+      | 		then cs_net_paid * cs_quantity else 0 end) as jul_net
+      | 	,sum(case when d_moy = 8 
+      | 		then cs_net_paid * cs_quantity else 0 end) as aug_net
+      | 	,sum(case when d_moy = 9 
+      | 		then cs_net_paid * cs_quantity else 0 end) as sep_net
+      | 	,sum(case when d_moy = 10 
+      | 		then cs_net_paid * cs_quantity else 0 end) as oct_net
+      | 	,sum(case when d_moy = 11
+      | 		then cs_net_paid * cs_quantity else 0 end) as nov_net
+      | 	,sum(case when d_moy = 12
+      | 		then cs_net_paid * cs_quantity else 0 end) as dec_net
+      |     from
+      |          catalog_sales
+      |         ,warehouse
+      |         ,date_dim
+      |         ,time_dim
+      | 	 ,ship_mode
+      |     where
+      |            cs_warehouse_sk =  w_warehouse_sk
+      |        and cs_sold_date_sk = d_date_sk
+      |        and cs_sold_time_sk = t_time_sk
+      | 	and cs_ship_mode_sk = sm_ship_mode_sk
+      |        and d_year = 1998
+      | 	and t_time between 1 AND 1+28800 
+      | 	and sm_carrier in ('PRIVATECARRIER','UPS')
+      |     group by 
+      |        w_warehouse_name
+      | 	,w_warehouse_sq_ft
+      | 	,w_city
+      | 	,w_county
+      | 	,w_state
+      | 	,w_country
+      |       ,d_year
+      | ) x
+      | group by 
+      |        w_warehouse_name
+      | 	,w_warehouse_sq_ft
+      | 	,w_city
+      | 	,w_county
+      | 	,w_state
+      | 	,w_country
+      | 	,ship_carriers
+      |       ,`year`
+      | order by w_warehouse_name
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q16.sql
+  private val Q16: String =
+    """select  
+      |   count(distinct cs_order_number) as  `order count`
+      |  ,sum(cs_ext_ship_cost) as `total shipping cost`
+      |  ,sum(cs_net_profit) as `total net profit`
+      |from
+      |   catalog_sales cs1
+      |  ,date_dim
+      |  ,customer_address
+      |  ,call_center
+      |where
+      |    d_date between '1999-02-01' and
+      |           (cast('1999-02-01' as date) + INTERVAL '60' day)
+      |and cs1.cs_ship_date_sk = d_date_sk
+      |and cs1.cs_ship_addr_sk = ca_address_sk
+      |and ca_state = 'TN'
+      |and cs1.cs_call_center_sk = cc_call_center_sk
+      |and cc_county in ('Williamson County','Williamson County','Williamson County','Williamson County',
+      |                  'Williamson County'
+      |)
+      |and exists (select *
+      |            from catalog_sales cs2
+      |            where cs1.cs_order_number = cs2.cs_order_number
+      |              and cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+      |and not exists(select *
+      |               from catalog_returns cr1
+      |               where cs1.cs_order_number = cr1.cr_order_number)
+      |order by count(distinct cs_order_number)
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q27.sql
+  private val Q27: String =
+    """select  i_item_id,
+      |        s_state, grouping(s_state) g_state,
+      |        avg(ss_quantity) agg1,
+      |        avg(ss_list_price) agg2,
+      |        avg(ss_coupon_amt) agg3,
+      |        avg(ss_sales_price) agg4
+      | from store_sales, customer_demographics, date_dim, store, item
+      | where ss_sold_date_sk = d_date_sk and
+      |       ss_item_sk = i_item_sk and
+      |       ss_store_sk = s_store_sk and
+      |       ss_cdemo_sk = cd_demo_sk and
+      |       cd_gender = 'M' and
+      |       cd_marital_status = 'M' and
+      |       cd_education_status = 'Primary' and
+      |       d_year = 1998 and
+      |       s_state in ('TN','TN', 'TN', 'TN', 'TN', 'TN')
+      | group by rollup (i_item_id, s_state)
+      | order by i_item_id
+      |         ,s_state
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q67.sql
+  private val Q67: String =
+    """select  *
+      |from (select i_category
+      |            ,i_class
+      |            ,i_brand
+      |            ,i_product_name
+      |            ,d_year
+      |            ,d_qoy
+      |            ,d_moy
+      |            ,s_store_id
+      |            ,sumsales
+      |            ,rank() over (partition by i_category order by sumsales desc) rk
+      |      from (select i_category
+      |                  ,i_class
+      |                  ,i_brand
+      |                  ,i_product_name
+      |                  ,d_year
+      |                  ,d_qoy
+      |                  ,d_moy
+      |                  ,s_store_id
+      |                  ,sum(coalesce(ss_sales_price*ss_quantity,0)) sumsales
+      |            from store_sales
+      |                ,date_dim
+      |                ,store
+      |                ,item
+      |       where  ss_sold_date_sk=d_date_sk
+      |          and ss_item_sk=i_item_sk
+      |          and ss_store_sk = s_store_sk
+      |          and d_month_seq between 1176 and 1176+11
+      |       group by  rollup(i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,s_store_id))dw1) dw2
+      |where rk <= 100
+      |order by i_category
+      |        ,i_class
+      |        ,i_brand
+      |        ,i_product_name
+      |        ,d_year
+      |        ,d_qoy
+      |        ,d_moy
+      |        ,s_store_id
+      |        ,sumsales
+      |        ,rk
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q14a.sql
+  private val Q14A: String =
+    """with  cross_items as
+      | (select i_item_sk ss_item_sk
+      | from item,
+      | (select iss.i_brand_id brand_id
+      |     ,iss.i_class_id class_id
+      |     ,iss.i_category_id category_id
+      | from store_sales
+      |     ,item iss
+      |     ,date_dim d1
+      | where ss_item_sk = iss.i_item_sk
+      |   and ss_sold_date_sk = d1.d_date_sk
+      |   and d1.d_year between 1998 AND 1998 + 2
+      | intersect 
+      | select ics.i_brand_id
+      |     ,ics.i_class_id
+      |     ,ics.i_category_id
+      | from catalog_sales
+      |     ,item ics
+      |     ,date_dim d2
+      | where cs_item_sk = ics.i_item_sk
+      |   and cs_sold_date_sk = d2.d_date_sk
+      |   and d2.d_year between 1998 AND 1998 + 2
+      | intersect
+      | select iws.i_brand_id
+      |     ,iws.i_class_id
+      |     ,iws.i_category_id
+      | from web_sales
+      |     ,item iws
+      |     ,date_dim d3
+      | where ws_item_sk = iws.i_item_sk
+      |   and ws_sold_date_sk = d3.d_date_sk
+      |   and d3.d_year between 1998 AND 1998 + 2)
+      | where i_brand_id = brand_id
+      |      and i_class_id = class_id
+      |      and i_category_id = category_id
+      |),
+      | avg_sales as
+      | (select avg(quantity*list_price) average_sales
+      |  from (select ss_quantity quantity
+      |             ,ss_list_price list_price
+      |       from store_sales
+      |           ,date_dim
+      |       where ss_sold_date_sk = d_date_sk
+      |         and d_year between 1998 and 1998 + 2
+      |       union all 
+      |       select cs_quantity quantity 
+      |             ,cs_list_price list_price
+      |       from catalog_sales
+      |           ,date_dim
+      |       where cs_sold_date_sk = d_date_sk
+      |         and d_year between 1998 and 1998 + 2 
+      |       union all
+      |       select ws_quantity quantity
+      |             ,ws_list_price list_price
+      |       from web_sales
+      |           ,date_dim
+      |       where ws_sold_date_sk = d_date_sk
+      |         and d_year between 1998 and 1998 + 2) x)
+      |  select  channel, i_brand_id,i_class_id,i_category_id,sum(sales), sum(number_sales)
+      | from(
+      |       select 'store' channel, i_brand_id,i_class_id
+      |             ,i_category_id,sum(ss_quantity*ss_list_price) sales
+      |             , count(*) number_sales
+      |       from store_sales
+      |           ,item
+      |           ,date_dim
+      |       where ss_item_sk in (select ss_item_sk from cross_items)
+      |         and ss_item_sk = i_item_sk
+      |         and ss_sold_date_sk = d_date_sk
+      |         and d_year = 1998+2 
+      |         and d_moy = 11
+      |       group by i_brand_id,i_class_id,i_category_id
+      |       having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)
+      |       union all
+      |       select 'catalog' channel, i_brand_id,i_class_id,i_category_id, sum(cs_quantity*cs_list_price) sales, count(*) number_sales
+      |       from catalog_sales
+      |           ,item
+      |           ,date_dim
+      |       where cs_item_sk in (select ss_item_sk from cross_items)
+      |         and cs_item_sk = i_item_sk
+      |         and cs_sold_date_sk = d_date_sk
+      |         and d_year = 1998+2 
+      |         and d_moy = 11
+      |       group by i_brand_id,i_class_id,i_category_id
+      |       having sum(cs_quantity*cs_list_price) > (select average_sales from avg_sales)
+      |       union all
+      |       select 'web' channel, i_brand_id,i_class_id,i_category_id, sum(ws_quantity*ws_list_price) sales , count(*) number_sales
+      |       from web_sales
+      |           ,item
+      |           ,date_dim
+      |       where ws_item_sk in (select ss_item_sk from cross_items)
+      |         and ws_item_sk = i_item_sk
+      |         and ws_sold_date_sk = d_date_sk
+      |         and d_year = 1998+2
+      |         and d_moy = 11
+      |       group by i_brand_id,i_class_id,i_category_id
+      |       having sum(ws_quantity*ws_list_price) > (select average_sales from avg_sales)
+      | ) y
+      | group by rollup (channel, i_brand_id,i_class_id,i_category_id)
+      | order by channel,i_brand_id,i_class_id,i_category_id
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q14b.sql
+  private val Q14B: String =
+    """with  cross_items as
+      | (select i_item_sk ss_item_sk
+      | from item,
+      | (select iss.i_brand_id brand_id
+      |     ,iss.i_class_id class_id
+      |     ,iss.i_category_id category_id
+      | from store_sales
+      |     ,item iss
+      |     ,date_dim d1
+      | where ss_item_sk = iss.i_item_sk
+      |   and ss_sold_date_sk = d1.d_date_sk
+      |   and d1.d_year between 1998 AND 1998 + 2
+      | intersect
+      | select ics.i_brand_id
+      |     ,ics.i_class_id
+      |     ,ics.i_category_id
+      | from catalog_sales
+      |     ,item ics
+      |     ,date_dim d2
+      | where cs_item_sk = ics.i_item_sk
+      |   and cs_sold_date_sk = d2.d_date_sk
+      |   and d2.d_year between 1998 AND 1998 + 2
+      | intersect
+      | select iws.i_brand_id
+      |     ,iws.i_class_id
+      |     ,iws.i_category_id
+      | from web_sales
+      |     ,item iws
+      |     ,date_dim d3
+      | where ws_item_sk = iws.i_item_sk
+      |   and ws_sold_date_sk = d3.d_date_sk
+      |   and d3.d_year between 1998 AND 1998 + 2) x
+      | where i_brand_id = brand_id
+      |      and i_class_id = class_id
+      |      and i_category_id = category_id
+      |),
+      | avg_sales as
+      |(select avg(quantity*list_price) average_sales
+      |  from (select ss_quantity quantity
+      |             ,ss_list_price list_price
+      |       from store_sales
+      |           ,date_dim
+      |       where ss_sold_date_sk = d_date_sk
+      |         and d_year between 1998 and 1998 + 2
+      |       union all
+      |       select cs_quantity quantity
+      |             ,cs_list_price list_price
+      |       from catalog_sales
+      |           ,date_dim
+      |       where cs_sold_date_sk = d_date_sk
+      |         and d_year between 1998 and 1998 + 2
+      |       union all
+      |       select ws_quantity quantity
+      |             ,ws_list_price list_price
+      |       from web_sales
+      |           ,date_dim
+      |       where ws_sold_date_sk = d_date_sk
+      |         and d_year between 1998 and 1998 + 2) x)
+      |  select  * from
+      | (select 'store' channel, i_brand_id,i_class_id,i_category_id
+      |        ,sum(ss_quantity*ss_list_price) sales, count(*) number_sales
+      | from store_sales 
+      |     ,item
+      |     ,date_dim
+      | where ss_item_sk in (select ss_item_sk from cross_items)
+      |   and ss_item_sk = i_item_sk
+      |   and ss_sold_date_sk = d_date_sk
+      |   and d_week_seq = (select d_week_seq
+      |                     from date_dim
+      |                     where d_year = 1998 + 1
+      |                       and d_moy = 12
+      |                       and d_dom = 1)
+      | group by i_brand_id,i_class_id,i_category_id
+      | having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)) this_year,
+      | (select 'store' channel, i_brand_id,i_class_id
+      |        ,i_category_id, sum(ss_quantity*ss_list_price) sales, count(*) number_sales
+      | from store_sales
+      |     ,item
+      |     ,date_dim
+      | where ss_item_sk in (select ss_item_sk from cross_items)
+      |   and ss_item_sk = i_item_sk
+      |   and ss_sold_date_sk = d_date_sk
+      |   and d_week_seq = (select d_week_seq
+      |                     from date_dim
+      |                     where d_year = 1998
+      |                       and d_moy = 12
+      |                       and d_dom = 1)
+      | group by i_brand_id,i_class_id,i_category_id
+      | having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)) last_year
+      | where this_year.i_brand_id= last_year.i_brand_id
+      |   and this_year.i_class_id = last_year.i_class_id
+      |   and this_year.i_category_id = last_year.i_category_id
+      | order by this_year.channel, this_year.i_brand_id, this_year.i_class_id, this_year.i_category_id
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q18.sql
+  private val Q18: String =
+    """select  i_item_id,
+      |        ca_country,
+      |        ca_state, 
+      |        ca_county,
+      |        avg( cast(cs_quantity as decimal(12,2))) agg1,
+      |        avg( cast(cs_list_price as decimal(12,2))) agg2,
+      |        avg( cast(cs_coupon_amt as decimal(12,2))) agg3,
+      |        avg( cast(cs_sales_price as decimal(12,2))) agg4,
+      |        avg( cast(cs_net_profit as decimal(12,2))) agg5,
+      |        avg( cast(c_birth_year as decimal(12,2))) agg6,
+      |        avg( cast(cd1.cd_dep_count as decimal(12,2))) agg7
+      | from catalog_sales, customer_demographics cd1, 
+      |      customer_demographics cd2, customer, customer_address, date_dim, item
+      | where cs_sold_date_sk = d_date_sk and
+      |       cs_item_sk = i_item_sk and
+      |       cs_bill_cdemo_sk = cd1.cd_demo_sk and
+      |       cs_bill_customer_sk = c_customer_sk and
+      |       cd1.cd_gender = 'M' and 
+      |       cd1.cd_education_status = 'Primary' and
+      |       c_current_cdemo_sk = cd2.cd_demo_sk and
+      |       c_current_addr_sk = ca_address_sk and
+      |       c_birth_month in (1,2,3,4,5,6) and
+      |       d_year = 1998 and
+      |       ca_state in ('ID','TN','SD'
+      |                   ,'AL','SC','OH','LA')
+      | group by rollup (i_item_id, ca_country, ca_state, ca_county)
+      | order by ca_country,
+      |        ca_state, 
+      |        ca_county,
+      |	i_item_id
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q57.sql
+  private val Q57: String =
+    """with v1 as(
+      | select i_category, i_brand,
+      |        cc_name,
+      |        d_year, d_moy,
+      |        sum(cs_sales_price) sum_sales,
+      |        avg(sum(cs_sales_price)) over
+      |          (partition by i_category, i_brand,
+      |                     cc_name, d_year)
+      |          avg_monthly_sales,
+      |        rank() over
+      |          (partition by i_category, i_brand,
+      |                     cc_name
+      |           order by d_year, d_moy) rn
+      | from item, catalog_sales, date_dim, call_center
+      | where cs_item_sk = i_item_sk and
+      |       cs_sold_date_sk = d_date_sk and
+      |       cc_call_center_sk= cs_call_center_sk and
+      |       (
+      |         d_year = 1999 or
+      |         ( d_year = 1999-1 and d_moy =12) or
+      |         ( d_year = 1999+1 and d_moy =1)
+      |       )
+      | group by i_category, i_brand,
+      |          cc_name , d_year, d_moy),
+      | v2 as(
+      | select v1.i_category
+      |        ,v1.d_year
+      |        ,v1.avg_monthly_sales
+      |        ,v1.sum_sales, v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+      | from v1, v1 v1_lag, v1 v1_lead
+      | where v1.i_category = v1_lag.i_category and
+      |       v1.i_category = v1_lead.i_category and
+      |       v1.i_brand = v1_lag.i_brand and
+      |       v1.i_brand = v1_lead.i_brand and
+      |       v1. cc_name = v1_lag. cc_name and
+      |       v1. cc_name = v1_lead. cc_name and
+      |       v1.rn = v1_lag.rn + 1 and
+      |       v1.rn = v1_lead.rn - 1)
+      |  select  *
+      | from v2
+      | where  d_year = 1999 and
+      |        avg_monthly_sales > 0 and
+      |        case when avg_monthly_sales > 0 then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1
+      | order by sum_sales - avg_monthly_sales, 3
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q75.sql
+  private val Q75: String =
+    """WITH all_sales AS (
+      | SELECT d_year
+      |       ,i_brand_id
+      |       ,i_class_id
+      |       ,i_category_id
+      |       ,i_manufact_id
+      |       ,SUM(sales_cnt) AS sales_cnt
+      |       ,SUM(sales_amt) AS sales_amt
+      | FROM (SELECT d_year
+      |             ,i_brand_id
+      |             ,i_class_id
+      |             ,i_category_id
+      |             ,i_manufact_id
+      |             ,cs_quantity - COALESCE(cr_return_quantity,0) AS sales_cnt
+      |             ,cs_ext_sales_price - COALESCE(cr_return_amount,0.0) AS sales_amt
+      |       FROM catalog_sales JOIN item ON i_item_sk=cs_item_sk
+      |                          JOIN date_dim ON d_date_sk=cs_sold_date_sk
+      |                          LEFT JOIN catalog_returns ON (cs_order_number=cr_order_number 
+      |                                                    AND cs_item_sk=cr_item_sk)
+      |       WHERE i_category='Women'
+      |       UNION
+      |       SELECT d_year
+      |             ,i_brand_id
+      |             ,i_class_id
+      |             ,i_category_id
+      |             ,i_manufact_id
+      |             ,ss_quantity - COALESCE(sr_return_quantity,0) AS sales_cnt
+      |             ,ss_ext_sales_price - COALESCE(sr_return_amt,0.0) AS sales_amt
+      |       FROM store_sales JOIN item ON i_item_sk=ss_item_sk
+      |                        JOIN date_dim ON d_date_sk=ss_sold_date_sk
+      |                        LEFT JOIN store_returns ON (ss_ticket_number=sr_ticket_number 
+      |                                                AND ss_item_sk=sr_item_sk)
+      |       WHERE i_category='Women'
+      |       UNION
+      |       SELECT d_year
+      |             ,i_brand_id
+      |             ,i_class_id
+      |             ,i_category_id
+      |             ,i_manufact_id
+      |             ,ws_quantity - COALESCE(wr_return_quantity,0) AS sales_cnt
+      |             ,ws_ext_sales_price - COALESCE(wr_return_amt,0.0) AS sales_amt
+      |       FROM web_sales JOIN item ON i_item_sk=ws_item_sk
+      |                      JOIN date_dim ON d_date_sk=ws_sold_date_sk
+      |                      LEFT JOIN web_returns ON (ws_order_number=wr_order_number 
+      |                                            AND ws_item_sk=wr_item_sk)
+      |       WHERE i_category='Women') sales_detail
+      | GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+      | SELECT  prev_yr.d_year AS prev_year
+      |                          ,curr_yr.d_year AS `year`
+      |                          ,curr_yr.i_brand_id
+      |                          ,curr_yr.i_class_id
+      |                          ,curr_yr.i_category_id
+      |                          ,curr_yr.i_manufact_id
+      |                          ,prev_yr.sales_cnt AS prev_yr_cnt
+      |                          ,curr_yr.sales_cnt AS curr_yr_cnt
+      |                          ,curr_yr.sales_cnt-prev_yr.sales_cnt AS sales_cnt_diff
+      |                          ,curr_yr.sales_amt-prev_yr.sales_amt AS sales_amt_diff
+      | FROM all_sales curr_yr, all_sales prev_yr
+      | WHERE curr_yr.i_brand_id=prev_yr.i_brand_id
+      |   AND curr_yr.i_class_id=prev_yr.i_class_id
+      |   AND curr_yr.i_category_id=prev_yr.i_category_id
+      |   AND curr_yr.i_manufact_id=prev_yr.i_manufact_id
+      |   AND curr_yr.d_year=1999
+      |   AND prev_yr.d_year=1999-1
+      |   AND CAST(curr_yr.sales_cnt AS DECIMAL(17,2))/CAST(prev_yr.sales_cnt AS DECIMAL(17,2))<0.9
+      | ORDER BY sales_cnt_diff
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q78.sql
+  private val Q78: String =
+    """with ws as
+      |  (select d_year AS ws_sold_year, ws_item_sk,
+      |    ws_bill_customer_sk ws_customer_sk,
+      |    sum(ws_quantity) ws_qty,
+      |    sum(ws_wholesale_cost) ws_wc,
+      |    sum(ws_sales_price) ws_sp
+      |   from web_sales
+      |   left join web_returns on wr_order_number=ws_order_number and ws_item_sk=wr_item_sk
+      |   join date_dim on ws_sold_date_sk = d_date_sk
+      |   where wr_order_number is null
+      |   group by d_year, ws_item_sk, ws_bill_customer_sk
+      |   ),
+      |cs as
+      |  (select d_year AS cs_sold_year, cs_item_sk,
+      |    cs_bill_customer_sk cs_customer_sk,
+      |    sum(cs_quantity) cs_qty,
+      |    sum(cs_wholesale_cost) cs_wc,
+      |    sum(cs_sales_price) cs_sp
+      |   from catalog_sales
+      |   left join catalog_returns on cr_order_number=cs_order_number and cs_item_sk=cr_item_sk
+      |   join date_dim on cs_sold_date_sk = d_date_sk
+      |   where cr_order_number is null
+      |   group by d_year, cs_item_sk, cs_bill_customer_sk
+      |   ),
+      |ss as
+      |  (select d_year AS ss_sold_year, ss_item_sk,
+      |    ss_customer_sk,
+      |    sum(ss_quantity) ss_qty,
+      |    sum(ss_wholesale_cost) ss_wc,
+      |    sum(ss_sales_price) ss_sp
+      |   from store_sales
+      |   left join store_returns on sr_ticket_number=ss_ticket_number and ss_item_sk=sr_item_sk
+      |   join date_dim on ss_sold_date_sk = d_date_sk
+      |   where sr_ticket_number is null
+      |   group by d_year, ss_item_sk, ss_customer_sk
+      |   )
+      | select 
+      |ss_sold_year,
+      |round(ss_qty/(coalesce(ws_qty,0)+coalesce(cs_qty,0)),2) ratio,
+      |ss_qty store_qty, ss_wc store_wholesale_cost, ss_sp store_sales_price,
+      |coalesce(ws_qty,0)+coalesce(cs_qty,0) other_chan_qty,
+      |coalesce(ws_wc,0)+coalesce(cs_wc,0) other_chan_wholesale_cost,
+      |coalesce(ws_sp,0)+coalesce(cs_sp,0) other_chan_sales_price
+      |from ss
+      |left join ws on (ws_sold_year=ss_sold_year and ws_item_sk=ss_item_sk and ws_customer_sk=ss_customer_sk)
+      |left join cs on (cs_sold_year=ss_sold_year and cs_item_sk=ss_item_sk and cs_customer_sk=ss_customer_sk)
+      |where (coalesce(ws_qty,0)>0 or coalesce(cs_qty, 0)>0) and ss_sold_year=1998
+      |order by 
+      |  ss_sold_year,
+      |  ss_qty desc, ss_wc desc, ss_sp desc,
+      |  other_chan_qty,
+      |  other_chan_wholesale_cost,
+      |  other_chan_sales_price,
+      |  round(ss_qty/(coalesce(ws_qty+cs_qty,1)),2)
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q5.sql
+  private val Q5: String =
+    """with ssr as
+      | (select s_store_id,
+      |        sum(sales_price) as sales,
+      |        sum(profit) as profit,
+      |        sum(return_amt) as `returns`,
+      |        sum(net_loss) as profit_loss
+      | from
+      |  ( select  ss_store_sk as store_sk,
+      |            ss_sold_date_sk  as date_sk,
+      |            ss_ext_sales_price as sales_price,
+      |            ss_net_profit as profit,
+      |            cast(0 as decimal(7,2)) as return_amt,
+      |            cast(0 as decimal(7,2)) as net_loss
+      |    from store_sales
+      |    union all
+      |    select sr_store_sk as store_sk,
+      |           sr_returned_date_sk as date_sk,
+      |           cast(0 as decimal(7,2)) as sales_price,
+      |           cast(0 as decimal(7,2)) as profit,
+      |           sr_return_amt as return_amt,
+      |           sr_net_loss as net_loss
+      |    from store_returns
+      |   ) salesreturns,
+      |     date_dim,
+      |     store
+      | where date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date)
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '14' day)
+      |       and store_sk = s_store_sk
+      | group by s_store_id)
+      | ,
+      | csr as
+      | (select cp_catalog_page_id,
+      |        sum(sales_price) as sales,
+      |        sum(profit) as profit,
+      |        sum(return_amt) as `returns`,
+      |        sum(net_loss) as profit_loss
+      | from
+      |  ( select  cs_catalog_page_sk as page_sk,
+      |            cs_sold_date_sk  as date_sk,
+      |            cs_ext_sales_price as sales_price,
+      |            cs_net_profit as profit,
+      |            cast(0 as decimal(7,2)) as return_amt,
+      |            cast(0 as decimal(7,2)) as net_loss
+      |    from catalog_sales
+      |    union all
+      |    select cr_catalog_page_sk as page_sk,
+      |           cr_returned_date_sk as date_sk,
+      |           cast(0 as decimal(7,2)) as sales_price,
+      |           cast(0 as decimal(7,2)) as profit,
+      |           cr_return_amount as return_amt,
+      |           cr_net_loss as net_loss
+      |    from catalog_returns
+      |   ) salesreturns,
+      |     date_dim,
+      |     catalog_page
+      | where date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date)
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '14' day)
+      |       and page_sk = cp_catalog_page_sk
+      | group by cp_catalog_page_id)
+      | ,
+      | wsr as
+      | (select web_site_id,
+      |        sum(sales_price) as sales,
+      |        sum(profit) as profit,
+      |        sum(return_amt) as `returns`,
+      |        sum(net_loss) as profit_loss
+      | from
+      |  ( select  ws_web_site_sk as wsr_web_site_sk,
+      |            ws_sold_date_sk  as date_sk,
+      |            ws_ext_sales_price as sales_price,
+      |            ws_net_profit as profit,
+      |            cast(0 as decimal(7,2)) as return_amt,
+      |            cast(0 as decimal(7,2)) as net_loss
+      |    from web_sales
+      |    union all
+      |    select ws_web_site_sk as wsr_web_site_sk,
+      |           wr_returned_date_sk as date_sk,
+      |           cast(0 as decimal(7,2)) as sales_price,
+      |           cast(0 as decimal(7,2)) as profit,
+      |           wr_return_amt as return_amt,
+      |           wr_net_loss as net_loss
+      |    from web_returns left outer join web_sales on
+      |         ( wr_item_sk = ws_item_sk
+      |           and wr_order_number = ws_order_number)
+      |   ) salesreturns,
+      |     date_dim,
+      |     web_site
+      | where date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date)
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '14' day)
+      |       and wsr_web_site_sk = web_site_sk
+      | group by web_site_id)
+      |  select  channel
+      |        , id
+      |        , sum(sales) as sales
+      |        , sum(`returns`) as `returns`
+      |        , sum(profit) as profit
+      | from 
+      | (select 'store channel' as channel
+      |        , 'store' || s_store_id as id
+      |        , sales
+      |        , `returns`
+      |        , (profit - profit_loss) as profit
+      | from   ssr
+      | union all
+      | select 'catalog channel' as channel
+      |        , 'catalog_page' || cp_catalog_page_id as id
+      |        , sales
+      |        , `returns`
+      |        , (profit - profit_loss) as profit
+      | from  csr
+      | union all
+      | select 'web channel' as channel
+      |        , 'web_site' || web_site_id as id
+      |        , sales
+      |        , `returns`
+      |        , (profit - profit_loss) as profit
+      | from   wsr
+      | ) x
+      | group by rollup (channel, id)
+      | order by channel
+      |         ,id
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q49.sql
+  private val Q49: String =
+    """select  
+      | 'web' as channel
+      | ,web.item
+      | ,web.return_ratio
+      | ,web.return_rank
+      | ,web.currency_rank
+      | from (
+      | 	select 
+      | 	 item
+      | 	,return_ratio
+      | 	,currency_ratio
+      | 	,rank() over (order by return_ratio) as return_rank
+      | 	,rank() over (order by currency_ratio) as currency_rank
+      | 	from
+      | 	(	select ws.ws_item_sk as item
+      | 		,(cast(sum(coalesce(wr.wr_return_quantity,0)) as decimal(15,4))/
+      | 		cast(sum(coalesce(ws.ws_quantity,0)) as decimal(15,4) )) as return_ratio
+      | 		,(cast(sum(coalesce(wr.wr_return_amt,0)) as decimal(15,4))/
+      | 		cast(sum(coalesce(ws.ws_net_paid,0)) as decimal(15,4) )) as currency_ratio
+      | 		from 
+      | 		 web_sales ws left outer join web_returns wr 
+      | 			on (ws.ws_order_number = wr.wr_order_number and 
+      | 			ws.ws_item_sk = wr.wr_item_sk)
+      |                 ,date_dim
+      | 		where 
+      | 			wr.wr_return_amt > 10000 
+      | 			and ws.ws_net_profit > 1
+      |                         and ws.ws_net_paid > 0
+      |                         and ws.ws_quantity > 0
+      |                         and ws_sold_date_sk = d_date_sk
+      |                         and d_year = 1998
+      |                         and d_moy = 11
+      | 		group by ws.ws_item_sk
+      | 	) in_web
+      | ) web
+      | where 
+      | (
+      | web.return_rank <= 10
+      | or
+      | web.currency_rank <= 10
+      | )
+      | union
+      | select 
+      | 'catalog' as channel
+      | ,catalog.item
+      | ,catalog.return_ratio
+      | ,catalog.return_rank
+      | ,catalog.currency_rank
+      | from (
+      | 	select 
+      | 	 item
+      | 	,return_ratio
+      | 	,currency_ratio
+      | 	,rank() over (order by return_ratio) as return_rank
+      | 	,rank() over (order by currency_ratio) as currency_rank
+      | 	from
+      | 	(	select 
+      | 		cs.cs_item_sk as item
+      | 		,(cast(sum(coalesce(cr.cr_return_quantity,0)) as decimal(15,4))/
+      | 		cast(sum(coalesce(cs.cs_quantity,0)) as decimal(15,4) )) as return_ratio
+      | 		,(cast(sum(coalesce(cr.cr_return_amount,0)) as decimal(15,4))/
+      | 		cast(sum(coalesce(cs.cs_net_paid,0)) as decimal(15,4) )) as currency_ratio
+      | 		from 
+      | 		catalog_sales cs left outer join catalog_returns cr
+      | 			on (cs.cs_order_number = cr.cr_order_number and 
+      | 			cs.cs_item_sk = cr.cr_item_sk)
+      |                ,date_dim
+      | 		where 
+      | 			cr.cr_return_amount > 10000 
+      | 			and cs.cs_net_profit > 1
+      |                         and cs.cs_net_paid > 0
+      |                         and cs.cs_quantity > 0
+      |                         and cs_sold_date_sk = d_date_sk
+      |                         and d_year = 1998
+      |                         and d_moy = 11
+      |                 group by cs.cs_item_sk
+      | 	) in_cat
+      | ) catalog
+      | where 
+      | (
+      | catalog.return_rank <= 10
+      | or
+      | catalog.currency_rank <=10
+      | )
+      | union
+      | select 
+      | 'store' as channel
+      | ,store.item
+      | ,store.return_ratio
+      | ,store.return_rank
+      | ,store.currency_rank
+      | from (
+      | 	select 
+      | 	 item
+      | 	,return_ratio
+      | 	,currency_ratio
+      | 	,rank() over (order by return_ratio) as return_rank
+      | 	,rank() over (order by currency_ratio) as currency_rank
+      | 	from
+      | 	(	select sts.ss_item_sk as item
+      | 		,(cast(sum(coalesce(sr.sr_return_quantity,0)) as decimal(15,4))/cast(sum(coalesce(sts.ss_quantity,0)) as decimal(15,4) )) as return_ratio
+      | 		,(cast(sum(coalesce(sr.sr_return_amt,0)) as decimal(15,4))/cast(sum(coalesce(sts.ss_net_paid,0)) as decimal(15,4) )) as currency_ratio
+      | 		from 
+      | 		store_sales sts left outer join store_returns sr
+      | 			on (sts.ss_ticket_number = sr.sr_ticket_number and sts.ss_item_sk = sr.sr_item_sk)
+      |                ,date_dim
+      | 		where 
+      | 			sr.sr_return_amt > 10000 
+      | 			and sts.ss_net_profit > 1
+      |                         and sts.ss_net_paid > 0 
+      |                         and sts.ss_quantity > 0
+      |                         and ss_sold_date_sk = d_date_sk
+      |                         and d_year = 1998
+      |                         and d_moy = 11
+      | 		group by sts.ss_item_sk
+      | 	) in_store
+      | ) store
+      | where  (
+      | store.return_rank <= 10
+      | or 
+      | store.currency_rank <= 10
+      | )
+      | order by 1,4,5
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q61.sql
+  private val Q61: String =
+    """select  promotions,total,cast(promotions as decimal(15,4))/cast(total as decimal(15,4))*100
+      |from
+      |  (select sum(ss_ext_sales_price) promotions
+      |   from  store_sales
+      |        ,store
+      |        ,promotion
+      |        ,date_dim
+      |        ,customer
+      |        ,customer_address 
+      |        ,item
+      |   where ss_sold_date_sk = d_date_sk
+      |   and   ss_store_sk = s_store_sk
+      |   and   ss_promo_sk = p_promo_sk
+      |   and   ss_customer_sk= c_customer_sk
+      |   and   ca_address_sk = c_current_addr_sk
+      |   and   ss_item_sk = i_item_sk 
+      |   and   ca_gmt_offset = -6
+      |   and   i_category = 'Books'
+      |   and   (p_channel_dmail = 'Y' or p_channel_email = 'Y' or p_channel_tv = 'Y')
+      |   and   s_gmt_offset = -6
+      |   and   d_year = 1998
+      |   and   d_moy  = 11) promotional_sales,
+      |  (select sum(ss_ext_sales_price) total
+      |   from  store_sales
+      |        ,store
+      |        ,date_dim
+      |        ,customer
+      |        ,customer_address
+      |        ,item
+      |   where ss_sold_date_sk = d_date_sk
+      |   and   ss_store_sk = s_store_sk
+      |   and   ss_customer_sk= c_customer_sk
+      |   and   ca_address_sk = c_current_addr_sk
+      |   and   ss_item_sk = i_item_sk
+      |   and   ca_gmt_offset = -6
+      |   and   i_category = 'Books'
+      |   and   s_gmt_offset = -6
+      |   and   d_year = 1998
+      |   and   d_moy  = 11) all_sales
+      |order by promotions, total
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q71.sql
+  private val Q71: String =
+    """select i_brand_id brand_id, i_brand brand,t_hour,t_minute,
+      | 	sum(ext_price) ext_price
+      | from item, (select ws_ext_sales_price as ext_price, 
+      |                        ws_sold_date_sk as sold_date_sk,
+      |                        ws_item_sk as sold_item_sk,
+      |                        ws_sold_time_sk as time_sk  
+      |                 from web_sales,date_dim
+      |                 where d_date_sk = ws_sold_date_sk
+      |                   and d_moy=11
+      |                   and d_year=1998
+      |                 union all
+      |                 select cs_ext_sales_price as ext_price,
+      |                        cs_sold_date_sk as sold_date_sk,
+      |                        cs_item_sk as sold_item_sk,
+      |                        cs_sold_time_sk as time_sk
+      |                 from catalog_sales,date_dim
+      |                 where d_date_sk = cs_sold_date_sk
+      |                   and d_moy=11
+      |                   and d_year=1998
+      |                 union all
+      |                 select ss_ext_sales_price as ext_price,
+      |                        ss_sold_date_sk as sold_date_sk,
+      |                        ss_item_sk as sold_item_sk,
+      |                        ss_sold_time_sk as time_sk
+      |                 from store_sales,date_dim
+      |                 where d_date_sk = ss_sold_date_sk
+      |                   and d_moy=11
+      |                   and d_year=1998
+      |                 ) tmp,time_dim
+      | where
+      |   sold_item_sk = i_item_sk
+      |   and i_manager_id=1
+      |   and time_sk = t_time_sk
+      |   and (t_meal_time = 'breakfast' or t_meal_time = 'dinner')
+      | group by i_brand, i_brand_id,t_hour,t_minute
+      | order by ext_price desc, i_brand_id""".stripMargin
+
+  // reference: tpcds/queries/1/q77.sql
+  private val Q77: String =
+    """with ss as
+      | (select s_store_sk,
+      |         sum(ss_ext_sales_price) as sales,
+      |         sum(ss_net_profit) as profit
+      | from store_sales,
+      |      date_dim,
+      |      store
+      | where ss_sold_date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date) 
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '30' day)
+      |       and ss_store_sk = s_store_sk
+      | group by s_store_sk)
+      | ,
+      | sr as
+      | (select s_store_sk,
+      |         sum(sr_return_amt) as `returns`,
+      |         sum(sr_net_loss) as profit_loss
+      | from store_returns,
+      |      date_dim,
+      |      store
+      | where sr_returned_date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date)
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '30' day)
+      |       and sr_store_sk = s_store_sk
+      | group by s_store_sk), 
+      | cs as
+      | (select cs_call_center_sk,
+      |        sum(cs_ext_sales_price) as sales,
+      |        sum(cs_net_profit) as profit
+      | from catalog_sales,
+      |      date_dim
+      | where cs_sold_date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date)
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '30' day)
+      | group by cs_call_center_sk 
+      | ), 
+      | cr as
+      | (select cr_call_center_sk,
+      |         sum(cr_return_amount) as `returns`,
+      |         sum(cr_net_loss) as profit_loss
+      | from catalog_returns,
+      |      date_dim
+      | where cr_returned_date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date)
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '30' day)
+      | group by cr_call_center_sk
+      | ), 
+      | ws as
+      | ( select wp_web_page_sk,
+      |        sum(ws_ext_sales_price) as sales,
+      |        sum(ws_net_profit) as profit
+      | from web_sales,
+      |      date_dim,
+      |      web_page
+      | where ws_sold_date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date)
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '30' day)
+      |       and ws_web_page_sk = wp_web_page_sk
+      | group by wp_web_page_sk), 
+      | wr as
+      | (select wp_web_page_sk,
+      |        sum(wr_return_amt) as `returns`,
+      |        sum(wr_net_loss) as profit_loss
+      | from web_returns,
+      |      date_dim,
+      |      web_page
+      | where wr_returned_date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date)
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '30' day)
+      |       and wr_web_page_sk = wp_web_page_sk
+      | group by wp_web_page_sk)
+      |  select  channel
+      |        , id
+      |        , sum(sales) as sales
+      |        , sum(`returns`) as `returns`
+      |        , sum(profit) as profit
+      | from 
+      | (select 'store channel' as channel
+      |        , ss.s_store_sk as id
+      |        , sales
+      |        , coalesce(`returns`, 0) as `returns`
+      |        , (profit - coalesce(profit_loss,0)) as profit
+      | from   ss left join sr
+      |        on  ss.s_store_sk = sr.s_store_sk
+      | union all
+      | select 'catalog channel' as channel
+      |        , cs_call_center_sk as id
+      |        , sales
+      |        , `returns`
+      |        , (profit - profit_loss) as profit
+      | from  cs
+      |       , cr
+      | union all
+      | select 'web channel' as channel
+      |        , ws.wp_web_page_sk as id
+      |        , sales
+      |        , coalesce(`returns`, 0) `returns`
+      |        , (profit - coalesce(profit_loss,0)) as profit
+      | from   ws left join wr
+      |        on  ws.wp_web_page_sk = wr.wp_web_page_sk
+      | ) x
+      | group by rollup (channel, id)
+      | order by channel
+      |         ,id
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q80.sql
+  private val Q80: String =
+    """with ssr as
+      | (select  s_store_id as store_id,
+      |          sum(ss_ext_sales_price) as sales,
+      |          sum(coalesce(sr_return_amt, 0)) as `returns`,
+      |          sum(ss_net_profit - coalesce(sr_net_loss, 0)) as profit
+      |  from store_sales left outer join store_returns on
+      |         (ss_item_sk = sr_item_sk and ss_ticket_number = sr_ticket_number),
+      |     date_dim,
+      |     store,
+      |     item,
+      |     promotion
+      | where ss_sold_date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date) 
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '30' day)
+      |       and ss_store_sk = s_store_sk
+      |       and ss_item_sk = i_item_sk
+      |       and i_current_price > 50
+      |       and ss_promo_sk = p_promo_sk
+      |       and p_channel_tv = 'N'
+      | group by s_store_id)
+      | ,
+      | csr as
+      | (select  cp_catalog_page_id as catalog_page_id,
+      |          sum(cs_ext_sales_price) as sales,
+      |          sum(coalesce(cr_return_amount, 0)) as `returns`,
+      |          sum(cs_net_profit - coalesce(cr_net_loss, 0)) as profit
+      |  from catalog_sales left outer join catalog_returns on
+      |         (cs_item_sk = cr_item_sk and cs_order_number = cr_order_number),
+      |     date_dim,
+      |     catalog_page,
+      |     item,
+      |     promotion
+      | where cs_sold_date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date)
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '30' day)
+      |        and cs_catalog_page_sk = cp_catalog_page_sk
+      |       and cs_item_sk = i_item_sk
+      |       and i_current_price > 50
+      |       and cs_promo_sk = p_promo_sk
+      |       and p_channel_tv = 'N'
+      |group by cp_catalog_page_id)
+      | ,
+      | wsr as
+      | (select  web_site_id,
+      |          sum(ws_ext_sales_price) as sales,
+      |          sum(coalesce(wr_return_amt, 0)) as `returns`,
+      |          sum(ws_net_profit - coalesce(wr_net_loss, 0)) as profit
+      |  from web_sales left outer join web_returns on
+      |         (ws_item_sk = wr_item_sk and ws_order_number = wr_order_number),
+      |     date_dim,
+      |     web_site,
+      |     item,
+      |     promotion
+      | where ws_sold_date_sk = d_date_sk
+      |       and d_date between cast('1998-08-02' as date)
+      |                  and (cast('1998-08-02' as date) +  INTERVAL '30' day)
+      |        and ws_web_site_sk = web_site_sk
+      |       and ws_item_sk = i_item_sk
+      |       and i_current_price > 50
+      |       and ws_promo_sk = p_promo_sk
+      |       and p_channel_tv = 'N'
+      |group by web_site_id)
+      |  select  channel
+      |        , id
+      |        , sum(sales) as sales
+      |        , sum(`returns`) as `returns`
+      |        , sum(profit) as profit
+      | from 
+      | (select 'store channel' as channel
+      |        , 'store' || store_id as id
+      |        , sales
+      |        , `returns`
+      |        , profit
+      | from   ssr
+      | union all
+      | select 'catalog channel' as channel
+      |        , 'catalog_page' || catalog_page_id as id
+      |        , sales
+      |        , `returns`
+      |        , profit
+      | from  csr
+      | union all
+      | select 'web channel' as channel
+      |        , 'web_site' || web_site_id as id
+      |        , sales
+      |        , `returns`
+      |        , profit
+      | from   wsr
+      | ) x
+      | group by rollup (channel, id)
+      | order by channel
+      |         ,id
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q90.sql
+  private val Q90: String =
+    """select  cast(amc as decimal(15,4))/cast(pmc as decimal(15,4)) am_pm_ratio
+      | from ( select count(*) amc
+      |       from web_sales, household_demographics , time_dim, web_page
+      |       where ws_sold_time_sk = time_dim.t_time_sk
+      |         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+      |         and ws_web_page_sk = web_page.wp_web_page_sk
+      |         and time_dim.t_hour between 6 and 6+1
+      |         and household_demographics.hd_dep_count = 0
+      |         and web_page.wp_char_count between 5000 and 5200) `at`,
+      |      ( select count(*) pmc
+      |       from web_sales, household_demographics , time_dim, web_page
+      |       where ws_sold_time_sk = time_dim.t_time_sk
+      |         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+      |         and ws_web_page_sk = web_page.wp_web_page_sk
+      |         and time_dim.t_hour between 13 and 13+1
+      |         and household_demographics.hd_dep_count = 0
+      |         and web_page.wp_char_count between 5000 and 5200) pt
+      | order by am_pm_ratio
+      | limit 100""".stripMargin
 }

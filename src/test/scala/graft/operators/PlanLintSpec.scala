@@ -24,14 +24,21 @@ import graft.SparkSpec
   *    shape (composite and verbatim text) — eight cross-joined count(*)
   *    derived tables, every join side exactly one row at any data scale;
   *  - qds28_literal: same family — six cross-joined single-row
-  *    aggregate buckets (the verbatim q28 text).
+  *    aggregate buckets (the verbatim q28 text);
+  *  - qds61_literal / qds90_literal: same family — the verbatim texts
+  *    cross two single-row aggregate derived tables (promotional vs
+  *    total sales; AM vs PM counts) to form a ratio;
+  *  - qds77_literal: the verbatim q77 catalog arm is `from cs, cr` — a
+  *    cross of two aggregates grouped by call-center key, so both
+  *    sides are bounded by |call_center| (a fixed-size dimension) at
+  *    any fact scale.
   */
 class PlanLintSpec extends SparkSpec {
 
   private val whitelist =
     Set("q10_cross_join", "q87_recursive_cte", "q57_tfidf",
       "q107_temperature_mix", "qds88_quantity_slices", "qds88_literal",
-      "qds28_literal")
+      "qds28_literal", "qds61_literal", "qds77_literal", "qds90_literal")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)

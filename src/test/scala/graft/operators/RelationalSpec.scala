@@ -37,7 +37,18 @@ class RelationalSpec extends SparkSpec {
       "qds69_literal", "qds83_literal",
       // q58 needs one item sold in all three channels inside one week
       // (sanctioned-empty even at sf0.01 — see TpcDsLiteralSpec)
-      "qds58_literal")
+      "qds58_literal",
+      // q91 needs a closed-month return from an M/unknown-education
+      // buyer at a -6 GMT call center — non-empty from sf0.01 up
+      "qds91_literal",
+      // q14b self-joins this-year vs last-year best sellers on
+      // (brand, class, category) — the intersection needs both years
+      // populated for the same item triple; non-empty from sf0.01 up
+      "qds14b_literal",
+      // q71 needs a December sale landing in the breakfast/dinner
+      // t_hour bands for a specific manager's brands — non-empty
+      // from sf0.01 up (1 row)
+      "qds71_literal")
     val empty = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val n = graft.SparkEntry.queries(name)(spark, sf()).count()
       if (n == 0 && !emptyOk(name)) Some(name) else None
