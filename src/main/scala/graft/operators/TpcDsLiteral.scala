@@ -164,7 +164,21 @@ object TpcDsLiteral {
       literal("qds71_literal", Q71),
       literal("qds90_literal", Q90, oracleFixup =
         _.replace("cast(amc as decimal(15,4))/cast(pmc as decimal(15,4))",
-          duckRatio20("amc", "pmc"))))
+          duckRatio20("amc", "pmc"))),
+      literal("qds21_literal", Q21),
+      literal("qds22_literal", Q22, oracleFixup = orderByNullsFirst),
+      literal("qds37_literal", Q37), literal("qds82_literal", Q82),
+      literal("qds40_literal", Q40),
+      // the text's final ORDER BY names bare d_week_seq, which Spark
+      // resolves to the select-list output; DuckDB calls it ambiguous
+      // across d1/d2/d3 — qualify in the oracle copy only
+      literal("qds72_literal", Q72, outCols = Seq("i_item_desc",
+        "w_warehouse_name", "d_week_seq", "no_promo", "promo", "total_cnt"),
+        castBigint = Set("no_promo", "promo"),
+        oracleFixup =
+        _.replace(
+          "order by total_cnt desc, i_item_desc, w_warehouse_name, d_week_seq",
+          "order by total_cnt desc, i_item_desc, w_warehouse_name, d1.d_week_seq")))
 
   /** The literal bodies by reference file stem — `TpcDsLiteralSpec`
     * diffs each against the reference file on disk (comment banners
@@ -192,7 +206,8 @@ object TpcDsLiteral {
       "q67" -> Q67, "q14a" -> Q14A, "q14b" -> Q14B, "q18" -> Q18,
       "q57" -> Q57, "q75" -> Q75, "q78" -> Q78, "q5" -> Q5,
       "q49" -> Q49, "q61" -> Q61, "q71" -> Q71, "q77" -> Q77,
-      "q80" -> Q80, "q90" -> Q90)
+      "q80" -> Q80, "q90" -> Q90, "q21" -> Q21, "q22" -> Q22,
+      "q37" -> Q37, "q40" -> Q40, "q72" -> Q72, "q82" -> Q82)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -273,6 +288,7 @@ object TpcDsLiteral {
     "Did not like the warranty", "Found a better price", "Gift exchange",
     "Duplicate purchase", "No reason given")
   private val WhRows = 5L
+  private val InvWeeks = 344L
   private val SmRows = 20L
   private val WebRows = 10L
   private val WpRows = 100L
@@ -711,6 +727,26 @@ object TpcDsLiteral {
         concat(lit("page_"), (col("id") + 1L).cast(StringType))
           .as("cp_catalog_page_id"))
       .createOrReplaceTempView("catalog_page")
+    // Weekly on-hand snapshots: every part x 5 warehouses x 344 Sundays
+    // from 1995-01-01 (day_sk 9131). The per-row sequence explode is a
+    // Generate (not a join), so the expansion distributes with the part
+    // scan at any scale. Quantities walk a mod-97 cycle: 80% land in a
+    // dense 100..485 band (q37/q82's "between 100 and 500" window) and
+    // 20% spike 0..7200 so per-(item, month) groups clear q39's
+    // cov > 1 variance gate.
+    val invH = col("p_partkey") * 31L + (col("g") % 5L + 1L) * 7L +
+      (lit(9131L) + floor(col("g") / 5L) * 7L) * 13L
+    part.select(col("p_partkey"),
+        explode(sequence(lit(0L), lit(WhRows * InvWeeks - 1L))).as("g"))
+      .select(
+        col("p_partkey").as("inv_item_sk"),
+        (col("g") % 5L + 1L).as("inv_warehouse_sk"),
+        (lit(9131L) + floor(col("g") / 5L) * 7L).cast(IntegerType)
+          .as("inv_date_sk"),
+        when(invH % 97L < 78L, lit(100L) + (invH % 97L) * 5L)
+          .otherwise((invH % 97L - 78L) * 400L)
+          .cast(DoubleType).as("inv_quantity_on_hand"))
+      .createOrReplaceTempView("inventory")
     part.select(
         col("p_partkey").as("i_item_sk"),
         concat(lit("item_"), col("p_partkey").cast(StringType)).as("i_item_id"),
@@ -724,10 +760,13 @@ object TpcDsLiteral {
         element_at(TpcDsClasses, (col("p_partkey") % 13).cast(IntegerType) + 1)
           .as("i_class"),
         ((col("p_partkey") % 13) + 1).cast(IntegerType).as("i_class_id"),
-        // fixture retail prices span only 900..999 (max/avg = 1.05), so a
-        // partkey-derived spread widens them to 900..2199 — otherwise no
-        // item can clear q6's "price > 1.2 x category average" filter
-        (floor(col("p_retailprice")) + (col("p_partkey") % 7) * 200L)
+        // quarter-multiples 0..99.75 (uniform via the 7919 prime walk)
+        // with a 5% spike at 1.25: the inventory-family texts (q21/q37/
+        // q40/q82) filter sub-100 absolute price windows (e.g. "between
+        // 0.99 and 1.49"), and a uniform spread keeps q6's relative
+        // "price > 1.2 x category average" filter selective (~40% clear)
+        when(col("p_partkey") % 20 === 7, 1.25d)
+          .otherwise(((col("p_partkey") * 7919L) % 400L) * 0.25d)
           .cast(DoubleType).as("i_current_price"),
         (floor(col("p_retailprice")) * 0.5d).as("i_wholesale_cost"),
         (col("p_partkey") % 50).cast(IntegerType).as("i_manager_id"),
@@ -897,7 +936,7 @@ object TpcDsLiteral {
       |    CAST(p_partkey % 10 + 1 AS INT) AS i_category_id,
       |    (${ClassNames.map("'" + _ + "'").mkString("[", ", ", "]")})[CAST(p_partkey % 13 AS INT) + 1] AS i_class,
       |    CAST(p_partkey % 13 + 1 AS INT) AS i_class_id,
-      |    CAST(floor(p_retailprice) + (p_partkey % 7) * 200 AS DOUBLE) AS i_current_price,
+      |    CAST(CASE WHEN p_partkey % 20 = 7 THEN 1.25 ELSE ((p_partkey * 7919) % 400) * 0.25 END AS DOUBLE) AS i_current_price,
       |    floor(p_retailprice) * 0.5 AS i_wholesale_cost,
       |    CAST(p_partkey % 50 AS INT) AS i_manager_id,
       |    CAST(p_partkey % 1000 AS INT) AS i_manufact_id,
@@ -1040,7 +1079,15 @@ object TpcDsLiteral {
       |catalog_page AS (
       |  SELECT id + 1 AS cp_catalog_page_sk,
       |    'page_' || CAST(id + 1 AS VARCHAR) AS cp_catalog_page_id
-      |  FROM range($CpRows) t(id))""".stripMargin
+      |  FROM range($CpRows) t(id)),
+      |inventory AS (
+      |  SELECT p_partkey AS inv_item_sk,
+      |    g % 5 + 1 AS inv_warehouse_sk,
+      |    CAST(9131 + (g // 5) * 7 AS INT) AS inv_date_sk,
+      |    CAST(CASE WHEN (p_partkey * 31 + (g % 5 + 1) * 7 + (9131 + (g // 5) * 7) * 13) % 97 < 78
+      |      THEN 100 + ((p_partkey * 31 + (g % 5 + 1) * 7 + (9131 + (g // 5) * 7) * 13) % 97) * 5
+      |      ELSE ((p_partkey * 31 + (g % 5 + 1) * 7 + (9131 + (g // 5) * 7) * 13) % 97 - 78) * 400 END AS DOUBLE) AS inv_quantity_on_hand
+      |  FROM part, range(${WhRows * InvWeeks}) t(g))""".stripMargin
 
   private def literal(name: String, body: String,
       outCols: Seq[String] = Nil,
@@ -5423,5 +5470,146 @@ object TpcDsLiteral {
       |         and household_demographics.hd_dep_count = 0
       |         and web_page.wp_char_count between 5000 and 5200) pt
       | order by am_pm_ratio
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q21.sql
+  private val Q21: String =
+    """select  *
+      | from(select w_warehouse_name
+      |            ,i_item_id
+      |            ,sum(case when (cast(d_date as date) < cast ('1998-02-01' as date))
+      |	                then inv_quantity_on_hand 
+      |                      else 0 end) as inv_before
+      |            ,sum(case when (cast(d_date as date) >= cast ('1998-02-01' as date))
+      |                      then inv_quantity_on_hand 
+      |                      else 0 end) as inv_after
+      |   from inventory
+      |       ,warehouse
+      |       ,item
+      |       ,date_dim
+      |   where i_current_price between 0.99 and 1.49
+      |     and i_item_sk          = inv_item_sk
+      |     and inv_warehouse_sk   = w_warehouse_sk
+      |     and inv_date_sk    = d_date_sk
+      |     and d_date between (cast ('1998-02-01' as date) - INTERVAL '30' day)
+      |                    and (cast ('1998-02-01' as date) + INTERVAL '30' day)
+      |   group by w_warehouse_name, i_item_id) x
+      | where (case when inv_before > 0 
+      |             then inv_after / inv_before 
+      |             else null
+      |             end) between 2.0/3.0 and 3.0/2.0
+      | order by w_warehouse_name
+      |         ,i_item_id
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q22.sql
+  private val Q22: String =
+    """select  i_product_name
+      |             ,i_brand
+      |             ,i_class
+      |             ,i_category
+      |             ,avg(inv_quantity_on_hand) qoh
+      |       from inventory
+      |           ,date_dim
+      |           ,item
+      |       where inv_date_sk=d_date_sk
+      |              and inv_item_sk=i_item_sk
+      |              and d_month_seq between 1176 and 1176 + 11
+      |       group by rollup(i_product_name
+      |                       ,i_brand
+      |                       ,i_class
+      |                       ,i_category)
+      |order by qoh, i_product_name, i_brand, i_class, i_category
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q37.sql
+  private val Q37: String =
+    """select  i_item_id
+      |       ,i_item_desc
+      |       ,i_current_price
+      | from item, inventory, date_dim, catalog_sales
+      | where i_current_price between 10 and 10 + 30
+      | and inv_item_sk = i_item_sk
+      | and d_date_sk=inv_date_sk
+      | and d_date between cast('1998-01-02' as date) and (cast('1998-01-02' as date) +  INTERVAL '60' day)
+      | and i_manufact_id in (667,668,669,670)
+      | and inv_quantity_on_hand between 100 and 500
+      | and cs_item_sk = i_item_sk
+      | group by i_item_id,i_item_desc,i_current_price
+      | order by i_item_id
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q40.sql
+  private val Q40: String =
+    """select  
+      |   w_state
+      |  ,i_item_id
+      |  ,sum(case when (cast(d_date as date) < cast ('1998-02-01' as date)) 
+      | 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_before
+      |  ,sum(case when (cast(d_date as date) >= cast ('1998-02-01' as date)) 
+      | 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_after
+      | from
+      |   catalog_sales left outer join catalog_returns on
+      |       (cs_order_number = cr_order_number 
+      |        and cs_item_sk = cr_item_sk)
+      |  ,warehouse 
+      |  ,item
+      |  ,date_dim
+      | where
+      |     i_current_price between 0.99 and 1.49
+      | and i_item_sk          = cs_item_sk
+      | and cs_warehouse_sk    = w_warehouse_sk 
+      | and cs_sold_date_sk    = d_date_sk
+      | and d_date between (cast ('1998-02-01' as date) - INTERVAL '30' day)
+      |                and (cast ('1998-02-01' as date) + INTERVAL '30' day)
+      | group by
+      |    w_state,i_item_id
+      | order by w_state,i_item_id
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q72.sql
+  private val Q72: String =
+    """select  i_item_desc
+      |      ,w_warehouse_name
+      |      ,d1.d_week_seq
+      |      ,sum(case when p_promo_sk is null then 1 else 0 end) no_promo
+      |      ,sum(case when p_promo_sk is not null then 1 else 0 end) promo
+      |      ,count(*) total_cnt
+      |from catalog_sales
+      |join inventory on (cs_item_sk = inv_item_sk)
+      |join warehouse on (w_warehouse_sk=inv_warehouse_sk)
+      |join item on (i_item_sk = cs_item_sk)
+      |join customer_demographics on (cs_bill_cdemo_sk = cd_demo_sk)
+      |join household_demographics on (cs_bill_hdemo_sk = hd_demo_sk)
+      |join date_dim d1 on (cs_sold_date_sk = d1.d_date_sk)
+      |join date_dim d2 on (inv_date_sk = d2.d_date_sk)
+      |join date_dim d3 on (cs_ship_date_sk = d3.d_date_sk)
+      |left outer join promotion on (cs_promo_sk=p_promo_sk)
+      |left outer join catalog_returns on (cr_item_sk = cs_item_sk and cr_order_number = cs_order_number)
+      |where d1.d_week_seq = d2.d_week_seq
+      |  and inv_quantity_on_hand < cs_quantity 
+      |  and d3.d_date > d1.d_date + interval '5' day
+      |  and hd_buy_potential = '1001-5000'
+      |  and d1.d_year = 1998
+      |  and cd_marital_status = 'M'
+      |group by i_item_desc,w_warehouse_name,d1.d_week_seq
+      |order by total_cnt desc, i_item_desc, w_warehouse_name, d_week_seq
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q82.sql
+  private val Q82: String =
+    """select  i_item_id
+      |       ,i_item_desc
+      |       ,i_current_price
+      | from item, inventory, date_dim, store_sales
+      | where i_current_price between 0 and 0+30
+      | and inv_item_sk = i_item_sk
+      | and d_date_sk=inv_date_sk
+      | and d_date between cast('1998-01-02' as date) and (cast('1998-01-02' as date) +  INTERVAL '60' day)
+      | and i_manufact_id in (1,2,3,4)
+      | and inv_quantity_on_hand between 100 and 500
+      | and ss_item_sk = i_item_sk
+      | group by i_item_id,i_item_desc,i_current_price
+      | order by i_item_id
       | limit 100""".stripMargin
 }

@@ -48,7 +48,15 @@ class RelationalSpec extends SparkSpec {
       // q71 needs a December sale landing in the breakfast/dinner
       // t_hour bands for a specific manager's brands — non-empty
       // from sf0.01 up (1 row)
-      "qds71_literal")
+      "qds71_literal",
+      // q37 intersects a 60-day catalog-sales window with a ±2-price
+      // band over the 5% of items in the spike — 2 rows at sf0.01,
+      // none in the 200-part smoke fixture
+      "qds37_literal",
+      // q72 needs same-week inventory shortfall + 5-day-late shipping
+      // + '1001-5000' buyers married 'M' — 6 rows at sf0.01, none at
+      // sf0.001
+      "qds72_literal")
     val empty = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val n = graft.SparkEntry.queries(name)(spark, sf()).count()
       if (n == 0 && !emptyOk(name)) Some(name) else None
