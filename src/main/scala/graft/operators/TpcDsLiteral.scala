@@ -172,6 +172,24 @@ object TpcDsLiteral {
       // the text's final ORDER BY names bare d_week_seq, which Spark
       // resolves to the select-list output; DuckDB calls it ambiguous
       // across d1/d2/d3 — qualify in the oracle copy only
+      // q39's star expands inv1 x inv2 — ten columns with duplicated
+      // names; positional renames on both sides (cov is float-exact:
+      // see the oracle's unrolled-Welford stdev mirror)
+      literal("qds39a_literal", Q39A, outCols = Seq("w1_warehouse_sk",
+        "i1_item_sk", "d1_moy", "mean1", "cov1", "w2_warehouse_sk",
+        "i2_item_sk", "d2_moy", "mean2", "cov2")),
+      literal("qds39b_literal", Q39B, outCols = Seq("w1_warehouse_sk",
+        "i1_item_sk", "d1_moy", "mean1", "cov1", "w2_warehouse_sk",
+        "i2_item_sk", "d2_moy", "mean2", "cov2")),
+      // Four verbatim texts whose predicates are sparser than the
+      // fixture's density at the gate scale — both engines agree on the
+      // result (q54: 9 rows from sf0.1 up; q23b/q34/q85: empty at test
+      // scales — see TpcDsLiteralSpec emptyOk for the per-query cause)
+      literal("qds23b_literal", Q23B),
+      literal("qds34_literal", Q34),
+      literal("qds54_literal", Q54),
+      literal("qds85_literal", Q85, outCols = Seq("r_desc", "avg_quantity",
+        "avg_refunded_cash", "avg_fee")),
       literal("qds72_literal", Q72, outCols = Seq("i_item_desc",
         "w_warehouse_name", "d_week_seq", "no_promo", "promo", "total_cnt"),
         castBigint = Set("no_promo", "promo"),
@@ -207,7 +225,9 @@ object TpcDsLiteral {
       "q57" -> Q57, "q75" -> Q75, "q78" -> Q78, "q5" -> Q5,
       "q49" -> Q49, "q61" -> Q61, "q71" -> Q71, "q77" -> Q77,
       "q80" -> Q80, "q90" -> Q90, "q21" -> Q21, "q22" -> Q22,
-      "q37" -> Q37, "q40" -> Q40, "q72" -> Q72, "q82" -> Q82)
+      "q37" -> Q37, "q40" -> Q40, "q72" -> Q72, "q82" -> Q82,
+      "q23b" -> Q23B, "q34" -> Q34, "q54" -> Q54, "q85" -> Q85,
+      "q39a" -> Q39A, "q39b" -> Q39B)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -5612,4 +5632,288 @@ object TpcDsLiteral {
       | group by i_item_id,i_item_desc,i_current_price
       | order by i_item_id
       | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q23b.sql
+  private val Q23B: String =
+    """with frequent_ss_items as
+      | (select substr(i_item_desc,1,30) itemdesc,i_item_sk item_sk,d_date solddate,count(*) cnt
+      |  from store_sales
+      |      ,date_dim
+      |      ,item
+      |  where ss_sold_date_sk = d_date_sk
+      |    and ss_item_sk = i_item_sk
+      |    and d_year in (1998,1998 + 1,1998 + 2,1998 + 3)
+      |  group by substr(i_item_desc,1,30),i_item_sk,d_date
+      |  having count(*) >4),
+      | max_store_sales as
+      | (select max(csales) tpcds_cmax
+      |  from (select c_customer_sk,sum(ss_quantity*ss_sales_price) csales
+      |        from store_sales
+      |            ,customer
+      |            ,date_dim 
+      |        where ss_customer_sk = c_customer_sk
+      |         and ss_sold_date_sk = d_date_sk
+      |         and d_year in (1998,1998+1,1998+2,1998+3)
+      |        group by c_customer_sk)),
+      | best_ss_customer as
+      | (select c_customer_sk,sum(ss_quantity*ss_sales_price) ssales
+      |  from store_sales
+      |      ,customer
+      |  where ss_customer_sk = c_customer_sk
+      |  group by c_customer_sk
+      |  having sum(ss_quantity*ss_sales_price) > (95/100.0) * (select
+      |  *
+      | from max_store_sales))
+      |  select  c_last_name,c_first_name,sales
+      | from (select c_last_name,c_first_name,sum(cs_quantity*cs_list_price) sales
+      |        from catalog_sales
+      |            ,customer
+      |            ,date_dim 
+      |        where d_year = 1998 
+      |         and d_moy = 1 
+      |         and cs_sold_date_sk = d_date_sk 
+      |         and cs_item_sk in (select item_sk from frequent_ss_items)
+      |         and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+      |         and cs_bill_customer_sk = c_customer_sk 
+      |       group by c_last_name,c_first_name
+      |      union all
+      |      select c_last_name,c_first_name,sum(ws_quantity*ws_list_price) sales
+      |       from web_sales
+      |           ,customer
+      |           ,date_dim 
+      |       where d_year = 1998 
+      |         and d_moy = 1 
+      |         and ws_sold_date_sk = d_date_sk 
+      |         and ws_item_sk in (select item_sk from frequent_ss_items)
+      |         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+      |         and ws_bill_customer_sk = c_customer_sk
+      |       group by c_last_name,c_first_name) 
+      |     order by c_last_name,c_first_name,sales
+      |  limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q34.sql
+  private val Q34: String =
+    """select c_last_name
+      |       ,c_first_name
+      |       ,c_salutation
+      |       ,c_preferred_cust_flag
+      |       ,ss_ticket_number
+      |       ,cnt from
+      |   (select ss_ticket_number
+      |          ,ss_customer_sk
+      |          ,count(*) cnt
+      |    from store_sales,date_dim,store,household_demographics
+      |    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |    and store_sales.ss_store_sk = store.s_store_sk  
+      |    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+      |    and (date_dim.d_dom between 1 and 3 or date_dim.d_dom between 25 and 28)
+      |    and (household_demographics.hd_buy_potential = '1001-5000' or
+      |         household_demographics.hd_buy_potential = '0-500')
+      |    and household_demographics.hd_vehicle_count > 0
+      |    and (case when household_demographics.hd_vehicle_count > 0 
+      |	then household_demographics.hd_dep_count/ household_demographics.hd_vehicle_count 
+      |	else null 
+      |	end)  > 1.2
+      |    and date_dim.d_year in (1998,1998+1,1998+2)
+      |    and store.s_county in ('Williamson County','Williamson County','Williamson County','Williamson County',
+      |                           'Williamson County','Williamson County','Williamson County','Williamson County')
+      |    group by ss_ticket_number,ss_customer_sk) dn,customer
+      |    where ss_customer_sk = c_customer_sk
+      |      and cnt between 15 and 20
+      |    order by c_last_name,c_first_name,c_salutation,c_preferred_cust_flag desc, ss_ticket_number""".stripMargin
+
+  // reference: tpcds/queries/1/q54.sql
+  private val Q54: String =
+    """with my_customers as (
+      | select distinct c_customer_sk
+      |        , c_current_addr_sk
+      | from   
+      |        ( select cs_sold_date_sk sold_date_sk,
+      |                 cs_bill_customer_sk customer_sk,
+      |                 cs_item_sk item_sk
+      |          from   catalog_sales
+      |          union all
+      |          select ws_sold_date_sk sold_date_sk,
+      |                 ws_bill_customer_sk customer_sk,
+      |                 ws_item_sk item_sk
+      |          from   web_sales
+      |         ) cs_or_ws_sales,
+      |         item,
+      |         date_dim,
+      |         customer
+      | where   sold_date_sk = d_date_sk
+      |         and item_sk = i_item_sk
+      |         and i_category = 'Women'
+      |         and i_class = 'dresses'
+      |         and c_customer_sk = cs_or_ws_sales.customer_sk
+      |         and d_moy = 1
+      |         and d_year = 1998
+      | )
+      | , my_revenue as (
+      | select c_customer_sk,
+      |        sum(ss_ext_sales_price) as revenue
+      | from   my_customers,
+      |        store_sales,
+      |        customer_address,
+      |        store,
+      |        date_dim
+      | where  c_current_addr_sk = ca_address_sk
+      |        and ca_county = s_county
+      |        and ca_state = s_state
+      |        and ss_sold_date_sk = d_date_sk
+      |        and c_customer_sk = ss_customer_sk
+      |        and d_month_seq between (select distinct d_month_seq+1
+      |                                 from   date_dim where d_year = 1998 and d_moy = 1)
+      |                           and  (select distinct d_month_seq+3
+      |                                 from   date_dim where d_year = 1998 and d_moy = 1)
+      | group by c_customer_sk
+      | )
+      | , segments as
+      | (select cast((revenue/50) as int) as segment
+      |  from   my_revenue
+      | )
+      |  select  segment, count(*) as num_customers, segment*50 as segment_base
+      | from segments
+      | group by segment
+      | order by segment, num_customers
+      | limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q85.sql
+  private val Q85: String =
+    """select  substr(r_reason_desc,1,20)
+      |       ,avg(ws_quantity)
+      |       ,avg(wr_refunded_cash)
+      |       ,avg(wr_fee)
+      | from web_sales, web_returns, web_page, customer_demographics cd1,
+      |      customer_demographics cd2, customer_address, date_dim, reason 
+      | where ws_web_page_sk = wp_web_page_sk
+      |   and ws_item_sk = wr_item_sk
+      |   and ws_order_number = wr_order_number
+      |   and ws_sold_date_sk = d_date_sk and d_year = 1998
+      |   and cd1.cd_demo_sk = wr_refunded_cdemo_sk 
+      |   and cd2.cd_demo_sk = wr_returning_cdemo_sk
+      |   and ca_address_sk = wr_refunded_addr_sk
+      |   and r_reason_sk = wr_reason_sk
+      |   and
+      |   (
+      |    (
+      |     cd1.cd_marital_status = 'U'
+      |     and
+      |     cd1.cd_marital_status = cd2.cd_marital_status
+      |     and
+      |     cd1.cd_education_status = 'Unknown'
+      |     and 
+      |     cd1.cd_education_status = cd2.cd_education_status
+      |     and
+      |     ws_sales_price between 100.00 and 150.00
+      |    )
+      |   or
+      |    (
+      |     cd1.cd_marital_status = 'M'
+      |     and
+      |     cd1.cd_marital_status = cd2.cd_marital_status
+      |     and
+      |     cd1.cd_education_status = 'Primary' 
+      |     and
+      |     cd1.cd_education_status = cd2.cd_education_status
+      |     and
+      |     ws_sales_price between 50.00 and 100.00
+      |    )
+      |   or
+      |    (
+      |     cd1.cd_marital_status = 'S'
+      |     and
+      |     cd1.cd_marital_status = cd2.cd_marital_status
+      |     and
+      |     cd1.cd_education_status = 'Secondary'
+      |     and
+      |     cd1.cd_education_status = cd2.cd_education_status
+      |     and
+      |     ws_sales_price between 150.00 and 200.00
+      |    )
+      |   )
+      |   and
+      |   (
+      |    (
+      |     ca_country = 'United States'
+      |     and
+      |     ca_state in ('ID', 'TN', 'SD')
+      |     and ws_net_profit between 100 and 200  
+      |    )
+      |    or
+      |    (
+      |     ca_country = 'United States'
+      |     and
+      |     ca_state in ('AL', 'SC', 'OH')
+      |     and ws_net_profit between 150 and 300  
+      |    )
+      |    or
+      |    (
+      |     ca_country = 'United States'
+      |     and
+      |     ca_state in ('LA', 'MO', 'GA')
+      |     and ws_net_profit between 50 and 250  
+      |    )
+      |   )
+      |group by r_reason_desc
+      |order by substr(r_reason_desc,1,20)
+      |        ,avg(ws_quantity)
+      |        ,avg(wr_refunded_cash)
+      |        ,avg(wr_fee)
+      |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q39a.sql
+  private val Q39A: String =
+    """with inv as
+      |(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+      |       ,stdev,mean, case mean when 0 then null else stdev/mean end cov
+      | from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+      |            ,stddev_samp(inv_quantity_on_hand) stdev,avg(inv_quantity_on_hand) mean
+      |      from inventory
+      |          ,item
+      |          ,warehouse
+      |          ,date_dim
+      |      where inv_item_sk = i_item_sk
+      |        and inv_warehouse_sk = w_warehouse_sk
+      |        and inv_date_sk = d_date_sk
+      |        and d_year =1998
+      |      group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo
+      | where case mean when 0 then 0 else stdev/mean end > 1)
+      |select inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean, inv1.cov
+      |        ,inv2.w_warehouse_sk,inv2.i_item_sk,inv2.d_moy,inv2.mean, inv2.cov
+      |from inv inv1,inv inv2
+      |where inv1.i_item_sk = inv2.i_item_sk
+      |  and inv1.w_warehouse_sk =  inv2.w_warehouse_sk
+      |  and inv1.d_moy=1
+      |  and inv2.d_moy=1+1
+      |order by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov
+      |        ,inv2.d_moy,inv2.mean, inv2.cov""".stripMargin
+
+  // reference: tpcds/queries/1/q39b.sql
+  private val Q39B: String =
+    """with inv as
+      |(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+      |       ,stdev,mean, case mean when 0 then null else stdev/mean end cov
+      | from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+      |            ,stddev_samp(inv_quantity_on_hand) stdev,avg(inv_quantity_on_hand) mean
+      |      from inventory
+      |          ,item
+      |          ,warehouse
+      |          ,date_dim
+      |      where inv_item_sk = i_item_sk
+      |        and inv_warehouse_sk = w_warehouse_sk
+      |        and inv_date_sk = d_date_sk
+      |        and d_year =1998
+      |      group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo
+      | where case mean when 0 then 0 else stdev/mean end > 1)
+      |select inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean, inv1.cov
+      |        ,inv2.w_warehouse_sk,inv2.i_item_sk,inv2.d_moy,inv2.mean, inv2.cov
+      |from inv inv1,inv inv2
+      |where inv1.i_item_sk = inv2.i_item_sk
+      |  and inv1.w_warehouse_sk =  inv2.w_warehouse_sk
+      |  and inv1.d_moy=1
+      |  and inv2.d_moy=1+1
+      |  and inv1.cov > 1.5
+      |order by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov
+      |        ,inv2.d_moy,inv2.mean, inv2.cov""".stripMargin
 }

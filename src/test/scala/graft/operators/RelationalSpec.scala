@@ -56,7 +56,15 @@ class RelationalSpec extends SparkSpec {
       // q72 needs same-week inventory shortfall + 5-day-late shipping
       // + '1001-5000' buyers married 'M' — 6 rows at sf0.01, none at
       // sf0.001
-      "qds72_literal")
+      "qds72_literal",
+      // sparser-than-fixture verbatim texts; both engines agree on the
+      // empty (see TpcDsLiteralSpec emptyOk for per-query causes)
+      "qds23b_literal", "qds34_literal", "qds54_literal", "qds85_literal",
+      // q39 joins Jan-vs-Feb-1998 inventory months through date_dim,
+      // which is built from DISTINCT order dates — the thousandth
+      // fixture misses some 1998 Sundays, so the 4-snapshot groups
+      // never form; 722/619 rows at sf0.01
+      "qds39a_literal", "qds39b_literal")
     val empty = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val n = graft.SparkEntry.queries(name)(spark, sf()).count()
       if (n == 0 && !emptyOk(name)) Some(name) else None

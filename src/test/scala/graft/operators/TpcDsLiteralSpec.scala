@@ -31,11 +31,25 @@ class TpcDsLiteralSpec extends SparkSpec {
   }
 
   test("every literal query returns rows through the view adapter") {
-    // qds58 is sanctioned-empty at sf0.01: its join needs one item sold
-    // in ALL THREE channels inside one calendar week, and the hundredth
-    // fixture has ~0.2 lines per (item, week) — both engines agree on
-    // the empty result and the driver row is a hash match
-    val emptyOk = Set("qds58_literal")
+    // Sanctioned-empty at sf0.01 — each text's predicate outruns the
+    // fixture's density; both engines agree on the empty result and the
+    // driver row is a hash match:
+    //  - qds58: needs one item sold in ALL THREE channels inside one
+    //    calendar week (~0.2 lines per item-week here);
+    //  - qds23b: frequent_ss_items needs an item sold >4 times on one
+    //    DATE (~0.0125 sales per item-day here); q23a survives because
+    //    its final global SUM emits one NULL row where q23b's GROUP BY
+    //    emits none;
+    //  - qds34: needs 15-20 store_sales lines on ONE ticket after
+    //    filters — tickets are TPC-H orders, capped at 7 lines;
+    //  - qds54: 4 Women/dresses cross-channel buyers exist in Jan 1998
+    //    but none shops in stores during the 3-month revenue window;
+    //    9 rows from sf0.1 up;
+    //  - qds85: the three (marital x education x price-band) branch
+    //    conjunctions multiply to <1 expected row against the 857
+    //    web-return rows of 1998.
+    val emptyOk = Set("qds58_literal", "qds23b_literal", "qds34_literal",
+      "qds54_literal", "qds85_literal")
     TpcDsLiteral.defs.filterNot(d => emptyOk(d.name)).foreach { d =>
       val n = d.run(spark, sf("sf0.01")).count()
       assert(n > 0, s"${d.name} returned no rows at sf0.01")
