@@ -6,12 +6,16 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: only dump queries whose name starts with the prefix
-    // (dev iteration; the driver always runs the full set)
-    val prefix = if (args.length > 2) args(2) else ""
+    // optional 3rd arg: only dump queries whose name starts with one of the
+    // comma-separated prefixes (dev iteration; the driver always runs the
+    // full set)
+    val prefixes =
+      (if (args.length > 2) args(2) else "").split(',').toSeq
     val spark = graft.core.SessionFactory.local("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (n, _) => prefixes.exists(n.startsWith) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -320,6 +320,15 @@ object TpcDsLiteral {
     "FEDEX")
   private val WebCompanies = Seq("pri", "able", "ese", "ought", "anti")
 
+  /** Part-table row count per fixture dir, memoized: `registerViews`
+    * runs once per query and the count seeds the inventory Range's
+    * bound — a metadata-only parquet count, but not worth re-running
+    * a job for on every one of the 100+ literal queries. */
+  private val partCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def partCount(spark: SparkSession, dir: String): Long =
+    partCounts.getOrElseUpdate(dir, Catalog.load(spark, dir, "part").count())
+
   /** Register the TPC-DS-named views over the fixture tables. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     val lineitem = Catalog.load(spark, dir, "lineitem")
@@ -748,20 +757,28 @@ object TpcDsLiteral {
           .as("cp_catalog_page_id"))
       .createOrReplaceTempView("catalog_page")
     // Weekly on-hand snapshots: every part x 5 warehouses x 344 Sundays
-    // from 1995-01-01 (day_sk 9131). The per-row sequence explode is a
-    // Generate (not a join), so the expansion distributes with the part
-    // scan at any scale. Quantities walk a mod-97 cycle: 80% land in a
-    // dense 100..485 band (q37/q82's "between 100 and 500" window) and
-    // 20% spike 0..7200 so per-(item, month) groups clear q39's
-    // cov > 1 variance gate.
-    val invH = col("p_partkey") * 31L + (col("g") % 5L + 1L) * 7L +
-      (lit(9131L) + floor(col("g") / 5L) * 7L) * 13L
-    part.select(col("p_partkey"),
-        explode(sequence(lit(0L), lit(WhRows * InvWeeks - 1L))).as("g"))
+    // from 1995-01-01 (day_sk 9131). Generated as one flat Range
+    // (id = p_partkey * 1720 + g) rather than an explode over the part
+    // scan: identical rows (p_partkey is the fixture's contiguous 0..n-1
+    // enumeration), but Range splits across every core — the part
+    // parquet is one file, so a Generate over it ran the whole 34M-row
+    // expansion (and everything fused above it) in a single task at
+    // sf0.1 — and carries an exact rowCount statistic, so the planner
+    // sees the true size instead of a part-scan-sized underestimate
+    // (which at sf0.1 broadcast a 34M-row build side). Quantities walk a
+    // mod-97 cycle: 80% land in a dense 100..485 band (q37/q82's
+    // "between 100 and 500" window) and 20% spike 0..7200 so
+    // per-(item, month) groups clear q39's cov > 1 variance gate.
+    val perPart = WhRows * InvWeeks
+    val invPk = expr(s"id DIV $perPart")
+    val invG = col("id") % perPart
+    val invH = invPk * 31L + (invG % 5L + 1L) * 7L +
+      (lit(9131L) + floor(invG / 5L) * 7L) * 13L
+    spark.range(partCount(spark, dir) * perPart)
       .select(
-        col("p_partkey").as("inv_item_sk"),
-        (col("g") % 5L + 1L).as("inv_warehouse_sk"),
-        (lit(9131L) + floor(col("g") / 5L) * 7L).cast(IntegerType)
+        invPk.as("inv_item_sk"),
+        (invG % 5L + 1L).as("inv_warehouse_sk"),
+        (lit(9131L) + floor(invG / 5L) * 7L).cast(IntegerType)
           .as("inv_date_sk"),
         when(invH % 97L < 78L, lit(100L) + (invH % 97L) * 5L)
           .otherwise((invH % 97L - 78L) * 400L)
