@@ -17,10 +17,12 @@ import graft.core.{Catalog, QueryDef}
   * TPC-DS store_sales/date_dim/item/store/customer/customer_address
   * names, synthesizes the pure dimension tables (customer_demographics /
   * household_demographics / time_dim / promotion) as range(n)
-  * enumerations, and TWENTY-FOUR of the reference's own query texts
-  * (q1 q3 q6 q7 q13 q19 q36 q42 q43 q47 q48 q50 q52 q53 q55 q59 q63 q65
-  * q70 q73 q88 q89 q96 q98, comment banners stripped, otherwise verbatim) run through
-  * `spark.sql` unchanged. The DuckDB oracle prepends the same view
+  * enumerations, and 103 of the reference's own query texts — the
+  * COMPLETE 101-query run list (TpcDsBatchExecITCase.scala:109-137,
+  * q1..q99 with the a/b variants) plus the q78/q90 texts its harness
+  * skips — run through `spark.sql` unchanged (comment banners stripped,
+  * otherwise verbatim; pinned against the reference files by
+  * TpcDsLiteralSpec). The DuckDB oracle prepends the same view
   * definitions as CTEs to the same literal text — one query body, two
   * engines, the mapping stated once.
   *
@@ -63,6 +65,14 @@ object TpcDsLiteral {
       literal("qds59_literal", Q59), literal("qds36_literal", Q36),
       literal("qds53_literal", Q53), literal("qds63_literal", Q63),
       literal("qds65_literal", Q65), literal("qds89_literal", Q89),
+      // q64's final select carries duplicate output names (cs1.syear /
+      // cs2.syear, cs1.cnt / cs2.cnt): outCols renames positionally on
+      // both sides, the only way to name a verbatim text's dup columns
+      literal("qds64_literal", Q64, outCols = Seq("product_name",
+        "store_name", "store_zip", "b_street_number", "b_street_name",
+        "b_city", "b_zip", "c_street_number", "c_street_name", "c_city",
+        "c_zip", "syear1", "cnt1", "s11", "s21", "s31", "s12", "s22",
+        "s32", "syear2", "cnt2")),
       literal("qds06_literal", Q6), literal("qds07_literal", Q7),
       literal("qds73_literal", Q73),
       literal("qds96_literal", Q96, outCols = Seq("cnt")),
@@ -227,7 +237,7 @@ object TpcDsLiteral {
       "q80" -> Q80, "q90" -> Q90, "q21" -> Q21, "q22" -> Q22,
       "q37" -> Q37, "q40" -> Q40, "q72" -> Q72, "q82" -> Q82,
       "q23b" -> Q23B, "q34" -> Q34, "q54" -> Q54, "q85" -> Q85,
-      "q39a" -> Q39A, "q39b" -> Q39B)
+      "q39a" -> Q39A, "q39b" -> Q39B, "q64" -> Q64)
 
   /** The ten real TPC-DS category names, assigned by p_partkey % 10 so
     * the literal texts' category filters (q98's IN list) select a
@@ -446,6 +456,15 @@ object TpcDsLiteral {
             .as(s"${p}_call_center_sk"),
           floor(col("l_extendedprice") * 0.4d).cast(DoubleType)
             .as(s"${p}_refunded_cash"),
+          // q64's cs_ui margin gate: refunded_cash + reversed_charge +
+          // store_credit sums to (0.58..0.64)·price by partkey%7, so the
+          // text's `sale > 2*refund` HAVING passes the deterministic
+          // ~2/7 item slice with partkey%7 < 2 instead of all-or-nothing
+          floor(col("l_extendedprice") *
+              ((col("l_partkey") % 7L + 10L).cast(DoubleType) / 100.0d))
+            .cast(DoubleType).as(s"${p}_reversed_charge"),
+          floor(col("l_extendedprice") * 0.08d).cast(DoubleType)
+            .as(s"${p}_store_credit"),
           floor(col("l_extendedprice") * 0.02d).cast(DoubleType)
             .as(s"${p}_fee"),
           // refunded = returning = the customer's CURRENT demographic
@@ -557,6 +576,15 @@ object TpcDsLiteral {
         lit("UNITED STATES").as("c_birth_country"),
         ((col("c_custkey") * 19L) % CdRows + 1L).as("c_current_cdemo_sk"),
         ((col("c_custkey") * 23L) % HdRows + 1L).as("c_current_hdemo_sk"),
+        // q64's d2/d3 joins: first-sale / first-shipto day_sks scattered
+        // over the fixture's 1995-2001 order span (epoch days
+        // 9131..11535); a custkey whose day drew a date with no order
+        // finds no date_dim row — the same deterministic drop on both
+        // engines (date_dim holds only the distinct order dates)
+        (lit(9131L) + (col("c_custkey") * 53L) % 2405L)
+          .as("c_first_sales_date_sk"),
+        (lit(9131L) + (col("c_custkey") * 53L + 30L) % 2405L)
+          .as("c_first_shipto_date_sk"),
         // NULL like real TPC-DS's always-empty c_login
         lit(null).cast(StringType).as("c_login"),
         concat(lit("cust_"), col("c_custkey").cast(StringType),
@@ -888,6 +916,8 @@ object TpcDsLiteral {
       |    (l_orderkey + l_partkey) % $ReasonRows + 1 AS ${p}_reason_sk,
       |    (l_orderkey + o_custkey) % $CcRows + 1 AS ${p}_call_center_sk,
       |    CAST(floor(l_extendedprice * 0.4) AS DOUBLE) AS ${p}_refunded_cash,
+      |    CAST(floor(l_extendedprice * (CAST(l_partkey % 7 + 10 AS DOUBLE) / 100.0)) AS DOUBLE) AS ${p}_reversed_charge,
+      |    CAST(floor(l_extendedprice * 0.08) AS DOUBLE) AS ${p}_store_credit,
       |    CAST(floor(l_extendedprice * 0.02) AS DOUBLE) AS ${p}_fee,
       |    (o_custkey * 19) % $CdRows + 1 AS ${p}_refunded_cdemo_sk,
       |    (o_custkey * 19) % $CdRows + 1 AS ${p}_returning_cdemo_sk,
@@ -997,6 +1027,8 @@ object TpcDsLiteral {
       |    'UNITED STATES' AS c_birth_country,
       |    (c_custkey * 19) % $CdRows + 1 AS c_current_cdemo_sk,
       |    (c_custkey * 23) % $HdRows + 1 AS c_current_hdemo_sk,
+      |    9131 + (c_custkey * 53) % 2405 AS c_first_sales_date_sk,
+      |    9131 + (c_custkey * 53 + 30) % 2405 AS c_first_shipto_date_sk,
       |    CAST(NULL AS VARCHAR) AS c_login,
       |    'cust_' || CAST(c_custkey AS VARCHAR) || '@example.com' AS c_email_address,
       |    CAST((c_custkey * 7) % 28 + 1 AS INT) AS c_birth_day,
@@ -1966,6 +1998,125 @@ object TpcDsLiteral {
       |        ,avg_monthly_sales
       |        ,sum_sales
       |limit 100""".stripMargin
+
+  // reference: tpcds/queries/1/q64.sql
+  private val Q64: String =
+    """with cs_ui as
+      | (select cs_item_sk
+      |        ,sum(cs_ext_list_price) as sale,sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit) as refund
+      |  from catalog_sales
+      |      ,catalog_returns
+      |  where cs_item_sk = cr_item_sk
+      |    and cs_order_number = cr_order_number
+      |  group by cs_item_sk
+      |  having sum(cs_ext_list_price)>2*sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit)),
+      |cross_sales as
+      | (select i_product_name product_name
+      |     ,i_item_sk item_sk
+      |     ,s_store_name store_name
+      |     ,s_zip store_zip
+      |     ,ad1.ca_street_number b_street_number
+      |     ,ad1.ca_street_name b_street_name
+      |     ,ad1.ca_city b_city
+      |     ,ad1.ca_zip b_zip
+      |     ,ad2.ca_street_number c_street_number
+      |     ,ad2.ca_street_name c_street_name
+      |     ,ad2.ca_city c_city
+      |     ,ad2.ca_zip c_zip
+      |     ,d1.d_year as syear
+      |     ,d2.d_year as fsyear
+      |     ,d3.d_year s2year
+      |     ,count(*) cnt
+      |     ,sum(ss_wholesale_cost) s1
+      |     ,sum(ss_list_price) s2
+      |     ,sum(ss_coupon_amt) s3
+      |  FROM   store_sales
+      |        ,store_returns
+      |        ,cs_ui
+      |        ,date_dim d1
+      |        ,date_dim d2
+      |        ,date_dim d3
+      |        ,store
+      |        ,customer
+      |        ,customer_demographics cd1
+      |        ,customer_demographics cd2
+      |        ,promotion
+      |        ,household_demographics hd1
+      |        ,household_demographics hd2
+      |        ,customer_address ad1
+      |        ,customer_address ad2
+      |        ,income_band ib1
+      |        ,income_band ib2
+      |        ,item
+      |  WHERE  ss_store_sk = s_store_sk AND
+      |         ss_sold_date_sk = d1.d_date_sk AND
+      |         ss_customer_sk = c_customer_sk AND
+      |         ss_cdemo_sk= cd1.cd_demo_sk AND
+      |         ss_hdemo_sk = hd1.hd_demo_sk AND
+      |         ss_addr_sk = ad1.ca_address_sk and
+      |         ss_item_sk = i_item_sk and
+      |         ss_item_sk = sr_item_sk and
+      |         ss_ticket_number = sr_ticket_number and
+      |         ss_item_sk = cs_ui.cs_item_sk and
+      |         c_current_cdemo_sk = cd2.cd_demo_sk AND
+      |         c_current_hdemo_sk = hd2.hd_demo_sk AND
+      |         c_current_addr_sk = ad2.ca_address_sk and
+      |         c_first_sales_date_sk = d2.d_date_sk and
+      |         c_first_shipto_date_sk = d3.d_date_sk and
+      |         ss_promo_sk = p_promo_sk and
+      |         hd1.hd_income_band_sk = ib1.ib_income_band_sk and
+      |         hd2.hd_income_band_sk = ib2.ib_income_band_sk and
+      |         cd1.cd_marital_status <> cd2.cd_marital_status and
+      |         i_color in ('yellow','almond','antique','aquamarine','azure','beige') and
+      |         i_current_price between 0 and 0 + 10 and
+      |         i_current_price between 0 + 1 and 0 + 15
+      |group by i_product_name
+      |       ,i_item_sk
+      |       ,s_store_name
+      |       ,s_zip
+      |       ,ad1.ca_street_number
+      |       ,ad1.ca_street_name
+      |       ,ad1.ca_city
+      |       ,ad1.ca_zip
+      |       ,ad2.ca_street_number
+      |       ,ad2.ca_street_name
+      |       ,ad2.ca_city
+      |       ,ad2.ca_zip
+      |       ,d1.d_year
+      |       ,d2.d_year
+      |       ,d3.d_year
+      |)
+      |select cs1.product_name
+      |     ,cs1.store_name
+      |     ,cs1.store_zip
+      |     ,cs1.b_street_number
+      |     ,cs1.b_street_name
+      |     ,cs1.b_city
+      |     ,cs1.b_zip
+      |     ,cs1.c_street_number
+      |     ,cs1.c_street_name
+      |     ,cs1.c_city
+      |     ,cs1.c_zip
+      |     ,cs1.syear
+      |     ,cs1.cnt
+      |     ,cs1.s1 as s11
+      |     ,cs1.s2 as s21
+      |     ,cs1.s3 as s31
+      |     ,cs2.s1 as s12
+      |     ,cs2.s2 as s22
+      |     ,cs2.s3 as s32
+      |     ,cs2.syear
+      |     ,cs2.cnt
+      |from cross_sales cs1,cross_sales cs2
+      |where cs1.item_sk=cs2.item_sk and
+      |     cs1.syear = 1999 and
+      |     cs2.syear = 1999 + 1 and
+      |     cs2.cnt <= cs1.cnt and
+      |     cs1.store_name = cs2.store_name and
+      |     cs1.store_zip = cs2.store_zip
+      |order by cs1.product_name
+      |       ,cs1.store_name
+      |       ,cs2.cnt""".stripMargin
 
   // reference: tpcds/queries/1/q65.sql
   private val Q65: String =

@@ -64,7 +64,11 @@ class RelationalSpec extends SparkSpec {
       // which is built from DISTINCT order dates — the thousandth
       // fixture misses some 1998 Sundays, so the 4-snapshot groups
       // never form; 722/619 rows at sf0.01
-      "qds39a_literal", "qds39b_literal")
+      "qds39a_literal", "qds39b_literal",
+      // q64 needs the same item returned at the same store in BOTH 1999
+      // and 2000 after the color/price/margin filters — 2 rows at
+      // sf0.01, none from the smoke fixture's ~3 eligible items
+      "qds64_literal")
     val empty = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val n = graft.SparkEntry.queries(name)(spark, sf()).count()
       if (n == 0 && !emptyOk(name)) Some(name) else None
