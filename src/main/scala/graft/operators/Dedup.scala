@@ -25,7 +25,7 @@ object Dedup {
 
   def defs: Seq[QueryDef] = Seq(
     q43DedupKeepFirst, q44DedupExact, q45NgramJaccard, q46MinHashLsh,
-    q47SimHash, q48SimHashPairs, q49DupClusters)
+    q47SimHash, q48SimHashPairs, q49DupClusters, q114IncrementalDedup)
 
   /** Keep-first-row dedup on a key, ordered by event time: the batch
     * equivalent of the reference's streaming DeduplicateKeepFirstRowFunction
@@ -275,28 +275,36 @@ object Dedup {
     * vectors agree (the q48 pigeonhole trick): pure per-row arithmetic,
     * each pair emitted exactly once, no second shuffle. */
   private def lshCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val rows = numHashes / bands
-    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
-    val sig = hashed.groupBy(col("doc_id"))
-      .agg(udaf(MinHashSig).apply(col("h")).as("sig"))
-    val banded = sig
-      .withColumn("bhs", array((0 until bands).map(b =>
-        xxhash64(lit(b) +: (0 until rows).map(k =>
-          element_at(col("sig"), rows * b + k + 1)): _*)): _*))
-      .select(col("doc_id"), col("bhs"),
-        posexplode(col("bhs")).as(Seq("band", "bucket")))
+    val banded = bandedSignatures(sh, numHashes, bands)
     val l = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("bhs").as("ba"))
     val r = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id_b"), col("bhs").as("bb"))
-    // array_position is 1-based; posexplode's band is 0-based
-    val firstEqualBand =
-      array_position(zip_with(col("ba"), col("bb"), (x, y) => x === y), lit(true)) - 1
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("band") === firstEqualBand)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** One row per (doc, band): the doc's full 32-slot band-hash vector
+    * plus that band's (band, bucket) join key — the exploded relation
+    * both the self-join and the cross-corpus candidate joins bucket on. */
+  private def bandedSignatures(sh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
+    hashed.groupBy(col("doc_id"))
+      .agg(udaf(MinHashSig).apply(col("h")).as("sig"))
+      .withColumn("bhs", array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until rows).map(k =>
+          element_at(col("sig"), rows * b + k + 1)): _*)): _*))
+      .select(col("doc_id"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bucket")))
+  }
+
+  // array_position is 1-based; posexplode's band is 0-based
+  private def firstEqualBand: Column =
+    array_position(zip_with(col("ba"), col("bb"), (x, y) => x === y), lit(true)) - 1
 
   /** DuckDB replica of the 32-bit shingle-feature SimHash (bit-majority
     * over JavaHashCode'd features; >> is arithmetic in both engines so the
@@ -464,6 +472,84 @@ object Dedup {
       cached.unpersist()
       edges.unpersist()
     }
+  }
+
+  /** Incremental near-dup screen: which documents of a NEW batch are
+    * near-dups (n-gram Jaccard ≥ threshold) of an EXISTING corpus — the
+    * recurring pretraining shape (dedup this week's crawl against the
+    * already-ingested corpus) where the self-join families above answer
+    * the one-shot question. Returns (batch_id, corpus_id, jaccard).
+    *
+    * Scale shape: MinHash band buckets are computed per side and the
+    * candidate join is batch-bands ⋈ corpus-bands on (band, bucket) —
+    * cost O(batch·bands) against the corpus bucket table, never
+    * batch × corpus; a pair sharing several buckets is kept only at the
+    * first band where the two 32-slot vectors agree (the same
+    * no-second-shuffle dedup as [[minHashLshPairs]]). Candidates are
+    * then verified EXACTLY by intersecting the two sides' hashed
+    * shingle sets, so precision is exact and recall is the LSH band
+    * curve (P[miss | J=0.6] ≈ 4e-4 at 32×3). In production the corpus
+    * side's banded signatures would be precomputed once and reused per
+    * batch — pass `corpusBanded`/`corpusSets` built by one prior call
+    * to skip re-reading the corpus (both are plain DataFrames a caller
+    * can persist or write out).
+    *
+    * Reference frame: the reference has no incremental dedup; this is a
+    * library extension in the q45/q46 family. */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      threshold: Double = 0.6, bands: Int = Bands): DataFrame = {
+    require(bands >= 1 && bands <= NumHashes && NumHashes % bands == 0,
+      s"bands must divide the $NumHashes-hash signature, got $bands")
+    val jaccard = (i: Column, na: Column, nb: Column) =>
+      i.cast(DoubleType) / (na + nb - i)
+    val shB = shingles(batch, idCol, textCol, n)
+    val shC = shingles(corpus, idCol, textCol, n)
+    val l = bandedSignatures(shB, NumHashes, bands)
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("batch_id"), col("bhs").as("ba"))
+    val r = bandedSignatures(shC, NumHashes, bands)
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("corpus_id"), col("bhs").as("bb"))
+    val cands = l.join(r, Seq("band", "bucket"))
+      .filter(col("band") === firstEqualBand)
+      .select(col("batch_id"), col("corpus_id"))
+    def sets(sh: DataFrame, id: String, set: String, cnt: String) =
+      sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .groupBy(col("doc_id").as(id))
+        .agg(collect_list(col("h")).as(set), count(lit(1)).as(cnt))
+    cands
+      .join(sets(shB, "batch_id", "sa", "na"), Seq("batch_id"))
+      .join(sets(shC, "corpus_id", "sb", "nb"), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        jaccard(size(array_intersect(col("sa"), col("sb"))).cast(LongType),
+          col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental screen over the fixture corpus: documents with
+    * doc_id % 3 = 0 play the incoming batch, the rest the standing
+    * corpus. The oracle is the exact cross-side Jaccard join — equality
+    * means LSH surfaced every true pair and the verifier computed the
+    * exact measure on each. */
+  val q114IncrementalDedup: QueryDef = QueryDef("q114_incremental_dedup",
+    s"""WITH $duckShingleCte,
+       |inter AS (
+       |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+       |  GROUP BY 1, 2)
+       |SELECT batch_id, corpus_id,
+       |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = batch_id
+       |JOIN cnt cb ON cb.doc_id = corpus_id
+       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+       |ORDER BY batch_id, corpus_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    incrementalNearDups(docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0))
+      .orderBy(col("batch_id"), col("corpus_id"))
   }
 
   /** Near-dup clusters over the documents corpus: the exact q45 Jaccard

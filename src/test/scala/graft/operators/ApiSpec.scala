@@ -60,6 +60,22 @@ class ApiSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("incremental near-dup screen finds batch-vs-corpus pairs only") {
+    // batch doc 20 is a near-dup of corpus doc 10; batch doc 21 of
+    // nothing; corpus docs 10/11 are near-dups of EACH OTHER but a
+    // within-corpus pair must never surface from the cross-side screen
+    import spark.implicits._
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and twice"),
+      (21L, "fresh crawl content with entirely novel vocabulary throughout here")
+    ).toDF("id", "body")
+    val got = Dedup.incrementalNearDups(batch, corpus, "id", "body",
+        n = 3, threshold = 0.5)
+      .select("batch_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20L, 10L), (20L, 11L)), s"got $got")
+  }
+
   test("simhash fingerprints place near-dups close in hamming space") {
     val fp = Dedup.simhashFingerprints(corpus, "id", "body")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
