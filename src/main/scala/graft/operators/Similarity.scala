@@ -30,7 +30,7 @@ object Similarity {
 
   def defs: Seq[QueryDef] =
     Seq(q50CosineKnn, q51CosineNearDup, q52AnnLsh, q53EmbeddingClusters,
-      q93AnnIvf, q102QuantizeInt8)
+      q93AnnIvf, q102QuantizeInt8, q115SemanticScreen)
 
   private val Dim = 64
 
@@ -93,17 +93,21 @@ object Similarity {
       s"exact-cosine corpus exceeds $maxRows rows; the all-pairs baseline " +
         "broadcasts the corpus from the driver and does not scale past " +
         "broadcast size - use annLsh (bucketed, fully distributed) instead")
-    rows.map { r =>
-        val v = r.getSeq[Float](1).toArray
-        val e = new Array[Double](v.length)
-        var i = 0; var ss = 0.0
-        while (i < v.length) { e(i) = v(i).toDouble; ss += e(i) * e(i); i += 1 }
-        val nrm = math.sqrt(ss)
-        i = 0
-        while (i < v.length) { e(i) /= nrm; i += 1 }
-        (r.getLong(0), e)
-      }
+    rows.map(r => (r.getLong(0), normalize(r.getSeq[Float](1))))
       .sortBy(_._1)
+  }
+
+  /** Float vector → unit-norm double array, the exact arithmetic the
+    * oracle's normed CTE states (sum of squares by index, one sqrt, one
+    * divide per slot). */
+  private def normalize(v: Seq[Float]): Array[Double] = {
+    val e = new Array[Double](v.length)
+    var i = 0; var ss = 0.0
+    while (i < v.length) { e(i) = v(i).toDouble; ss += e(i) * e(i); i += 1 }
+    val nrm = math.sqrt(ss)
+    i = 0
+    while (i < v.length) { e(i) /= nrm; i += 1 }
+    e
   }
 
   /** Left-assoc primitive dot — bit-identical to the oracle's unrolled
@@ -202,6 +206,61 @@ object Similarity {
       .toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos_r"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Semantic incremental screen: which NEW batch embeddings are
+    * near-dups (cosine ≥ threshold) of a STANDING corpus — the
+    * embedding-space twin of [[graft.operators.Dedup.incrementalNearDups]]
+    * (same recurring shape: screen this week's crawl against what is
+    * already ingested, here by meaning rather than surface n-grams).
+    *
+    * Scale shape: the BATCH side (the small, new data) is normalized and
+    * broadcast; the corpus side streams distributed, each probe row
+    * normalizing once and scanning the broadcast batch — cost
+    * O(corpus·|batch|) flops with zero shuffle, the right kernel while
+    * the batch fits a broadcast (fail-fast at `maxBatchRows` like the
+    * other exact kernels; past that, the bucketed [[annLshNeighbors]]
+    * path is the scale route). Returns (batch_id, corpus_id, cos_r). */
+  def crossCosineNearDups(spark: SparkSession, batch: DataFrame,
+      corpus: DataFrame, threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBatchRows: Int = MaxBroadcastCorpusRows): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      normalizedCorpus(batch, idCol, vecCol, maxBatchRows))
+    corpus.select(col(idCol), col(vecCol)).as[(Long, Seq[Float])]
+      .mapPartitions { part =>
+        val b = bc.value
+        part.flatMap { case (cid, cv) =>
+          val e = normalize(cv)
+          b.iterator.map { case (bid, bv) => (bid, cid, dotArr(bv, e)) }
+            .filter(_._3 >= threshold)
+        }
+      }
+      .toDF("batch_id", "corpus_id", "cos")
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("cos"), 9).as("cos_r"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  /** Semantic screen over the fixture embeddings: vec_id % 3 = 0 plays
+    * the incoming batch, the rest the standing corpus (the same split as
+    * the text-side q114). 0.46 sits in the same verified distribution
+    * gap as q51, and the cross-side pairs are a subset of the all-pairs
+    * set, so the answer stays boundary-stable. */
+  val q115SemanticScreen: QueryDef = QueryDef("q115_semantic_screen",
+    s"""WITH $duckNormCte,
+       |cross_pairs AS (
+       |  SELECT a.vec_id AS batch_id, b.vec_id AS corpus_id,
+       |    ${duckDot("a.en", "b.en")} AS cos
+       |  FROM normed a JOIN normed b
+       |    ON a.vec_id % 3 = 0 AND b.vec_id % 3 <> 0)
+       |SELECT batch_id, corpus_id, round(cos, 9) AS cos_r
+       |FROM cross_pairs WHERE cos >= 0.46
+       |ORDER BY batch_id, corpus_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+    crossCosineNearDups(spark, emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 =!= 0), 0.46)
   }
 
   /** Embedding-space duplicate clusters: the q51 cosine pairs closed
