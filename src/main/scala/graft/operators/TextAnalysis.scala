@@ -19,7 +19,8 @@ import graft.functions.GraftFunctions
   */
 object TextAnalysis {
 
-  def defs: Seq[QueryDef] = Seq(q40TokenCount, q41LangQuality, q42Fingerprint)
+  def defs: Seq[QueryDef] =
+    Seq(q40TokenCount, q41LangQuality, q42Fingerprint, q116LmSurprisal)
 
   /** Token/char statistics for any (id, text) frame. */
   def tokenCounts(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
@@ -149,5 +150,127 @@ object TextAnalysis {
         GraftFunctions.hashCode(col("text")).cast(LongType).as("text_hash"))
       .join(minShingle, "doc_id")
       .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style language-model quality scoring: per-document surprisal
+    * of a bigram stupid-backoff LM built from a reference corpus — the
+    * canonical "keep documents a reference LM finds unsurprising"
+    * pretraining filter (a KenLM stand-in with the same pipeline shape).
+    *
+    * Model: p(w_1) = U(w_1)/T; p(w_i | w_{i-1}) = B/U(w_{i-1}) when the
+    * bigram was seen, else 0.4·U(w_i)/T, else 0.4/T for OOV (stupid
+    * backoff — no discounting, the standard web-scale shortcut).
+    *
+    * Engine-order determinism: ln(p) values are irrational, and a
+    * floating SUM over them would depend on partial-aggregation order.
+    * Each token's surprisal is floored to integer MICRO-NATS first
+    * (floor(-ln(p)·1e6) — identical bits → identical floor on both
+    * engines), so the per-doc sum is exact 64-bit integer arithmetic,
+    * associative under any partitioning. ~1e-9/token chance an engine
+    * ulp difference in ln lands inside the floor boundary; precision
+    * 1e-6 nats/token is far below any filtering threshold's needs.
+    *
+    * Scale shape: the LM tables are plain DataFrames keyed by
+    * xxhash64(token) — 8-byte join keys, never strings on the shuffle
+    * (the q78 lesson); T is the LM build's one driver-side scalar
+    * statistic (like the IVF centroids). Scoring is three left
+    * hash-joins + one integer aggregation, no collect, no UDF. In
+    * production the LM build runs once and `uni`/`bi` persist; pass
+    * them back via `lm` to skip the rebuild. */
+  def lmSurprisal(batch: org.apache.spark.sql.DataFrame,
+      lmCorpus: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol).as("doc_id"),
+          posexplode(split(col(textCol), " ", -1)).as(Seq("i", "w")))
+        .withColumn("wh", xxhash64(col("w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val lmTok = toks(lmCorpus)
+    val tTotal = lmTok.count()
+    val t = lit(tTotal).cast(DoubleType)
+    val uni = lmTok.groupBy(col("wh")).agg(count(lit(1)).as("u"))
+    val bi = lmTok.withColumn("nwh", lead(col("wh"), 1).over(w))
+      .filter(col("nwh").isNotNull)
+      .groupBy(col("wh"), col("nwh")).agg(count(lit(1)).as("b"))
+    val bt = toks(batch).withColumn("pwh", lag(col("wh"), 1).over(w))
+    val p = when(col("pwh").isNull,
+        when(col("uw").isNotNull, col("uw").cast(DoubleType) / t)
+          .otherwise(lit(0.4) / t))
+      .otherwise(when(col("b").isNotNull,
+          col("b").cast(DoubleType) / col("upw").cast(DoubleType))
+        .otherwise(when(col("uw").isNotNull,
+            lit(0.4) * (col("uw").cast(DoubleType) / t))
+          .otherwise(lit(0.4) / t)))
+    bt.join(uni.select(col("wh"), col("u").as("uw")), Seq("wh"), "left")
+      .join(uni.select(col("wh").as("pwh"), col("u").as("upw")),
+        Seq("pwh"), "left")
+      .join(bi.select(col("wh").as("pwh"), col("nwh").as("wh"), col("b")),
+        Seq("pwh", "wh"), "left")
+      .withColumn("m", floor((lit(0.0) - log(p)) * 1000000.0).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("m")).as("nll_micro"))
+      .select(col("doc_id"), col("n_tok"), col("nll_micro"),
+        expr("nll_micro div n_tok").as("avg_nll_micro"))
+  }
+
+  /** LM surprisal over the fixture split: the corpus slice
+    * (doc_id % 3 <> 0) trains the bigram LM, the batch slice
+    * (doc_id % 3 = 0) is scored — the q114/q115 incremental split. The
+    * oracle restates the model in SQL; both sides floor per-token
+    * micro-nats before summing, so the compare is integer-exact. */
+  val q116LmSurprisal: QueryDef = QueryDef("q116_lm_surprisal",
+    """WITH lm_tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS w,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |tot AS (SELECT count(*) AS t FROM lm_tok),
+      |uni AS (SELECT w, count(*) AS u FROM lm_tok GROUP BY w),
+      |bi0 AS (
+      |  SELECT w, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS nw
+      |  FROM lm_tok),
+      |bi AS (SELECT w, nw, count(*) AS b FROM bi0
+      |       WHERE nw IS NOT NULL GROUP BY w, nw),
+      |bt0 AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS w,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |bt AS (
+      |  SELECT doc_id, i, w,
+      |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+      |  FROM bt0),
+      |scored AS (
+      |  SELECT bt.doc_id,
+      |    CASE
+      |      WHEN bt.pw IS NULL THEN
+      |        CASE WHEN uw.u IS NOT NULL
+      |             THEN CAST(uw.u AS DOUBLE) / CAST(t AS DOUBLE)
+      |             ELSE CAST(0.4 AS DOUBLE) / CAST(t AS DOUBLE) END
+      |      WHEN bi.b IS NOT NULL THEN
+      |        CAST(bi.b AS DOUBLE) / CAST(up.u AS DOUBLE)
+      |      ELSE
+      |        CASE WHEN uw.u IS NOT NULL
+      |             THEN CAST(0.4 AS DOUBLE)
+      |                  * (CAST(uw.u AS DOUBLE) / CAST(t AS DOUBLE))
+      |             ELSE CAST(0.4 AS DOUBLE) / CAST(t AS DOUBLE) END
+      |    END AS p
+      |  FROM bt
+      |  CROSS JOIN tot
+      |  LEFT JOIN uni uw ON uw.w = bt.w
+      |  LEFT JOIN uni up ON up.w = bt.pw
+      |  LEFT JOIN bi ON bi.w = bt.pw AND bi.nw = bt.w)
+      |SELECT doc_id, count(*) AS n_tok,
+      |  CAST(sum(CAST(floor((0 - ln(p)) * 1000000.0) AS BIGINT)) AS BIGINT)
+      |    AS nll_micro,
+      |  CAST(sum(CAST(floor((0 - ln(p)) * 1000000.0) AS BIGINT)) AS BIGINT)
+      |    // count(*) AS avg_nll_micro
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+    (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      lmSurprisal(docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0))
+        .orderBy(col("doc_id"))
   }
 }
