@@ -12,6 +12,9 @@ object Verify {
     val prefixes =
       (if (args.length > 2) args(2) else "").split(',').toSeq
     val spark = graft.core.SessionFactory.local("graft-verify")
+    // fail LOUDLY (not with silently-wrong rows) if the driver regenerated
+    // the fixtures with a different schema/timestamp unit (FIXTURES.md:14)
+    graft.core.Catalog.assertFixtureSchemas(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (n, _) => prefixes.exists(n.startsWith) }

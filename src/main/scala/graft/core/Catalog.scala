@@ -63,15 +63,15 @@ object Catalog {
       StructField("l_returnflag", StringType),
       StructField("l_linestatus", StringType),
       StructField("l_shipdate", TimestampType))),
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
-    // for: it is read as nanos-since-epoch (LongType) under
-    // spark.sql.legacy.parquet.nanosAsLong=true (set by SessionFactory) and
-    // converted with [[Catalog.tsFromNanos]] where timestamp semantics are
-    // needed. Nanos-long ordering == timestamp ordering, so pure ORDER BY /
-    // PARTITION BY usage needs no conversion.
+    // events.ts is parquet timestamp[us] in the current fixtures. Earlier
+    // fixture generations wrote TIMESTAMP(NANOS) (read as a nanos-long under
+    // spark.sql.legacy.parquet.nanosAsLong=true); [[load]] reads the footer
+    // once per directory and normalizes either encoding to TimestampType,
+    // so downstream code always sees a true microsecond timestamp — the
+    // unit can never silently drift again (FIXTURES.md:14).
     "events" -> StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", TimestampType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
@@ -89,16 +89,72 @@ object Catalog {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Microsecond timestamp from the nanos-long `events.ts` column (integral
-    * division keeps full precision; a double roundtrip would not at ~1e18). */
-  def tsFromNanos(colName: String): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.expr(s"timestamp_micros($colName DIV 1000)")
+  /** Footer-inferred schema per fixture file, cached — one footer read per
+    * (dir, table) for the lifetime of the JVM. Schema inference on a single
+    * parquet file is a metadata-only read (no row groups touched). */
+  private val footerSchemas =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
+  def footerSchema(spark: SparkSession, dir: String, name: String): StructType =
+    footerSchemas.getOrElseUpdate(path(dir, name),
+      spark.read.parquet(path(dir, name)).schema)
+
+  /** Fail fast when a fixture file's footer does not match the pinned
+    * catalog schema (names, order, types — timestamp unit included). The
+    * one sanctioned divergence is `events.ts` as a nanos-long (older
+    * fixture generations), which [[load]] normalizes. Anything else means
+    * the driver regenerated the fixtures with a different shape and every
+    * downstream result would be silently wrong — so throw with the
+    * observed-vs-expected schemas instead (FIXTURES.md:14). */
+  def assertFixtureSchemas(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { n =>
+      val actual = footerSchema(spark, dir, n)
+      val pinned = schemas(n)
+      // two sanctioned normalizations, both unit-preserving:
+      //  - parquet isAdjustedToUTC=false infers as TimestampNTZType; the
+      //    session runs in UTC, so NTZ and LTZ carry identical instants
+      //    and the catalog pins plain TimestampType
+      //  - events.ts as a nanos-long (older fixture generations), which
+      //    [[load]] converts to TimestampType
+      val normalized = StructType(actual.map { f =>
+        val ntz =
+          if (f.dataType == TimestampNTZType) f.copy(dataType = TimestampType)
+          else f
+        if (n == "events" && ntz.name == "ts" && ntz.dataType == LongType)
+          ntz.copy(dataType = TimestampType)
+        else ntz
+      })
+      val obs = normalized.map(f => (f.name, f.dataType))
+      val exp = pinned.map(f => (f.name, f.dataType))
+      if (obs != exp) throw new IllegalStateException(
+        s"""Fixture schema drift in ${path(dir, n)}:
+           |  observed: ${actual.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}
+           |  expected: ${pinned.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}
+           |The driver regenerated the fixtures with a different shape; update
+           |graft.core.Catalog.schemas to match the new footer.""".stripMargin)
+    }
 
   /** Read one fixture table with its pinned schema (column pruning + filter
     * pushdown reach the vectorized parquet scan; verified via
-    * `.explain("formatted")` — `PushedFilters`/`ReadSchema`). */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(path(dir, name))
+    * `.explain("formatted")` — `PushedFilters`/`ReadSchema`).
+    *
+    * `events` is unit-adaptive: the footer decides whether `ts` arrives as
+    * timestamp[us] (current fixtures — read directly) or TIMESTAMP(NANOS)
+    * (older generations — surfaces as a nanos-long, converted here with
+    * integral division; a double roundtrip would lose precision at ~1e18).
+    * Downstream always sees TimestampType. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events" &&
+        footerSchema(spark, dir, name)("ts").dataType == LongType) {
+      val rawSchema = StructType(schemas(name).map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f))
+      spark.read.schema(rawSchema).parquet(path(dir, name))
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        .select(schemas(name).fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    } else
+      spark.read.schema(schemas(name)).parquet(path(dir, name))
+  }
 
   /** Register every fixture as a temp view so `spark.sql` queries see the
     * same names the DuckDB oracle uses. Temp views carry size-only
@@ -152,27 +208,45 @@ object Catalog {
     * already analyzed the same scale-factor directory.
     */
   def registerAnalyzed(spark: SparkSession, dir: String): Unit = synchronized {
+    assertFixtureSchemas(spark, dir)
+    // older fixture generations store events.ts as TIMESTAMP(NANOS) → a
+    // nanos-long; the SQL path then reads a raw table and exposes the
+    // normalizing projection as the `events` temp view (stats propagate
+    // through the project, so the CBO still sees row counts)
+    val eventsNanos = footerSchema(spark, dir, "events")("ts").dataType == LongType
+    def normalizeEventsView(): Unit = spark.sql(
+      """CREATE OR REPLACE TEMP VIEW events AS
+        |SELECT event_id, timestamp_micros(ts DIV 1000) AS ts, user_id,
+        |       event_type, value, props
+        |FROM events__raw""".stripMargin)
     val marker = "graft.analyzed.dir"
     if (spark.conf.getOption(marker).contains(dir)) {
       // already analyzed this dir — but a temp view registered since (e.g.
       // registerAll in the same session) would shadow the catalog tables
       // and silently starve the planner of statistics; always clear them
       tableNames.foreach(spark.catalog.dropTempView)
+      if (eventsNanos) normalizeEventsView()
       return
     }
     tableNames.foreach { n =>
       // a leftover temp view would shadow the catalog table
       spark.catalog.dropTempView(n)
-      spark.sql(s"DROP TABLE IF EXISTS $n")
+      val (table, ddl) =
+        if (n == "events" && eventsNanos)
+          ("events__raw", StructType(schemas(n).map(f =>
+            if (f.name == "ts") f.copy(dataType = LongType) else f)).toDDL)
+        else (n, schemas(n).toDDL)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(
-        s"CREATE TABLE $n (${schemas(n).toDDL}) USING parquet LOCATION '${path(dir, n)}'")
+        s"CREATE TABLE $table ($ddl) USING parquet LOCATION '${path(dir, n)}'")
       val cols = statsColumns(n, schemas(n))
       if (cols.isEmpty)
-        spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS")
+        spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
       else
         spark.sql(
-          s"ANALYZE TABLE $n COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+          s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
     }
+    if (eventsNanos) normalizeEventsView()
     spark.conf.set(marker, dir)
   }
 }

@@ -82,7 +82,7 @@ object Aggregates {
       |GROUP BY 1, 2 ORDER BY user_id, w_start_us""".stripMargin) {
     (spark, dir) =>
       val ev = Tables(spark, dir).events
-        .withColumn("__ts", graft.core.Catalog.tsFromNanos("ts"))
+        .withColumn("__ts", col("ts"))
       splitDistinctCountWindowed(ev, "__ts", "user_id", "value",
         window = "1 hour", delay = "0 seconds")
         .select(col("user_id"),

@@ -29,10 +29,9 @@ object AsOfJoin {
     * on bounded data: count views per purchase from the same user within
     * the preceding 3 days. The user_id equality keeps this a sort-merge
     * join with the range as a residual condition — never a cross join.
-    * ts is truncated to MICROS before comparing: DuckDB reads the
-    * parquet TIMESTAMP(NANOS) column at microsecond precision, so a
-    * nanos-precision comparison on the Spark side could flip a boundary
-    * decision the oracle cannot see (sub-µs view/purchase adjacency). */
+    * The 3-day horizon is integer micros arithmetic over `unix_micros(ts)`
+    * — the same integer math as the oracle's `INTERVAL 3 DAY` over
+    * microsecond timestamps, so boundary decisions are identical. */
   val q69IntervalJoin: QueryDef = QueryDef("q69_interval_join",
     """SELECT p.event_id AS purchase_id, p.user_id,
       |  count(v.event_id) AS n_recent_views
@@ -46,10 +45,10 @@ object AsOfJoin {
     val micros3d = 3L * 24 * 3600 * 1000 * 1000
     val p = t.events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        expr("ts DIV 1000").as("p_ts"))
+        expr("unix_micros(ts)").as("p_ts"))
     val v = t.events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
-        expr("ts DIV 1000").as("v_ts"))
+        expr("unix_micros(ts)").as("v_ts"))
     p.join(v,
         col("user_id") === col("v_user") &&
           col("v_ts") <= col("p_ts") && col("v_ts") > col("p_ts") - micros3d,
@@ -109,9 +108,9 @@ object AsOfJoin {
   }
 
   /** Enrich each purchase with the user's most recent view at or before
-    * the purchase time (classic clickstream attribution shape). ts is
-    * truncated to micros before the as-of comparison for the same
-    * oracle-precision reason as [[q69IntervalJoin]]. */
+    * the purchase time (classic clickstream attribution shape). The as-of
+    * ordering runs on `unix_micros(ts)` longs — exact integer comparison,
+    * same instants the oracle's ASOF JOIN compares. */
   val q63AsOfJoin: QueryDef = QueryDef("q63_asof_join",
     """SELECT p.event_id AS purchase_id, p.user_id,
       |  CAST(p.value AS DOUBLE) AS purchase_value,
@@ -123,9 +122,9 @@ object AsOfJoin {
     val t = Tables(spark, dir)
     val purchases = t.events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("value").as("purchase_value"), expr("ts DIV 1000").as("ts"))
+        col("value").as("purchase_value"), expr("unix_micros(ts)").as("ts"))
     val views = t.events.filter(col("event_type") === "view")
-      .select(col("user_id"), expr("ts DIV 1000").as("ts"),
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts"),
         col("event_id").as("viewed_event"), col("value").as("viewed_value"))
     asOfJoin(purchases, views, key = "user_id",
       leftTs = "ts", rightTs = "ts", rightTieBreak = "viewed_event",

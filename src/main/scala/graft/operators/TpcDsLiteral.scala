@@ -157,22 +157,24 @@ object TpcDsLiteral {
       literal("qds18_literal", Q18, outCols = Seq("i_item_id", "ca_country",
         "ca_state", "ca_county", "agg1", "agg2", "agg3", "agg4", "agg5",
         "agg6", "agg7"),
-        oracleTypes = Seq("agg1", "agg2", "agg3", "agg4", "agg5", "agg6",
-          "agg7").map(_ -> "DECIMAL(16,6)").toMap,
-        oracleFixup = orderByNullsFirst),
+        castDouble = Set("agg1", "agg2", "agg3", "agg4", "agg5", "agg6",
+          "agg7"),
+        oracleFixup = b => q18Avgs(orderByNullsFirst(b))),
       literal("qds57_literal", Q57), literal("qds75_literal", Q75),
       literal("qds78_literal", Q78),
       literal("qds05_literal", Q5, oracleFixup = orderByNullsFirst),
       literal("qds77_literal", Q77, oracleFixup = orderByNullsFirst),
       literal("qds80_literal", Q80, oracleFixup = orderByNullsFirst),
-      literal("qds49_literal", Q49, oracleFixup = q49Ratios),
+      literal("qds49_literal", Q49, castDouble = Set("return_ratio"),
+        oracleFixup = q49Ratios),
       literal("qds61_literal", Q61, outCols = Seq("promotions", "total",
-        "promo_pct"), oracleFixup =
+        "promo_pct"), castDouble = Set("promo_pct"), oracleFixup =
         _.replace("cast(promotions as decimal(15,4))/" +
           "cast(total as decimal(15,4))*100",
           duckRatio100("promotions", "total"))),
       literal("qds71_literal", Q71),
-      literal("qds90_literal", Q90, oracleFixup =
+      literal("qds90_literal", Q90, castDouble = Set("am_pm_ratio"),
+        oracleFixup =
         _.replace("cast(amc as decimal(15,4))/cast(pmc as decimal(15,4))",
           duckRatio20("amc", "pmc"))),
       literal("qds21_literal", Q21),
@@ -1162,6 +1164,7 @@ object TpcDsLiteral {
       outCols: Seq[String] = Nil,
       castBigint: Set[String] = Set.empty,
       oracleTypes: Map[String, String] = Map.empty,
+      castDouble: Set[String] = Set.empty,
       oracleFixup: String => String = identity): QueryDef = {
     // a text that opens with its own WITH clause (q59) splices into the
     // adapter CTE list; Spark runs the body verbatim against temp views.
@@ -1179,19 +1182,37 @@ object TpcDsLiteral {
     // returns BIGINT); `oracleTypes` generalizes it to any target type
     // (DuckDB's avg(DECIMAL) says DOUBLE where Spark says DECIMAL(p+4,
     // s+4)) — both applied in the oracle's outer projection only.
+    // `castDouble` names output columns that are DECIMAL in BOTH engines
+    // with identical exact values, but whose representations diverge at
+    // the comparison layer (the oracle side reaches the hasher as float64
+    // — DuckDB's pandas export converts every DECIMAL — while a parquet
+    // decimal column arrives as exact Decimal objects). Canonicalize BOTH
+    // sides to DOUBLE. The oracle's conversion routes through VARCHAR:
+    // DuckDB's direct DECIMAL→DOUBLE cast is 1 ulp off on some values
+    // (scaled-integer-to-double then divide — two roundings), while its
+    // string→double parse is correctly rounded, matching Spark's
+    // BigDecimal.doubleValue exactly.
+    def duckDouble(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE) AS $c"
     val oracle =
       if (outCols.nonEmpty) {
         val types = oracleTypes ++ castBigint.map(_ -> "BIGINT")
-        val proj = outCols.map(c => types.get(c)
-          .map(t => s"CAST($c AS $t) AS $c").getOrElse(c)).mkString(", ")
+        val proj = outCols.map(c =>
+          if (castDouble(c)) duckDouble(c)
+          else types.get(c).map(t => s"CAST($c AS $t) AS $c").getOrElse(c))
+          .mkString(", ")
         s"WITH $duckViews\nSELECT $proj FROM (\n$duckBody\n) t(${outCols.mkString(", ")})"
+      } else if (castDouble.nonEmpty) {
+        val repl = castDouble.map(duckDouble).mkString(", ")
+        s"WITH $duckViews\nSELECT * REPLACE ($repl) FROM (\n$duckBody\n) t"
       } else if (body.trim.toLowerCase.startsWith("with"))
         s"WITH $duckViews,\n${duckBody.trim.drop(4)}"
       else s"WITH $duckViews\n$duckBody"
     QueryDef(name, oracle) { (spark, dir) =>
       registerViews(spark, dir)
       val df = spark.sql(body)
-      if (outCols.nonEmpty) df.toDF(outCols: _*) else df
+      val named = if (outCols.nonEmpty) df.toDF(outCols: _*) else df
+      castDouble.foldLeft(named)((d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("double")))
     }
   }
 
@@ -1213,6 +1234,33 @@ object TpcDsLiteral {
 
   private val E20 = "100000000000000000000"
   private val E19 = "10000000000000000000"
+
+  /** Spark's `avg(CAST(x AS DECIMAL(12,2)))` is an EXACT decimal sum
+    * divided by the non-null count, HALF_UP at result scale 6
+    * (DECIMAL(16,6)). DuckDB's `avg(DECIMAL)` goes through a double —
+    * casting that back to DECIMAL(16,6) rounds an already-inexact value
+    * and diverges in the last digit. Mirror Spark exactly: integer cents
+    * (HUGEINT) half-up division, rendered to a decimal string. HALF_UP
+    * rounds away from zero, so negatives (cs_net_profit) go through
+    * abs() with the sign re-applied in the rendering. */
+  private def duckAvgDec16_6(x: String): String = {
+    val s = s"CAST(sum(CAST($x AS DECIMAL(12,2))) * 100 AS HUGEINT)"
+    val n = s"CAST(count($x) AS HUGEINT)"
+    val q = s"((abs($s) * 10000 + $n // 2) // $n)"
+    s"CAST(CASE WHEN count($x) = 0 THEN NULL ELSE printf('%s%d.%06d', " +
+      s"CASE WHEN $s < 0 THEN '-' ELSE '' END, " +
+      s"CAST($q // 1000000 AS BIGINT), CAST($q % 1000000 AS BIGINT)) END " +
+      s"AS DECIMAL(16,6))"
+  }
+
+  /** q18's seven verbatim `avg( cast(x as decimal(12,2)))` aggregates,
+    * re-expressed exactly (oracle copy only; the Spark side runs the
+    * text unmodified). */
+  private def q18Avgs(body: String): String = {
+    val pat = """avg\(\s*cast\(([\w.]+) as decimal\(12,2\)\)\s*\)""".r
+    pat.replaceAllIn(body, m => scala.util.matching.Regex.quoteReplacement(
+      duckAvgDec16_6(m.group(1))))
+  }
 
   /** DuckDB types DECIMAL/DECIMAL division as DOUBLE where Spark says
     * DECIMAL(15,4)/DECIMAL(15,4) -> DECIMAL(35,20) (exact rational,

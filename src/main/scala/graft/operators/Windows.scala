@@ -13,15 +13,15 @@ import graft.core.{Catalog, QueryDef, Tables}
   * (see graft.streaming specs); here they run batch so the DuckDB oracle
   * can check them.
   *
-  * `events.ts` is nanos-since-epoch; [[Catalog.tsFromNanos]] converts with
-  * integral division so both engines see identical microsecond instants.
+  * `events.ts` arrives as a true microsecond TimestampType ([[Catalog.load]]
+  * normalizes the footer unit), so both engines see identical instants.
   */
 object Windows {
 
   def defs: Seq[QueryDef] =
     Seq(q60Tumble, q61Hop, q62Session, q108DynamicSession)
 
-  private val tsCol = Catalog.tsFromNanos("ts")
+  private val tsCol = col("ts")
 
   /** 1-hour tumbling windows per event type (reference
     * TumblingWindowAssigner.java:34). */

@@ -465,8 +465,7 @@ object StatefulOps {
   def typedEvents(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
     graft.core.Catalog.load(spark, dir, "events")
-      .select(col("user_id"), col("event_id"),
-        graft.core.Catalog.tsFromNanos("ts").as("ts"),
+      .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"))
       .as[Event]
   }
