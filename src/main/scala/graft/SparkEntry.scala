@@ -16,6 +16,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     graft.operators.Relational.defs ++
       graft.operators.TpcH.defs ++
+      graft.operators.TpcHLiteral.defs ++
       graft.operators.TpcDsComposites.defs ++
       graft.operators.TpcDsLiteral.defs ++
       graft.operators.FunctionSurface.defs ++

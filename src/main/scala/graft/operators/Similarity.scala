@@ -296,15 +296,125 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (table, plane,
     * dim): xxhash64 folded to [-1, 1]. */
+  /** Pseudo-random hyperplane component in [-1, 1) from (table, plane,
+    * dim) by Knuth multiplicative hashing — plain integer arithmetic
+    * (not Spark's xxhash64) so the DuckDB oracle evaluates the IDENTICAL
+    * formula and reproduces the exact buckets: the inner mod keeps the
+    * product within Long range (DuckDB errors on BIGINT overflow where
+    * the JVM would wrap). */
   private def planeComponent(tbl: Int, plane: Int, dim: Column): Column =
-    (xxhash64(lit(tbl), lit(plane), dim).cast(DoubleType) / lit(Long.MaxValue.toDouble))
+    ((((lit(tbl.toLong) * 73856093L + lit(plane.toLong) * 19349663L +
+      dim * 83492791L) % 1048573L) * 2654435761L % 2147483647L)
+      .cast(DoubleType) / lit(2147483647.0d)) * 2d - 1d
+
+  /** The same formula rendered for DuckDB (kept adjacent so the two
+    * renderings cannot drift apart). */
+  private def duckPlaneComponent(t: String, p: String, d: String): String =
+    s"(((($t * 73856093 + $p * 19349663 + $d * 83492791) % 1048573) " +
+      s"* 2654435761 % 2147483647) / 2147483647.0) * 2 - 1"
+
+  /** Exact top-k per gated query with the SAME raw-cosine formula as the
+    * ANN paths (dot/(‖a‖·‖b‖), sequential sums — NOT the pre-normalized
+    * [[cosineKnn]] corpus, whose different float path could pick a
+    * different neighbor on a near-tie and corrupt the recall flag). */
+  private def exactTopkRaw(emb: DataFrame, queryPred: Column, k: Int)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val bc = spark.sparkContext.broadcast(
+      rows.as[(Long, Seq[Double])].collect().map { case (id, e) => (id, e.toArray) })
+    emb.filter(queryPred).select(col("vec_id")).as[Long]
+      .mapPartitions { qids =>
+        val corpus = bc.value
+        val byId = corpus.toMap
+        qids.flatMap { qid =>
+          val q = byId(qid)
+          val qn = math.sqrt(dotArr(q, q))
+          corpus.iterator.filter(_._1 != qid)
+            .map { case (nid, n) =>
+              (qid, nid, dotArr(q, n) / (qn * math.sqrt(dotArr(n, n)))) }
+            .toSeq.sortBy { case (_, nid, cos) => (-cos, nid) }
+            .take(k).map { case (q0, n0, _) => (q0, n0) }
+        }
+      }.toDF("query_id", "neighbor_id")
+  }
+
+  /** DuckDB rendering of the full LSH search — planes, sign-bit buckets,
+    * bucket-join candidates, exact cosine top-k, exact-top-k flag — the
+    * same deterministic pipeline [[annLshNeighbors]] runs, so the driver
+    * hash-checks the ANN output itself; the recall ≥ 0.7 bound stays a
+    * spec. Every float expression is the identically-associated
+    * arithmetic (unrolled dots, shared plane formula). */
+  private def duckLshSql(k: Int): String = {
+    val bucketDot = (1 to Dim).map(i => s"e.e[$i] * pl.plane[$i]")
+      .mkString(" + ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |planes AS (
+       |  SELECT t, p, list(comp ORDER BY d) AS plane
+       |  FROM (SELECT t.range AS t, p.range AS p, d.range AS d,
+       |          ${duckPlaneComponent("t.range", "p.range", "d.range")} AS comp
+       |        FROM range(0, ${Tables_}) t, range(0, $Planes) p, range(1, ${Dim + 1}) d)
+       |  GROUP BY t, p),
+       |sig AS (
+       |  SELECT e.vec_id, pl.t,
+       |    SUM(CASE WHEN $bucketDot >= 0 THEN (1 << pl.p) ELSE 0 END) AS bucket
+       |  FROM emb e, planes pl
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    (${duckDot("a.e", "b.e")}) /
+       |      (sqrt(${duckDot("a.e", "a.e")}) * sqrt(${duckDot("b.e", "b.e")})) AS cos
+       |  FROM cand
+       |  JOIN emb a ON a.vec_id = cand.query_id
+       |  JOIN emb b ON b.vec_id = cand.neighbor_id),
+       |ann AS (
+       |  SELECT query_id, neighbor_id, rnk, round(cos, 9) AS cos_r
+       |  FROM (SELECT query_id, neighbor_id, cos,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id
+       |                             ORDER BY cos DESC, neighbor_id) AS rnk
+       |        FROM scored)
+       |  WHERE rnk <= $k),
+       |exact AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |            (${duckDot("a.e", "b.e")}) /
+       |              (sqrt(${duckDot("a.e", "a.e")}) * sqrt(${duckDot("b.e", "b.e")})) DESC,
+       |            b.vec_id) AS rnk
+       |        FROM emb a, emb b
+       |        WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= $k)
+       |SELECT ann.query_id, ann.neighbor_id, ann.rnk, ann.cos_r,
+       |  (exact.neighbor_id IS NOT NULL) AS in_exact_topk
+       |FROM ann LEFT JOIN exact
+       |  ON ann.query_id = exact.query_id AND ann.neighbor_id = exact.neighbor_id
+       |ORDER BY ann.query_id, ann.rnk""".stripMargin
+  }
 
   /** LSH-bucketed approximate nearest neighbors: 10 tables × 4
     * random-hyperplane sign bits; candidates share a bucket in ≥1 table,
-    * then exact cosine + top-3. Approximate by construction → rows-only
-    * gate; the spec asserts top-3 recall ≥ 0.7 against [[q50CosineKnn]]. */
-  val q52AnnLsh: QueryDef = QueryDef.rowsOnly("q52_ann_lsh") { (spark, dir) =>
-    annLsh(spark, dir)
+    * then exact cosine + top-3. The ANN pipeline is deterministic
+    * (integer-hash planes) and the oracle reproduces it end-to-end, so
+    * the driver hash-checks the output — including an `in_exact_topk`
+    * flag against the brute-force top-3; the recall ≥ 0.7 bound stays a
+    * spec. */
+  val q52AnnLsh: QueryDef = QueryDef("q52_ann_lsh", duckLshSql(3)) {
+    (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val exact = exactTopkRaw(emb, col("vec_id") < 20, k = 3)
+        .withColumn("in_exact_topk", lit(true))
+      annLsh(spark, dir)
+        .join(exact, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("in_exact_topk",
+          coalesce(col("in_exact_topk"), lit(false)))
+        .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Fixture adapter (q52 + the recall spec). */
@@ -411,9 +521,13 @@ object Similarity {
     val emb = embIn.select(col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("e"), queryPred.as("_is_q"))
 
-    // --- train: deterministic seeds, then Lloyd via DataFrame aggregates
+    // --- train: deterministic seeds, then Lloyd via DataFrame aggregates.
+    // Seed order = Knuth multiplicative hash of the id (ties by id): the
+    // same integer arithmetic the DuckDB oracle evaluates — uniform,
+    // order-independent, and engine-shared (Spark's xxhash64 is not).
     var centroids: Array[Array[Double]] = emb
-      .orderBy(xxhash64(col("vec_id"))).limit(nlist)
+      .orderBy(expr("(vec_id % 1048573) * 2654435761 % 2147483647"),
+        col("vec_id")).limit(nlist)
       .select(col("e")).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until lloydIters) {
@@ -501,11 +615,113 @@ object Similarity {
     scored.sortBy { case (i, s) => (-s, i) }.take(take).map(_._1)
   }
 
+  /** DuckDB rendering of the full IVF pipeline — seed selection, BOTH
+    * Lloyd iterations (exact DECIMAL(24,14) mean accumulation, the same
+    * half-up shortest-repr rounding Spark applies), one-list routing,
+    * nprobe probing, exact cosine top-k, exact-top-k flag. Float parity
+    * notes: every double→decimal and decimal→double conversion routes
+    * through VARCHAR (DuckDB's direct casts round the binary value /
+    * round 1 ulp off; the VARCHAR path rounds the shortest repr half-up,
+    * exactly Spark's Decimal semantics — verified empirically), and every
+    * dot product is the identically-associated unrolled sum. */
+  private def duckIvfSql(k: Int, nlist: Int, nprobe: Int): String = {
+    def dotEC(e: String, c: String) =
+      (1 to Dim).map(i => s"$e[$i] * $c[$i]").mkString(" + ")
+    // score of vector e against a centroid row with cols (cent, nc)
+    def score(e: String) =
+      s"CASE WHEN c.nc = 0 THEN -1.7976931348623157e308 " +
+        s"ELSE (${dotEC(e, "c.cent")}) / sqrt(c.nc) END"
+    // one Lloyd step: assign every vector to its best centroid in `prev`,
+    // then per-(list, dim) exact decimal means; empty lists keep their row
+    def step(prev: String, assignName: String, next: String): String =
+      s"""$assignName AS (
+         |  SELECT vec_id, e, list_id FROM (
+         |    SELECT m.vec_id, m.e, c.list_id,
+         |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+         |                         ORDER BY ${score("m.e")} DESC, c.list_id) AS rnk
+         |    FROM emb m, $prev c) WHERE rnk = 1),
+         |${next}_m AS (
+         |  SELECT list_id, list(m ORDER BY d) AS cent FROM (
+         |    SELECT a.list_id, r.d,
+         |      CAST(CAST(sum(CAST(CAST(a.e[r.d] AS VARCHAR) AS DECIMAL(24,14)))
+         |        AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |    FROM $assignName a, range(1, ${Dim + 1}) r(d)
+         |    GROUP BY 1, 2)
+         |  GROUP BY list_id),
+         |$next AS (
+         |  SELECT p.list_id, COALESCE(n.cent, p.cent) AS cent,
+         |    ${dotEC("COALESCE(n.cent, p.cent)", "COALESCE(n.cent, p.cent)")} AS nc
+         |  FROM $prev p LEFT JOIN ${next}_m n ON p.list_id = n.list_id)""".stripMargin
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT list_id, cent, ${dotEC("cent", "cent")} AS nc FROM (
+       |    SELECT ROW_NUMBER() OVER (
+       |        ORDER BY (vec_id % 1048573) * 2654435761 % 2147483647, vec_id)
+       |      - 1 AS list_id, e AS cent
+       |    FROM emb
+       |    QUALIFY list_id < $nlist)),
+       |${step("cent0", "assign1", "cent1")},
+       |${step("cent1", "assign2", "cent2")},
+       |routed AS (
+       |  SELECT vec_id, e, list_id FROM (
+       |    SELECT m.vec_id, m.e, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |                         ORDER BY ${score("m.e")} DESC, c.list_id) AS rnk
+       |    FROM emb m, cent2 c) WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id, e, list_id FROM (
+       |    SELECT m.vec_id, m.e, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |                         ORDER BY ${score("m.e")} DESC, c.list_id) AS rnk
+       |    FROM emb m, cent2 c WHERE m.vec_id < 20) WHERE rnk <= $nprobe),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    (${duckDot("q.e", "n.e")}) /
+       |      (sqrt(${duckDot("q.e", "q.e")}) * sqrt(${duckDot("n.e", "n.e")})) AS cos
+       |  FROM probes q JOIN routed n ON q.list_id = n.list_id
+       |  WHERE q.vec_id <> n.vec_id),
+       |ann AS (
+       |  SELECT query_id, neighbor_id, rnk, round(cos, 9) AS cos_r
+       |  FROM (SELECT query_id, neighbor_id, cos,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id
+       |                             ORDER BY cos DESC, neighbor_id) AS rnk
+       |        FROM scored)
+       |  WHERE rnk <= $k),
+       |exact AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |            (${duckDot("a.e", "b.e")}) /
+       |              (sqrt(${duckDot("a.e", "a.e")}) * sqrt(${duckDot("b.e", "b.e")})) DESC,
+       |            b.vec_id) AS rnk
+       |        FROM emb a, emb b
+       |        WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= $k)
+       |SELECT ann.query_id, ann.neighbor_id, ann.rnk, ann.cos_r,
+       |  (exact.neighbor_id IS NOT NULL) AS in_exact_topk
+       |FROM ann LEFT JOIN exact
+       |  ON ann.query_id = exact.query_id AND ann.neighbor_id = exact.neighbor_id
+       |ORDER BY ann.query_id, ann.rnk""".stripMargin
+  }
+
   /** IVF ANN over the fixture embeddings (queries = vec_id < 20, top-3).
-    * Approximate by construction → rows-only; `PipelineSpec` asserts
-    * top-3 recall ≥ 0.7 vs the exact kNN baseline. */
-  val q93AnnIvf: QueryDef = QueryDef.rowsOnly("q93_ann_ivf") { (spark, dir) =>
-    annIvfNeighbors(Tables(spark, dir).embeddings, col("vec_id") < 20, k = 3)
+    * Deterministic end-to-end (engine-shared seed hash, exact decimal
+    * Lloyd means) and the oracle reproduces the whole pipeline, so the
+    * driver hash-checks the ANN output with an `in_exact_topk` flag
+    * against brute force; the recall ≥ 0.7 bound stays a spec
+    * (`PipelineSpec`). */
+  val q93AnnIvf: QueryDef = QueryDef("q93_ann_ivf", duckIvfSql(3, 16, 8)) {
+    (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val exact = exactTopkRaw(emb, col("vec_id") < 20, k = 3)
+        .withColumn("in_exact_topk", lit(true))
+      annIvfNeighbors(emb, col("vec_id") < 20, k = 3)
+        .join(exact, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("in_exact_topk",
+          coalesce(col("in_exact_topk"), lit(false)))
+        .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector

@@ -1243,7 +1243,7 @@ object TpcDsLiteral {
     * (HUGEINT) half-up division, rendered to a decimal string. HALF_UP
     * rounds away from zero, so negatives (cs_net_profit) go through
     * abs() with the sign re-applied in the rendering. */
-  private def duckAvgDec16_6(x: String): String = {
+  private[operators] def duckAvgDec16_6(x: String): String = {
     val s = s"CAST(sum(CAST($x AS DECIMAL(12,2))) * 100 AS HUGEINT)"
     val n = s"CAST(count($x) AS HUGEINT)"
     val q = s"((abs($s) * 10000 + $n // 2) // $n)"

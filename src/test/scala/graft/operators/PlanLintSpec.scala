@@ -53,4 +53,25 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"queries with scale-hostile join plans:\n${offenders.mkString("\n")}")
   }
+
+  test("qds72's inventory join stays eligible for AQE skew splitting") {
+    // The reference's own worst query (catalog_sales ⋈ inventory ⋈ dims on
+    // a d1/d2/d3 week constraint) carries the widest un-broadcast join in
+    // the corpus at scale; AQE must be able to split it if a week/item
+    // key runs hot at 100×. OptimizeSkewedJoin only rewrites SMJ/SHJ
+    // whose child shuffles carry shuffleOrigin == ENSURE_REQUIREMENTS — a
+    // manual repartition() (REPARTITION_BY_COL/NUM) anywhere in the
+    // pipeline would pin the partitioning and silently opt the join out.
+    // Assert every shuffle is planner-inserted. (At fixture scale AQE
+    // correctly demotes the joins to broadcast, so SMJ presence itself is
+    // scale-dependent and not asserted; the eligibility property is.)
+    import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeExec}
+    val nodes = executedPlanNodes("qds72_literal", sf("sf0.01"))
+    val pinned = nodes.collect {
+      case s: ShuffleExchangeExec if s.shuffleOrigin != ENSURE_REQUIREMENTS =>
+        s.shuffleOrigin.toString
+    }
+    assert(pinned.isEmpty,
+      s"qds72 contains user-pinned shuffles (AQE skew-split ineligible): $pinned")
+  }
 }
