@@ -30,7 +30,7 @@ object Sampling {
 
   def defs: Seq[QueryDef] =
     Seq(q54StratifiedSample, q55WeightedMixture, q56SplitAssign,
-      q107TemperatureMix)
+      q107TemperatureMix, q117ClusterSample)
 
   private val M = 2147483647L // 2^31 - 1, the Mersenne prime of MINSTD
 
@@ -55,7 +55,7 @@ object Sampling {
   }
 
   /** The same rank as ANSI SQL text, for oracle construction. */
-  private def pseudoRankSql(id: String, seed: Long = 0L): String =
+  private[operators] def pseudoRankSql(id: String, seed: Long = 0L): String =
     s"((($id + ${seed + 1}) % $M + $M) % $M * 48271 % $M * 48271 % $M * 48271 % $M)"
 
   /** Exactly min(k, |stratum|) rows per stratum, chosen by pseudo-random
@@ -224,5 +224,53 @@ object Sampling {
     temperatureMixture(Tables(spark, dir).documents, "source", "doc_id",
       alpha = 0.5, targetFrac = 0.5, seed = 13)
       .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+  }
+
+  /** Duplicate-cluster down-weighted sampling (soft dedup): hard-keep one
+    * canonical representative per exact-content cluster, and keep each
+    * remaining member with probability 1/cluster_size — so every cluster
+    * contributes ~1 document in expectation regardless of how many times
+    * it was crawled, instead of letting heavily-duplicated pages dominate
+    * the mixture (hard dedup is [[Dedup]]; this is the standard softer
+    * alternative that retains natural-distribution signal). Deterministic:
+    * the per-row [[pseudoRank]] against the integer threshold M/size; the
+    * canonical is the cluster's rank-minimal member. One shuffle on the
+    * content hash (the window count, the row_number and the filter all
+    * share that partitioning); thresholding is map-side. M is prime, so
+    * M/size is never integral for 1 < size < M and singleton clusters
+    * (threshold M/1 = M > every rank) are always kept — no boundary
+    * ambiguity between the engines' float divisions. */
+  def clusterWeightedSample(docs: DataFrame, idCol: String, textCol: String,
+      seed: Long = 0L): DataFrame = {
+    val sizeW = Window.partitionBy(col("ch"))
+    val rankW = Window.partitionBy(col("ch"))
+      .orderBy(pseudoRank(col(idCol), seed), col(idCol))
+    docs
+      .select(col(idCol), md5(lower(col(textCol))).as("ch"))
+      .withColumn("cluster_size", count(lit(1)).over(sizeW))
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("is_canonical", col("rn") === 1)
+      .filter(col("rn") === 1 ||
+        pseudoRank(col(idCol), seed) < floor(lit(M.toDouble) / col("cluster_size")))
+      .select(col(idCol), col("cluster_size"), col("is_canonical"))
+  }
+
+  val q117ClusterSample: QueryDef = QueryDef("q117_cluster_sample",
+    s"""WITH ranked AS (
+       |  SELECT doc_id, md5(lower(text)) AS ch,
+       |    ${pseudoRankSql("doc_id", seed = 29)} AS r
+       |  FROM documents),
+       |sized AS (
+       |  SELECT doc_id, ch, r,
+       |    count(*) OVER (PARTITION BY ch) AS cluster_size,
+       |    ROW_NUMBER() OVER (PARTITION BY ch ORDER BY r, doc_id) AS rn
+       |  FROM ranked)
+       |SELECT doc_id, cluster_size, (rn = 1) AS is_canonical
+       |FROM sized
+       |WHERE rn = 1 OR r < floor($M / cluster_size)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    clusterWeightedSample(Tables(spark, dir).documents, "doc_id", "text",
+      seed = 29)
+      .orderBy(col("doc_id"))
   }
 }

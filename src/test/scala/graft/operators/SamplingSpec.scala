@@ -176,4 +176,30 @@ class SamplingSpec extends SparkSpec {
     // determinism: same call, same selection
     assert(keptBySrc(0.25) == flat)
   }
+
+  test("clusterWeightedSample: one canonical per cluster, ~1/size soft keeps") {
+    import spark.implicits._
+    // 1 cluster of 200 copies, 1 of 10, and 300 singletons
+    val docs = ((1 to 200).map(i => (i.toLong, "dup heavy")) ++
+      (201 to 210).map(i => (i.toLong, "dup light")) ++
+      (211 to 510).map(i => (i.toLong, s"unique text $i")))
+      .toDF("doc_id", "text")
+    val kept = Sampling.clusterWeightedSample(docs, "doc_id", "text", seed = 7)
+      .collect()
+    // every singleton survives (threshold M/1 exceeds every rank)
+    assert(kept.count(_.getLong(1) == 1L) == 300)
+    // each duplicate cluster keeps its canonical plus ~size·(1/size) ≈ 1
+    // soft survivor — bound the tail generously, but far below the size
+    val heavy = kept.filter(_.getLong(1) == 200L)
+    val light = kept.filter(_.getLong(1) == 10L)
+    assert(heavy.count(_.getBoolean(2)) == 1 && light.count(_.getBoolean(2)) == 1)
+    assert(heavy.length >= 1 && heavy.length <= 10,
+      s"200-cluster kept ${heavy.length}")
+    assert(light.length >= 1 && light.length <= 5,
+      s"10-cluster kept ${light.length}")
+    // deterministic
+    val again = Sampling.clusterWeightedSample(docs, "doc_id", "text", seed = 7)
+      .collect().map(_.toSeq).toSet
+    assert(again == kept.map(_.toSeq).toSet)
+  }
 }
