@@ -170,15 +170,31 @@ object Aggregates {
     * Spark's approx_count_distinct is the same sketch). Sketch internals
     * differ across engines, so the gate is rows-only; the spec bounds the
     * error vs the exact count. */
-  val q64ApproxDistinct: QueryDef = QueryDef.rowsOnly("q64_approx_distinct") {
-    (spark, dir) =>
-      val t = Tables(spark, dir)
-      t.lineitem
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
-        .orderBy(col("l_returnflag"))
+  /** HLL++ approx count-distinct (reference uses the same HLL++ sketch).
+    * DuckDB's HLL differs, so the estimate itself cannot be oracled —
+    * instead the driver row hash-checks a deterministic projection: the
+    * EXACT distinct count (SQL-computable) plus a boolean that the HLL++
+    * estimate landed within 3× its configured rsd (0.05). The estimate is
+    * deterministic for fixed data, so a sketch regression flips the flag
+    * and the row goes red; the tight error-curve assertions stay in
+    * `AggregatesSpec`-land. */
+  val q64ApproxDistinct: QueryDef = QueryDef("q64_approx_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS approx_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          .cast(DoubleType) / col("exact_parts") <= 0.15).as("approx_ok"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** FILTER-clause aggregates (SQL:2003; both engines support the same
@@ -227,14 +243,38 @@ object Aggregates {
     * is an LLM-pipeline extension). Sketch output is engine-specific →
     * rows-only gate; the spec bounds its error against the exact
     * PERCENTILE_CONT of q82. */
-  val q84ApproxPercentile: QueryDef = QueryDef.rowsOnly("q84_approx_percentile") {
-    (spark, dir) =>
-      val t = Tables(spark, dir)
-      t.lineitem
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx"))
-        .orderBy(col("l_returnflag"))
+  /** Approximate percentile (reference/Spark: KLL-family rank sketch at
+    * accuracy 1000 → rank error ≤ 0.001·n). The approx VALUES differ
+    * across sketch implementations, so the driver row hash-checks the
+    * rank-error CONTRACT instead: re-rank each approximate percentile
+    * against the actual data and flag whether its realized rank fraction
+    * is within the (generous, tie-padded) band around the target. The
+    * oracle states the contract as constants — a sketch regression flips
+    * a flag and the row goes red. */
+  val q84ApproxPercentile: QueryDef = QueryDef("q84_approx_percentile",
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val approx = t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx"))
+    t.lineitem
+      .join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_extendedprice") <= col("p50_approx"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") <= col("p99_approx"), 1L).otherwise(0L)).as("le99"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("le50").cast(DoubleType) / col("n_rows"))
+          .between(0.49, 0.51).as("p50_rank_ok"),
+        (col("le99").cast(DoubleType) / col("n_rows"))
+          .between(0.98, 1.0).as("p99_rank_ok"))
+      .orderBy(col("l_returnflag"))
   }
 }

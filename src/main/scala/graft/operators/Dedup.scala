@@ -25,7 +25,8 @@ object Dedup {
 
   def defs: Seq[QueryDef] = Seq(
     q43DedupKeepFirst, q44DedupExact, q45NgramJaccard, q46MinHashLsh,
-    q47SimHash, q48SimHashPairs, q49DupClusters, q114IncrementalDedup)
+    q47SimHash, q48SimHashPairs, q49DupClusters, q114IncrementalDedup,
+    q118RepeatedSpans)
 
   /** Keep-first-row dedup on a key, ordered by event time: the batch
     * equivalent of the reference's streaming DeduplicateKeepFirstRowFunction
@@ -581,5 +582,94 @@ object Dedup {
     dupClusters(ngramJaccardPairs(Tables(spark, dir).documents,
       shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy(col("node"))
+  }
+
+  /** Corpus-frequency span masking (exact substring dedup à la
+    * "Deduplicating Training Data Makes Language Models Better"): per
+    * document, the maximal token spans covered by n-gram shingles that
+    * occur in ≥ `minDocs` DISTINCT documents — the spans a pretraining
+    * pipeline cuts out so boilerplate repeated across the corpus is not
+    * memorized verbatim. Overlapping/adjacent hot shingles merge into one
+    * span via gaps-and-islands over the running max span end.
+    *
+    * Scale shape: token explode (|tokens| rows, map-side), ONE global
+    * shingle-frequency aggregate (two-phase, map-combined), an equi-join
+    * of positions onto the hot set (hot shingles are few by construction
+    * — frequency ≥ minDocs), and a per-document window. No all-pairs
+    * anything; the corpus is never collected. */
+  def repeatedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"need n >= 1, minDocs >= 2: $n, $minDocs")
+    val posW = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ", -1)).as(Seq("i", "w")))
+    val sh = toks
+      .withColumn("shingle",
+        concat_ws(" ", (0 until n).map(k => lead(col("w"), k).over(posW)): _*))
+      // a tail window shorter than n concatenates fewer words — drop it
+      // (computed as a column first: window expressions cannot sit in a
+      // WHERE clause)
+      .withColumn("_last", lead(col("w"), n - 1).over(posW))
+      .filter(col("_last").isNotNull)
+      .select(col("doc_id"), col("i"), col("shingle"))
+    val hot = sh.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("shingle"))
+    val hits = sh.join(hot, "shingle").select(col("doc_id"), col("i"))
+    val prevEnd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runW = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("pe", max(col("i") + (n - 1)).over(prevEnd))
+      .withColumn("st",
+        when(col("pe").isNull || col("i") > col("pe") + 1, 1).otherwise(0))
+      .withColumn("sid", sum(col("st")).over(runW))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_shingles"))
+  }
+
+  /** Driver row: 3-gram spans repeated in ≥ 2 documents, fixture corpus. */
+  val q118RepeatedSpans: QueryDef = QueryDef("q118_repeated_spans",
+    """WITH toks AS (
+      |  SELECT doc_id, i - 1 AS i, w FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split(text, ' ')) AS w,
+      |      generate_subscripts(string_split(text, ' '), 1) AS i
+      |    FROM documents)),
+      |sh AS (
+      |  SELECT doc_id, i,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      |  FROM toks
+      |  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+      |hot AS (
+      |  SELECT shingle FROM sh GROUP BY shingle
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (
+      |  SELECT s.doc_id, s.i FROM sh s JOIN hot h USING (shingle)),
+      |isl AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN max(i + 2) OVER (PARTITION BY doc_id ORDER BY i
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR i > max(i + 2) OVER (PARTITION BY doc_id ORDER BY i
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+      |         THEN 1 ELSE 0 END AS st
+      |  FROM hits),
+      |sp AS (
+      |  SELECT doc_id, i,
+      |    SUM(st) OVER (PARTITION BY doc_id ORDER BY i
+      |                  ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM isl)
+      |SELECT doc_id, min(i) AS span_start, max(i) + 2 AS span_end,
+      |  count(*) AS n_shingles
+      |FROM sp GROUP BY doc_id, sid
+      |ORDER BY doc_id, span_start""".stripMargin) { (spark, dir) =>
+    repeatedSpans(Tables(spark, dir).documents, n = 3, minDocs = 2)
+      .orderBy(col("doc_id"), col("span_start"))
   }
 }

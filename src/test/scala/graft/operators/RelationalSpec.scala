@@ -68,7 +68,11 @@ class RelationalSpec extends SparkSpec {
       // q64 needs the same item returned at the same store in BOTH 1999
       // and 2000 after the color/price/margin filters — 2 rows at
       // sf0.01, none from the smoke fixture's ~3 eligible items
-      "qds64_literal")
+      "qds64_literal",
+      // structurally empty on the driver fixtures: the verbatim texts
+      // probe 1994 date windows and every fixture date is ≥ 1995-01-01
+      // (see TpcHLiteralSpec); both engines agree on the empty result
+      "tpch10_literal", "tpch12_literal")
     val empty = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val n = graft.SparkEntry.queries(name)(spark, sf()).count()
       if (n == 0 && !emptyOk(name)) Some(name) else None
