@@ -225,11 +225,21 @@ object Corpus {
     * fan-out by maxDocFreq² regardless of corpus size. */
   def sharedSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 6, w: Int = 4,
-      minShared: Long = 2, maxDocFreq: Long = 100): DataFrame = {
+      minShared: Long = 2, maxDocFreq: Long = 100,
+      fpPersist: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     require(maxDocFreq >= 2,
       s"maxDocFreq < 2 drops every cross-document fingerprint: $maxDocFreq")
-    val fps = winnowedFingerprints(docs, idCol, textCol, n, w)
+    // the fingerprint relation feeds three consumers (the doc-frequency
+    // cap + both join legs); `fpPersist` caches it once — same
+    // default-off rationale as the dedup family's shinglePersist: a
+    // library must not pin storage memory at 100 TB, while small/medium
+    // callers win the repeated explode+window pipeline back
+    val fps0 = winnowedFingerprints(docs, idCol, textCol, n, w)
+    val fps =
+      if (fpPersist == org.apache.spark.storage.StorageLevel.NONE) fps0
+      else fps0.persist(fpPersist)
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select(col("fp"))
     val indexed = fps.join(rare, Seq("fp"))
@@ -270,7 +280,8 @@ object Corpus {
        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
-    sharedSpans(Tables(spark, dir).documents)
+    sharedSpans(Tables(spark, dir).documents,
+      fpPersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy(col("id_a"), col("id_b"))
   }
 }
