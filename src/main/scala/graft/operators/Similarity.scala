@@ -30,7 +30,7 @@ object Similarity {
 
   def defs: Seq[QueryDef] =
     Seq(q50CosineKnn, q51CosineNearDup, q52AnnLsh, q53EmbeddingClusters,
-      q93AnnIvf, q102QuantizeInt8, q115SemanticScreen)
+      q93AnnIvf, q102QuantizeInt8, q115SemanticScreen, q119SemDeDup)
 
   private val Dim = 64
 
@@ -515,21 +515,15 @@ object Similarity {
   // lists buys recall ~0.8. On a real embedding corpus with tight
   // clusters, nprobe 1-4 of a much larger nlist is the typical setting —
   // same two knobs, different ratio.
-  def annIvfNeighbors(embIn: DataFrame, queryPred: Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 8, lloydIters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = Dim): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nlist && nlist >= 1,
-      s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
-    val spark = embIn.sparkSession
+  /** Deterministic seeds + Lloyd training, shared by the IVF search and
+    * [[semDeDup]]. Seed order = Knuth multiplicative hash of the id (ties
+    * by id): the same integer arithmetic the DuckDB oracle evaluates —
+    * uniform, order-independent, and engine-shared (Spark's xxhash64 is
+    * not). Input frame must carry (vec_id, e). */
+  private def trainIvfCentroids(emb: DataFrame, nlist: Int,
+      lloydIters: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val emb = embIn.select(col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("e"), queryPred.as("_is_q"))
-
-    // --- train: deterministic seeds, then Lloyd via DataFrame aggregates.
-    // Seed order = Knuth multiplicative hash of the id (ties by id): the
-    // same integer arithmetic the DuckDB oracle evaluates — uniform,
-    // order-independent, and engine-shared (Spark's xxhash64 is not).
     var centroids: Array[Array[Double]] = emb
       .orderBy(expr("(vec_id % 1048573) * 2654435761 % 2147483647"),
         col("vec_id")).limit(nlist)
@@ -562,6 +556,21 @@ object Similarity {
         }
       }.toArray
     }
+    centroids
+  }
+
+  def annIvfNeighbors(embIn: DataFrame, queryPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 8, lloydIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = Dim): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist && nlist >= 1,
+      s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
+    val spark = embIn.sparkSession
+    import spark.implicits._
+    val emb = embIn.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("e"), queryPred.as("_is_q"))
+    val centroids = trainIvfCentroids(
+      emb.select(col("vec_id"), col("e")), nlist, lloydIters)
 
     // --- index: one inverted list per corpus vector; queries probe nprobe
     val bc = spark.sparkContext.broadcast(centroids)
@@ -629,13 +638,19 @@ object Similarity {
     * round 1 ulp off; the VARCHAR path rounds the shortest repr half-up,
     * exactly Spark's Decimal semantics — verified empirically), and every
     * dot product is the identically-associated unrolled sum. */
-  private def duckIvfSql(k: Int, nlist: Int, nprobe: Int): String = {
-    def dotEC(e: String, c: String) =
-      (1 to Dim).map(i => s"$e[$i] * $c[$i]").mkString(" + ")
-    // score of vector e against a centroid row with cols (cent, nc)
-    def score(e: String) =
-      s"CASE WHEN c.nc = 0 THEN -1.7976931348623157e308 " +
-        s"ELSE (${dotEC(e, "c.cent")}) / sqrt(c.nc) END"
+  private def dotEC(e: String, c: String) =
+    (1 to Dim).map(i => s"$e[$i] * $c[$i]").mkString(" + ")
+
+  // score of vector e against a centroid row with cols (cent, nc)
+  private def duckCentroidScore(e: String) =
+    s"CASE WHEN c.nc = 0 THEN -1.7976931348623157e308 " +
+      s"ELSE (${dotEC(e, "c.cent")}) / sqrt(c.nc) END"
+
+  /** WITH-fragment chain shared by the q93 and q119 oracles: embeddings →
+    * seed centroids → both Lloyd iterations → one-list routing (`routed`).
+    * See [[duckIvfSql]] for the float-parity notes. */
+  private def duckIvfChain(nlist: Int): String = {
+    def score(e: String) = duckCentroidScore(e)
     // one Lloyd step: assign every vector to its best centroid in `prev`,
     // then per-(list, dim) exact decimal means; empty lists keep their row
     def step(prev: String, assignName: String, next: String): String =
@@ -657,7 +672,7 @@ object Similarity {
          |  SELECT p.list_id, COALESCE(n.cent, p.cent) AS cent,
          |    ${dotEC("COALESCE(n.cent, p.cent)", "COALESCE(n.cent, p.cent)")} AS nc
          |  FROM $prev p LEFT JOIN ${next}_m n ON p.list_id = n.list_id)""".stripMargin
-    s"""WITH emb AS (
+    s"""emb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),
        |cent0 AS (
@@ -674,7 +689,12 @@ object Similarity {
        |    SELECT m.vec_id, m.e, c.list_id,
        |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
        |                         ORDER BY ${score("m.e")} DESC, c.list_id) AS rnk
-       |    FROM emb m, cent2 c) WHERE rnk = 1),
+       |    FROM emb m, cent2 c) WHERE rnk = 1)""".stripMargin
+  }
+
+  private def duckIvfSql(k: Int, nlist: Int, nprobe: Int): String = {
+    def score(e: String) = duckCentroidScore(e)
+    s"""WITH ${duckIvfChain(nlist)},
        |probes AS (
        |  SELECT vec_id, e, list_id FROM (
        |    SELECT m.vec_id, m.e, c.list_id,
@@ -727,6 +747,64 @@ object Similarity {
         .withColumn("in_exact_topk",
           coalesce(col("in_exact_topk"), lit(false)))
         .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space dedup —
+    * cluster the corpus with the IVF coarse quantizer, then within each
+    * cluster drop every vector that has a LOWER-id neighbor at cosine ≥
+    * `threshold` (keep-first, not greedy-order-dependent: deterministic
+    * and engine-reproducible). Pairwise work is confined to clusters, so
+    * the cost is Σ|cluster|² — bounded by sizing nlist to the corpus
+    * (the standard SemDeDup practice), never all-pairs. Output: every
+    * vector with its cluster and a kept/dropped flag. */
+  def semDeDup(embIn: DataFrame, threshold: Double, nlist: Int = 16,
+      lloydIters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = Dim): DataFrame = {
+    val spark = embIn.sparkSession
+    import spark.implicits._
+    val emb = embIn.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("e"))
+    val centroids = trainIvfCentroids(emb, nlist, lloydIters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val routed = emb.as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e) => (id, nearestCentroid(e.toArray, cs, 1).head, e) }
+      }.toDF("vec_id", "list_id", "e")
+    val a = routed.select(col("list_id"), col("vec_id"), col("e").as("ea"))
+    val b = routed.select(col("list_id"), col("vec_id").as("prior_id"),
+      col("e").as("eb"))
+    val dropped = a.join(b,
+        a("list_id") === b("list_id") && col("prior_id") < col("vec_id"))
+      .filter(dot(col("ea"), col("eb"), dim) /
+        (sqrt(dot(col("ea"), col("ea"), dim)) * sqrt(dot(col("eb"), col("eb"), dim)))
+        >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("_dropped", lit(true))
+    routed
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("_dropped"), lit(false)).unary_!.as("is_kept"))
+  }
+
+  /** Driver row: SemDeDup at the corpus' established near-dup threshold
+    * (0.46 — see [[q51CosineNearDup]]); the oracle replays clustering +
+    * the keep-first rule end-to-end. */
+  val q119SemDeDup: QueryDef = QueryDef("q119_semdedup",
+    s"""WITH ${duckIvfChain(16)},
+       |dropped AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM routed a JOIN routed b
+       |    ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+       |  WHERE (${duckDot("a.e", "b.e")}) /
+       |      (sqrt(${duckDot("a.e", "a.e")}) * sqrt(${duckDot("b.e", "b.e")}))
+       |      >= 0.46)
+       |SELECT r.vec_id, r.list_id, (d.vec_id IS NULL) AS is_kept
+       |FROM routed r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+       |ORDER BY r.vec_id""".stripMargin) { (spark, dir) =>
+    semDeDup(Tables(spark, dir).embeddings, threshold = 0.46)
+      .orderBy(col("vec_id"))
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector
