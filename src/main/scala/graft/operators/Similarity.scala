@@ -772,15 +772,30 @@ object Similarity {
         val cs = bc.value
         it.map { case (id, e) => (id, nearestCentroid(e.toArray, cs, 1).head, e) }
       }.toDF("vec_id", "list_id", "e")
-    val a = routed.select(col("list_id"), col("vec_id"), col("e").as("ea"))
-    val b = routed.select(col("list_id"), col("vec_id").as("prior_id"),
-      col("e").as("eb"))
-    val dropped = a.join(b,
-        a("list_id") === b("list_id") && col("prior_id") < col("vec_id"))
-      .filter(dot(col("ea"), col("eb"), dim) /
-        (sqrt(dot(col("ea"), col("ea"), dim)) * sqrt(dot(col("eb"), col("eb"), dim)))
-        >= threshold)
-      .select(col("vec_id")).distinct()
+    // within-cluster pair scan as a primitive per-group kernel (the same
+    // measured ~40× win over column-algebra dots as the q50/q51 kernels):
+    // one shuffle on list_id, then O(|cluster|²) primitive arithmetic —
+    // exactly SemDeDup's cost model, with |cluster| bounded by nlist
+    // sizing. A vector drops when ANY lower-id cluster member sits at
+    // cos ≥ threshold (kept or itself dropped — matching the oracle's
+    // EXISTS formulation).
+    val dropped = routed.select(col("list_id"), col("vec_id"), col("e"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.map { case (_, id, e) => (id, e.toArray) }
+          .toArray.sortBy(_._1)
+        val norms = members.map { case (_, v) => math.sqrt(dotArr(v, v)) }
+        Iterator.range(1, members.length).filter { i =>
+          val v = members(i)._2
+          var j = 0; var hit = false
+          while (j < i && !hit) {
+            hit = dotArr(v, members(j)._2) / (norms(i) * norms(j)) >= threshold
+            j += 1
+          }
+          hit
+        }.map(i => members(i)._1)
+      }.toDF("vec_id")
       .withColumn("_dropped", lit(true))
     routed
       .join(dropped, Seq("vec_id"), "left")
