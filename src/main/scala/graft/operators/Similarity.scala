@@ -321,14 +321,30 @@ object Similarity {
   /** Exact top-k per gated query with the SAME raw-cosine formula as the
     * ANN paths (dot/(‖a‖·‖b‖), sequential sums — NOT the pre-normalized
     * [[cosineKnn]] corpus, whose different float path could pick a
-    * different neighbor on a near-tie and corrupt the recall flag). */
-  private def exactTopkRaw(emb: DataFrame, queryPred: Column, k: Int)
-      : DataFrame = {
+    * different neighbor on a near-tie and corrupt the recall flag).
+    *
+    * This is an AUDIT kernel: it broadcasts the corpus from the driver,
+    * so — like every exact kernel here — the collect is bounded to
+    * `maxRows + 1` rows (the limit travels into the scan) and exceeding
+    * `maxRows` fails fast instead of OOM-ing the driver. Past the cap the
+    * ANN result itself ([[annLshNeighbors]]/[[annIvfNeighbors]]) is still
+    * fully distributed; only the `in_exact_topk` audit column becomes
+    * uncomputable, because an exact ground truth at that scale is the
+    * all-pairs problem ANN exists to avoid. */
+  private[operators] def exactTopkRaw(emb: DataFrame, queryPred: Column,
+      k: Int, maxRows: Int = MaxBroadcastCorpusRows): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val rows = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .limit(maxRows + 1).as[(Long, Seq[Double])].collect()
+    require(rows.length <= maxRows,
+      s"exact-topk audit corpus exceeds $maxRows rows; the in_exact_topk " +
+        "audit flag needs a driver-broadcast exact ground truth and does " +
+        "not scale past broadcast size - run annLshNeighbors/" +
+        "annIvfNeighbors directly (fully distributed) without the audit " +
+        "column, or raise maxRows deliberately on a driver sized for it")
     val bc = spark.sparkContext.broadcast(
-      rows.as[(Long, Seq[Double])].collect().map { case (id, e) => (id, e.toArray) })
+      rows.map { case (id, e) => (id, e.toArray) })
     emb.filter(queryPred).select(col("vec_id")).as[Long]
       .mapPartitions { qids =>
         val corpus = bc.value

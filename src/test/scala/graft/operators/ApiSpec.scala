@@ -110,6 +110,23 @@ class ApiSpec extends SparkSpec {
     assert(e.getMessage.contains("annLsh"))
   }
 
+  test("exact-topk audit kernel refuses a corpus beyond the broadcast cap") {
+    import spark.implicits._
+    // the in_exact_topk audit column inside q52/q93 must fail fast past
+    // the cap (pointing at the distributed ANN entry points) rather than
+    // collect an unbounded corpus onto the driver
+    val emb = (0L to 9L).map(i => (i, Array.fill(64)(i.toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.exactTopkRaw(emb, col("vec_id") === 0L, k = 1, maxRows = 5)
+        .collect()
+    }
+    assert(e.getMessage.contains("annLshNeighbors"))
+    // within the cap the same kernel runs fine
+    assert(Similarity.exactTopkRaw(emb, col("vec_id") === 0L, k = 1,
+      maxRows = 100).collect().nonEmpty)
+  }
+
   test("annLshNeighbors runs on a custom schema with a custom predicate") {
     import spark.implicits._
     val dim = 64
