@@ -23,7 +23,8 @@ object StatefulBatch {
   def defs: Seq[QueryDef] =
     Seq(q72TopnState, q73KeepLastState, q74RunningOver, q88TemporalJoinState,
       q90CountTumble, q91CountSlide, q94RowsFrame, q95RangeFrame,
-      q97EarlyFire, q110LateFire, q104UpsertSink, q105RetractApply)
+      q97EarlyFire, q110LateFire, q104UpsertSink, q105RetractApply,
+      q120ProcRowsFrame, q121ProcRangeFrame)
 
   /** The upsert sink replayed over the events fixture as a bounded
     * stream (AvailableNow), then the sink's state table read back:
@@ -212,6 +213,52 @@ object StatefulBatch {
       |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
     StatefulOps.rangeBoundedAggregates(StatefulOps.typedEvents(spark, dir),
       java.time.Duration.ofHours(24)).toDF()
+      .select(col("user_id"), col("event_id"), col("n_in_frame"),
+        round(col("frame_sum"), 4).as("frame_sum"), col("frame_max"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Proc-time bounded-ROWS streaming OVER (reference
+    * ProcTimeRowsBoundedPrecedingFunction.java) collapsed to batch: one
+    * batch is one arrival sequence in (ts, event_id) order, so the
+    * operator equals the `ROWS BETWEEN 2 PRECEDING AND CURRENT ROW`
+    * window — the same collapse shape as q94 but through the
+    * no-watermark arrival-order code path (the cross-batch divergence
+    * between the two is what StreamingSpec pins). */
+  val q120ProcRowsFrame: QueryDef = QueryDef("q120_proc_rows_frame",
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER win AS n_in_frame,
+      |  round(SUM(value) OVER win, 4) AS frame_sum,
+      |  MAX(value) OVER win AS frame_max
+      |FROM events
+      |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    StatefulOps.procRowsBoundedAggregates(
+      StatefulOps.typedEvents(spark, dir), 2).toDF()
+      .select(col("user_id"), col("event_id"), col("n_in_frame"),
+        round(col("frame_sum"), 4).as("frame_sum"), col("frame_max"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Proc-time bounded-RANGE streaming OVER (reference
+    * ProcTimeRangeBoundedPrecedingFunction.java) collapsed to batch: a
+    * single batch is ONE processing-time instant, so every row of a key
+    * is every other row's peer and the frame is the whole partition —
+    * each row carries the identical per-key aggregate (the reference's
+    * same-millisecond peer contract at batch granularity). The
+    * horizon-eviction behavior across micro-batches is spec'd with an
+    * injected clock in StreamingSpec. */
+  val q121ProcRangeFrame: QueryDef = QueryDef("q121_proc_range_frame",
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER (PARTITION BY user_id) AS n_in_frame,
+      |  round(SUM(value) OVER (PARTITION BY user_id), 4) AS frame_sum,
+      |  MAX(value) OVER (PARTITION BY user_id) AS frame_max
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    StatefulOps.procRangeBoundedAggregates(
+      StatefulOps.typedEvents(spark, dir),
+      java.time.Duration.ofHours(1)).toDF()
       .select(col("user_id"), col("event_id"), col("n_in_frame"),
         round(col("frame_sum"), 4).as("frame_sum"), col("frame_max"))
       .orderBy(col("user_id"), col("event_id"))

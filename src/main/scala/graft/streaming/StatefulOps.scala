@@ -257,6 +257,118 @@ object StatefulOps {
         })
   }
 
+  case class ProcRingState(ring: Seq[Double])
+
+  /** Proc-time streaming OVER with a bounded ROWS frame — per-key
+    * count/sum/max over `ROWS BETWEEN <preceding> PRECEDING AND CURRENT
+    * ROW` in ARRIVAL order, emitted immediately on arrival (reference:
+    * RT/operators/over/ProcTimeRowsBoundedPrecedingFunction.java:129-216 —
+    * accumulate on processElement, retract the row that fell off the
+    * count ring, emit at once).
+    *
+    * The proc-time contract vs [[rowsBoundedAggregates]]: NO watermark,
+    * NO buffering, NO event-time reordering. A row frames against
+    * whatever arrived before it — a late row's frame includes rows with
+    * later event times, by design (the frame axis is processing order).
+    * Within one micro-batch, arrival order is made deterministic as
+    * (ts, event_id) — post-shuffle intra-batch order is otherwise
+    * arbitrary, and the reference has the same freedom within one
+    * network buffer. In batch execution the whole input is one arrival
+    * sequence, so the operator collapses to the plain
+    * `ROWS BETWEEN n PRECEDING AND CURRENT ROW` window over
+    * (ts, event_id) — the q120 oracle.
+    *
+    * Per-key state is the O(preceding + 1) value ring alone — no pending
+    * buffer exists because nothing ever waits. `idleTtl` is the
+    * reference's processing-time cleanup timer
+    * (registerProcessingCleanupTimer): an idle key's ring is dropped
+    * after that much processing time. */
+  def procRowsBoundedAggregates(events: Dataset[Event], preceding: Int,
+      idleTtl: Option[String] = None): Dataset[FrameAgg] = {
+    require(preceding >= 0, s"ROWS frame bound must be >= 0, got $preceding")
+    val cap = preceding + 1
+    implicit val outEnc = Encoders.product[FrameAgg]
+    implicit val stEnc = Encoders.product[ProcRingState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+        (user: Long, rows: Iterator[Event], state: GroupState[ProcRingState]) => {
+          if (handleTtl(state, idleTtl)) Iterator.empty
+          else {
+            val ring = scala.collection.mutable.ArrayDeque.empty[Double]
+            state.getOption.foreach(s => ring.addAll(s.ring))
+            val out = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
+              .map { e =>
+                ring.append(e.value)
+                if (ring.length > cap) ring.removeHead()
+                // full ring fold per row: MAX is not invertible under
+                // eviction and the left-to-right double sum is
+                // bit-deterministic (same trade as rowsBoundedAggregates)
+                FrameAgg(user, e.event_id, ring.length.toLong, ring.sum, ring.max)
+              }
+            state.update(ProcRingState(ring.toSeq))
+            out.iterator
+          }
+        })
+  }
+
+  case class ProcEntry(ms: Long, value: Double)
+  case class ProcBufState(buf: Seq[ProcEntry])
+
+  /** Proc-time streaming OVER with a bounded RANGE frame — per-key
+    * count/sum/max over rows whose PROCESSING time falls within
+    * `[arrival - horizon, arrival]` (reference:
+    * RT/operators/over/ProcTimeRangeBoundedPrecedingFunction.java — rows
+    * buffer under their arrival millisecond, a +1ms timer fires, expired
+    * entries retract, and every same-millisecond peer emits the SAME
+    * aggregate over the full peer set).
+    *
+    * Micro-batch rendering: the processing-time instant is the batch, so
+    * all of a key's rows in one micro-batch are peers — each emits the
+    * identical aggregates over the retained buffer plus the whole peer
+    * group, exactly the reference's same-millisecond contract at
+    * micro-batch granularity. Entries older than `horizon` of processing
+    * time retire before the peers accumulate. No watermark is involved;
+    * event time plays no role (the q121 batch collapse is therefore the
+    * whole-partition aggregate — a single batch is one instant).
+    *
+    * `procClock` exists for deterministic tests (inject a logical clock);
+    * production uses the wall clock. State is O(rows inside one horizon)
+    * per key, evicted on the key's next arrival; `idleTtl` clears keys
+    * that stop arriving (the reference's cleanup timer). */
+  def procRangeBoundedAggregates(events: Dataset[Event],
+      horizon: java.time.Duration,
+      procClock: () => Long = () => System.currentTimeMillis(),
+      idleTtl: Option[String] = None): Dataset[FrameAgg] = {
+    val horizonMs = horizon.toMillis
+    require(horizonMs >= 0, s"RANGE frame horizon must be >= 0, got $horizon")
+    implicit val outEnc = Encoders.product[FrameAgg]
+    implicit val stEnc = Encoders.product[ProcBufState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+        (user: Long, rows: Iterator[Event], state: GroupState[ProcBufState]) => {
+          if (handleTtl(state, idleTtl)) Iterator.empty
+          else {
+            val now = procClock()
+            val buf = scala.collection.mutable.ArrayDeque.empty[ProcEntry]
+            state.getOption.foreach(s => buf.addAll(s.buf))
+            // entries are appended in arrival order, so stamps are
+            // monotone and head-eviction retires everything expired
+            while (buf.nonEmpty && buf.head.ms < now - horizonMs) buf.removeHead()
+            val peers = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
+            peers.foreach(e => buf.append(ProcEntry(now, e.value)))
+            // one aggregate over the full frame, shared by every peer
+            val n = buf.length.toLong
+            var sum = 0.0
+            var max = Double.NegativeInfinity
+            buf.foreach { p => sum += p.value; if (p.value > max) max = p.value }
+            state.update(ProcBufState(buf.toSeq))
+            peers.iterator.map(e => FrameAgg(user, e.event_id, n, sum, max))
+          }
+        })
+  }
+
   case class TsVal(us: Long, value: Double)
   case class RangeFrameState(buf: Seq[TsVal], pending: Seq[Event])
 

@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.streaming.StatefulOps._
 
+/** JVM-static logical clock for the proc-time RANGE spec: local-mode
+  * executor threads share the JVM, so the injected `procClock` closure
+  * reads the value the test sets between micro-batches (same device as
+  * ApiSpec's AsyncProbe). */
+object ProcClockProbe {
+  val now = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 /** Structured-Streaming behavior specs: the flatMapGroupsWithState trio
   * (top-n, keep-last dedup, streaming OVER) fed through MemoryStream in
   * micro-batches, verified against the equivalent batch computation over
@@ -232,6 +240,61 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.event_id).toSeq == Seq(101L, 102L, 103L))
     assert(rows.map(_.frame_sum).toSeq == Seq(5.0, 14.0, 17.0),
       s"late row must frame in event-time order, got ${rows.toSeq}")
+  }
+
+  test("proc-time bounded-ROWS OVER frames in arrival order, not event time") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // ROWS BETWEEN 1 PRECEDING AND CURRENT ROW over PROCESSING order
+    val query = procRowsBoundedAggregates(input.toDS(), preceding = 1).writeStream
+      .format("memory").queryName("procrows").outputMode("append").start()
+    input.addData(Event(1, 101, ts(0), "view", 5.0), Event(1, 103, ts(2), "view", 3.0))
+    query.processAllAvailable()
+    // 102@10:01 arrives LATE: the proc-time contract frames it against
+    // what ARRIVED before it (103), never re-orders by event time — the
+    // exact divergence from rowsBoundedAggregates (see "frames follow
+    // event-time order" above, which asserts 5.0/14.0/17.0 on this input)
+    input.addData(Event(1, 102, ts(1), "view", 9.0))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("procrows").as[FrameAgg].collect()
+    // emission order IS arrival order: 101, 103, then late 102
+    assert(rows.map(_.event_id).toSeq == Seq(101L, 103L, 102L))
+    assert(rows.map(_.frame_sum).toSeq == Seq(5.0, 8.0, 12.0),
+      s"frames must follow arrival order, got ${rows.toSeq}")
+    assert(rows.map(_.n_in_frame).toSeq == Seq(1L, 2L, 2L))
+  }
+
+  test("proc-time bounded-RANGE OVER treats a micro-batch as one peer instant and evicts by the horizon") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    ProcClockProbe.now.set(100000L)
+    val query = procRangeBoundedAggregates(input.toDS(),
+      java.time.Duration.ofHours(1),
+      procClock = () => ProcClockProbe.now.get()).writeStream
+      .format("memory").queryName("procrange").outputMode("append").start()
+    // batch 1: both rows are peers — each emits the SAME aggregate over
+    // the full peer set (the reference's same-millisecond contract)
+    input.addData(Event(1, 101, ts(0), "view", 5.0), Event(1, 102, ts(1), "view", 9.0))
+    query.processAllAvailable()
+    // batch 2, 10 proc-minutes later: inside the horizon — frame keeps batch 1
+    ProcClockProbe.now.set(100000L + 10 * 60 * 1000L)
+    input.addData(Event(1, 103, ts(2), "view", 3.0))
+    query.processAllAvailable()
+    // batch 3, 2 proc-hours after batch 1 and 110 proc-minutes after
+    // batch 2: everything prior is past the 1-hour horizon and retires
+    ProcClockProbe.now.set(100000L + 2 * 3600 * 1000L)
+    input.addData(Event(1, 104, ts(3), "view", 8.0))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("procrange").as[FrameAgg].collect()
+    assert(rows.map(_.event_id).toSeq == Seq(101L, 102L, 103L, 104L))
+    assert(rows.map(_.frame_sum).toSeq == Seq(14.0, 14.0, 17.0, 8.0),
+      s"peers must share one frame and the horizon must evict, got ${rows.toSeq}")
+    assert(rows.map(_.n_in_frame).toSeq == Seq(2L, 2L, 3L, 1L))
+    assert(rows.map(_.frame_max).toSeq == Seq(9.0, 9.0, 9.0, 8.0))
   }
 
   test("watermarked tumbling-window aggregation closes windows") {
