@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -13,38 +13,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * the same name/semantics (reference: FlinkSqlOperatorTable.java +
   * SqlFunctionUtils.java, SURVEY.md §2.8).
   *
-  * Implementation stance: compose built-in `org.apache.spark.sql.functions`
-  * wherever semantics allow — composed columns stay inside whole-stage
-  * codegen for free. Only `HASH_CODE` (Java String.hashCode parity —
-  * reference SqlFunctionUtils.hashCode) needs a native [[Expression]], and
-  * it gets a real `doGenCode` so it fuses into the generated stage rather
-  * than falling back to interpreted eval.
+  * Implementation stance: every gap function is a native Catalyst
+  * [[Expression]] with a real `doGenCode` (eval + generated Java both
+  * delegate to the [[FnKernels]] static byte kernels), so the whole
+  * surface fuses into whole-stage codegen — no ScalaUDF boxing, no
+  * per-row regex. `DIV_INT` alone stays a composition because Spark's
+  * built-in `div` already has the exact semantics.
   */
 object GraftFunctions {
 
   /** SPLIT_INDEX(s, sep, i): i-th (0-based) field after splitting on the
-    * literal separator; NULL when out of range (reference
-    * SqlFunctionUtils.splitIndex). `split` takes a regex, so quote the
-    * separator; limit -1 keeps trailing empty fields. */
+    * LITERAL separator; NULL when out of range (reference
+    * SqlFunctionUtils.splitIndex). Native codegen'd [[SplitIndex]]. */
   def splitIndex(s: Column, sep: String, i: Int): Column =
-    element_at(split(s, java.util.regex.Pattern.quote(sep), -1), i + 1)
+    Bridge.column(SplitIndex(Bridge.expression(s),
+      Bridge.expression(lit(sep)), Bridge.expression(lit(i))))
 
   /** KEYVALUE(s, pairSep, kvSep, key): value for `key` in a
-    * "k1=v1&k2=v2"-style string (reference SqlFunctionUtils.keyValue). */
+    * "k1=v1&k2=v2"-style string (reference SqlFunctionUtils.keyValue).
+    * Native codegen'd [[KeyValue]]. */
   def keyValue(s: Column, pairSep: String, kvSep: String, key: String): Column =
-    element_at(str_to_map(s,
-      lit(java.util.regex.Pattern.quote(pairSep)),
-      lit(java.util.regex.Pattern.quote(kvSep))), key)
+    Bridge.column(KeyValue(Bridge.expression(s), Bridge.expression(lit(pairSep)),
+      Bridge.expression(lit(kvSep)), Bridge.expression(lit(key))))
 
-  /** IS_DECIMAL(s): string parses as a decimal number. */
-  def isDecimal(s: Column): Column =
-    s.rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$")
+  /** IS_DECIMAL(s): string parses as a decimal number ([[IsDecimal]]). */
+  def isDecimal(s: Column): Column = Bridge.column(IsDecimal(Bridge.expression(s)))
 
-  /** IS_DIGIT(s): non-empty and all ASCII digits. */
-  def isDigit(s: Column): Column = s.rlike("^[0-9]+$")
+  /** IS_DIGIT(s): non-empty and all ASCII digits ([[IsDigit]]). */
+  def isDigit(s: Column): Column = Bridge.column(IsDigit(Bridge.expression(s)))
 
-  /** IS_ALPHA(s): non-empty and all ASCII letters. */
-  def isAlpha(s: Column): Column = s.rlike("^[A-Za-z]+$")
+  /** IS_ALPHA(s): non-empty and all ASCII letters ([[IsAlpha]]). */
+  def isAlpha(s: Column): Column = Bridge.column(IsAlpha(Bridge.expression(s)))
 
   /** DIV_INT(a, b): integral division truncating toward zero. */
   def divInt(a: Column, b: Column): Column = call_function("div", a, b)
@@ -54,26 +53,217 @@ object GraftFunctions {
     Bridge.column(JavaHashCode(Bridge.expression(s)))
 
   /** Register SQL names so `spark.sql` queries can call the gap functions
-    * by their reference names. */
+    * by their reference names. All five resolve to the native codegen'd
+    * expressions below — no ScalaUDF boxing anywhere on this surface
+    * (`hash_code` set the house style; round-7 review flagged the old
+    * closure registrations as the only UDF-where-an-Expression-fits). */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("split_index",
-      (s: String, sep: String, i: Int) =>
-        if (s == null) null
-        else { val p = s.split(java.util.regex.Pattern.quote(sep), -1)
-               if (i >= 0 && i < p.length) p(i) else null })
-    spark.udf.register("keyvalue",
-      (s: String, ps: String, ks: String, key: String) =>
-        if (s == null) null
-        else s.split(java.util.regex.Pattern.quote(ps), -1).iterator
-          .map(_.split(java.util.regex.Pattern.quote(ks), 2))
-          .collectFirst { case Array(k, v) if k == key => v }.orNull)
-    spark.udf.register("is_decimal", (s: String) =>
-      s != null && s.matches("[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)"))
-    spark.udf.register("is_digit", (s: String) => s != null && s.matches("[0-9]+"))
-    spark.udf.register("is_alpha", (s: String) => s != null && s.matches("[A-Za-z]+"))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hash_code", graft.GraftExtensions.hashCodeBuilder _, "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("split_index",
+      graft.GraftExtensions.splitIndexBuilder _, "built-in")
+    reg.createOrReplaceTempFunction("keyvalue",
+      graft.GraftExtensions.keyValueBuilder _, "built-in")
+    reg.createOrReplaceTempFunction("is_decimal",
+      graft.GraftExtensions.isDecimalBuilder _, "built-in")
+    reg.createOrReplaceTempFunction("is_digit",
+      graft.GraftExtensions.isDigitBuilder _, "built-in")
+    reg.createOrReplaceTempFunction("is_alpha",
+      graft.GraftExtensions.isAlphaBuilder _, "built-in")
+    reg.createOrReplaceTempFunction("hash_code",
+      graft.GraftExtensions.hashCodeBuilder _, "built-in")
   }
+}
+
+/** Static kernels invoked from both interpreted eval and generated Java —
+  * one implementation per function, shared byte-level logic (a Scala
+  * top-level object emits static forwarders the generated code calls as
+  * `graft.functions.FnKernels.<name>(...)`). The `is*` predicates are
+  * allocation-free byte loops — the reference implements the same checks
+  * as char scans in SqlFunctionUtils.java (isDecimal/isDigit/isAlpha),
+  * and the pre-round-8 `String.matches` closures recompiled their regex
+  * per row. */
+object FnKernels {
+
+  /** SPLIT_INDEX: i-th 0-based field on the LITERAL separator, trailing
+    * empties kept, null when out of range / negative / empty separator
+    * (reference SqlFunctionUtils.splitIndex). `splitSQL` is Spark's
+    * literal (non-regex) splitter. */
+  def splitIndex(s: UTF8String, sep: UTF8String, i: Int): UTF8String =
+    if (i < 0 || sep.numBytes == 0) null
+    else {
+      val parts = s.splitSQL(sep, -1)
+      if (i < parts.length) parts(i) else null
+    }
+
+  /** KEYVALUE: value of `key` in a "k1=v1&k2=v2"-style string — the pair
+    * whose text before its FIRST kvSep equals `key` (reference
+    * SqlFunctionUtils.keyValue). Byte-wise: the first kvSep occurrence
+    * must sit exactly at key.numBytes with the key as prefix. */
+  def keyValue(s: UTF8String, pairSep: UTF8String, kvSep: UTF8String,
+      key: UTF8String): UTF8String = {
+    if (pairSep.numBytes == 0 || kvSep.numBytes == 0) return null
+    val pairs = s.splitSQL(pairSep, -1)
+    var i = 0
+    while (i < pairs.length) {
+      val p = pairs(i)
+      if (p.find(kvSep, 0) == key.numBytes && p.startsWith(key)) {
+        val bytes = p.getBytes
+        return UTF8String.fromBytes(java.util.Arrays.copyOfRange(
+          bytes, key.numBytes + kvSep.numBytes, bytes.length))
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** IS_DECIMAL: `[+-]? (digits [. digits*] | . digits+)` over ASCII
+    * bytes (non-ASCII bytes are negative and fail every range check). */
+  def isDecimal(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    var i = 0
+    if (i < n && (s.getByte(i) == '+' || s.getByte(i) == '-')) i += 1
+    var intDigits = 0
+    while (i < n && s.getByte(i) >= '0' && s.getByte(i) <= '9') { i += 1; intDigits += 1 }
+    if (i == n) return intDigits > 0
+    if (s.getByte(i) != '.') return false
+    i += 1 // consume the dot
+    var fracDigits = 0
+    while (i < n && s.getByte(i) >= '0' && s.getByte(i) <= '9') { i += 1; fracDigits += 1 }
+    i == n && (intDigits > 0 || fracDigits > 0)
+  }
+
+  /** IS_DIGIT: non-empty, all ASCII digits. */
+  def isDigit(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    if (n == 0) return false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < '0' || b > '9') return false
+      i += 1
+    }
+    true
+  }
+
+  /** IS_ALPHA: non-empty, all ASCII letters. */
+  def isAlpha(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    if (n == 0) return false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (!((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z'))) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** SPLIT_INDEX(s, sep, i) as a codegen'd Catalyst expression (reference
+  * FlinkSqlOperatorTable SPLIT_INDEX / SqlFunctionUtils.splitIndex).
+  * Null-propagating on its inputs; additionally null when the index is
+  * out of range, so codegen re-checks the kernel result. */
+case class SplitIndex(str: Expression, sep: Expression, idx: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def first: Expression = str
+  override def second: Expression = sep
+  override def third: Expression = idx
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "split_index"
+
+  override protected def nullSafeEval(s: Any, p: Any, i: Any): Any =
+    FnKernels.splitIndex(s.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String], i.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p, i) =>
+      s"""${ev.value} = graft.functions.FnKernels.splitIndex($s, $p, $i);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SplitIndex =
+    copy(str = newFirst, sep = newSecond, idx = newThird)
+}
+
+/** KEYVALUE(s, pairSep, kvSep, key) as a codegen'd Catalyst expression
+  * (reference FlinkSqlOperatorTable KEYVALUE / SqlFunctionUtils.keyValue).
+  * Null-propagating; null when the key is absent. */
+case class KeyValue(str: Expression, pairSep: Expression, kvSep: Expression,
+    key: Expression) extends QuaternaryExpression with ImplicitCastInputTypes {
+
+  override def first: Expression = str
+  override def second: Expression = pairSep
+  override def third: Expression = kvSep
+  override def fourth: Expression = key
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "keyvalue"
+
+  override protected def nullSafeEval(s: Any, ps: Any, ks: Any, k: Any): Any =
+    FnKernels.keyValue(s.asInstanceOf[UTF8String], ps.asInstanceOf[UTF8String],
+      ks.asInstanceOf[UTF8String], k.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, ps, ks, k) =>
+      s"""${ev.value} = graft.functions.FnKernels.keyValue($s, $ps, $ks, $k);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): KeyValue =
+    copy(str = newFirst, pairSep = newSecond, kvSep = newThird, key = newFourth)
+}
+
+/** Shared shape of the three ASCII-class predicates: STRING → BOOLEAN,
+  * null-propagating (the SQL registrations wrap with `coalesce(_, false)`
+  * to keep the historical is_decimal(NULL) = false contract), eval and
+  * codegen both delegating to the same [[FnKernels]] byte loop. */
+abstract class AsciiPredicate extends UnaryExpression with ImplicitCastInputTypes {
+  /** FnKernels static method name — the single point both paths call. */
+  protected def kernel: String
+  protected def test(s: UTF8String): Boolean
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(input: Any): Any =
+    test(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FnKernels.$kernel($c)")
+}
+
+/** IS_DECIMAL(s) (reference SqlFunctionUtils.isDecimal). */
+case class IsDecimal(child: Expression) extends AsciiPredicate {
+  override protected def kernel: String = "isDecimal"
+  override protected def test(s: UTF8String): Boolean = FnKernels.isDecimal(s)
+  override def prettyName: String = "is_decimal"
+  override protected def withNewChildInternal(newChild: Expression): IsDecimal =
+    copy(child = newChild)
+}
+
+/** IS_DIGIT(s) (reference SqlFunctionUtils.isDigit). */
+case class IsDigit(child: Expression) extends AsciiPredicate {
+  override protected def kernel: String = "isDigit"
+  override protected def test(s: UTF8String): Boolean = FnKernels.isDigit(s)
+  override def prettyName: String = "is_digit"
+  override protected def withNewChildInternal(newChild: Expression): IsDigit =
+    copy(child = newChild)
+}
+
+/** IS_ALPHA(s) (reference SqlFunctionUtils.isAlpha). */
+case class IsAlpha(child: Expression) extends AsciiPredicate {
+  override protected def kernel: String = "isAlpha"
+  override protected def test(s: UTF8String): Boolean = FnKernels.isAlpha(s)
+  override def prettyName: String = "is_alpha"
+  override protected def withNewChildInternal(newChild: Expression): IsAlpha =
+    copy(child = newChild)
 }
 
 /** Java `String.hashCode` as a codegen'd Catalyst expression — the

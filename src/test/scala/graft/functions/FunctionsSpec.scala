@@ -51,4 +51,50 @@ class FunctionsSpec extends SparkSpec {
       .select(GraftFunctions.splitIndex(col("s"), "|", 1)).head().getString(0)
     assert(r == "b")
   }
+
+  test("gap-function edge semantics: empties, signs, first-kvSep, non-ASCII") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT split_index('a,,c', ',', 1) AS empty_field,
+        |  split_index('a,b,', ',', 2) AS trailing_empty,
+        |  split_index('abc', 'x', 0) AS no_sep,
+        |  keyvalue('a=b=c&d=e', '&', '=', 'a') AS first_kv,
+        |  keyvalue('a=b', '&', '=', 'zz') AS missing_key,
+        |  keyvalue('ab=c', '&', '=', 'a') AS prefix_not_key,
+        |  is_decimal('+.5') AS dec_sign_frac, is_decimal('5.') AS dec_trail_dot,
+        |  is_decimal('.') AS dec_dot_only, is_decimal('+') AS dec_sign_only,
+        |  is_decimal('') AS dec_empty, is_decimal(CAST(NULL AS STRING)) AS dec_null,
+        |  is_alpha('abä') AS alpha_non_ascii,
+        |  is_digit('１２') AS digit_fullwidth""".stripMargin).head()
+    assert(r.getString(0) == "")
+    assert(r.getString(1) == "")
+    assert(r.getString(2) == "abc")
+    assert(r.getString(3) == "b=c", "value is everything after the FIRST kvSep")
+    assert(r.isNullAt(4))
+    assert(r.isNullAt(5), "key must match the whole text before the kvSep")
+    assert(r.getBoolean(6) && r.getBoolean(7))
+    assert(!r.getBoolean(8) && !r.getBoolean(9) && !r.getBoolean(10))
+    assert(!r.getBoolean(11), "SQL is_decimal(NULL) keeps the false contract")
+    assert(!r.getBoolean(12), "non-ASCII letters are not IS_ALPHA")
+    assert(!r.getBoolean(13), "full-width digits are not IS_DIGIT")
+  }
+
+  test("q32 runs the native expressions - no ScalaUDF anywhere in its plan") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val df = graft.SparkEntry.queries("q32_hash_gap_fns")(spark, sf("sf0.001"))
+    df.collect()
+    val plans = planNodes(df.queryExecution.executedPlan)
+    val udfs = plans.flatMap(_.expressions).flatMap(_.collect { case u: ScalaUDF => u })
+    assert(udfs.isEmpty, s"boxed UDFs in the q32 plan: $udfs")
+    val native = plans.flatMap(_.expressions).flatMap(_.collect {
+      case e: SplitIndex => e.prettyName
+      case e: KeyValue => e.prettyName
+      case e: IsDecimal => e.prettyName
+      case e: IsDigit => e.prettyName
+      case e: IsAlpha => e.prettyName
+      case e: JavaHashCode => e.prettyName
+    }).toSet
+    assert(native == Set("split_index", "keyvalue", "is_decimal", "is_digit",
+      "is_alpha", "hash_code"), s"native gap expressions in plan: $native")
+  }
 }
