@@ -90,14 +90,22 @@ object Catalog {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   /** Footer-inferred schema per fixture file, cached — one footer read per
-    * (dir, table) for the lifetime of the JVM. Schema inference on a single
-    * parquet file is a metadata-only read (no row groups touched). */
+    * (dir, table) generation. Schema inference on a single parquet file is
+    * a metadata-only read (no row groups touched). The cache key carries
+    * the file's (length, mtime) so a fixture regenerated IN PLACE while a
+    * session runs reads its fresh footer instead of the stale cached one —
+    * exactly the silent-drift scenario [[assertFixtureSchemas]] exists to
+    * catch (stale generations stay in the map; the handful of fixture
+    * files makes that leak irrelevant). */
   private val footerSchemas =
-    scala.collection.concurrent.TrieMap.empty[String, StructType]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), StructType]
 
-  def footerSchema(spark: SparkSession, dir: String, name: String): StructType =
-    footerSchemas.getOrElseUpdate(path(dir, name),
-      spark.read.parquet(path(dir, name)).schema)
+  def footerSchema(spark: SparkSession, dir: String, name: String): StructType = {
+    val p = path(dir, name)
+    val f = new java.io.File(p)
+    footerSchemas.getOrElseUpdate((p, f.length, f.lastModified),
+      spark.read.parquet(p).schema)
+  }
 
   /** Fail fast when a fixture file's footer does not match the pinned
     * catalog schema (names, order, types — timestamp unit included). The

@@ -268,12 +268,20 @@ object Aggregates {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col("l_extendedprice") <= col("p50_approx"), 1L).otherwise(0L)).as("le50"),
-        sum(when(col("l_extendedprice") <= col("p99_approx"), 1L).otherwise(0L)).as("le99"))
+        // ties counted separately and credited at HALF weight: the
+        // midpoint rank (strictly-below + equal/2) is the value's rank
+        // regardless of how much tie mass sits exactly at the returned
+        // percentile, so a fixture that duplicates the approx-median
+        // price cannot push the fraction past the band (a plain <= count
+        // jumps by the whole tie mass and false-positives the contract)
+        sum(when(col("l_extendedprice") < col("p50_approx"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") === col("p50_approx"), 1L).otherwise(0L)).as("eq50"),
+        sum(when(col("l_extendedprice") < col("p99_approx"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("l_extendedprice") === col("p99_approx"), 1L).otherwise(0L)).as("eq99"))
       .select(col("l_returnflag"), col("n_rows"),
-        (col("le50").cast(DoubleType) / col("n_rows"))
+        ((col("lt50") + col("eq50").cast(DoubleType) / 2) / col("n_rows"))
           .between(0.49, 0.51).as("p50_rank_ok"),
-        (col("le99").cast(DoubleType) / col("n_rows"))
+        ((col("lt99") + col("eq99").cast(DoubleType) / 2) / col("n_rows"))
           .between(0.98, 1.0).as("p99_rank_ok"))
       .orderBy(col("l_returnflag"))
   }

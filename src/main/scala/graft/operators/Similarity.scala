@@ -498,6 +498,12 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("ea"), col("eb"))
       .dropDuplicates("query_id", "neighbor_id")
 
+    // accepted residual risk (round-7 advice): cos_r = round(cos, 9)
+    // compares Spark's BigDecimal HALF_UP against DuckDB's binary-double
+    // round, which can differ when a cosine lands within ~1 ulp of a
+    // 9th-decimal halfway point. If a red row ever isolates to cos_r
+    // alone, canonicalize via the VARCHAR printf route used for decimals
+    // instead of arithmetic round (applies equally to the IVF path).
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     candidates

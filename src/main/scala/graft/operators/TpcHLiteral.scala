@@ -115,11 +115,30 @@ object TpcHLiteral {
        |customer_v AS (\n${customerView}customer),
        |part_v AS (\n${partView}part),
        |orders_v AS (\n${ordersView}orders)""".stripMargin
-  private def renameTables(body: String): String = body
-    .replaceAll("\\blineitem\\b", "lineitem_v")
-    .replaceAll("\\bcustomer\\b", "customer_v")
-    .replaceAll("\\bpart\\b", "part_v")
-    .replaceAll("\\borders\\b", "orders_v")
+  /** Table-name rewrite that never reaches inside single-quoted string
+    * literals: a verbatim text filtering on e.g. `o_comment LIKE
+    * '%orders%'` must keep its constant intact or the oracle would query
+    * a different value than Spark (round-7 advice). Quoted segments are
+    * copied through untouched; the word-boundary renames apply only to
+    * the SQL text between them. */
+  private[operators] def renameTables(body: String): String = {
+    val quoted = java.util.regex.Pattern.compile("'[^']*'")
+    def renamePlain(s: String): String = s
+      .replaceAll("\\blineitem\\b", "lineitem_v")
+      .replaceAll("\\bcustomer\\b", "customer_v")
+      .replaceAll("\\bpart\\b", "part_v")
+      .replaceAll("\\borders\\b", "orders_v")
+    val m = quoted.matcher(body)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(renamePlain(body.substring(last, m.start())))
+      sb.append(m.group())
+      last = m.end()
+    }
+    sb.append(renamePlain(body.substring(last)))
+    sb.toString
+  }
 
   // ---- oracle exactness fixups ------------------------------------------
 

@@ -45,6 +45,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession =
-    graft.core.SessionFactory.local("graft-test", cpus = "4")
+  /** The fixture-schema gate runs BEFORE any suite touches the session:
+    * a driver fixture regeneration must surface as this one loud
+    * schema-drift error in every suite's initialization, never as 200
+    * mysterious hash mismatches downstream (round-7 verdict #8 — this is
+    * the suite-side twin of the Verify entry gate). */
+  lazy val session: SparkSession = {
+    val s = graft.core.SessionFactory.local("graft-test", cpus = "4")
+    Seq("sf0.001", "sf0.01", "sf0.1").map(d => s"/root/testdata/$d")
+      .filter(d => new java.io.File(d).isDirectory)
+      .foreach(d => graft.core.Catalog.assertFixtureSchemas(s, d))
+    s
+  }
 }

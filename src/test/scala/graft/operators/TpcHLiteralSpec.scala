@@ -37,6 +37,27 @@ class TpcHLiteralSpec extends SparkSpec {
     }
   }
 
+  test("renameTables never rewrites inside quoted string literals") {
+    // a constant like '%orders%' must survive the oracle's table rename
+    // verbatim, or the oracle queries a different value than Spark
+    val body = "select o_orderkey from orders " +
+      "where o_comment like '%orders%' and o_clerk <> 'customer lineitem' " +
+      "and exists (select 1 from lineitem where l_orderkey = o_orderkey)"
+    val renamed = TpcHLiteral.renameTables(body)
+    assert(renamed.contains("from orders_v"))
+    assert(renamed.contains("from lineitem_v"))
+    assert(renamed.contains("'%orders%'"), s"literal corrupted: $renamed")
+    assert(renamed.contains("'customer lineitem'"), s"literal corrupted: $renamed")
+    // and the quoted segments are bytewise unchanged as a set
+    def quotes(s: String) =
+      "'[^']*'".r.findAllIn(s).toSeq
+    assert(quotes(body) == quotes(renamed))
+    // the 7 shipped texts keep their literal sets through the rewrite too
+    stems.values.foreach { b =>
+      assert(quotes(b) == quotes(TpcHLiteral.renameTables(b)))
+    }
+  }
+
   test("non-structurally-empty TPC-H literals return rows at sf0.001") {
     // q10 (1994 order window) and q12 (1994 receipt window) are
     // structurally empty: every fixture order/ship date is ≥ 1995-01-01,
