@@ -1,0 +1,141 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility: tile a fixture directory N× into a larger scale factor.
+  *
+  * The reference's defining correctness harness executes its 101 TPC-DS
+  * queries at scale factor 1 over dsdgen data (reference:
+  * flink-table-planner-blink .../tpc/TpcDsBatchExecITCase.scala:44,104-139);
+  * the driver-provided fixtures stop at sf0.1. This tool closes that gap
+  * inside the sandbox: it replicates each driver table `factor` times with
+  * per-replica key offsets, so every foreign key still lands on exactly one
+  * scaled dimension row and per-replica join structure is preserved —
+  * cardinalities, join fan-outs and aggregate group counts all scale
+  * linearly, which is what plan-shape behavior (broadcast demotions, AQE
+  * skew splits, spills) responds to.
+  *
+  * Scaling rules (strides = observed max key + 1, read from the base dir):
+  *  - region/nation: fixed dimensions, copied as-is (TPC-H keeps both
+  *    constant across scale factors).
+  *  - customer/supplier/part/orders/lineitem: surrogate keys offset by
+  *    `replica * stride`; l_orderkey↔o_orderkey, l_partkey↔p_partkey,
+  *    l_suppkey↔s_suppkey, o_custkey↔c_custkey all stay consistent.
+  *  - events: event_id/user_id offset; timestamps unchanged (same window,
+  *    factor× the density — how real traffic scales).
+  *  - documents: doc_id offset; replicas >0 get a short `r<i> ` text
+  *    prefix so the corpus does not become factor× exact duplicates of
+  *    itself (which would turn every dedup operator's output into a
+  *    degenerate one-cluster answer); the prefix shifts a handful of
+  *    shingles, so replicas are realistic near-duplicates instead.
+  *  - embeddings: vec_id offset; replicas >0 get one coordinate nudged by
+  *    a small deterministic per-replica delta, for the same reason in
+  *    cosine space (exact ties in every distance would make ANN top-k
+  *    tie-break-bound rather than geometry-bound).
+  *
+  * NOT part of the shipped library surface: this is harness tooling, like
+  * [[Explain]] — determinism matters (re-runs must produce byte-identical
+  * semantics for the DuckDB oracle), driver-side realism does not.
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val out = args(1)
+    val factor = args(2).toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = graft.core.SessionFactory.local("graft-scalegen")
+    graft.core.Catalog.assertFixtureSchemas(spark, base)
+    scale(spark, base, out, factor)
+    spark.stop()
+  }
+
+  /** Columns whose values are offset by `replica * (max+1)` per table. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** The stride source per key column: the table that OWNS the key space
+    * (foreign keys must use the owner's stride, not their own max —
+    * o_custkey's max equals c_custkey's max here, but keying the stride on
+    * the owning table is what makes that an invariant rather than a
+    * coincidence). */
+  private val strideOwner: Map[String, (String, String)] = Map(
+    "c_custkey" -> ("customer", "c_custkey"),
+    "s_suppkey" -> ("supplier", "s_suppkey"),
+    "p_partkey" -> ("part", "p_partkey"),
+    "o_orderkey" -> ("orders", "o_orderkey"),
+    "o_custkey" -> ("customer", "c_custkey"),
+    "l_orderkey" -> ("orders", "o_orderkey"),
+    "l_partkey" -> ("part", "p_partkey"),
+    "l_suppkey" -> ("supplier", "s_suppkey"),
+    "event_id" -> ("events", "event_id"),
+    "user_id" -> ("events", "user_id"),
+    "doc_id" -> ("documents", "doc_id"),
+    "vec_id" -> ("embeddings", "vec_id"))
+
+  def scale(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    import graft.core.Catalog
+    // one tiny aggregate per owned key space — strides for the offsets
+    val strides: Map[String, Long] = strideOwner.values.toSeq.distinct.map {
+      case (table, col0) =>
+        val m = Catalog.load(spark, base, table)
+          .agg(max(col(col0))).head.getLong(0)
+        (table, col0) -> (m + 1)
+    }.toMap.map { case ((_, c), v) => c -> v }
+
+    Catalog.tableNames.foreach { t =>
+      val src = Catalog.load(spark, base, t)
+      val tiled: DataFrame =
+        if (!keyCols.contains(t)) src // fixed dimensions: region, nation
+        else {
+          // one source scan, exploded factor×: cheaper and more
+          // deterministic than a self-union chain, and keeps the write a
+          // single stage
+          val exploded = src.withColumn("replica",
+            explode(array((0 until factor).map(lit): _*)))
+          val offset = keyCols(t).foldLeft(exploded) { (df, c) =>
+            df.withColumn(c,
+              col(c) + col("replica") * lit(strides(strideOwner(c)._2)))
+          }
+          val salted = t match {
+            case "documents" =>
+              // replicas become near-duplicates, not exact duplicates
+              offset.withColumn("text",
+                when(col("replica") === 0, col("text"))
+                  .otherwise(concat(lit("r"), col("replica"), lit(" "),
+                    col("text"))))
+            case "embeddings" =>
+              // nudge coordinate (replica % dim) by 1e-3·replica: breaks
+              // exact cosine ties between replicas, preserves geometry
+              offset.withColumn("embedding",
+                when(col("replica") === 0, col("embedding")).otherwise(
+                  expr("transform(embedding, (x, j) -> " +
+                    "CAST(x + IF(j = replica % size(embedding), " +
+                    "1e-3 * replica, 0d) AS FLOAT))")))
+            case _ => offset
+          }
+          salted.drop("replica")
+        }
+      // enforce the catalog column order + types on the way out, so the
+      // scaled footer passes assertFixtureSchemas like a driver fixture
+      val shaped = tiled.select(Catalog.schemas(t).fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      // a handful of multi-MB files per big table: splittable for scan
+      // parallelism without a small-files explosion
+      val parts = if (Seq("lineitem", "orders", "events").contains(t)) 8
+        else 1
+      shaped.repartition(parts)
+        .write.mode("overwrite").parquet(Catalog.path(out, t))
+      println(s"[scalegen] $t -> ${Catalog.path(out, t)}")
+    }
+  }
+}
