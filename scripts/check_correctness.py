@@ -25,9 +25,14 @@ def norm(v):
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver fixtures are single files; ScaleGen (SF1 soak) writes
+        # Spark-style directories — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     prefix = sys.argv[3] if len(sys.argv) > 3 else ""
     n_pass = n_fail = 0

@@ -1,11 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Queries to run for an arg: no arg → full set; `--names=a,b` → exactly
+    * those (isolated-child invocation); anything else → name-prefix filter
+    * (dev iteration). The driver passes no args and benches the full set. */
+  private[graft] def selected(arg: String): Seq[String] = {
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    if (arg.isEmpty) all
+    else if (arg.startsWith("--names="))
+      arg.stripPrefix("--names=").split(',').toSeq.filter(all.contains)
+    else all.filter(_.startsWith(arg))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // optional arg: bench only queries with this name prefix (dev
-    // iteration; the driver passes no args and benches the full set)
-    val prefix = if (args.length > 0) args(0) else ""
+    if (args.headOption.contains("--isolated")) {
+      isolated(sfDir, if (args.length > 1) args(1).toInt else 16)
+      return
+    }
+    val names = selected(if (args.length > 0) args(0) else "")
     val spark = graft.core.SessionFactory.local("graft-bench")
     // absorb session/codegen/reader init outside the timed region: the
     // fact-table scan+agg warms the vectorized parquet reader, whole-stage
@@ -23,8 +37,8 @@ object Bench {
     // harness likewise registers its tables + stats before the timed
     // run), not part of any query's cost
     graft.core.Catalog.registerAnalyzed(spark, sfDir)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1.startsWith(prefix)).map { case (name, fn) =>
+    val timed = names.map { name =>
+      val fn = SparkEntry.queries(name)
       // isolate queries from each other's heap garbage: a full collection
       // here keeps allocation-heavy queries (decimal aggs, wide sorts)
       // from paying the GC debt of whatever ran before them
@@ -37,6 +51,12 @@ object Bench {
       catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    println(resultJson(timed, sfDir))
+    spark.stop()
+  }
+
+  private def resultJson(timed: Seq[(String, Double, Boolean)],
+      sfDir: String): String = {
     // a failed query reports -1.0 (not its elapsed-until-failure time) and
     // is excluded from the total, so failures are visible in the JSON
     val qs = timed.map { case (k, v, ok) =>
@@ -45,7 +65,60 @@ object Bench {
     val failed = timed.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = timed.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+  }
+
+  /** Isolated-run protocol (round-7 verdict #6): per-query numbers from one
+    * long-lived session carry ~2× noise — JIT state, GC debt and broadcast
+    * cleanup from the 250 queries that ran before leak into each
+    * measurement (COVERAGE.md "Bench-variance diagnosis": qds64 6.34 s in
+    * session vs 3.51 s isolated). This mode forks one fresh JVM per block
+    * of `blockSize` queries, so a query's number carries at most
+    * (blockSize-1) predecessors, and merges the children's JSON into the
+    * same one-line shape. Not the driver's default: 16 extra JVM+session
+    * cold starts (~20 s each) buy cleaner numbers, a trade for variance
+    * analysis, not for the round gate. */
+  private def isolated(sfDir: String, blockSize: Int): Unit = {
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val classes = new java.io.File("target/scala-2.13/classes")
+    val cp =
+      if (classes.isDirectory) s"${classes.getPath}:/opt/spark/jars/*"
+      else sys.props("java.class.path") // plain-java invocation: inherit
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val blocks = all.grouped(blockSize).toSeq
+    val merged = blocks.zipWithIndex.flatMap { case (block, i) =>
+      val cmd = Seq(javaBin, "-Xmx24g",
+        "--add-exports", "java.base/sun.nio.ch=ALL-UNNAMED",
+        "-cp", cp, "graft.Bench", s"--names=${block.mkString(",")}")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      // Spark logs arrive on the child's stderr in volume; send them to a
+      // file so the child can never block on a full stderr pipe while the
+      // parent waits for stdout
+      val log = new java.io.File(s"target/bench-isolated-block$i.log")
+      log.getParentFile.mkdirs()
+      pb.redirectError(ProcessBuilder.Redirect.to(log))
+      val proc = pb.start()
+      val outLines = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().toList
+      proc.waitFor()
+      val line = outLines.find(_.startsWith("""{"metric""""))
+        .getOrElse(sys.error(s"block $i produced no bench JSON"))
+      System.err.println(s"[bench-isolated] block ${i + 1}/${blocks.size} done")
+      parseQueries(line)
+    }
+    val timed = merged.map { case (k, v) => (k, v, v >= 0) }
+    println(resultJson(timed, sfDir))
+  }
+
+  /** Minimal parse of a child's `"queries":{...}` map — names are known
+    * identifiers (no quotes/braces inside), so a split is sufficient. */
+  private[graft] def parseQueries(json: String): Seq[(String, Double)] = {
+    val body = json.split("\"queries\":\\{")(1).split("\\}")(0)
+    if (body.isEmpty) Seq.empty
+    else body.split(',').toSeq.map { kv =>
+      val Array(k, v) = kv.split(':')
+      (k.replace("\"", ""), v.toDouble)
+    }
   }
 }

@@ -26,6 +26,22 @@ object StatefulBatch {
       q97EarlyFire, q110LateFire, q104UpsertSink, q105RetractApply,
       q120ProcRowsFrame, q121ProcRangeFrame)
 
+  /** Bounded stream over the events fixture, layout-adaptive: the driver
+    * fixture is a single `events.parquet` FILE inside `dir` (the file
+    * source lists a directory, so a glob filter scopes it away from the
+    * sibling tables); ScaleGen's scaled fixtures write `events.parquet`
+    * as a DIRECTORY of part files — list that directly. The SF1 soak
+    * caught the glob variant reading zero files against the directory
+    * layout (empty stream → no committed snapshot), so both layouts are
+    * handled here, once, for every sink query. */
+  private def eventsStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val p = s"$dir/events.parquet"
+    val reader = spark.readStream.schema(graft.core.Catalog.schemas("events"))
+    if (new java.io.File(p).isDirectory) reader.parquet(p)
+    else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** The upsert sink replayed over the events fixture as a bounded
     * stream (AvailableNow), then the sink's state table read back:
     * maintaining latest-row-per-key through the foreachBatch merge must
@@ -39,12 +55,7 @@ object StatefulBatch {
       |  FROM events) WHERE rn = 1
       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
     val sinkDir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
-    // the file stream source lists a directory; scope it to the events
-    // fixture with a glob filter
-    val stream = spark.readStream
-      .schema(graft.core.Catalog.schemas("events"))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
     val q = UpsertSink
       .upsertWriter(stream, Seq("user_id"), Seq("ts", "event_id"), sinkDir,
         nBuckets = 8)
@@ -70,10 +81,7 @@ object StatefulBatch {
       |GROUP BY user_id HAVING SUM(flag) <> 0
       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
     val sinkDir = java.nio.file.Files.createTempDirectory("graft-retract").toString
-    val changelog = spark.readStream
-      .schema(graft.core.Catalog.schemas("events"))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val changelog = eventsStream(spark, dir)
       .filter(col("event_type").isin("click", "error"))
       .withColumn("flag",
         when(col("event_type") === "click", lit(1)).otherwise(lit(-1)))

@@ -14,26 +14,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
 
-  /** Every node of an executed physical plan, traversing the subtrees AQE
-    * hides (AdaptiveSparkPlanExec/QueryStageExec children are empty),
-    * reused exchanges, AND subquery plans (a join inside an uncorrelated
-    * scalar/IN subquery is invisible to a plain children walk). The single
-    * shared walker — plan assertions must not each hand-roll this. */
+  /** Every node of an executed physical plan — delegates to the single
+    * shared walker [[graft.core.PlanWalk]] (AQE subtrees, reused
+    * exchanges, subquery plans); plan assertions must not hand-roll this. */
   def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val extra = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
-      case _ => Nil
-    }
-    val subs = p.subqueries.flatMap {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case s => Seq(s)
-    }
-    p +: (p.children ++ extra ++ subs).flatMap(planNodes)
-  }
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    graft.core.PlanWalk.nodes(p)
 
   /** Run a declared query and return every node of its final plan. */
   def executedPlanNodes(name: String, sfDir: String)
