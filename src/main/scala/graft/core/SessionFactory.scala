@@ -29,6 +29,17 @@ object SessionFactory {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // decouple the shuffle-partition CEILING from the session default:
+      // maps produce 256 partitions and AQE coalesces down to the advisory
+      // size, so small inputs still run a handful of tasks while a large
+      // shuffle keeps its reduce partitions sort-buffer-sized instead of
+      // funneling into 32 oversized ones. The SF1 soak measured the
+      // difference on qds72's 344M-row inventory sort: 32 reducers spilled
+      // 13 GB (105 s); with the ceiling raised AQE picks enough reducers
+      // that the sort fits in memory (SCALE.md). At cluster scale the same
+      // knob is what lets one config serve sf0.001 specs and 100 TB runs.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // let AQE re-size partitions on plans that feed a persist(): the
       // iterative operators (connected components, Lloyd training) cache a

@@ -68,6 +68,62 @@ class ScaleSpec extends SparkSpec {
       "one salt bucket still holds most of the hot key's rows")
   }
 
+  test("AQE OptimizeSkewedJoin splits a hot partition at runtime") {
+    // The SF1 soak (SCALE.md) could not observe a live skew split:
+    // ScaleGen's uniform tiling preserves the fixtures' balanced key
+    // distributions, so no partition ever crosses the skew threshold.
+    // This spec supplies what tiling cannot — a deliberately skewed
+    // relation — with the thresholds scaled to spec size (the 100 TB
+    // defaults are 256 MB/64 MB; the RULE is byte-driven and identical).
+    // One hot key carries ~200k padded rows (~a few MB in one hash
+    // partition) against a uniform tail, broadcast disabled so the join
+    // plans as SMJ: OptimizeSkewedJoin must split the hot partition and
+    // mark the join, and the split must not change the result.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // the skew decision reads COMPRESSED map-output sizes, so the hot
+      // partition's payload must be incompressible — a constant pad
+      // shrinks to nothing under lz4 and no partition ever looks big
+      val pad = concat(md5(col("id").cast("string")),
+        md5((col("id") + 1000000L).cast("string")))
+      val fact = spark.range(200000).select(lit(0L).as("k"), pad.as("payload"))
+        .union(spark.range(1, 33).select(col("id").as("k"), pad.as("payload")))
+      val dim = spark.range(33).select(col("id").as("k"), (col("id") * 10).as("v"))
+      val joined = fact.join(dim, "k")
+      // execute the join's OWN plan (count() would plan a separate
+      // aggregate query and leave this one un-finalized)
+      val n = joined.queryExecution.toRdd.count()
+      assert(n == 200000L + 32L)
+      val nodes = graft.core.PlanWalk.nodes(joined.queryExecution.executedPlan)
+      val facts = graft.core.PlanWalk.facts(joined.queryExecution.executedPlan)
+      assert(facts.skewJoins > 0 || facts.aqeSkewReads > 0,
+        s"expected a runtime skew split on the hot partition, plan:\n" +
+          joined.queryExecution.executedPlan)
+      // the hot partition must actually have been subdivided: the skew
+      // read's partition specs outnumber the shuffle's base partitions
+      val skewReads = nodes.collect {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+          if r.hasSkewedPartition => r.partitionSpecs.size
+      }
+      assert(skewReads.exists(_ > 1),
+        s"skew read should carry >1 partition spec for the split key, got $skewReads")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q48 simhash pairs plan has no cartesian product") {
     val df = graft.SparkEntry.queries("q48_simhash_pairs")(spark, sf())
     df.collect()
