@@ -30,7 +30,7 @@ object Sampling {
 
   def defs: Seq[QueryDef] =
     Seq(q54StratifiedSample, q55WeightedMixture, q56SplitAssign,
-      q107TemperatureMix, q117ClusterSample)
+      q107TemperatureMix, q117ClusterSample, q122TokenBudget)
 
   private val M = 2147483647L // 2^31 - 1, the Mersenne prime of MINSTD
 
@@ -55,8 +55,17 @@ object Sampling {
   }
 
   /** The same rank as ANSI SQL text, for oracle construction. */
-  private[operators] def pseudoRankSql(id: String, seed: Long = 0L): String =
+  private[graft] def pseudoRankSql(id: String, seed: Long = 0L): String =
     s"((($id + ${seed + 1}) % $M + $M) % $M * 48271 % $M * 48271 % $M * 48271 % $M)"
+
+  /** The same rank as plain Scala, for stateful operators that score rows
+    * inside `flatMapGroupsWithState` (the streaming reservoir) — one
+    * arithmetic, three spellings, spec-pinned equal. */
+  def pseudoRankLong(id: Long, seed: Long = 0L): Long = {
+    require(seed >= 0 && seed < (1L << 46), s"seed out of range: $seed")
+    val x0 = ((id + seed + 1) % M + M) % M
+    (1 to 3).foldLeft(x0)((x, _) => x * 48271L % M)
+  }
 
   /** Exactly min(k, |stratum|) rows per stratum, chosen by pseudo-random
     * rank (ties broken by id — a total order, so the result is unique).
@@ -272,5 +281,52 @@ object Sampling {
     clusterWeightedSample(Tables(spark, dir).documents, "doc_id", "text",
       seed = 29)
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-domain token-budget cap: walk each domain's documents in a
+    * deterministic pseudo-random order and keep documents while the
+    * domain's running token total stays within `budgetTokens` (inclusive
+    * — the document that lands exactly on the budget is kept; the first
+    * one past it, and everything after, is dropped). This is the mixture
+    * primitive a pretraining corpus actually wants — "at most N tokens
+    * from domain X" — which a per-document count cap (q54) cannot
+    * express when document lengths vary.
+    *
+    * Scale shape: token counting is map-side column algebra; the running
+    * total is one window (SUM … ROWS UNBOUNDED PRECEDING) over a single
+    * shuffle on the domain key — integer arithmetic throughout, so the
+    * cumulative sums are exact and engine-independent. A domain so large
+    * that its documents overwhelm one partition is exactly a domain the
+    * budget TRUNCATES; if even the pre-truncation walk is too heavy, cap
+    * candidates first with the q54 rank limit (WindowGroupLimit prunes
+    * before the shuffle), then budget-walk the survivors. */
+  def tokenBudgetCap(docs: DataFrame, domainCol: String, idCol: String,
+      textCol: String, budgetTokens: Long, seed: Long = 0L): DataFrame = {
+    val toks = size(split(col(textCol), " ", -1)).cast(LongType)
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(pseudoRank(col(idCol), seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(domainCol), col(idCol), toks.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
+  /** 800-token budget per source at the fixture scale: every source has
+    * ~1400 tokens at sf0.01, so the cap visibly truncates each domain
+    * while keeping a meaningful prefix. */
+  val q122TokenBudget: QueryDef = QueryDef("q122_token_budget",
+    s"""SELECT source, doc_id, n_tokens, cum_tokens FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY ${pseudoRankSql("doc_id", seed = 31)}, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM (SELECT source, doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM documents))
+       |WHERE cum_tokens <= 800
+       |ORDER BY source, doc_id""".stripMargin) { (spark, dir) =>
+    tokenBudgetCap(Tables(spark, dir).documents, "source", "doc_id", "text",
+      budgetTokens = 800L, seed = 31)
+      .orderBy(col("source"), col("doc_id"))
   }
 }

@@ -30,7 +30,7 @@ import graft.core.{QueryDef, Tables}
 object Scrub {
 
   def defs: Seq[QueryDef] =
-    Seq(q100Repetition, q101PiiRedact, q109CorpusReport)
+    Seq(q100Repetition, q101PiiRedact, q109CorpusReport, q123GopherGates)
 
   /** Redaction stages, applied in order. Order matters and is part of the
     * operator contract: card numbers — plain 13-16 digit runs AND the
@@ -233,5 +233,97 @@ object Scrub {
     QueryDef("q101_pii_redact", sql) { (spark, dir) =>
       piiRedact(Tables(spark, dir).documents).orderBy(col("doc_id"))
     }
+  }
+
+  /** The non-repetition Gopher quality gates (Rae et al. 2021, §A1.1 —
+    * public paper), complementing [[repetitionSignals]]/q100 which owns
+    * the repetition family: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, a stop-word floor (a real document contains
+    * common function words), and a most-frequent-word concentration cap.
+    *
+    * Everything here is ONE map-side projection — no explode, no shuffle,
+    * embarrassingly parallel at 100 TB. The top-word fraction, which
+    * q100's bigram variant computes via explode + two-phase aggregation,
+    * is instead a run-length fold over the per-document sorted word array
+    * (max run in a sorted array = max frequency): per-row cost is
+    * O(words log words) in interpreted higher-order functions, the right
+    * trade for the modest per-document word counts of a quality gate and
+    * the zero-shuffle plan it buys. Ratios are single IEEE divisions of
+    * exact integers, so any engine computes bit-identical values. */
+  def gopherGates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 30L, maxWords: Long = 100000L,
+      minMeanLen: Double = 4.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopWords: Long = 2L,
+      maxTopWordFrac: Double = 0.2,
+      stopWords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    val words = split(col(textCol), " ", -1)
+    val nWords = size(words).cast(LongType)
+    // max run length in the sorted word array == max word frequency,
+    // without leaving the row
+    val topRun = aggregate(
+      array_sort(words),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc("prev"), acc("run") + 1L).otherwise(1L)
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    docs.select(
+        col(idCol),
+        nWords.as("n_words"),
+        (length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) /
+          nWords).as("mean_word_len"),
+        (size(regexp_extract_all(col(textCol), lit("[^a-z0-9 ]"), lit(0)))
+          .cast(DoubleType) / nWords).as("symbol_ratio"),
+        size(filter(words, w => w.isin(stopWords: _*))).cast(LongType)
+          .as("n_stop_words"),
+        (topRun.cast(DoubleType) / nWords).as("top_word_frac"))
+      .withColumn("pass_words",
+        col("n_words").between(minWords, maxWords))
+      .withColumn("pass_word_len",
+        col("mean_word_len").between(minMeanLen, maxMeanLen))
+      .withColumn("pass_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("pass_stop_words", col("n_stop_words") >= minStopWords)
+      .withColumn("pass_top_word", col("top_word_frac") <= maxTopWordFrac)
+      .withColumn("keep",
+        col("pass_words") && col("pass_word_len") && col("pass_symbols") &&
+          col("pass_stop_words") && col("pass_top_word"))
+  }
+
+  /** Gate thresholds sized to the fixture so every gate splits the corpus
+    * (fixture profile: 10-99 words, mean word length 3.7-5.3, top-word
+    * fraction 0.05-0.30); the symbol gate passes everywhere on the
+    * symbol-free fixture text and is exercised on hostile text by
+    * ScrubSpec. */
+  val q123GopherGates: QueryDef = QueryDef("q123_gopher_gates",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mean_word_len,
+      |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS symbol_ratio,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT)
+      |      AS n_stop_words,
+      |    CAST((SELECT max(n) FROM (
+      |       SELECT count(*) AS n FROM unnest(string_split(text, ' ')) AS t(w)
+      |       GROUP BY w)) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS top_word_frac
+      |  FROM documents)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop_words,
+      |  top_word_frac,
+      |  n_words BETWEEN 30 AND 100000 AS pass_words,
+      |  mean_word_len BETWEEN 4.0 AND 10.0 AS pass_word_len,
+      |  symbol_ratio <= 0.1 AS pass_symbols,
+      |  n_stop_words >= 2 AS pass_stop_words,
+      |  top_word_frac <= 0.2 AS pass_top_word,
+      |  (n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 4.0 AND 10.0)
+      |    AND symbol_ratio <= 0.1 AND n_stop_words >= 2
+      |    AND top_word_frac <= 0.2 AS keep
+      |FROM g ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    gopherGates(Tables(spark, dir).documents).orderBy(col("doc_id"))
   }
 }

@@ -24,7 +24,7 @@ object StatefulBatch {
     Seq(q72TopnState, q73KeepLastState, q74RunningOver, q88TemporalJoinState,
       q90CountTumble, q91CountSlide, q94RowsFrame, q95RangeFrame,
       q97EarlyFire, q110LateFire, q104UpsertSink, q105RetractApply,
-      q120ProcRowsFrame, q121ProcRangeFrame)
+      q120ProcRowsFrame, q121ProcRangeFrame, q124StreamReservoir)
 
   /** Bounded stream over the events fixture, layout-adaptive: the driver
     * fixture is a single `events.parquet` FILE inside `dir` (the file
@@ -344,5 +344,28 @@ object StatefulBatch {
         round(col("sum_value"), 4).as("sum_value"),
         col("first_event"), col("last_event"))
       .orderBy(col("user_id"), col("win_seq"))
+  }
+
+  /** The streaming reservoir collapsed over the documents fixture keyed by
+    * source: bottom-k-by-hash membership must equal the batch stratified
+    * sample with the same seed (the arrival-order-independence contract —
+    * StreamingSpec drives the same operator across multiple batches and
+    * shuffled arrival orders). */
+  val q124StreamReservoir: QueryDef = QueryDef("q124_stream_reservoir",
+    s"""SELECT source, doc_id, sample_rank FROM (
+       |  SELECT source, doc_id, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY ${graft.operators.Sampling.pseudoRankSql("doc_id", seed = 37)}, doc_id)
+       |    AS sample_rank
+       |  FROM documents)
+       |WHERE sample_rank <= 7 ORDER BY source, doc_id""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val docs = graft.core.Catalog.load(spark, dir, "documents")
+        .select(col("source"), col("doc_id")).as[(String, Long)]
+      StatefulOps.reservoirPerKey(docs, k = 7, seed = 37).toDF()
+        .select(col("stratum").as("source"), col("item_id").as("doc_id"),
+          col("sample_rank"))
+        .orderBy(col("source"), col("doc_id"))
   }
 }

@@ -70,6 +70,52 @@ object StatefulOps {
     if (state.hasTimedOut) { state.remove(); true }
     else { idleTtl.foreach(state.setTimeoutDuration); false }
 
+  /** Streaming reservoir row: current sample membership for a stratum. */
+  case class Sampled(stratum: String, item_id: Long, sample_rank: Int)
+  case class ResEntry(rank: Long, item_id: Long)
+  case class ResState(entries: Seq[ResEntry])
+
+  /** Streaming per-stratum reservoir sample: maintain the k rows with the
+    * SMALLEST deterministic pseudo-rank per stratum (bottom-k-by-hash, aka
+    * consistent sampling), re-emitting the refreshed sample whenever
+    * membership changes. Because the priority is a pure function of the
+    * item id, the maintained sample is ARRIVAL-ORDER-INDEPENDENT — any
+    * interleaving of batches converges to the same k rows, which is what
+    * makes the operator exactly-once-friendly across retries and
+    * partition reshuffles at scale, unlike a classic randomized reservoir.
+    * Batch collapse (one invocation per key, empty state) therefore equals
+    * [[graft.operators.Sampling.stratifiedSample]] with the same seed —
+    * the oracle-checked contract.
+    *
+    * State is bounded by k entries per stratum; same TTL discipline as the
+    * other operators here. */
+  def reservoirPerKey(rows: Dataset[(String, Long)], k: Int, seed: Long,
+      idleTtl: Option[String] = None): Dataset[Sampled] = {
+    implicit val outEnc = Encoders.product[Sampled]
+    implicit val stateEnc = Encoders.product[ResState]
+    rows
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTtl))(
+        (stratum: String, it: Iterator[(String, Long)],
+            state: GroupState[ResState]) => {
+          if (handleTtl(state, idleTtl)) Iterator.empty
+          else {
+            val prev = state.getOption.getOrElse(ResState(Nil)).entries
+            val incoming = it.map { case (_, id) =>
+              ResEntry(graft.operators.Sampling.pseudoRankLong(id, seed), id)
+            }
+            val merged = (prev ++ incoming).distinct
+              .sortBy(e => (e.rank, e.item_id)).take(k)
+            if (merged != prev) {
+              state.update(ResState(merged))
+              merged.zipWithIndex.iterator.map { case (e, i) =>
+                Sampled(stratum, e.item_id, i + 1)
+              }
+            } else Iterator.empty
+          }
+        })
+  }
+
   /** Streaming top-n by value per user: whenever the per-key top-n set
     * changes, re-emit the full refreshed ranking (the reference's
     * UpdatableTopNFunction contract, minus per-row retractions — downstream

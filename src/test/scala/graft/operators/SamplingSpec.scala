@@ -202,4 +202,47 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(again == kept.map(_.toSeq).toSet)
   }
+
+  test("pseudoRank: Column, SQL and Scala spellings agree (negative ids too)") {
+    import spark.implicits._
+    val ids = Seq(-5L, -1L, 0L, 1L, 7L, 999L, 123456789L)
+    val viaColumn = ids.toDF("id")
+      .select(col("id"), Sampling.pseudoRank(col("id"), seed = 13).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSql = ids.toDF("id").createOrReplaceTempView("prl_ids")
+    val sqlMap = spark.sql(
+      s"SELECT id, ${Sampling.pseudoRankSql("id", seed = 13)} AS r FROM prl_ids")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val scala3 = Sampling.pseudoRankLong(id, seed = 13)
+      assert(viaColumn(id) == scala3, s"Column vs Scala diverged at $id")
+      assert(sqlMap(id) == scala3, s"SQL vs Scala diverged at $id")
+    }
+  }
+
+  test("tokenBudgetCap keeps a maximal in-order prefix per domain") {
+    val capped = Sampling.tokenBudgetCap(corpus, "grp", "item_id", "body",
+      budgetTokens = 60L, seed = 3)
+    val rows = capped.collect()
+    // within budget, and every kept doc's tokens are counted
+    rows.foreach(r => assert(r.getAs[Long]("cum_tokens") <= 60L))
+    val byG = rows.groupBy(_.getAs[String]("grp"))
+    assert(byG.nonEmpty)
+    byG.foreach { case (g, ks) =>
+      val keptIds = ks.map(_.getAs[Long]("item_id")).toSet
+      val maxCum = ks.map(_.getAs[Long]("cum_tokens")).max
+      // MAXIMAL prefix: the first dropped document in walk order would
+      // have pushed the running total past the budget
+      val walk = Sampling.tokenBudgetCap(corpus, "grp", "item_id", "body",
+        budgetTokens = Long.MaxValue, seed = 3)
+        .filter(col("grp") === g).orderBy(col("cum_tokens")).collect()
+      walk.find(r => !keptIds.contains(r.getAs[Long]("item_id")))
+        .foreach { firstDrop =>
+          assert(maxCum + firstDrop.getAs[Long]("n_tokens") > 60L,
+            s"domain $g dropped a doc that still fit the budget")
+        }
+    }
+    // deterministic across runs
+    assert(capped.collect().map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
 }

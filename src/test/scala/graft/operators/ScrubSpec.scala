@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.Row
 
 import graft.SparkSpec
+import graft.core.Tables
 
 /** Behavior of the scrubbing operators on text that actually contains
   * PII / repetition (the fixture corpus is synthetic and clean, so the
@@ -92,5 +93,52 @@ class ScrubSpec extends SparkSpec {
       maxTopBigramRatio = 10.0).collect().head
     assert(strict.getLong(5) === 0L)
     assert(lax.getLong(5) === 1L)
+  }
+
+  test("gopherGates: each gate fires on the text class it guards") {
+    val docs = Seq(
+      (1L, Seq.fill(40)("assorted plain words that read like prose the a of")
+        .mkString(" ")),                             // clean → keep
+      (2L, "too short the a"),                       // word-count gate
+      (3L, Seq.fill(50)("ab cd ef gh the a").mkString(" ")), // mean-word-len low
+      (4L, Seq.fill(50)("the a $$ ## %% !! ?? ++ == ~~").mkString(" ")), // symbols
+      (5L, Seq.fill(60)("spark spark spark distinct1 distinct2").mkString(" ")), // no stop words + top-word
+      (6L, ("the a of " + Seq.tabulate(60)(i => s"word$i").mkString(" ")))  // clean, distinct words
+    ).toDF("doc_id", "text")
+    val g = Scrub.gopherGates(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(g(1L).getAs[Boolean]("keep"))
+    assert(g(6L).getAs[Boolean]("keep"))
+    assert(!g(2L).getAs[Boolean]("pass_words"))
+    assert(!g(3L).getAs[Boolean]("pass_word_len"))
+    assert(!g(4L).getAs[Boolean]("pass_symbols"))
+    assert(!g(5L).getAs[Boolean]("pass_stop_words"))
+    assert(!g(5L).getAs[Boolean]("pass_top_word"))
+    Seq(2L, 3L, 4L, 5L).foreach(id => assert(!g(id).getAs[Boolean]("keep")))
+  }
+
+  test("gopherGates top-word fraction equals the explode-and-count answer") {
+    val docs = Seq(
+      (1L, "x y x z x y w"),        // x appears 3 of 7
+      (2L, "a b c d"),              // all distinct: 1 of 4
+      (3L, "q q q q")               // degenerate: 4 of 4
+    ).toDF("doc_id", "text")
+    val got = Scrub.gopherGates(docs, minWords = 1L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("top_word_frac"))
+      .toMap
+    assert(got(1L) === 3.0 / 7)
+    assert(got(2L) === 1.0 / 4)
+    assert(got(3L) === 1.0)
+  }
+
+  test("gopherGates plans with zero shuffles (pure map-side projection)") {
+    val df = Scrub.gopherGates(
+      Tables(spark, sf()).documents)
+    df.queryExecution.toRdd.count()
+    val shuffles = planNodes(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"gopherGates must not shuffle:\n${df.queryExecution.executedPlan}")
   }
 }

@@ -528,4 +528,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(r => r.user_id == 1 && r.event_type == "click") == 1)
     assert(rows.count(r => r.user_id == 2 && r.event_type == "view") == 1)
   }
+
+  test("streaming reservoir converges to the same sample under any arrival order") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ids = (0L until 40L).map(i => ("s" + (i % 2), i))
+    // the deterministic reference: bottom-3-by-hash membership per stratum
+    def expected(stratum: String) = ids.filter(_._1 == stratum)
+      .map { case (_, id) =>
+        (graft.operators.Sampling.pseudoRankLong(id, seed = 5), id)
+      }.sorted.take(3).map(_._2)
+    // two hostile arrival orders: ascending ids, then descending ids split
+    // at a different batch boundary — membership must be identical
+    val arrivals = Seq(
+      Seq(ids.take(25), ids.drop(25)),
+      Seq(ids.reverse.take(10), ids.reverse.drop(10)))
+    val finals = arrivals.zipWithIndex.map { case (batches, qi) =>
+      val input = MemoryStream[(String, Long)]
+      val query = StatefulOps.reservoirPerKey(input.toDS(), k = 3, seed = 5)
+        .writeStream.format("memory").queryName(s"reservoir$qi")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      query.stop()
+      val all = spark.table(s"reservoir$qi").as[StatefulOps.Sampled].collect()
+      // final emission per stratum = last k rows for that stratum
+      Seq("s0", "s1").map { s =>
+        s -> all.filter(_.stratum == s).takeRight(3).sortBy(_.sample_rank)
+          .map(_.item_id).toSeq
+      }.toMap
+    }
+    Seq("s0", "s1").foreach { s =>
+      assert(finals(0)(s) == expected(s),
+        s"stratum $s: streaming membership diverged from bottom-k-by-hash")
+      assert(finals(0)(s) == finals(1)(s),
+        s"stratum $s: arrival order changed the converged sample")
+    }
+  }
 }
