@@ -124,6 +124,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // The third AQE-era scale mechanism after skew splits and partition
+    // coalescing: InjectRuntimeFilter builds a bloom filter from a
+    // selectively-filtered build side and semi-filters the probe side
+    // BEFORE its shuffle, cutting exchange volume on the 100 TB fact
+    // scan. The rule is size-gated (probe scan must look big); zero the
+    // gate so the behavior is observable at spec scale — the rewrite
+    // itself is identical at the defaults.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      val part = graft.core.Catalog.load(spark, sf(), "part")
+        .filter(col("p_size") === 1)
+      val lineitem = graft.core.Catalog.load(spark, sf(), "lineitem")
+      val joined = lineitem.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_size")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val tree = planNodes(joined.queryExecution.executedPlan)
+        .map(_.toString).mkString("\n")
+      assert(tree.contains("might_contain"),
+        s"expected a bloom-filter runtime probe (might_contain) in:\n$tree")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q48 simhash pairs plan has no cartesian product") {
     val df = graft.SparkEntry.queries("q48_simhash_pairs")(spark, sf())
     df.collect()
