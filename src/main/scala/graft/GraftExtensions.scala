@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, ExpressionInfo, Literal}
 
-import graft.functions.{IsAlpha, IsDecimal, IsDigit, JavaHashCode, KeyValue, SplitIndex}
+import graft.functions.{IsAlpha, IsDecimal, IsDigit, JavaHashCode, KeyValue, SplitIndex, TopWordRun}
 
 /** Spark extensions entry point: makes the library's native expressions
   * available to pure-SQL users via
@@ -53,6 +53,9 @@ object GraftExtensions {
     arity("is_alpha", 1,
       c => Coalesce(Seq(IsAlpha(c.head), Literal(false))))(children)
 
+  def topWordRunBuilder(children: Seq[Expression]): Expression =
+    arity("top_word_run", 1, c => TopWordRun(c.head))(children)
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("hash_code"),
@@ -72,5 +75,8 @@ object GraftExtensions {
       isDigitBuilder _),
     (FunctionIdentifier("is_alpha"),
       new ExpressionInfo(classOf[IsAlpha].getName, "is_alpha"),
-      isAlphaBuilder _))
+      isAlphaBuilder _),
+    (FunctionIdentifier("top_word_run"),
+      new ExpressionInfo(classOf[TopWordRun].getName, "top_word_run"),
+      topWordRunBuilder _))
 }

@@ -19,7 +19,7 @@ object SessionFactory {
   def defaultParallelism: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def local(appName: String, cpus: String = defaultParallelism): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -58,7 +58,16 @@ object SessionFactory {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "32m")
-      .getOrCreate()
+    // dev-harness knob (audits/soaks only, never set by library users):
+    // ';'-separated k=v pairs layered on top of the standard config —
+    // e.g. the skewed-fixture soak scales the AQE skew thresholds down to
+    // sandbox partition sizes the same way the ScaleSpec skew test does
+    val withExtra = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(';').filter(_.contains('=')).foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }).getOrElse(builder)
+    val spark = withExtra.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

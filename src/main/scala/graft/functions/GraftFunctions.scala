@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -52,6 +52,12 @@ object GraftFunctions {
   def hashCode(s: Column): Column =
     Bridge.column(JavaHashCode(Bridge.expression(s)))
 
+  /** TOP_WORD_RUN(s): highest frequency of any space-separated word
+    * (native codegen'd [[TopWordRun]] — the Gopher-gate concentration
+    * kernel). */
+  def topWordRun(s: Column): Column =
+    Bridge.column(TopWordRun(Bridge.expression(s)))
+
   /** Register SQL names so `spark.sql` queries can call the gap functions
     * by their reference names. All five resolve to the native codegen'd
     * expressions below — no ScalaUDF boxing anywhere on this surface
@@ -71,6 +77,8 @@ object GraftFunctions {
       graft.GraftExtensions.isAlphaBuilder _, "built-in")
     reg.createOrReplaceTempFunction("hash_code",
       graft.GraftExtensions.hashCodeBuilder _, "built-in")
+    reg.createOrReplaceTempFunction("top_word_run",
+      graft.GraftExtensions.topWordRunBuilder _, "built-in")
   }
 }
 
@@ -143,6 +151,34 @@ object FnKernels {
       i += 1
     }
     true
+  }
+
+  private val SpaceSep = UTF8String.fromString(" ")
+
+  /** TOP_WORD_RUN: highest frequency of any space-separated word — the
+    * concentration kernel of the Gopher quality gates
+    * ([[graft.operators.Scrub.gopherGates]]). Sort-then-max-run over the
+    * split array (binary UTF8String order; equal runs = equal counts), so
+    * one native call replaces an interpreted array_sort + aggregate
+    * lambda fold that costs O(words) boxed lambda invocations per row.
+    * Empty text behaves like Spark's `split`: one empty-string word,
+    * run 1. */
+  def topWordRun(s: UTF8String): Long = {
+    val parts = s.splitSQL(SpaceSep, -1)
+    java.util.Arrays.sort(parts,
+      java.util.Comparator.naturalOrder[UTF8String]())
+    var best = 0L
+    var run = 0L
+    var prev: UTF8String = null
+    var i = 0
+    while (i < parts.length) {
+      val w = parts(i)
+      run = if (prev != null && w.equals(prev)) run + 1 else 1L
+      if (run > best) best = run
+      prev = w
+      i += 1
+    }
+    best
   }
 
   /** IS_ALPHA: non-empty, all ASCII letters. */
@@ -286,5 +322,28 @@ case class JavaHashCode(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"($c).toString().hashCode()")
 
   override protected def withNewChildInternal(newChild: Expression): JavaHashCode =
+    copy(child = newChild)
+}
+
+/** TOP_WORD_RUN(s): highest frequency of any space-separated word, as a
+  * codegen'd Catalyst expression (kernel: [[FnKernels.topWordRun]]) — the
+  * per-row concentration signal of the Gopher gates, promoted from an
+  * interpreted higher-order fold for the same reason the r8 gap functions
+  * were: on a 100 TB text column the boxed per-element lambda is the hot
+  * path. Null-propagating; STRING → BIGINT. */
+case class TopWordRun(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_word_run"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FnKernels.topWordRun(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FnKernels.topWordRun($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopWordRun =
     copy(child = newChild)
 }

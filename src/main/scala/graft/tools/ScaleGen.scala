@@ -44,10 +44,17 @@ object ScaleGen {
     val base = args(0)
     val out = args(1)
     val factor = args(2).toInt
+    // optional 4th arg: fraction of lineitem part FKs collapsed onto ONE
+    // hot part key (0 = uniform tiling). Uniform tiling preserves the
+    // fixtures' balanced key distributions, so AQE's skew split can never
+    // fire on it; a hot-key variant makes the split observable on real
+    // queries (SCALE.md "AQE skew splitting").
+    val hotFrac = if (args.length > 3) args(3).toDouble else 0.0
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    require(hotFrac >= 0.0 && hotFrac < 1.0, s"hotFrac out of range: $hotFrac")
     val spark = graft.core.SessionFactory.local("graft-scalegen")
     graft.core.Catalog.assertFixtureSchemas(spark, base)
-    scale(spark, base, out, factor)
+    scale(spark, base, out, factor, hotFrac)
     spark.stop()
   }
 
@@ -82,7 +89,7 @@ object ScaleGen {
     "vec_id" -> ("embeddings", "vec_id"))
 
   def scale(spark: SparkSession, base: String, out: String,
-      factor: Int): Unit = {
+      factor: Int, hotFrac: Double = 0.0): Unit = {
     import graft.core.Catalog
     // one tiny aggregate per owned key space — strides for the offsets
     val strides: Map[String, Long] = strideOwner.values.toSeq.distinct.map {
@@ -107,6 +114,20 @@ object ScaleGen {
               col(c) + col("replica") * lit(strides(strideOwner(c)._2)))
           }
           val salted = t match {
+            case "lineitem" if hotFrac > 0 =>
+              // collapse a deterministic per-row fraction of part FKs onto
+              // the base corpus's minimum part key (owned by replica 0, so
+              // the FK stays valid); row identity (orderkey, linenumber)
+              // drives the draw, so the hot rows spread over all orders
+              // and the hot key's shuffle partition carries ~hotFrac of
+              // the whole fact table — the shape OptimizeSkewedJoin exists
+              // for
+              val hotKey = graft.core.Catalog.load(spark, base, "part")
+                .agg(min(col("p_partkey"))).head.getLong(0)
+              offset.withColumn("l_partkey",
+                when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+                  lit(10000)) < lit((hotFrac * 10000).toInt), lit(hotKey))
+                  .otherwise(col("l_partkey")))
             case "documents" =>
               // replicas become near-duplicates, not exact duplicates
               offset.withColumn("text",

@@ -97,4 +97,26 @@ class FunctionsSpec extends SparkSpec {
     assert(native == Set("split_index", "keyvalue", "is_decimal", "is_digit",
       "is_alpha", "hash_code"), s"native gap expressions in plan: $native")
   }
+
+  test("top_word_run: max word frequency, SQL name and Column API agree") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y x z x y w"), // x: 3
+      (2L, "a b c d"),       // all distinct: 1
+      (3L, "q q q q"),       // 4
+      (4L, ""),              // split -> [""]: one empty word, run 1
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    df.createOrReplaceTempView("twr")
+    val viaCol = df.select($"id",
+      GraftFunctions.topWordRun($"text").as("r")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val viaSql = spark.sql("SELECT id, top_word_run(text) AS r FROM twr")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val expected = Map(1L -> 3L, 2L -> 1L, 3L -> 4L, 4L -> 1L, 5L -> -1L)
+    assert(viaCol == expected)
+    assert(viaSql == expected)
+  }
 }
