@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property fuzz over the native byte kernels — the custom codegen'd
+  * expressions are the one place a byte-level bug would corrupt results
+  * silently (no oracle catches a kernel that agrees with itself), so each
+  * kernel is checked against an obviously-correct Scala reimplementation
+  * on adversarial inputs: empty strings, runs, multi-byte UTF-8,
+  * separator-only strings. Pure JVM — no SparkSession. */
+class FnKernelsPropertySpec extends AnyFunSuite {
+
+  /** Run a scalacheck property and fail the scalatest test on any
+    * counterexample (no scalatest-plus bridge in the offline cache). */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val wordGen: Gen[String] = Gen.oneOf(
+    Gen.stringOfN(3, Gen.alphaLowerChar),
+    Gen.oneOf("the", "a", "of", "x", "", "héllo", "日本語"),
+    Gen.stringOfN(1, Gen.alphaLowerChar))
+
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  test("topWordRun equals groupBy-count max frequency on arbitrary texts") {
+    check(Prop.forAll(textGen) { text =>
+      val expected = text.split(" ", -1).groupBy(identity)
+        .values.map(_.length.toLong).max
+      FnKernels.topWordRun(UTF8String.fromString(text)) == expected
+    })
+  }
+
+  test("splitIndex equals Java split with trailing empties kept") {
+    val sepGen = Gen.oneOf(",", "|", "ab", "é")
+    check(Prop.forAll(textGen, sepGen, Gen.chooseNum(-1, 6)) { (text, sep, i) =>
+      val got = FnKernels.splitIndex(UTF8String.fromString(text),
+        UTF8String.fromString(sep), i)
+      val parts = text.split(java.util.regex.Pattern.quote(sep), -1)
+      val expected =
+        if (i < 0 || i >= parts.length) null else parts(i)
+      (got == null && expected == null) ||
+        (got != null && got.toString == expected)
+    })
+  }
+
+  test("keyValue finds the first-kvSep-prefixed pair or null") {
+    val kvGen = for {
+      keys <- Gen.listOf(Gen.stringOfN(2, Gen.alphaLowerChar))
+      vals <- Gen.listOfN(keys.length, Gen.stringOfN(2, Gen.alphaNumChar))
+    } yield keys.zip(vals)
+    check(Prop.forAll(kvGen, Gen.stringOfN(2, Gen.alphaLowerChar)) { (pairs, probe) =>
+      val s = pairs.map { case (k, v) => s"$k=$v" }.mkString("&")
+      val got = FnKernels.keyValue(UTF8String.fromString(s),
+        UTF8String.fromString("&"), UTF8String.fromString("="),
+        UTF8String.fromString(probe))
+      val expected = pairs.find(_._1 == probe).map(_._2).orNull
+      (got == null && expected == null) ||
+        (got != null && got.toString == expected)
+    })
+  }
+
+  test("isDigit/isAlpha/isDecimal agree with regex references") {
+    val asciiish = Gen.listOf(Gen.oneOf(
+      Gen.numChar, Gen.alphaChar, Gen.oneOf('+', '-', '.', ' ', 'é')))
+      .map(_.mkString)
+    check(Prop.forAll(asciiish) { s =>
+      val u = UTF8String.fromString(s)
+      FnKernels.isDigit(u) == s.matches("[0-9]+") &&
+        FnKernels.isAlpha(u) == s.matches("[A-Za-z]+") &&
+        FnKernels.isDecimal(u) ==
+          s.matches("[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)")
+    })
+  }
+}

@@ -11,8 +11,9 @@ import graft.core.Tables
   *
   *   raw documents
   *     → PII redaction                  (Scrub.piiRedact)
-  *     → quality gate                   (TextAnalysis.tokenCounts signals)
+  *     → Gopher quality gates           (Scrub.gopherGates + tokenCounts)
   *     → soft dedup                     (Sampling.clusterWeightedSample)
+  *     → per-domain token budget        (Sampling.tokenBudgetCap)
   *     → temperature source mixture     (Sampling.temperatureMixture)
   *     → token-budget sequence packing  (Packing.packByTokenBudget)
   *
@@ -28,19 +29,27 @@ class EndToEndPipelineSpec extends SparkSpec {
     val clean = Scrub.piiRedact(docs)
       .select(col("doc_id"), col("redacted").as("text"))
       .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
-    // 2) quality gate: drop near-empty and low-diversity docs
+    // 2) quality gates: the Gopher battery (word count / word length /
+    //    symbols / stop words / concentration) plus a diversity floor
+    //    from the token signals
     val signals = TextAnalysis.tokenCounts(clean)
-    val quality = clean.join(signals, "doc_id")
-      .filter(col("n_ws_tokens") >= 10 &&
-        col("n_uniq_tokens").cast("double") / col("n_ws_tokens") >= 0.3)
+    val gates = Scrub.gopherGates(clean)
+      .filter(col("keep")).select(col("doc_id"))
+    val quality = clean.join(signals, "doc_id").join(gates, "doc_id")
+      .filter(col("n_uniq_tokens").cast("double") / col("n_ws_tokens") >= 0.3)
       .select(col("doc_id"), col("text"), col("source"), col("n_bpe_tokens"))
     // 3) soft dedup: canonical per content cluster + 1/size survivors
     val kept = Sampling.clusterWeightedSample(quality, "doc_id", "text")
     val deduped = quality.join(kept.select(col("doc_id")), "doc_id")
-    // 4) temperature mixture across sources (flatten toward the tail)
-    val mixed = Sampling.temperatureMixture(deduped, "source", "doc_id",
+    // 4) per-domain token budget: no source may contribute more than its
+    //    token allowance to the mixture
+    val budgeted = deduped.join(
+      Sampling.tokenBudgetCap(deduped, "source", "doc_id", "text",
+        budgetTokens = 1000L, seed = 17).select(col("doc_id")), "doc_id")
+    // 5) temperature mixture across sources (flatten toward the tail)
+    val mixed = Sampling.temperatureMixture(budgeted, "source", "doc_id",
       alpha = 0.5, targetFrac = 0.8, seed = 3)
-    // 5) pack into ≤ 4096-token training sequences
+    // 6) pack into ≤ 4096-token training sequences
     val packed = Packing.packByTokenBudget(
       mixed.select(col("doc_id"), col("n_bpe_tokens")),
       "doc_id", "n_bpe_tokens", budget = 4096L)
