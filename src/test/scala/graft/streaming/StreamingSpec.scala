@@ -529,6 +529,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(r => r.user_id == 2 && r.event_type == "view") == 1)
   }
 
+  test("stateful operators run unchanged on the RocksDB state store") {
+    // At 100 TB streaming state the HDFS-backed in-memory provider is the
+    // wrong tool — RocksDB is the provider that spills keyed state to
+    // local disk with incremental checkpoints. The operators must not
+    // care: flatMapGroupsWithState state encoders serialize through the
+    // provider interface, so top-n over RocksDB must equal top-n over the
+    // default store on identical input.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val input = MemoryStream[Event]
+      val query = topNPerKey(input.toDS(), 2).writeStream
+        .format("memory").queryName("topn_rocks").outputMode("append").start()
+      input.addData(batch1)
+      query.processAllAvailable()
+      input.addData(batch2)
+      query.processAllAvailable()
+      // cross-batch state survived the RocksDB round trip: batch2's 104
+      // displaced batch1's 101 in user 1's top-2 — impossible without
+      // reading back batch1's stored entries
+      query.stop()
+      val all = spark.table("topn_rocks").as[Ranked].collect()
+      val finalUser1 = all.filter(_.user_id == 1).takeRight(2).sortBy(_.rank)
+      assert(finalUser1.map(_.event_id).toSeq == Seq(102, 104))
+      assert(finalUser1.map(_.value).toSeq == Seq(9.0, 8.0))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming reservoir converges to the same sample under any arrival order") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
