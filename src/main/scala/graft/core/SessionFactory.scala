@@ -30,16 +30,19 @@ object SessionFactory {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // decouple the shuffle-partition CEILING from the session default:
-      // maps produce 256 partitions and AQE coalesces down to the advisory
+      // maps produce 128 partitions and AQE coalesces down to the advisory
       // size, so small inputs still run a handful of tasks while a large
       // shuffle keeps its reduce partitions sort-buffer-sized instead of
-      // funneling into 32 oversized ones. The SF1 soak measured the
-      // difference on qds72's 344M-row inventory sort: 32 reducers spilled
-      // 13 GB (105 s); with the ceiling raised AQE picks enough reducers
-      // that the sort fits in memory (SCALE.md). At cluster scale the same
-      // knob is what lets one config serve sf0.001 specs and 100 TB runs.
+      // funneling into 32 oversized ones. The SF1 soak measured the value
+      // on qds72's 344M-row inventory sort: ceiling 32 spilled 13 GB; 64/
+      // 128/256 are all spill-free, and 128 was the fastest AND most
+      // stable of the spill-free settings (51-63 s across fresh JVMs vs
+      // 256's bimodal 65-183 s), while the sf0.1 full-set cost of any
+      // ceiling is indistinguishable from 32 within session noise
+      // (SCALE.md, scale/bench_ab.md). At cluster scale the same knob is
+      // what lets one config serve sf0.001 specs and 100 TB runs.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256"))
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "128"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // let AQE re-size partitions on plans that feed a persist(): the
       // iterative operators (connected components, Lloyd training) cache a
