@@ -102,10 +102,20 @@ object Bench {
       val outLines = scala.io.Source.fromInputStream(proc.getInputStream)
         .getLines().toList
       proc.waitFor()
-      val line = outLines.find(_.startsWith("""{"metric""""))
-        .getOrElse(sys.error(s"block $i produced no bench JSON"))
-      System.err.println(s"[bench-isolated] block ${i + 1}/${blocks.size} done")
-      parseQueries(line)
+      // A child that dies without emitting JSON (OOM, crash) must not
+      // abort the run and discard every other block's measurements: its
+      // queries are reported failed (-1.0) in the merged JSON instead.
+      outLines.find(_.startsWith("""{"metric"""")) match {
+        case Some(line) =>
+          System.err.println(
+            s"[bench-isolated] block ${i + 1}/${blocks.size} done")
+          parseQueries(line)
+        case None =>
+          System.err.println(s"[bench-isolated] block ${i + 1}/${blocks.size}" +
+            s" produced no bench JSON (exit ${proc.exitValue()}, log: $log)" +
+            " — marking its queries failed")
+          block.map(q => (q, -1.0))
+      }
     }
     val timed = merged.map { case (k, v) => (k, v, v >= 0) }
     println(resultJson(timed, sfDir))

@@ -43,8 +43,21 @@ object PlanWalk {
       s""""spill_bytes":$spillBytes"""
   }
 
+  /** [[nodes]] deduplicated by object identity. `nodes` intentionally
+    * descends into `ReusedExchangeExec.child` (an assertion like "a
+    * broadcast of X exists somewhere under this reuse" must see the
+    * subtree), but that child IS the original exchange object, so a
+    * counting consumer would tally the reused subtree once per reuse —
+    * inflating join/shuffle counts and summing the same spill SQLMetric
+    * multiple times. Facts counts over this deduplicated view. */
+  def distinctNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    nodes(p).filter(seen.add)
+  }
+
   def facts(root: SparkPlan): Facts = {
-    val ns = nodes(root)
+    val ns = distinctNodes(root)
     Facts(
       bhj = ns.count(_.isInstanceOf[BroadcastHashJoinExec]),
       smj = ns.count(_.isInstanceOf[SortMergeJoinExec]),

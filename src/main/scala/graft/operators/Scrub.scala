@@ -251,7 +251,14 @@ object Scrub {
     * (1.10 s vs 1.88 s for the bare kernel over the 50k-doc sf1 corpus,
     * same session, values identical), and the whole gate battery stays
     * inside whole-stage codegen. Ratios are single IEEE divisions of
-    * exact integers, so any engine computes bit-identical values. */
+    * exact integers, so any engine computes bit-identical values.
+    *
+    * Case handling: the text is lowercased once up front, so the symbol
+    * gate (`[^a-z0-9 ]`), the stop-word floor and the top-word
+    * concentration are all case-insensitive — "The" counts as a stop
+    * word and an uppercase letter is a letter, not a symbol.
+    * `mean_word_len` counts every non-space character (punctuation
+    * included), consistent with words being space-delimited tokens. */
   def gopherGates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       minWords: Long = 30L, maxWords: Long = 100000L,
@@ -259,16 +266,17 @@ object Scrub {
       maxSymbolRatio: Double = 0.1, minStopWords: Long = 2L,
       maxTopWordFrac: Double = 0.2,
       stopWords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
-    val words = split(col(textCol), " ", -1)
+    val lowered = lower(col(textCol))
+    val words = split(lowered, " ", -1)
     val nWords = size(words).cast(LongType)
     // max word frequency without leaving the row (native kernel)
-    val topRun = graft.functions.GraftFunctions.topWordRun(col(textCol))
+    val topRun = graft.functions.GraftFunctions.topWordRun(lowered)
     docs.select(
         col(idCol),
         nWords.as("n_words"),
-        (length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) /
+        (length(regexp_replace(lowered, " ", "")).cast(DoubleType) /
           nWords).as("mean_word_len"),
-        (size(regexp_extract_all(col(textCol), lit("[^a-z0-9 ]"), lit(0)))
+        (size(regexp_extract_all(lowered, lit("[^a-z0-9 ]"), lit(0)))
           .cast(DoubleType) / nWords).as("symbol_ratio"),
         size(filter(words, w => w.isin(stopWords: _*))).cast(LongType)
           .as("n_stop_words"),
@@ -293,18 +301,19 @@ object Scrub {
   val q123GopherGates: QueryDef = QueryDef("q123_gopher_gates",
     """WITH g AS (
       |  SELECT doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
-      |      / len(string_split(text, ' ')) AS mean_word_len,
-      |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-      |      / len(string_split(text, ' ')) AS symbol_ratio,
-      |    CAST(len(list_filter(string_split(text, ' '),
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+      |    CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)
+      |      / len(string_split(lower(text), ' ')) AS mean_word_len,
+      |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE)
+      |      / len(string_split(lower(text), ' ')) AS symbol_ratio,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
       |      w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT)
       |      AS n_stop_words,
       |    CAST((SELECT max(n) FROM (
-      |       SELECT count(*) AS n FROM unnest(string_split(text, ' ')) AS t(w)
+      |       SELECT count(*) AS n
+      |       FROM unnest(string_split(lower(text), ' ')) AS t(w)
       |       GROUP BY w)) AS DOUBLE)
-      |      / len(string_split(text, ' ')) AS top_word_frac
+      |      / len(string_split(lower(text), ' ')) AS top_word_frac
       |  FROM documents)
       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop_words,
       |  top_word_frac,

@@ -38,7 +38,14 @@ object StatefulBatch {
       dir: String): org.apache.spark.sql.DataFrame = {
     val p = s"$dir/events.parquet"
     val reader = spark.readStream.schema(graft.core.Catalog.schemas("events"))
-    if (new java.io.File(p).isDirectory) reader.parquet(p)
+    // Resolve the layout through Hadoop's FileSystem, not java.io.File:
+    // a local File.isDirectory is silently false for any non-local URI
+    // (hdfs://, s3a://), which would misroute a directory fixture into
+    // the glob branch — the exact empty-stream bug this helper fixes.
+    val hPath = new org.apache.hadoop.fs.Path(p)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory)
+      reader.parquet(p)
     else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 

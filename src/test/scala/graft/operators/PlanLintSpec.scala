@@ -54,6 +54,60 @@ class PlanLintSpec extends SparkSpec {
       s"queries with scale-hostile join plans:\n${offenders.mkString("\n")}")
   }
 
+  /** Queries whose CONSTRUCTION legitimately moves a bounded row set to
+    * the driver; every entry names the bound that keeps it scale-safe.
+    * Anything else that collects during construction is the r7
+    * `exactTopkRaw` bug class and must fail this lint. */
+  private val sanctionedDriverCollects = Map(
+    "q50_cosine_knn" -> "capped broadcast corpus (maxRows fail-fast)",
+    "q51_cosine_near_dup" -> "capped broadcast corpus (maxRows fail-fast)",
+    "q53_embedding_clusters" -> "pairs come from the q51 capped kernel",
+    "q115_semantic_screen" -> "capped broadcast corpus (maxRows fail-fast)",
+    "q52_ann_lsh" -> "1-row hyperplane seed head()",
+    "q93_ann_ivf" -> "nlist x dim centroid table (Lloyd)",
+    "q119_semdedup" -> "nlist x dim centroid table (Lloyd)",
+    "q92_async_lookup" -> "25-row nation dimension emulating the remote store",
+    "q104_upsert_sink" -> "touched-bucket id list (<= nBuckets ints)")
+
+  test("no declared query collects rows to the driver during construction") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // Dataset actions that return ROWS to the driver (Dataset.withAction
+    // funcNames). "count" is deliberately allowed: it moves one long, and
+    // convergence loops / corpus totals are legitimate scalar reads.
+    val rowActions =
+      Set("collect", "collectAsList", "toLocalIterator", "head",
+        "collectToPython", "toLocalIteratorToPython")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        if (rowActions(funcName)) seen.add(funcName)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val drain = () =>
+      org.apache.spark.GraftBusWait.drain(spark.sparkContext)
+    spark.listenerManager.register(listener)
+    try {
+      val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(q => sanctionedDriverCollects.contains(q._1))
+        .flatMap { case (name, fn) =>
+          drain(); seen.clear()
+          val df = fn(spark, sf())
+          // materialize through the RDD, which fires no Dataset action
+          // event — anything in `seen` came from the query's own code
+          df.queryExecution.toRdd.count()
+          drain()
+          val fired = seen.toArray.map(_.toString).distinct
+          if (fired.nonEmpty) Some(s"$name -> ${fired.mkString(",")}") else None
+        }
+      assert(offenders.isEmpty,
+        "queries that collect rows to the driver during construction " +
+          s"(unsanctioned):\n${offenders.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("qds72's inventory join stays eligible for AQE skew splitting") {
     // The reference's own worst query (catalog_sales ⋈ inventory ⋈ dims on
     // a d1/d2/d3 week constraint) carries the widest un-broadcast join in

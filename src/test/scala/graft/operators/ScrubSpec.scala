@@ -117,6 +117,27 @@ class ScrubSpec extends SparkSpec {
     Seq(2L, 3L, 4L, 5L).foreach(id => assert(!g(id).getAs[Boolean]("keep")))
   }
 
+  test("gopherGates is case-insensitive: uppercase is not a symbol and " +
+      "The is a stop word") {
+    val body = Seq.tabulate(40)(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"The A $body"),      // capitalized stop words still count
+      (2L, s"the a $body")       // lowercase control — must grade the same
+    ).toDF("doc_id", "text")
+    val g = Scrub.gopherGates(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // identical signals for both casings: symbol_ratio 0 (letters are
+    // letters), stop-word floor met by The/A, same keep verdict
+    Seq("symbol_ratio", "top_word_frac").foreach { c =>
+      assert(g(1L).getAs[Double](c) === g(2L).getAs[Double](c), c)
+    }
+    assert(g(1L).getAs[Long]("n_stop_words") ===
+      g(2L).getAs[Long]("n_stop_words"))
+    assert(g(1L).getAs[Boolean]("keep") === g(2L).getAs[Boolean]("keep"))
+    assert(g(1L).getAs[Double]("symbol_ratio") === 0.0)
+    assert(g(1L).getAs[Long]("n_stop_words") === 2L)
+  }
+
   test("gopherGates top-word fraction equals the explode-and-count answer") {
     val docs = Seq(
       (1L, "x y x z x y w"),        // x appears 3 of 7
