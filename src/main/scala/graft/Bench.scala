@@ -13,6 +13,35 @@ object Bench {
     else all.filter(_.startsWith(arg))
   }
 
+  /** Machine-speed canary (round-9 drift adjudication,
+    * scale/bench_r9_adjudication.md): the same binary measured 330 s vs
+    * 403 s full-session totals on an idle machine in different rounds —
+    * host-level throughput variance exceeding the old ±8% envelope. Every
+    * bench line now carries two fixed-work timings taken OUTSIDE the
+    * timed region: a single-threaded JVM arithmetic loop (`canary_st`)
+    * and a 32-way Spark codegen aggregate (`canary_mt`). Round-over-round
+    * comparisons normalize by these: a total shift matched by a canary
+    * shift is host drift; one the canary cannot explain is a regression. */
+  @volatile private var canarySink: Long = 0L
+  private def canarySt(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    while (i < 400000000) { // fixed work: 400M xorshift steps
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    canarySink = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+  private def canaryMt(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(400000000L).selectExpr("sum(id % 7)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("--isolated")) {
@@ -21,6 +50,8 @@ object Bench {
     }
     val names = selected(if (args.length > 0) args(0) else "")
     val spark = graft.core.SessionFactory.local("graft-bench")
+    val cSt = canarySt()
+    val cMt = canaryMt(spark)
     // absorb session/codegen/reader init outside the timed region: the
     // fact-table scan+agg warms the vectorized parquet reader, whole-stage
     // codegen and JIT so the first measured query pays its own cost, not
@@ -51,12 +82,12 @@ object Bench {
       catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    println(resultJson(timed, sfDir))
+    println(resultJson(timed, sfDir, Some((cSt, cMt))))
     spark.stop()
   }
 
   private def resultJson(timed: Seq[(String, Double, Boolean)],
-      sfDir: String): String = {
+      sfDir: String, canary: Option[(Double, Double)] = None): String = {
     // a failed query reports -1.0 (not its elapsed-until-failure time) and
     // is excluded from the total, so failures are visible in the JSON
     val qs = timed.map { case (k, v, ok) =>
@@ -65,7 +96,10 @@ object Bench {
     val failed = timed.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = timed.collect { case (_, v, true) => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val can = canary.map { case (st, mt) =>
+      f""""canary_st":$st%.3f,"canary_mt":$mt%.3f,"""
+    }.getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec",$can"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
   }
 
   /** Isolated-run protocol (round-7 verdict #6): per-query numbers from one

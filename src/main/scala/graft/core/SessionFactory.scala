@@ -71,6 +71,14 @@ object SessionFactory {
         b.config(k, v)
       }).getOrElse(builder)
     val spark = withExtra.getOrCreate()
+    // opt-in transitive join-filter (qds72 week-set rewrite): always
+    // injected, no-ops unless spark.graft.transitiveSelfJoinFilter.enabled
+    // is set — see graft.plans.TransitiveSelfJoinFilter
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.TransitiveSelfJoinFilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.TransitiveSelfJoinFilter
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -1,0 +1,190 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.internal.SQLConf
+
+/** Opt-in transitive join-filter — the qds72 week-set rewrite.
+  *
+  * TPC-DS q72 (reference: tpcds/queries/1/q72.sql) joins date_dim three
+  * times; the only static date predicate sits on d1 (`d1.d_year = ...`)
+  * while the 344M-row inventory scan is constrained only TRANSITIVELY
+  * through `d1.d_week_seq = d2.d_week_seq` — d2 itself carries no static
+  * predicate, so Spark's InjectRuntimeFilter structurally cannot prune
+  * inventory's join (it requires a selective static predicate on the
+  * creation side; verified with the size gate zeroed — SCALE.md "Why
+  * qds72 cannot be pruned further"). The reference's planner performs no
+  * such rewrite either; this is an above-reference optimization, OFF by
+  * default.
+  *
+  * Mechanism. For an INNER join with equality `a = b`:
+  *
+  *  - Soundness: semi-joining `b`'s side against ANY superset of the
+  *    `a` values entering the join is purely reductive — every surviving
+  *    joined row satisfies `b = a` for some `a`-row, so rows removed by
+  *    the semi-join could never have joined. No relationship between the
+  *    two sides is required for correctness.
+  *  - The superset used: the SLICE of `a`'s side rooted at the node that
+  *    produces `a` (join-free: a pure dimension pipeline of
+  *    Project/Filter/Aggregate over one leaf). Ignoring the rest of
+  *    `a`'s side can only widen the value set — still a superset.
+  *  - Profitability gate (this is where the self-join intuition lives,
+  *    as a cost heuristic rather than a soundness condition): the slice
+  *    must carry a static selective literal predicate (e.g. d_year =
+  *    1998 pushed down into d1's pipeline) and `b`'s own producing slice
+  *    must carry none (else the rewrite is redundant); the slice must be
+  *    deterministic, join-free and single-leaf, so the injected build is
+  *    a small filtered dimension AQE will broadcast. With d2 thus
+  *    reduced to one year of weeks (~361 rows), CBO/AQE can join it into
+  *    inventory FIRST — replacing the 344M-row sort-merge with a
+  *    broadcast probe.
+  *
+  * The injected build side is a fresh-copied subplan (leaf relations via
+  * MultiInstanceRelation.newInstance(), aliases re-minted) so attribute
+  * ids never collide with the originals.
+  *
+  * Enable with `spark.graft.transitiveSelfJoinFilter.enabled=true`
+  * (session conf). SessionFactory injects the rule unconditionally into
+  * `spark.experimental.extraOptimizations` — which run AFTER the main
+  * optimizer batches, so pushdown has already placed static predicates
+  * inside the producing slices — and the rule no-ops unless the flag is
+  * set.
+  */
+object TransitiveSelfJoinFilter extends Rule[LogicalPlan] {
+
+  val FLAG = "spark.graft.transitiveSelfJoinFilter.enabled"
+
+  /** Marks an injected semi-join so fixed-point re-application skips the
+    * already-reduced instance. */
+  private val Injected = TreeNodeTag[Boolean]("graft.transitiveSelfJoinFilter")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!SQLConf.get.getConfString(FLAG, "false").toBoolean) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        val eqs = splitConjuncts(cond).collect {
+          case EqualTo(x: AttributeReference, y: AttributeReference) => (x, y)
+        }
+        // orient each equality: (a = filtered-slice side, b = bare side)
+        val candidates = eqs.flatMap { case (x, y) =>
+          Seq((x, y), (y, x)).flatMap { case (a, b) =>
+            val aLeft = left.outputSet.contains(a)
+            val (aSide, bSide) = if (aLeft) (left, right) else (right, left)
+            if (aSide.outputSet.contains(a) && bSide.outputSet.contains(b))
+              rewriteFor(a, b, aSide, bSide).map(r => (aLeft, r))
+            else None
+          }
+        }
+        candidates.headOption match {
+          case Some((aLeft, (bPlan, semi))) =>
+            val newSide = (if (aLeft) right else left).transformUp {
+              case n if n eq bPlan => semi
+            }
+            if (aLeft) Join(left, newSide, Inner, Some(cond), hint)
+            else Join(newSide, right, Inner, Some(cond), hint)
+          case None => j
+        }
+    }
+  }
+
+  /** Build the (node-to-replace, replacement) pair if the (a, b) pair
+    * passes the soundness + profitability gates. */
+  private def rewriteFor(a: AttributeReference, b: AttributeReference,
+      aSide: LogicalPlan, bSide: LogicalPlan)
+      : Option[(LogicalPlan, LogicalPlan)] = for {
+    sliceA <- producerOf(a, aSide)
+    sliceB <- producerOf(b, bSide)
+    if isDimensionSlice(sliceA) && hasSelectiveFilter(sliceA)
+    if !hasSelectiveFilter(sliceB) && sliceB.getTagValue(Injected).isEmpty
+  } yield {
+    val fresh = freshCopy(sliceA)
+    val aFresh = fresh.output(sliceA.output.indexWhere(_.exprId == a.exprId))
+    val build = Project(Seq(aFresh), fresh)
+    val semi = Join(sliceB, build, LeftSemi,
+      Some(EqualTo(b, aFresh)), JoinHint.NONE)
+    semi.setTagValue(Injected, true)
+    (sliceB, semi)
+  }
+
+  /** Deepest node in `side` whose output carries `attr` — the subplan
+    * that produces it. Aborts (None) when the walk passes through an
+    * already-injected semi-join: that instance is reduced. */
+  private def producerOf(attr: AttributeReference,
+      side: LogicalPlan): Option[LogicalPlan] = {
+    if (!side.outputSet.contains(attr)) return None
+    var cur = side
+    while (true) {
+      if (cur.getTagValue(Injected).isDefined) return None
+      cur.children.find(_.outputSet.contains(attr)) match {
+        case Some(c) => cur = c
+        case None => return Some(cur)
+      }
+    }
+    None // unreachable
+  }
+
+  /** Join-free deterministic single-leaf pipeline whose leaves can be
+    * re-instantiated — the shape whose fresh copy is a cheap broadcast
+    * build (a filtered dimension), never a second copy of a fact join. */
+  private def isDimensionSlice(p: LogicalPlan): Boolean = {
+    val nodesOk = p.collect {
+      case _: Join => false
+      case n => n.expressions.forall(_.deterministic)
+    }.forall(identity)
+    val leaves = p.collectLeaves()
+    nodesOk && leaves.size == 1 &&
+      leaves.forall(_.isInstanceOf[MultiInstanceRelation])
+  }
+
+  private def hasSelectiveFilter(p: LogicalPlan): Boolean =
+    p.collectFirst { case Filter(fc, _) if isSelective(fc) => () }.isDefined
+
+  /** A filter worth propagating: at least one conjunct comparing against
+    * literals (IsNotNull alone prunes nothing). */
+  private def isSelective(fc: Expression): Boolean =
+    splitConjuncts(fc).exists {
+      case _: IsNotNull => false
+      case e: BinaryComparison => e.children.exists(_.isInstanceOf[Literal])
+      case In(_, list) => list.forall(_.isInstanceOf[Literal])
+      case _: InSet => true
+      case StartsWith(_, _: Literal) => true
+      case _ => false
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Deep copy of a subplan with every attribute re-instantiated — leaf
+    * relations via MultiInstanceRelation.newInstance(), Aliases re-minted
+    * with fresh ExprIds — so the copy can live in the same tree as the
+    * original without attribute-id collisions. */
+  private def freshCopy(plan: LogicalPlan): LogicalPlan = {
+    val mapping = scala.collection.mutable.Map.empty[ExprId, Attribute]
+    plan.transformUp {
+      case leaf: LeafNode =>
+        val fresh = leaf.asInstanceOf[MultiInstanceRelation].newInstance()
+          .asInstanceOf[LogicalPlan]
+        leaf.output.zip(fresh.output).foreach { case (o, n) =>
+          mapping(o.exprId) = n
+        }
+        fresh
+      case node =>
+        node.transformExpressionsDown {
+          case ar: AttributeReference if mapping.contains(ar.exprId) =>
+            mapping(ar.exprId)
+          case al: Alias =>
+            val na = Alias(al.child, al.name)(
+              qualifier = al.qualifier,
+              explicitMetadata = Some(al.metadata))
+            mapping(al.exprId) = na.toAttribute
+            na
+        }
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+import org.apache.spark.sql.execution.joins._
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** The opt-in transitive join-filter (qds72 week-set rewrite) must be
+  * (1) off by default, (2) answer-preserving when on, (3) actually
+  * inject the semi-join reduction on the qds72 shape, and (4) decline
+  * the cases its gates exclude. */
+class TransitiveSelfJoinFilterSpec extends SparkSpec {
+
+  private def withFlag[T](on: Boolean)(f: => T): T = {
+    spark.conf.set(TransitiveSelfJoinFilter.FLAG, on.toString)
+    try f finally spark.conf.unset(TransitiveSelfJoinFilter.FLAG)
+  }
+
+  private def orders = spark.read.parquet(s"${sf()}/orders.parquet")
+  private def lineitem = spark.read.parquet(s"${sf()}/lineitem.parquet")
+
+  private def selfJoinQuery = {
+    // the qds72 shape in miniature: d1 (static filter) and d2 (bare) are
+    // the same dimension; the fact constrains d2 only transitively
+    val a = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderdate").as("date_a"))
+    val b = orders.select(col("o_orderkey").as("k"),
+      col("o_orderdate").as("date_b"))
+    lineitem.select(col("l_orderkey"), col("l_quantity"))
+      .join(b, col("l_orderkey") === col("k"))
+      .join(a, col("date_b") === col("date_a"))
+  }
+
+  private def semiJoins(df: org.apache.spark.sql.DataFrame): Int = {
+    df.queryExecution.optimizedPlan.collect {
+      case j: LJoin if j.joinType == LeftSemi => j
+    }.size
+  }
+
+  test("off by default: no semi-join appears without the flag") {
+    assert(semiJoins(selfJoinQuery) == 0)
+  }
+
+  test("flag on: injects the semi-join and preserves the answer") {
+    val base = rows(selfJoinQuery.orderBy(col("l_orderkey"), col("date_a")))
+    withFlag(on = true) {
+      val df = selfJoinQuery
+      assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+      val got = rows(df.orderBy(col("l_orderkey"), col("date_a")))
+      assert(got == base)
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("declines when the bare side already has a selective filter") {
+    withFlag(on = true) {
+      val a = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderdate").as("date_a"))
+      val b = orders.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderdate").as("date_b"))
+      val df = b.join(a, col("date_b") === col("date_a"))
+      assert(semiJoins(df) == 0,
+        "both sides filtered: the rewrite is redundant and must not fire")
+    }
+  }
+
+  test("declines a join-bearing slice (never copies a fact join)") {
+    withFlag(on = true) {
+      // the "filtered" side is itself a join — slice gate must refuse
+      val a = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderdate").as("date_a"))
+      val b = orders.select(col("o_orderdate").as("date_b"))
+      val df = b.join(a, col("date_b") === col("date_a"))
+      assert(semiJoins(df) == 0)
+    }
+  }
+
+  test("qds72_literal: answer unchanged and a reduction injected") {
+    val name = "qds72_literal"
+    val base = rows(graft.SparkEntry.queries(name)(spark, sf("sf0.01")))
+    withFlag(on = true) {
+      val df = graft.SparkEntry.queries(name)(spark, sf("sf0.01"))
+      val semis = semiJoins(df)
+      val got = rows(df)
+      assert(got == base, "the rewrite changed qds72's answer")
+      assert(semis >= 1,
+        s"expected an injected LeftSemi reduction on qds72, got $semis")
+    }
+  }
+}
