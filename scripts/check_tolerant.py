@@ -20,28 +20,25 @@ comparison for 8 tie-prone queries):
                   Our compare is ALWAYS unordered (like the driver's
                   hash gate), which subsumes the reference's
                   isUncertain sort for every query.
-  tier TIE_ADJ  — boundary adjudication for the residual classes the
-                  reference never faces because it compares against its
-                  own golden files, not a second engine:
-                  (a) ORDER BY ... LIMIT that binds, with the two
-                      engines keeping different members of an exact tie
-                      group at the boundary: passes iff the symmetric
-                      difference pairs up row-for-row with every
-                      differing pair agreeing (to 4dp) on all columns
-                      except at most the engine-chosen tie-broken ones,
-                      i.e. each extra row on one side has a partner on
-                      the other side equal on the query's certain
-                      content; implemented as: strip matched rows, then
-                      require |onlyA| == |onlyB| and every onlyA row to
-                      be "tie-equivalent" to some onlyB row (equal on
-                      all non-numeric fields' sort signature — see
-                      tie_equivalent()).
-                  (b) threshold membership flips: rows present on one
-                      side only, whose flip is explained by a float
-                      sitting within eps of a predicate threshold, are
-                      reported (not silently passed) and accepted only
-                      when listed in THRESHOLD_QUERIES with the
-                      threshold expression checked.
+  tier VALUE_DRIFT — equal-cardinality results whose unmatched rows
+                  pair 1:1: identical on every non-float field, float
+                  fields within |d| <= 0.011 or rel <= 1e-9 (the
+                  one-cent half-even rounding flip of a windowed
+                  double avg over 10x the rows — the qds57 class).
+  tier TIE_SWAP — ORDER BY ... LIMIT that binds (oracle LIMIT == row
+                  count), with the two engines keeping different
+                  members of an exact tie group at the boundary: every
+                  unmatched row must agree with a partner row on the
+                  other side on ALL output-visible ORDER BY columns
+                  (parsed from the oracle's trailing ORDER BY) — the
+                  rows are interchangeable under the query's own order
+                  (the qds75 class).
+  tier THRESHOLD — membership flips explained by a float sitting
+                  within eps of a predicate threshold; accepted only
+                  for queries registered in THRESHOLD_QUERIES.
+                  (qds39a/b turn out to pass under plain REF_4DP —
+                  the 13th-digit cov drift never crosses 4dp — so this
+                  tier is currently a guard, not an active pass.)
 
 Dialect normalization: Spark sorts ASC NULLS FIRST / DESC NULLS LAST;
 DuckDB defaults to the opposite. Where an ORDER BY ... LIMIT binds over
@@ -110,29 +107,86 @@ def multiset_diff(a, b):
     return only_a, only_b
 
 
-def tie_equivalent(ra, rb):
-    """Two boundary rows are an acceptable tie swap iff they agree on
-    every non-float field and differ in at most the float measures — the
-    tie group shares the ORDER BY key (which binds the LIMIT), and what
-    distinguishes its members is engine-chosen. Conservative: any
-    string/int/date disagreement beyond ONE identity-ish field fails."""
-    diff_nonnum = sum(1 for x, y in zip(ra, rb)
-                      if x != y and not _both_numeric_str(x, y))
-    return diff_nonnum <= 2
+def _as_float(v):
+    """Canonical rows carry floats/decimals as formatted strings."""
+    if isinstance(v, (int, float, Decimal)):
+        return float(v)
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            return None
+    return None
 
 
-def _both_numeric_str(x, y):
-    def is_num(v):
-        if isinstance(v, (int, float, Decimal)):
-            return True
-        if isinstance(v, str):
-            try:
-                float(v)
-                return True
-            except ValueError:
-                return False
+def value_drift_pairs(only_a, only_b):
+    """Pair each onlyA row with an onlyB row identical on every
+    non-numeric field and with every numeric field within the one-cent/
+    relative tolerance. Returns True iff ALL rows pair off."""
+    if len(only_a) != len(only_b):
         return False
-    return is_num(x) and is_num(y)
+    rest = list(only_b)
+    for ra in only_a:
+        hit = None
+        for rb in rest:
+            ok = True
+            for x, y in zip(ra, rb):
+                fx, fy = _as_float(x), _as_float(y)
+                if fx is None or fy is None:
+                    if x != y:
+                        ok = False
+                        break
+                elif abs(fx - fy) > max(0.011, 1e-9 * max(abs(fx), abs(fy))):
+                    ok = False
+                    break
+            if ok:
+                hit = rb
+                break
+        if hit is None:
+            return False
+        rest.remove(hit)
+    return True
+
+
+def order_by_cols(sql, cols):
+    """Output-visible columns of the oracle's trailing ORDER BY, and the
+    LIMIT if present. Best-effort textual parse — used only to decide
+    whether a tie-swap adjudication may apply."""
+    import re
+    m = re.search(r"order\s+by\s+(.*?)(?:\blimit\s+(\d+))?\s*$", sql,
+                  re.IGNORECASE | re.DOTALL)
+    if not m:
+        return [], None
+    names = []
+    for part in m.group(1).split(","):
+        tok = part.strip().split()[0].strip().lower() if part.strip() else ""
+        tok = tok.split(".")[-1]
+        if tok in [c.lower() for c in cols]:
+            names.append([c for c in cols if c.lower() == tok][0])
+    limit = int(m.group(2)) if m.group(2) else None
+    return names, limit
+
+
+def tie_swap_ok(only_a, only_b, cols, sql, n_rows):
+    """LIMIT-boundary tie swap: the LIMIT binds (== result cardinality),
+    and every unmatched row agrees with some partner on the other side
+    on ALL output-visible ORDER BY columns — interchangeable under the
+    query's own ordering."""
+    if len(only_a) != len(only_b) or not only_a:
+        return False, ""
+    ob, limit = order_by_cols(sql, cols)
+    if not ob or limit is None or limit != n_rows:
+        return False, ""
+    idx = [cols.index(c) for c in ob]
+    rest = list(only_b)
+    for ra in only_a:
+        hit = next((rb for rb in rest
+                    if all(ra[i] == rb[i] for i in idx)), None)
+        if hit is None:
+            return False, ""
+        rest.remove(hit)
+    return True, (f"{len(only_a)} row(s) exchanged within a tie group on "
+                  f"ORDER BY ({', '.join(ob)}) at the binding LIMIT {limit}")
 
 
 def threshold_explained(name, cols, only_a, only_b, con, sql):
@@ -172,7 +226,8 @@ def main(out_dir, sf_dir, prefix=""):
             p += "/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    tiers = {"EXACT": 0, "REF_4DP": 0, "TIE_ADJ": 0, "FAIL": 0}
+    tiers = {"EXACT": 0, "REF_4DP": 0, "VALUE_DRIFT": 0, "TIE_SWAP": 0,
+             "THRESHOLD": 0, "FAIL": 0}
     fails = []
     for name, sql in sorted(oracles.items()):
         if not name.startswith(tuple(prefix.split(",")) if prefix else ""):
@@ -205,25 +260,28 @@ def main(out_dir, sf_dir, prefix=""):
             tiers["REF_4DP"] += 1
             print(f"PASS {name} [REF_4DP] ({len(got_rows)} rows)")
             continue
-        # tier 3: boundary adjudication
+        # tier 3+: boundary adjudication
         only_g, only_e = multiset_diff(g4, e4)
         verdict = None
-        if name in THRESHOLD_QUERIES:
+        tier = None
+        if (len(got_rows) == len(exp_rows)
+                and value_drift_pairs(only_g, only_e)):
+            tier = "VALUE_DRIFT"
+            verdict = (f"{len(only_g)} row(s) paired with numeric drift "
+                       "<= max(0.011, 1e-9 rel)")
+        if verdict is None and len(got_rows) == len(exp_rows):
+            ok, why = tie_swap_ok(only_g, only_e, got_cols, sql,
+                                  len(got_rows))
+            if ok:
+                tier, verdict = "TIE_SWAP", why
+        if verdict is None and name in THRESHOLD_QUERIES:
             ok, why = threshold_explained(name, got_cols, only_g, only_e,
                                           con, sql)
             if ok:
-                verdict = f"threshold: {why}"
-        elif (len(only_g) == len(only_e) and len(only_g) <= 20
-              and len(got_rows) == len(exp_rows)):
-            pairs_ok = all(
-                any(tie_equivalent(ra, rb) for rb in only_e)
-                for ra in only_g)
-            if pairs_ok:
-                verdict = (f"limit-boundary tie swap: {len(only_g)} "
-                           "row(s) exchanged within a tie group")
+                tier, verdict = "THRESHOLD", f"threshold: {why}"
         if verdict:
-            tiers["TIE_ADJ"] += 1
-            print(f"PASS {name} [TIE_ADJ] ({len(got_rows)} rows; {verdict})")
+            tiers[tier] += 1
+            print(f"PASS {name} [{tier}] ({len(got_rows)} rows; {verdict})")
         else:
             tiers["FAIL"] += 1
             fails.append(name)
@@ -236,7 +294,9 @@ def main(out_dir, sf_dir, prefix=""):
     total = sum(tiers.values())
     print(f"\n{total - tiers['FAIL']}/{total} pass "
           f"(EXACT {tiers['EXACT']}, REF_4DP {tiers['REF_4DP']}, "
-          f"TIE_ADJ {tiers['TIE_ADJ']}); {tiers['FAIL']} failed"
+          f"VALUE_DRIFT {tiers['VALUE_DRIFT']}, "
+          f"TIE_SWAP {tiers['TIE_SWAP']}, "
+          f"THRESHOLD {tiers['THRESHOLD']}); {tiers['FAIL']} failed"
           + (f": {fails}" if fails else ""))
     return 1 if tiers["FAIL"] else 0
 
