@@ -35,13 +35,21 @@ import org.apache.spark.sql.internal.SQLConf
   *  - Profitability gate (this is where the self-join intuition lives,
   *    as a cost heuristic rather than a soundness condition): the slice
   *    must carry a static selective literal predicate (e.g. d_year =
-  *    1998 pushed down into d1's pipeline) and `b`'s own producing slice
-  *    must carry none (else the rewrite is redundant); the slice must be
-  *    deterministic, join-free and single-leaf, so the injected build is
-  *    a small filtered dimension AQE will broadcast. With d2 thus
-  *    reduced to one year of weeks (~361 rows), CBO/AQE can join it into
-  *    inventory FIRST — replacing the 344M-row sort-merge with a
-  *    broadcast probe.
+  *    1998 pushed down into d1's pipeline) OR an already-injected
+  *    reduction, and `b`'s own producing slice must carry neither (else
+  *    the rewrite is redundant); slices must be deterministic, few-leaf,
+  *    and join-free except for injected semi-joins, so the build is
+  *    always a small filtered dimension AQE will broadcast.
+  *  - Chaining: because an injected reduction makes its slice count as
+  *    selective, the rewrite propagates across the rule's fixed-point
+  *    batch without any join reordering: iteration 1 reduces d2 by d1's
+  *    week set; iteration 2 sees the inv_date_sk = d2.d_date_sk
+  *    equality with a now-selective d2 and semi-joins the inventory
+  *    slice itself by the ~1-year date set — the 344M-row relation is
+  *    reduced BELOW its sort-merge join, where a broadcast semi probe
+  *    replaces most of the sort volume. This is the step Spark's
+  *    InjectRuntimeFilter structurally cannot reach (no static predicate
+  *    on the creation side) and the rule exists to reach.
   *
   * The injected build side is a fresh-copied subplan (leaf relations via
   * MultiInstanceRelation.newInstance(), aliases re-minted) so attribute
@@ -92,14 +100,20 @@ object TransitiveSelfJoinFilter extends Rule[LogicalPlan] {
   }
 
   /** Build the (node-to-replace, replacement) pair if the (a, b) pair
-    * passes the soundness + profitability gates. */
+    * passes the soundness + profitability gates. The injected semi-join
+    * makes the reduced slice itself count as "selective", so the rule
+    * CHAINS across the fixed point: d1 (static filter) reduces d2
+    * through `d1.d_week_seq = d2.d_week_seq` on one iteration, and the
+    * now-selective d2 reduces inventory through
+    * `inv_date_sk = d2.d_date_sk` on the next — the reduction reaches
+    * the fact scan without any join reordering. */
   private def rewriteFor(a: AttributeReference, b: AttributeReference,
       aSide: LogicalPlan, bSide: LogicalPlan)
       : Option[(LogicalPlan, LogicalPlan)] = for {
-    sliceA <- producerOf(a, aSide)
-    sliceB <- producerOf(b, bSide)
-    if isDimensionSlice(sliceA) && hasSelectiveFilter(sliceA)
-    if !hasSelectiveFilter(sliceB) && sliceB.getTagValue(Injected).isEmpty
+    sliceA <- sliceFor(a, aSide)
+    sliceB <- sliceFor(b, bSide)
+    if isSelectiveSlice(sliceA)
+    if !isSelectiveSlice(sliceB) && injectedJoins(sliceB).isEmpty
   } yield {
     val fresh = freshCopy(sliceA)
     val aFresh = fresh.output(sliceA.output.indexWhere(_.exprId == a.exprId))
@@ -110,38 +124,47 @@ object TransitiveSelfJoinFilter extends Rule[LogicalPlan] {
     (sliceB, semi)
   }
 
-  /** Deepest node in `side` whose output carries `attr` — the subplan
-    * that produces it. Aborts (None) when the walk passes through an
-    * already-injected semi-join: that instance is reduced. */
-  private def producerOf(attr: AttributeReference,
+  /** The MAXIMAL slice-like subplan of `side` containing `attr`'s
+    * producer: descend from the root toward the producer until the
+    * remaining subtree qualifies as a slice. None if even the producer's
+    * own subtree is not slice-like (e.g. an aggregate over a join). */
+  private def sliceFor(attr: AttributeReference,
       side: LogicalPlan): Option[LogicalPlan] = {
     if (!side.outputSet.contains(attr)) return None
     var cur = side
-    while (true) {
-      if (cur.getTagValue(Injected).isDefined) return None
+    while (!isSliceLike(cur)) {
       cur.children.find(_.outputSet.contains(attr)) match {
         case Some(c) => cur = c
-        case None => return Some(cur)
+        case None => return None
       }
     }
-    None // unreachable
+    Some(cur)
   }
 
-  /** Join-free deterministic single-leaf pipeline whose leaves can be
-    * re-instantiated — the shape whose fresh copy is a cheap broadcast
-    * build (a filtered dimension), never a second copy of a fact join. */
-  private def isDimensionSlice(p: LogicalPlan): Boolean = {
-    val nodesOk = p.collect {
-      case _: Join => false
-      case n => n.expressions.forall(_.deterministic)
-    }.forall(identity)
+  /** A subplan that is safe AND cheap to fresh-copy as a semi-join
+    * build: deterministic, every leaf re-instantiable, at most a few
+    * leaves, and the only joins inside are semi-joins this rule
+    * injected (so a reduced dimension still counts as a slice, but a
+    * fact join never does). */
+  private def isSliceLike(p: LogicalPlan): Boolean = {
+    val joins = p.collect { case jn: Join => jn }
     val leaves = p.collectLeaves()
-    nodesOk && leaves.size == 1 &&
-      leaves.forall(_.isInstanceOf[MultiInstanceRelation])
+    joins.forall(jn => jn.joinType == LeftSemi &&
+        jn.getTagValue(Injected).isDefined) &&
+      leaves.size <= 4 &&
+      leaves.forall(_.isInstanceOf[MultiInstanceRelation]) &&
+      p.collect { case n => n.expressions.forall(_.deterministic) }
+        .forall(identity)
   }
 
-  private def hasSelectiveFilter(p: LogicalPlan): Boolean =
-    p.collectFirst { case Filter(fc, _) if isSelective(fc) => () }.isDefined
+  private def injectedJoins(p: LogicalPlan): Seq[Join] =
+    p.collect { case jn: Join if jn.getTagValue(Injected).isDefined => jn }
+
+  /** Worth propagating from: a static selective literal filter, or a
+    * reduction this rule already injected (the chaining case). */
+  private def isSelectiveSlice(p: LogicalPlan): Boolean =
+    injectedJoins(p).nonEmpty ||
+      p.collectFirst { case Filter(fc, _) if isSelective(fc) => () }.isDefined
 
   /** A filter worth propagating: at least one conjunct comparing against
     * literals (IsNotNull alone prunes nothing). */

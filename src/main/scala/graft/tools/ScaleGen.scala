@@ -50,11 +50,23 @@ object ScaleGen {
     // fire on it; a hot-key variant makes the split observable on real
     // queries (SCALE.md "AQE skew splitting").
     val hotFrac = if (args.length > 3) args(3).toDouble else 0.0
+    // optional 5th arg: fraction of lineitem ORDER keys collapsed onto
+    // one hot order (0 = none). The part-key mode above skews the
+    // item-keyed SMJs (tpch08/09/19; qds72/qds14a via cs_item_sk =
+    // l_partkey); the TPC-DS order-number self-joins (qds95's ws_wh
+    // CTE joins on ws_order_number = l_orderkey) are order-keyed, so
+    // observing a live split there needs a hot ORDER — one mega-order
+    // carrying ~hotOrderFrac of the fact's lines (FK stays valid: the
+    // hot key is the base corpus's minimum o_orderkey, owned by
+    // replica 0).
+    val hotOrderFrac = if (args.length > 4) args(4).toDouble else 0.0
     require(factor >= 1, s"factor must be >= 1, got $factor")
     require(hotFrac >= 0.0 && hotFrac < 1.0, s"hotFrac out of range: $hotFrac")
+    require(hotOrderFrac >= 0.0 && hotOrderFrac < 1.0,
+      s"hotOrderFrac out of range: $hotOrderFrac")
     val spark = graft.core.SessionFactory.local("graft-scalegen")
     graft.core.Catalog.assertFixtureSchemas(spark, base)
-    scale(spark, base, out, factor, hotFrac)
+    scale(spark, base, out, factor, hotFrac, hotOrderFrac)
     spark.stop()
   }
 
@@ -89,7 +101,8 @@ object ScaleGen {
     "vec_id" -> ("embeddings", "vec_id"))
 
   def scale(spark: SparkSession, base: String, out: String,
-      factor: Int, hotFrac: Double = 0.0): Unit = {
+      factor: Int, hotFrac: Double = 0.0,
+      hotOrderFrac: Double = 0.0): Unit = {
     import graft.core.Catalog
     // one tiny aggregate per owned key space — strides for the offsets
     val strides: Map[String, Long] = strideOwner.values.toSeq.distinct.map {
@@ -114,7 +127,7 @@ object ScaleGen {
               col(c) + col("replica") * lit(strides(strideOwner(c)._2)))
           }
           val salted = t match {
-            case "lineitem" if hotFrac > 0 =>
+            case "lineitem" if hotFrac > 0 || hotOrderFrac > 0 =>
               // collapse a deterministic per-row fraction of part FKs onto
               // the base corpus's minimum part key (owned by replica 0, so
               // the FK stays valid); row identity (orderkey, linenumber)
@@ -124,10 +137,27 @@ object ScaleGen {
               // for
               val hotKey = graft.core.Catalog.load(spark, base, "part")
                 .agg(min(col("p_partkey"))).head.getLong(0)
-              offset.withColumn("l_partkey",
+              val partHot = offset.withColumn("l_partkey",
                 when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
                   lit(10000)) < lit((hotFrac * 10000).toInt), lit(hotKey))
                   .otherwise(col("l_partkey")))
+              if (hotOrderFrac == 0) partHot
+              else {
+                // one mega-order: a distinct-hash draw (seeded 42 so the
+                // two hot modes stay independent) collapses l_orderkey
+                // onto the base min order — the order-number self-joins
+                // (qds95's ws_wh) then carry ~hotOrderFrac of the fact
+                // in one shuffle partition. The hot lines inherit the
+                // hot order's o_orderdate/o_custkey through the join,
+                // which is what a real hot entity does.
+                val hotOrder = graft.core.Catalog.load(spark, base, "orders")
+                  .agg(min(col("o_orderkey"))).head.getLong(0)
+                partHot.withColumn("l_orderkey",
+                  when(pmod(xxhash64(lit(42), col("l_orderkey"),
+                    col("l_linenumber")), lit(10000))
+                    < lit((hotOrderFrac * 10000).toInt), lit(hotOrder))
+                    .otherwise(col("l_orderkey")))
+              }
             case "documents" =>
               // replicas become near-duplicates, not exact duplicates
               offset.withColumn("text",

@@ -43,11 +43,23 @@ class TransitiveSelfJoinFilterSpec extends SparkSpec {
     assert(semiJoins(selfJoinQuery) == 0)
   }
 
-  test("flag on: injects the semi-join and preserves the answer") {
+  test("flag on: injects semi-joins, chains to the fact, preserves the " +
+      "answer") {
     val base = rows(selfJoinQuery.orderBy(col("l_orderkey"), col("date_a")))
     withFlag(on = true) {
       val df = selfJoinQuery
-      assert(semiJoins(df) == 1, df.queryExecution.optimizedPlan.toString)
+      // the reduction chains: d2-analogue (bare orders) is reduced by the
+      // filtered instance, and the now-selective reduced slice reduces
+      // the fact (lineitem) through the l_orderkey equality — the qds72
+      // inventory chain in miniature
+      assert(semiJoins(df) >= 2, df.queryExecution.optimizedPlan.toString)
+      val factReduced = df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.joinType == LeftSemi &&
+          j.left.collectLeaves().exists(_.toString.contains("l_orderkey")) => j
+      }
+      assert(factReduced.nonEmpty,
+        "the chain must reach the fact table:\n" +
+          df.queryExecution.optimizedPlan)
       val got = rows(df.orderBy(col("l_orderkey"), col("date_a")))
       assert(got == base)
       assert(got.nonEmpty)
@@ -66,15 +78,35 @@ class TransitiveSelfJoinFilterSpec extends SparkSpec {
     }
   }
 
-  test("declines a join-bearing slice (never copies a fact join)") {
+  test("never copies an inner join into a build side") {
     withFlag(on = true) {
-      // the "filtered" side is itself a join — slice gate must refuse
+      // the "filtered" side is itself a join: the rule may legitimately
+      // reduce OTHER equalities (it semi-joins lineitem by the filtered
+      // orders inside `a`), but no injected build may ever contain a
+      // copied inner join, and the date_a alias minted ABOVE the join
+      // must not be treated as a slice
       val a = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderdate").as("date_a"))
       val b = orders.select(col("o_orderdate").as("date_b"))
       val df = b.join(a, col("date_b") === col("date_a"))
-      assert(semiJoins(df) == 0)
+      val innerInBuilds = df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.joinType == LeftSemi =>
+          j.right.collect {
+            case i: LJoin if i.joinType != LeftSemi => i
+          }
+      }.flatten
+      assert(innerInBuilds.isEmpty,
+        s"a build side contains a copied non-semi join:\n" +
+          df.queryExecution.optimizedPlan)
+      // and the b side of the date equality stays unreduced (its would-be
+      // source slice is join-bearing)
+      val dateSemis = df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.joinType == LeftSemi &&
+          j.condition.exists(_.references.exists(_.name == "date_b")) => j
+      }
+      assert(dateSemis.isEmpty,
+        "date_b must not be reduced from a join-bearing slice")
     }
   }
 
