@@ -447,7 +447,8 @@ object Similarity {
     * corpus exceeds [[MaxBroadcastCorpusRows]]. */
   def annLshNeighbors(embIn: DataFrame, queryPred: Column, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = Dim): DataFrame = {
+      dim: Int = Dim, nPlanes: Int = Planes, nTables: Int = Tables_)
+      : DataFrame = {
     val spark = embIn.sparkSession
     import spark.implicits._
     // queryPred is evaluated against the caller's schema here, before the
@@ -462,22 +463,22 @@ object Similarity {
     // algebra would run tables × planes × dim interpreted HOF lambdas
     // per input row (HOFs are not codegen'd — measured dominant here).
     val planes: Array[Array[Array[Double]]] = {
-      val cols = for (t <- 0 until Tables_; p <- 0 until Planes)
+      val cols = for (t <- 0 until nTables; p <- 0 until nPlanes)
         yield transform(sequence(lit(1), lit(dim)), d => planeComponent(t, p, d))
       val row = spark.range(1).select(array(cols: _*)).head().getSeq[Seq[Double]](0)
-      Array.tabulate(Tables_, Planes)((t, p) => row(t * Planes + p).toArray)
+      Array.tabulate(nTables, nPlanes)((t, p) => row(t * nPlanes + p).toArray)
     }
-    val bcPlanes = spark.sparkContext.broadcast(planes)
+    val bcnPlanes = spark.sparkContext.broadcast(planes)
 
     val buckets = emb.as[(Long, Seq[Double], Boolean)]
       .mapPartitions { it =>
-        val pl = bcPlanes.value
+        val pl = bcnPlanes.value
         it.flatMap { case (id, e, isQ) =>
           val v = e.toArray
-          (0 until Tables_).map { t =>
+          (0 until nTables).map { t =>
             var bucket = 0L
             var p = 0
-            while (p < Planes) {
+            while (p < nPlanes) {
               val plane = pl(t)(p)
               var s = 0.0; var d = 0
               while (d < v.length && d < plane.length) { s += v(d) * plane(d); d += 1 }

@@ -6,41 +6,54 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.StatefulOps
+import graft.streaming.{EarlyFire, StatefulOps}
 import graft.streaming.StatefulOps.Event
 
 /** Dev utility: streaming soak at scale (round-9 VERDICT #6). The
   * stateful operator suite is spec-proven on RocksDB at toy volume; this
-  * tool drives the five state-bearing operators (q72 top-n, q73
-  * keep-last, q94 ROWS frame, q95 RANGE frame, q124 reservoir) through a
-  * REAL multi-batch file stream over ~10M tiled events on the RocksDB
-  * state store, records per-batch state/latency metrics from
-  * StreamingQueryProgress, and checks zero semantic drift against the
-  * same operator run in one batch over the identical frame.
+  * tool drives the state-bearing operators through a REAL multi-batch
+  * file stream over ~10M tiled events on the RocksDB state store,
+  * records per-batch state/latency metrics from StreamingQueryProgress,
+  * and checks zero semantic drift against the same operator run in one
+  * batch over the identical frame.
+  *
+  * Covered: q72 top-n, q73 keep-last, q94 ROWS frame, q95 RANGE frame,
+  * q124 reservoir (ordered replay), q97 early-fire and q110 late-fire
+  * window aggregation (late-fire on an OUT-OF-ORDER replay with genuine
+  * straggler batches so the `is_final = 2` path actually fires at
+  * volume), q90/q91 count windows, and the streaming event-time sort
+  * (multiset + emission-order check).
   *
   * Mechanics:
   *  - events are tiled `factor`× from the base fixture with per-replica
-  *    key offsets (same discipline as [[ScaleGen]]), RANGE-partitioned
+  *    key offsets (same discipline as [[ScaleGen]]), partitioned
   *    by ts into `nFiles` files so file order is time order — the file
   *    stream (maxFilesPerTrigger=1) then replays history in watermark-
   *    compatible order, one micro-batch per file;
+  *  - the straggler variant additionally holds back a deterministic
+  *    ~0.2% of each file's rows (event_id % 499 == 0) and replays file
+  *    k's stragglers AFTER main file k+1 — each straggler is then late
+  *    by at most two file spans of event time, inside the late-fire
+  *    operator's allowed-lateness horizon, so late finals fire while
+  *    beyond-horizon drops stay impossible (drift would show otherwise);
   *  - a sentinel event (event_id = -1) 10 years past the data's end is
   *    written as a final extra file: its arrival pushes the event-time
-  *    watermark past every real row, so the frame operators adjudicate
+  *    watermark past every real row, so the operators adjudicate
   *    their tails before AvailableNow terminates (excluded from all
   *    comparisons);
   *  - drift checks reconstruct each operator's FINAL answer from the
   *    emitted append log with the operator's own monotonicity (top-n
   *    entries only ever came through the log; keep-last's final winner
   *    is the log's (ts, event_id)-max per key; the reservoir is
-  *    bottom-k-by-hash of logged ids) and compare with the batch run's
-  *    final answer reconstructed the same way; the ROWS/RANGE frame
-  *    operators emit exactly one row per input row, so there the whole
-  *    multiset must match.
+  *    bottom-k-by-hash of logged ids; a window's last fire carries its
+  *    max n_events) and compare with the batch run's final answer
+  *    reconstructed the same way; operators that emit exactly one row
+  *    per input row (the frames) or per completed window (count
+  *    windows) compare as whole multisets.
   *
   * Usage: runMain graft.tools.StreamSoak <baseSfDir> <workDir> [factor]
-  * [nFiles] — emits one JSON line per (operator, batch) plus a summary
-  * line per operator to <workDir>/soak.jsonl.
+  * [nFiles] [opPrefix] — emits one JSON line per (operator, batch) plus
+  * a summary line per operator to <workDir>/soak.jsonl.
   */
 object StreamSoak {
 
@@ -49,28 +62,39 @@ object StreamSoak {
     val work = args(1)
     val factor = if (args.length > 2) args(2).toInt else 100
     val nFiles = if (args.length > 3) args(3).toInt else 20
+    val opPrefix = if (args.length > 4) args(4) else ""
     val spark = graft.core.SessionFactory.local("graft-stream-soak")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
 
     val eventsDir = s"$work/events_tiled"
-    tileEvents(spark, base, eventsDir, factor, nFiles)
+    val straggDir = s"$work/events_straggler"
+    tileEvents(spark, base, eventsDir, factor, nFiles, stragglers = false)
+    tileEvents(spark, base, straggDir, factor, nFiles, stragglers = true)
     val out = new PrintWriter(s"$work/soak.jsonl")
 
-    val batchDs = spark.read.parquet(eventsDir)
+    def batchDs(dir: String) = spark.read.parquet(dir)
       .select(col("user_id"), col("event_id"),
         col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
       .as[Event]
-    def streamDs = spark.readStream
-      .schema(batchDs.schema)
+    def streamDs(dir: String) = spark.readStream
+      .schema(batchDs(dir).schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(eventsDir)
+      .parquet(dir)
       .as[Event]
+    // real (non-sentinel) data horizon, for excluding sentinel windows
+    val maxRealTs = batchDs(eventsDir).filter(col("event_id") >= 0L)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val maxRealUs = maxRealTs.getTime * 1000L
+    val fileSpanMs =
+      (maxRealTs.getTime - batchDs(eventsDir).filter(col("event_id") >= 0L)
+        .agg(min(col("ts"))).head().getTimestamp(0).getTime) / nFiles
 
-    // (name, stream-op, batch-op, final-reconstruction, exact-multiset?)
-    type Op = Dataset[Event] => DataFrame
     val real = (df: DataFrame) => df.filter(col("event_id") >= 0L)
+    // window ops: drop the sentinel windows (their finals can't fire in
+    // the stream — the watermark never passes the last sentinel)
+    val realWin = (df: DataFrame) => df.filter(col("w_start_us") <= maxRealUs)
 
     def finalTopN(log: DataFrame): DataFrame = {
       // top-n entries only ever enter through the log; final = top-n of
@@ -104,82 +128,215 @@ object StreamSoak {
         .filter(col("sample_rank") <= 32)
         .select("stratum", "item_id", "sample_rank")
     }
+    // window-fire logs: a window's final answer is its LAST fire —
+    // n_events is monotone across a window's emissions, so last =
+    // max (n, is_final); batch mode emits exactly one is_final=1 row
+    def finalWindowFire(log: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "w_start_us")
+        .orderBy(col("n_events").desc, col("is_final").desc)
+      realWin(log).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "w_start_us", "n_events", "sum_value")
+    }
+    // late-fire pairs can fold the same rows in a different order than
+    // the batch collapse (stragglers append after the first final), so
+    // the double sum is compared at 1e-6 instead of bit-exactly — n is
+    // exact. Returns (onlyStream, onlyBatch) as (pair mismatches +
+    // stream-only windows, batch-only windows).
+    def pairedWindowCompare(s: DataFrame, b: DataFrame): (Long, Long) = {
+      val sf = s.withColumnRenamed("n_events", "sn")
+        .withColumnRenamed("sum_value", "ssum")
+      val bf = b.withColumnRenamed("n_events", "bn")
+        .withColumnRenamed("sum_value", "bsum")
+      val j = sf.join(bf, Seq("user_id", "w_start_us"), "full_outer").cache()
+      val mismatch = j.filter(col("sn").isNull || col("bn").isNull ||
+        col("sn") =!= col("bn") ||
+        abs(col("ssum") - col("bsum")) > 1e-6).count()
+      val onlyB = j.filter(col("sn").isNull).count()
+      j.unpersist()
+      (mismatch, onlyB)
+    }
 
-    val ops: Seq[(String, Op, DataFrame => DataFrame, Boolean)] = Seq(
-      ("topn",
+    val dayWin = java.time.Duration.ofDays(1)
+    // allowed lateness: 4 file spans — covers the straggler replay skew
+    // (<= 2 spans) with margin for the proc-time close-poll lag
+    val lateness = java.time.Duration.ofMillis(4 * fileSpanMs)
+
+    type Op = Dataset[Event] => DataFrame
+    // (name, sourceDir, stream/batch op, drift check given (streamLog,
+    //  batchLog) -> (onlyStream, onlyBatch, finalRows), exact-multiset?)
+    type Check = (DataFrame, DataFrame) => (Long, Long, Long)
+    def reconstructed(fin: DataFrame => DataFrame): Check = (s, b) => {
+      val sf = fin(s).cache(); val bf = fin(b).cache()
+      val r = (sf.exceptAll(bf).count(), bf.exceptAll(sf).count(), sf.count())
+      sf.unpersist(); bf.unpersist(); r
+    }
+    val ops: Seq[(String, String, Op, Check, Boolean)] = Seq(
+      ("topn", eventsDir,
         (ds: Dataset[Event]) => StatefulOps.topNPerKey(ds, 3).toDF(),
-        finalTopN _, false),
-      ("keeplast",
+        reconstructed(finalTopN), false),
+      ("keeplast", eventsDir,
         (ds: Dataset[Event]) => StatefulOps.keepLastDedup(ds).toDF(),
-        finalKeepLast _, false),
-      ("rows_frame",
+        reconstructed(finalKeepLast), false),
+      ("rows_frame", eventsDir,
         (ds: Dataset[Event]) =>
           StatefulOps.rowsBoundedAggregates(ds, 4, "60 seconds").toDF(),
-        (log: DataFrame) => real(log), true),
-      ("range_frame",
+        reconstructed(real), true),
+      ("range_frame", eventsDir,
         (ds: Dataset[Event]) =>
           StatefulOps.rangeBoundedAggregates(ds,
             java.time.Duration.ofHours(1), "60 seconds").toDF(),
-        (log: DataFrame) => real(log), true),
-      ("reservoir",
+        reconstructed(real), true),
+      ("reservoir", eventsDir,
         (ds: Dataset[Event]) => StatefulOps.reservoirPerKey(
           ds.map(e => (e.event_type, e.event_id)), 32, seed = 7L).toDF(),
-        finalReservoir _, false))
+        reconstructed(finalReservoir), false),
+      // round-9 extension: the emit-strategy + count-window + sort family
+      ("early_fire", eventsDir,
+        (ds: Dataset[Event]) => EarlyFire.earlyFireWindowAgg(ds, dayWin,
+          earlyFire = "100 milliseconds", delay = "60 seconds").toDF(),
+        // stream finals (is_final=1) must equal the batch collapse
+        // bit-exactly: both fold each window's rows in (ts, event_id)
+        // order, incremental vs one-shot left fold associate identically
+        reconstructed(df => realWin(df).filter(col("is_final") === 1)
+          .drop("is_final")), true),
+      ("late_fire", straggDir,
+        (ds: Dataset[Event]) => EarlyFire.lateFireWindowAgg(ds, dayWin,
+          earlyFire = "100 milliseconds",
+          delay = java.time.Duration.ofSeconds(60),
+          allowedLateness = lateness).toDF(),
+        (s, b) => {
+          val sf = finalWindowFire(s).cache()
+          val (mism, onlyB) = pairedWindowCompare(sf, finalWindowFire(b))
+          val r = (mism, onlyB, sf.count()); sf.unpersist(); r
+        }, false),
+      ("count_tumble", eventsDir,
+        (ds: Dataset[Event]) => StatefulOps.countTumblePerKey(ds, 5).toDF(),
+        // completed windows are a pure function of per-key (ts, event_id)
+        // arrival order, which the ordered replay preserves globally
+        reconstructed(identity), true),
+      ("count_slide", eventsDir,
+        (ds: Dataset[Event]) =>
+          StatefulOps.countSlidePerKey(ds, 8, 4).toDF(),
+        reconstructed(identity), true),
+      ("sort", eventsDir,
+        (ds: Dataset[Event]) =>
+          StatefulOps.sortByEventTime(ds, "60 seconds").toDF(),
+        // multiset: stream must release exactly the real rows (the last
+        // sentinel stays pending at termination — excluded both sides);
+        // emission ORDER is checked separately below per output file
+        reconstructed(real), true))
 
-    ops.foreach { case (name, op, finalize, exactMultiset) =>
-      val sinkDir = s"$work/out_$name"
-      val ckpt = s"$work/ckpt_$name"
-      val t0 = System.nanoTime()
-      val q = op(streamDs).writeStream
-        .format("parquet").option("path", sinkDir)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val wall = (System.nanoTime() - t0) / 1e9
-      // per-batch state metrics (recentProgress keeps the last ~100)
-      q.recentProgress.foreach { p =>
-        val so = p.stateOperators.headOption
-        val rocks = so.map(_.customMetrics).map { m =>
-          Seq("rocksdbSstFileSize", "rocksdbTotalCompactTime",
-            "rocksdbTotalBytesWrittenByCompaction").flatMap { k =>
-            Option(m.get(k)).map(v => s""""$k":$v""")
-          }.mkString(",")
-        }.getOrElse("")
-        out.println(s"""{"op":"$name","batch":${p.batchId},""" +
-          s""""input_rows":${p.numInputRows},""" +
-          s""""batch_ms":${Option(p.durationMs.get("triggerExecution")).getOrElse(-1L)},""" +
-          s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
-          s""""state_mem":${so.map(_.memoryUsedBytes).getOrElse(-1L)}""" +
-          (if (rocks.nonEmpty) s",$rocks" else "") + "}")
-      }
-      // drift check vs the batch collapse
-      val streamFinal = finalize(spark.read.parquet(sinkDir))
-      val batchFinal = finalize(op(batchDs))
-      val onlyS = streamFinal.exceptAll(batchFinal).count()
-      val onlyB = batchFinal.exceptAll(streamFinal).count()
-      val rows = streamFinal.count()
-      out.println(s"""{"op":"$name","summary":true,"wall_sec":$wall,""" +
-        s""""final_rows":$rows,"only_stream":$onlyS,"only_batch":$onlyB,""" +
-        s""""drift":${if (onlyS + onlyB > 0) "true" else "false"},""" +
-        s""""exact_multiset":$exactMultiset}""")
-      out.flush()
-      System.err.println(s"[stream-soak] $name done: wall=$wall drift=${onlyS + onlyB}")
+    ops.filter(_._1.startsWith(opPrefix)).foreach {
+      case (name, dir, op, check, exactMultiset) =>
+        val sinkDir = s"$work/out_$name"
+        val ckpt = s"$work/ckpt_$name"
+        val t0 = System.nanoTime()
+        val q = op(streamDs(dir)).writeStream
+          .format("parquet").option("path", sinkDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // per-batch state metrics (recentProgress keeps the last ~100)
+        q.recentProgress.foreach { p =>
+          val so = p.stateOperators.headOption
+          val rocks = so.map(_.customMetrics).map { m =>
+            Seq("rocksdbSstFileSize", "rocksdbTotalCompactTime",
+              "rocksdbTotalBytesWrittenByCompaction").flatMap { k =>
+              Option(m.get(k)).map(v => s""""$k":$v""")
+            }.mkString(",")
+          }.getOrElse("")
+          out.println(s"""{"op":"$name","batch":${p.batchId},""" +
+            s""""input_rows":${p.numInputRows},""" +
+            s""""batch_ms":${Option(p.durationMs.get("triggerExecution")).getOrElse(-1L)},""" +
+            s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
+            s""""state_mem":${so.map(_.memoryUsedBytes).getOrElse(-1L)}""" +
+            (if (rocks.nonEmpty) s",$rocks" else "") + "}")
+        }
+        // drift check vs the batch collapse
+        val streamLog = spark.read.parquet(sinkDir)
+        val (onlyS, onlyB, rows) = check(streamLog, op(batchDs(dir)).toDF())
+        val extra = name match {
+          case "early_fire" =>
+            s""","early_fires":${streamLog.filter(col("is_final") === 0).count()}"""
+          case "late_fire" =>
+            s""","early_fires":${streamLog.filter(col("is_final") === 0).count()},""" +
+              s""""late_finals":${streamLog.filter(col("is_final") === 2).count()}"""
+          case "sort" => s""","order_violations":${sortOrderViolations(spark, sinkDir)}"""
+          case _ => ""
+        }
+        out.println(s"""{"op":"$name","summary":true,"wall_sec":$wall,""" +
+          s""""final_rows":$rows,"only_stream":$onlyS,"only_batch":$onlyB,""" +
+          s""""drift":${if (onlyS + onlyB > 0) "true" else "false"},""" +
+          s""""exact_multiset":$exactMultiset$extra}""")
+        out.flush()
+        System.err.println(s"[stream-soak] $name done: wall=$wall drift=${onlyS + onlyB}")
     }
     out.close()
     spark.stop()
   }
 
+  /** Emission-order check for the streaming sort: rows inside each sink
+    * part file must be (ts, event_id)-nondecreasing (parquet preserves
+    * write order), and, taking files in min-ts order, the per-file
+    * [min, max] ts ranges must not overlap — together with multiset
+    * equality this proves the released stream is globally ordered.
+    * Returns the number of violations (0 = fully ordered). */
+  private def sortOrderViolations(spark: SparkSession, sinkDir: String): Long = {
+    import spark.implicits._
+    // row-bearing sink files only: a rowless parquet part (schema +
+    // footer) stays under ~2 KB, real batches are MBs — the size gate
+    // skips the ~700 empty parts 32 shuffle partitions × 22 batches leave
+    val files = new java.io.File(sinkDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length() > 4096)
+      .map(_.getPath)
+    case class FileStat(path: String, minUs: Long, maxUs: Long, disorder: Long)
+    val stats = files.flatMap { p =>
+      val df = spark.read.parquet(p).filter(col("event_id") >= 0L)
+        .select(col("ts").cast("timestamp"), col("event_id"))
+      if (df.isEmpty) None
+      else {
+        // single file, single partition: iterator order is storage order
+        val (minU, maxU, dis) = df.coalesce(1)
+          .as[(java.sql.Timestamp, Long)].mapPartitions { it =>
+            var mn = Long.MaxValue; var mx = Long.MinValue; var bad = 0L
+            var prev = (Long.MinValue, Long.MinValue)
+            it.foreach { case (ts, id) =>
+              val us = ts.getTime * 1000
+              if (us < prev._1 || (us == prev._1 && id < prev._2)) bad += 1
+              prev = (us, id)
+              if (us < mn) mn = us
+              if (us > mx) mx = us
+            }
+            Iterator.single((mn, mx, bad))
+          }.head()
+        Some(FileStat(p, minU, maxU, dis))
+      }
+    }.sortBy(s => (s.minUs, s.maxUs))
+    val overlaps = stats.sliding(2).count {
+      case Array(a, b) => b.minUs < a.maxUs
+      case _ => false
+    }
+    stats.map(_.disorder).sum + overlaps
+  }
+
   /** Tile the base events `factor`× (ScaleGen key-offset discipline),
-    * range-partition by ts so file order is time order, and append the
-    * watermark sentinel as a final file. */
+    * partition by ts so file order is time order, and append the
+    * watermark sentinels as final files. With `stragglers`, hold back
+    * ~0.2% of each file's rows and replay file k's holdback AFTER main
+    * file k+1 — a genuinely out-of-order stream whose late rows stay
+    * within two file spans of the frontier. */
   private def tileEvents(spark: SparkSession, base: String, outDir: String,
-      factor: Int, nFiles: Int): Unit = {
+      factor: Int, nFiles: Int, stragglers: Boolean): Unit = {
     import spark.implicits._
     val src = graft.core.Catalog.load(spark, base, "events")
-    val strideE = src.agg(max(col("event_id"))).head.getLong(0) + 1
-    val strideU = src.agg(max(col("user_id"))).head.getLong(0) + 1
-    val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
+    val strideE = src.agg(max(col("event_id"))).head().getLong(0) + 1
+    val strideU = src.agg(max(col("user_id"))).head().getLong(0) + 1
+    val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+    val minTs = src.agg(min(col("ts"))).head().getTimestamp(0)
     val tiled = src
       .withColumn("replica", explode(array((0 until factor).map(lit): _*)))
       .withColumn("event_id", col("event_id") + col("replica") * strideE)
@@ -187,38 +344,64 @@ object StreamSoak {
       .drop("replica")
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"))
-    tiled.repartitionByRange(nFiles, col("ts"), col("event_id"))
-      .sortWithinPartitions(col("ts"), col("event_id"))
-      .write.mode("overwrite").parquet(outDir)
+    // deterministic file index: equal TIME slices (not equal row counts) —
+    // boundaries are a pure function of (minTs, maxTs, nFiles), so both
+    // variants and reruns agree on every row's slice
+    val spanMs = math.max(1L, maxTs.getTime - minTs.getTime)
+    val fIdx = least(lit(nFiles - 1),
+      floor((unix_millis(col("ts").cast("timestamp")) - lit(minTs.getTime)) *
+        nFiles / lit(spanMs + 1)).cast("int"))
+    val isStraggler =
+      if (stragglers) col("event_id") % 499 === 0 else lit(false)
+    val indexed = tiled.withColumn("fidx", fIdx)
+      .withColumn("straggler", isStraggler).cache()
+    indexed.count()
+    // mtime schedule: main files in order; file k's stragglers land
+    // right after main file k+1 (two per slot never collide — seconds
+    // granularity, distinct offsets)
+    val base0 = (System.currentTimeMillis() / 1000) * 1000 - 7200 * 1000L
+    def writeSlice(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$outDir-slice-$name"
+      df.select("user_id", "event_id", "ts", "event_type", "value")
+        .coalesce(1).sortWithinPartitions(col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$outDir/$name.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.setLastModified(mtime)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+    }
+    // wipe any previous tiling so stale files can't pollute the replay
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(outDir))
+    (0 until nFiles).foreach { k =>
+      writeSlice(indexed.filter(col("fidx") === k && !col("straggler")),
+        f"main-$k%05d", base0 + (k * 3L) * 1000)
+      if (stragglers)
+        writeSlice(indexed.filter(col("fidx") === k && col("straggler")),
+          f"straggler-$k%05d", base0 + (k * 3L + 4) * 1000)
+    }
+    indexed.unpersist()
     // TWO sentinel files (final two micro-batches): the watermark
     // computed from sentinel 1's far-future ts is only APPLIED at the
     // start of the next batch, so sentinel 2's batch is where every
-    // key's event-time timeout fires and the frame operators adjudicate
+    // key's event-time timeout fires and the operators adjudicate
     // their tails — with a single sentinel, AvailableNow terminates
-    // before the last watermark ever takes effect
+    // before the last watermark ever takes effect.
+    // The file stream replays files in MODIFICATION-TIME order, and
+    // parallel write tasks finish in arbitrary order — so a naive
+    // parallel write's time ordering is NOT the stream's replay ordering
+    // (first soak run: half the fleet's rows replayed "out of the
+    // future" and were dropped as late). writeSlice pins every file's
+    // mtime explicitly; the sentinels get the two last slots.
     val s1 = new java.sql.Timestamp(maxTs.getTime + 10L * 365 * 24 * 3600 * 1000)
     val s2 = new java.sql.Timestamp(s1.getTime + 24 * 3600 * 1000)
-    Seq((-1L, s1), (-2L, s2)).foreach { case (id, ts) =>
-      val tmp = s"$outDir-sentinel$id"
-      Seq((0L, id, ts, "sentinel", 0.0))
-        .toDF("user_id", "event_id", "ts", "event_type", "value")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(s"$outDir/zz-sentinel${-id}.parquet").toPath)
-    }
-    // The file stream replays files in MODIFICATION-TIME order, and
-    // parallel write tasks finish in arbitrary order — so a range
-    // partitioner's time ordering is NOT the stream's replay ordering
-    // (first soak run: half the fleet's rows replayed "out of the
-    // future" and were dropped as late). Pin mtimes to path order:
-    // part-0000N gets base + N seconds, the zz-sentinels last.
-    val parts = new java.io.File(outDir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val base0 = (System.currentTimeMillis() / 1000) * 1000 - 3600 * 1000L
-    parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(base0 + i * 1000L)
+    Seq((-1L, s1, 1), (-2L, s2, 2)).foreach { case (id, ts, slot) =>
+      writeSlice(Seq((0L, id, ts, "sentinel", 0.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value"),
+        s"zz-sentinel$slot", base0 + (nFiles * 3L + 6 + slot) * 1000)
     }
   }
 }

@@ -62,6 +62,27 @@ class ScaleGenSpec extends SparkSpec {
       s"hot key carries $frac of lineitem, expected ~0.4")
   }
 
+  test("hot-order mode concentrates order keys on one mega-order, FKs " +
+      "stay closed") {
+    val out = java.nio.file.Files.createTempDirectory("scalegen-spec").toString
+    ScaleGen.scale(spark, sf(), out, 2, hotFrac = 0.0, hotOrderFrac = 0.2)
+    val li = Catalog.load(spark, out, "lineitem")
+    val dangling = li.select(col("l_orderkey").as("k"))
+      .join(Catalog.load(spark, out, "orders")
+        .select(col("o_orderkey").as("k")), Seq("k"), "left_anti").count()
+    assert(dangling == 0, "hot-order mode orphaned order FKs")
+    val n = li.count()
+    val hot = li.groupBy("l_orderkey").count()
+      .orderBy(col("count").desc).head()
+    val frac = hot.getLong(1).toDouble / n
+    assert(frac > 0.15 && frac < 0.25,
+      s"hot order carries $frac of lineitem, expected ~0.2")
+    // the hot order is the base min order key (owned by replica 0)
+    val minOrder = Catalog.load(spark, sf(), "orders")
+      .agg(min(col("o_orderkey"))).head.getLong(0)
+    assert(hot.getLong(0) == minOrder)
+  }
+
   test("regeneration is deterministic: two runs produce identical rows") {
     val a = gen(2)
     val b = gen(2)
