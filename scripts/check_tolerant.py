@@ -119,10 +119,26 @@ def _as_float(v):
     return None
 
 
-def value_drift_pairs(only_a, only_b):
+def float_cols(rows_a, rows_b):
+    """Per-column flags: True where the ORIGINAL (pre-canonical) values
+    are float/Decimal — the only columns the VALUE_DRIFT numeric
+    tolerance may apply to. Digit-like STRING columns (zip/phone keys:
+    '00042' vs '42') must compare strictly, not as floats."""
+    n = max((len(r) for r in rows_a + rows_b), default=0)
+    flags = [False] * n
+    for r in rows_a + rows_b:
+        for i, v in enumerate(r):
+            if isinstance(v, (float, Decimal)):
+                flags[i] = True
+    return flags
+
+
+def value_drift_pairs(only_a, only_b, flags):
     """Pair each onlyA row with an onlyB row identical on every
     non-numeric field and with every numeric field within the one-cent/
-    relative tolerance. Returns True iff ALL rows pair off."""
+    relative tolerance; the tolerance applies only to columns whose
+    ORIGINAL type was float/Decimal (flags). Returns True iff ALL rows
+    pair off."""
     if len(only_a) != len(only_b):
         return False
     rest = list(only_b)
@@ -130,8 +146,9 @@ def value_drift_pairs(only_a, only_b):
         hit = None
         for rb in rest:
             ok = True
-            for x, y in zip(ra, rb):
-                fx, fy = _as_float(x), _as_float(y)
+            for i, (x, y) in enumerate(zip(ra, rb)):
+                fx = _as_float(x) if flags[i] else None
+                fy = _as_float(y) if flags[i] else None
                 if fx is None or fy is None:
                     if x != y:
                         ok = False
@@ -148,13 +165,48 @@ def value_drift_pairs(only_a, only_b):
     return True
 
 
+def _mask_nested(sql):
+    """sql with single-quoted literals and parenthesized segments blanked
+    to spaces (positions preserved), so an ORDER BY regex can only anchor
+    at paren depth 0 of the top-level query — never inside an OVER(...)
+    window clause or a subquery (advice r9: the lazy re.search anchored
+    on the FIRST 'order by' in the text)."""
+    out = []
+    depth = 0
+    in_str = False
+    for ch in sql:
+        if in_str:
+            out.append(" ")
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            out.append(" ")
+            in_str = True
+        elif ch == "(":
+            depth += 1
+            out.append(" ")
+        elif ch == ")":
+            depth = max(0, depth - 1)
+            out.append(" ")
+        elif depth > 0:
+            out.append(" ")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def order_by_cols(sql, cols):
-    """Output-visible columns of the oracle's trailing ORDER BY, and the
-    LIMIT if present. Best-effort textual parse — used only to decide
-    whether a tie-swap adjudication may apply."""
+    """Output-visible columns of the oracle's trailing (depth-0) ORDER
+    BY, and the LIMIT if present. Best-effort textual parse — used only
+    to decide whether a tie-swap adjudication may apply."""
     import re
-    m = re.search(r"order\s+by\s+(.*?)(?:\blimit\s+(\d+))?\s*$", sql,
-                  re.IGNORECASE | re.DOTALL)
+    masked = _mask_nested(sql)
+    starts = [mm.start() for mm in
+              re.finditer(r"\border\s+by\b", masked, re.IGNORECASE)]
+    if not starts:
+        return [], None
+    m = re.match(r"order\s+by\s+(.*?)(?:\blimit\s+(\d+))?\s*$",
+                 masked[starts[-1]:], re.IGNORECASE | re.DOTALL)
     if not m:
         return [], None
     names = []
@@ -265,7 +317,8 @@ def main(out_dir, sf_dir, prefix=""):
         verdict = None
         tier = None
         if (len(got_rows) == len(exp_rows)
-                and value_drift_pairs(only_g, only_e)):
+                and value_drift_pairs(only_g, only_e,
+                                      float_cols(got_rows, exp_rows))):
             tier = "VALUE_DRIFT"
             verdict = (f"{len(only_g)} row(s) paired with numeric drift "
                        "<= max(0.011, 1e-9 rel)")

@@ -127,12 +127,16 @@ object TransitiveSelfJoinFilter extends Rule[LogicalPlan] {
   /** The MAXIMAL slice-like subplan of `side` containing `attr`'s
     * producer: descend from the root toward the producer until the
     * remaining subtree qualifies as a slice. None if even the producer's
-    * own subtree is not slice-like (e.g. an aggregate over a join). */
+    * own subtree is not slice-like (e.g. an aggregate over a join), or
+    * if any node on the path is not attr-value-local (see skippable) —
+    * both uses of the slice depend on every skipped node preserving the
+    * per-value row mapping. */
   private def sliceFor(attr: AttributeReference,
       side: LogicalPlan): Option[LogicalPlan] = {
     if (!side.outputSet.contains(attr)) return None
     var cur = side
     while (!isSliceLike(cur)) {
+      if (!skippable(cur, attr)) return None
       cur.children.find(_.outputSet.contains(attr)) match {
         case Some(c) => cur = c
         case None => return None
@@ -140,6 +144,45 @@ object TransitiveSelfJoinFilter extends Rule[LogicalPlan] {
     }
     Some(cur)
   }
+
+  /** May this node sit BETWEEN the side's root and the returned slice?
+    *
+    * Required invariant ("attr-value-local"): removing the input rows
+    * whose `attr` value is v removes exactly the node's output rows with
+    * value v and leaves every other output row unchanged. The b-side
+    * needs it because the semi-join filters BELOW this node (its effect
+    * must commute up to the top join unchanged); the a-side needs it so
+    * the slice's value set stays a superset of what the node emits into
+    * the join.
+    *
+    * Holds for: Filter and Project (row-local; attr passes through by
+    * exprId), Aggregate when attr is a grouping attribute (dropping
+    * group v's inputs drops exactly group v's output row), and joins
+    * that are purely per-value reductive on the descended input — Inner
+    * (removing value-v rows from one input removes exactly the value-v
+    * output pairs) and LeftSemi/LeftAnti (descent can only enter the
+    * left, preserved, input).
+    *
+    * Breaks for — and the descent must therefore bail on — Window
+    * (surviving rows' rank/row_number shift), Limit/Offset/Sample
+    * (different rows admitted), Union (output reuses child-0 exprIds, so
+    * descent would cover one branch: the a-side build would NOT be a
+    * superset and matching rows would be wrongly dropped), Generate,
+    * outer joins (null-extension changes under reduction), and anything
+    * else not listed. */
+  private def skippable(p: LogicalPlan, attr: AttributeReference): Boolean =
+    p match {
+      case _: Filter | _: Project => true
+      case a: Aggregate =>
+        a.groupingExpressions.exists {
+          case ar: AttributeReference => ar.exprId == attr.exprId
+          case _ => false
+        }
+      case jn: Join =>
+        jn.joinType == Inner || jn.joinType == LeftSemi ||
+          jn.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+      case _ => false
+    }
 
   /** A subplan that is safe AND cheap to fresh-copy as a semi-join
     * build: deterministic, every leaf re-instantiable, at most a few

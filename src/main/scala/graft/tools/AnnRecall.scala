@@ -72,7 +72,11 @@ object AnnRecall {
       val hits = found.filter(col("q") % stride === col("n") % stride)
         .groupBy("q").agg(countDistinct("n").as("hits"))
       val truth = math.min(k.toLong, nReplicas - 1)
-      val totHits = hits.agg(sum("hits")).head.getLong(0)
+      // sum over zero rows is null — an operating point with no sibling
+      // hits is exactly the low-recall corner the curve measures, so it
+      // must record 0.0, not crash the sweep (advice r9)
+      val totHits = Option(hits.agg(coalesce(sum("hits"), lit(0L)))
+        .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
       val hardHits = found.join(truthPairs,
         col("q") === col("qid") && col("n") === col("nid")).count()
       val n = found.count()

@@ -110,6 +110,64 @@ class TransitiveSelfJoinFilterSpec extends SparkSpec {
     }
   }
 
+  test("declines when a window sits between the join and the would-be " +
+      "slice (b-side)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    withFlag(on = true) {
+      val a = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderdate").as("date_a"))
+      // b: a window over a join-bearing subtree. The window subtree is
+      // NOT slice-like (contains a real join), so a naive descent would
+      // skip THROUGH the window and reduce its inputs — shifting
+      // surviving rows' row_number. The descent must bail at the window.
+      val b = lineitem.select(col("l_orderkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))))
+        .select(col("o_orderdate").as("date_b"), col("rk"))
+      val df = b.join(a, col("date_b") === col("date_a"))
+      val semisBelowWindow = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.collect { case j: LJoin if j.joinType == LeftSemi => j }
+      }.flatten
+      assert(semisBelowWindow.isEmpty,
+        "an injected reduction below a Window changes surviving rows' " +
+          s"rank:\n${df.queryExecution.optimizedPlan}")
+      val got = rows(df.orderBy(col("date_a"), col("rk")))
+      val base = withFlag(on = false) {
+        rows(b.join(a, col("date_b") === col("date_a"))
+          .orderBy(col("date_a"), col("rk")))
+      }
+      assert(got == base)
+    }
+  }
+
+  test("declines a >4-branch union-rooted a-side (build would cover one " +
+      "branch, not a superset)") {
+    withFlag(on = true) {
+      // 5 leaves: the Union root is not slice-like, and Union output
+      // reuses child-0 exprIds — a naive descent lands in branch 0 only,
+      // so the build set would MISS branches 1..4's values and wrongly
+      // drop matching b rows. The descent must bail at the Union.
+      val branches = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW").map { p =>
+        orders.filter(col("o_orderpriority") === p)
+          .select(col("o_orderdate").as("date_a"))
+      }
+      val a = branches.reduce(_ union _)
+      val b = orders.select(col("o_orderdate").as("date_b"))
+      val df = b.join(a, col("date_b") === col("date_a"))
+      assert(semiJoins(df) == 0,
+        s"union-rooted a-side must decline:\n${df.queryExecution.optimizedPlan}")
+      val got = rows(df.orderBy(col("date_a")))
+      val base = withFlag(on = false) {
+        rows(b.join(a, col("date_b") === col("date_a")).orderBy(col("date_a")))
+      }
+      assert(got == base)
+    }
+  }
+
   test("qds72_literal: answer unchanged and a reduction injected") {
     val name = "qds72_literal"
     val base = rows(graft.SparkEntry.queries(name)(spark, sf("sf0.01")))
