@@ -87,7 +87,8 @@ object Bench {
   }
 
   private def resultJson(timed: Seq[(String, Double, Boolean)],
-      sfDir: String, canary: Option[(Double, Double)] = None): String = {
+      sfDir: String, canary: Option[(Double, Double)] = None,
+      blockCanaries: Seq[(Double, Double)] = Nil): String = {
     // a failed query reports -1.0 (not its elapsed-until-failure time) and
     // is excluded from the total, so failures are visible in the JSON
     val qs = timed.map { case (k, v, ok) =>
@@ -99,7 +100,18 @@ object Bench {
     val can = canary.map { case (st, mt) =>
       f""""canary_st":$st%.3f,"canary_mt":$mt%.3f,"""
     }.getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec",$can"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // per-block canaries (isolated mode): the isolated protocol is the
+    // regression detector, and host drift BETWEEN blocks is the one place
+    // it could still masquerade as per-query change — each child's
+    // fixed-work timings make every block individually normalizable
+    val blocks =
+      if (blockCanaries.isEmpty) ""
+      else {
+        val sts = blockCanaries.map(c => f"${c._1}%.3f").mkString("[", ",", "]")
+        val mts = blockCanaries.map(c => f"${c._2}%.3f").mkString("[", ",", "]")
+        s""""block_canary_st":$sts,"block_canary_mt":$mts,"""
+      }
+    s"""{"metric":"total","value":$total,"unit":"sec",$can$blocks"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
   }
 
   /** Isolated-run protocol (round-7 verdict #6): per-query numbers from one
@@ -120,6 +132,7 @@ object Bench {
       else sys.props("java.class.path") // plain-java invocation: inherit
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val blocks = all.grouped(blockSize).toSeq
+    val blockCanaries = Seq.newBuilder[(Double, Double)]
     val merged = blocks.zipWithIndex.flatMap { case (block, i) =>
       val cmd = Seq(javaBin, "-Xmx24g",
         "--add-exports", "java.base/sun.nio.ch=ALL-UNNAMED",
@@ -143,6 +156,7 @@ object Bench {
         case Some(line) =>
           System.err.println(
             s"[bench-isolated] block ${i + 1}/${blocks.size} done")
+          parseCanary(line).foreach(blockCanaries += _)
           parseQueries(line)
         case None =>
           System.err.println(s"[bench-isolated] block ${i + 1}/${blocks.size}" +
@@ -152,7 +166,21 @@ object Bench {
       }
     }
     val timed = merged.map { case (k, v) => (k, v, v >= 0) }
-    println(resultJson(timed, sfDir))
+    val cans = blockCanaries.result()
+    // top-level canary = per-block median, so round-over-round isolated
+    // comparisons normalize the same way session-mode ones do
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
+    val med =
+      if (cans.isEmpty) None
+      else Some((median(cans.map(_._1)), median(cans.map(_._2))))
+    println(resultJson(timed, sfDir, med, cans))
+  }
+
+  /** Extract a child's canary fields, if present. */
+  private[graft] def parseCanary(json: String): Option[(Double, Double)] = {
+    val re = """"canary_st":([0-9.]+),"canary_mt":([0-9.]+)""".r
+    re.findFirstMatchIn(json).map(m => (m.group(1).toDouble, m.group(2).toDouble))
   }
 
   /** Minimal parse of a child's `"queries":{...}` map — names are known

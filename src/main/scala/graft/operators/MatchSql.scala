@@ -17,7 +17,8 @@ object MatchSql {
 
   def defs: Seq[QueryDef] =
     Seq(q125SqlFunnel, q126SqlPrev, q127SqlReluctant, q128SqlNext,
-      q129SqlSkipNext, q130SqlAllRows)
+      q129SqlSkipNext, q130SqlAllRows, q131SqlCompositeKey,
+      q132SqlLogicalOffsets)
 
   private def run(sql: String)(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
@@ -110,6 +111,114 @@ object MatchSql {
           |         P2 AS event_type = 'purchase'
           |)""".stripMargin)(spark, dir)
       .orderBy(col("user_id"), col("first_purchase"))
+  }
+
+  /** The reference's COMPOSITE-KEY MATCH_RECOGNIZE shape (reference
+    * MatchRecognizeITCase.scala:169-183: `PARTITION BY key1, key2`,
+    * `LIKE`, cross-variable `LAST(A.name, 2) IS NULL` /
+    * `LAST(A.name) = 'a'` defines) through the GENERAL-SCHEMA entry
+    * [[MatchRecognizeSql.sqlDf]] — the input is a plain DataFrame, the
+    * field registry is its own schema, and the partition key is
+    * composite. The value ranges of A/B/C are disjoint, so candidate
+    * triples cannot overlap and a LEAD-window oracle is exact. */
+  val q131SqlCompositeKey: QueryDef = QueryDef("q131_sql_match_composite_key",
+    """WITH w AS (
+      |  SELECT user_id, event_type, event_id, value, ts,
+      |         lead(value) OVER win AS v1, lead(value, 2) OVER win AS v2,
+      |         lead(event_id) OVER win AS e1, lead(event_id, 2) OVER win AS e2
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, event_type, event_id AS a_id, event_type AS a_type,
+      |       e1 AS b_id, e2 AS c_id, v2 AS c_value
+      |FROM w
+      |WHERE value > 70 AND event_type LIKE '%c%'
+      |  AND v1 < 40 AND v2 >= 40 AND v2 <= 70
+      |ORDER BY user_id, a_id""".stripMargin) { (spark, dir) =>
+    MatchRecognizeSql.sqlDf(
+      graft.core.Catalog.load(spark, dir, "events")
+        .select("user_id", "event_type", "event_id", "ts", "value"),
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id, event_type
+        |  ORDER BY ts, event_id
+        |  MEASURES A.event_id AS a_id, A.event_type AS a_type,
+        |           LAST(B.event_id) AS b_id, C.event_id AS c_id,
+        |           C.value AS c_value
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B C)
+        |  DEFINE A AS value > 70 AND event_type LIKE '%c%',
+        |         B AS value < 40 AND LAST(A.value, 2) IS NULL,
+        |         C AS value >= 40 AND value <= 70 AND LAST(A.value) > 70
+        |)""".stripMargin)
+      .orderBy(col("user_id"), col("a_id"))
+  }
+
+  /** The reference's LOGICAL-OFFSETS price-V shape (reference
+    * MatchRecognizeITCase.scala:371-415: `PATTERN (DOWN{2,} UP)` with
+    * `LAST(DOWN.price, 1) IS NULL` first-row admission, `FIRST(DOWN
+    * .price)` rebound test, arithmetic measures) through
+    * [[MatchRecognizeSql.sqlDf]]. The bounded quantifier is POSSESSIVE
+    * (the reference's CEP semantics — see [[graft.streaming.PatternMatch
+    * .Times]]), so a match is: a maximal strictly-decreasing run of >= 2
+    * rows whose breaking row sits below the run's first value, scanned
+    * greedily with SKIP PAST LAST ROW. The oracle reproduces exactly
+    * that with a run decomposition + recursive greedy selection. */
+  val q132SqlLogicalOffsets: QueryDef = QueryDef("q132_sql_match_logical_offsets",
+    """WITH RECURSIVE nums AS (
+      |  SELECT user_id, event_id, value,
+      |         row_number() OVER w AS rn,
+      |         CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END AS dstep
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), brk AS (
+      |  SELECT *, min(CASE WHEN dstep = 0 THEN rn END) OVER
+      |    (PARTITION BY user_id ORDER BY rn
+      |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt_brk
+      |  FROM nums
+      |), cand AS (
+      |  SELECT s.user_id, s.rn AS s_rn, s.nxt_brk AS e_rn,
+      |         s.event_id AS start_id, m.event_id AS bottom_id,
+      |         u.event_id AS end_id,
+      |         s.value + s.user_id + 1 AS bottom_total,
+      |         u.value + u.user_id AS end_total
+      |  FROM brk s
+      |  JOIN nums m ON m.user_id = s.user_id AND m.rn = s.nxt_brk - 1
+      |  JOIN nums u ON u.user_id = s.user_id AND u.rn = s.nxt_brk
+      |  WHERE s.nxt_brk - s.rn >= 2 AND u.value < s.value
+      |), sel AS (
+      |  SELECT user_id, s_rn, e_rn, start_id, bottom_id, end_id,
+      |         bottom_total, end_total
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                     ORDER BY s_rn) AS ci FROM cand)
+      |  WHERE ci = 1
+      |  UNION ALL
+      |  SELECT c.user_id, c.s_rn, c.e_rn, c.start_id, c.bottom_id,
+      |         c.end_id, c.bottom_total, c.end_total
+      |  FROM sel s JOIN cand c
+      |    ON c.user_id = s.user_id AND c.s_rn > s.e_rn
+      |  WHERE NOT EXISTS (SELECT 1 FROM cand c2
+      |                    WHERE c2.user_id = s.user_id
+      |                      AND c2.s_rn > s.e_rn AND c2.s_rn < c.s_rn)
+      |)
+      |SELECT user_id, start_id, bottom_id, end_id, bottom_total, end_total
+      |FROM sel ORDER BY user_id, start_id""".stripMargin) { (spark, dir) =>
+    MatchRecognizeSql.sqlDf(
+      graft.core.Catalog.load(spark, dir, "events")
+        .select("user_id", "event_id", "ts", "value"),
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(D.event_id) AS start_id,
+        |           LAST(D.event_id) AS bottom_id,
+        |           U.event_id AS end_id,
+        |           FIRST(D.value + D.user_id + 1) AS bottom_total,
+        |           U.value + U.user_id AS end_total
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (D{2,} U)
+        |  DEFINE D AS value < LAST(D.value, 1) OR LAST(D.value, 1) IS NULL,
+        |         U AS value < FIRST(D.value)
+        |)""".stripMargin)
+      .orderBy(col("user_id"), col("start_id"))
   }
 
   /** q113's ALL ROWS PER MATCH with the canonical CLASSIFIER() /

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DataType, StructType, TimestampType}
 
 import graft.streaming.StatefulOps.Event
 
@@ -49,7 +50,7 @@ import graft.streaming.StatefulOps.Event
   * WITHIN horizon (watermark past `prev + within`), so idle keys clear;
   * without WITHIN the marker is load-bearing and retained.
   */
-object PatternMatch {
+object PatternMatch extends Serializable {
 
   /** AFTER MATCH SKIP strategy (reference: FlinkSqlOperatorTable.java:1102-1108
     * SKIP TO FIRST/LAST operators; CEP `AfterMatchSkipStrategy`). Decides
@@ -79,6 +80,18 @@ object PatternMatch {
   case object OptReluctant extends Quant
   case object PlusReluctant extends Quant
   case object StarReluctant extends Quant
+  /** Bounded quantifier `{n}` / `{n,}` / `{n,m}` with the reference's
+    * POSSESSIVE-greedy semantics: the run extends while the predicate
+    * holds (up to `max`), and once extended it is never re-shortened by
+    * backtracking. This is the reference CEP loop's observed behavior —
+    * MatchRecognizeITCase.testLogicalOffsets (reference
+    * flink-table-planner-blink .../sql/MatchRecognizeITCase.scala:390)
+    * expects `PATTERN (DOWN{2,} UP)` over prices 19,17,13,20,... to
+    * produce NO match at the 19,17 / 13 boundary even though a
+    * backtracking matcher (Oracle/Trino semantics) would re-try the
+    * shorter DOWN run and accept 13 as UP. `A+`/`A*` here retain the
+    * SQL-standard backtracking-greedy semantics they shipped with. */
+  final case class Times(min: Int, max: Option[Int]) extends Quant
 
   /** One PATTERN step: a named predicate with a quantifier. `prevPred`
     * (`nextPred`), when present, is ANDed in against (current,
@@ -105,7 +118,80 @@ object PatternMatch {
   }
 
   /** Rows bound to one step in one match (empty for unused Opt/Star). */
-  final case class Bound(name: String, rows: Seq[Event])
+  final case class Bound[R](name: String, rows: Seq[R])
+
+  /** Tri-state DEFINE evaluation: a NEXT reference at the buffer tail of
+    * a non-final input cannot be decided yet. */
+  sealed trait PredRes
+  case object Sat extends PredRes
+  case object Unsat extends PredRes
+  case object Undecided extends PredRes
+
+  /** Evaluation context handed to a [[GStep]] predicate: the current row,
+    * the key's input-ordered buffer around it (for SQL PREV/NEXT), and
+    * the bindings of the current partial match attempt (for
+    * cross-variable DEFINE references — `LAST(A.price, n)` /
+    * `FIRST(A.price)` navigate rows already bound, reference
+    * MatchRecognizeITCase.scala:169-183,390-410). */
+  final class MatchCtx[R](val rows: IndexedSeq[R], val idx: Int,
+      bufPrev: Option[R], val finalInput: Boolean,
+      stepName: Int => String, acc: List[(Int, Int)]) {
+    def row: R = rows(idx)
+
+    /** Input row at relative offset (−1 = SQL PREV, +1 = NEXT). None when
+      * outside the available buffer; offset −1 falls back to the retained
+      * predecessor marker so PREV survives consumption across triggers. */
+    def inputAt(off: Int): Option[R] = {
+      val j = idx + off
+      if (j >= 0 && j < rows.length) Some(rows(j))
+      else if (j == -1) bufPrev
+      else None
+    }
+
+    /** True when a forward input reference runs off a buffer that more
+      * rows may still extend — the Undecided case for streaming NEXT. */
+    def pendingAt(off: Int): Boolean = !finalInput && idx + off >= rows.length
+
+    /** Rows bound to `variable` so far in this attempt, in binding order,
+      * INCLUDING the current provisional row (SQL RUNNING semantics: the
+      * row under DEFINE evaluation counts as bound to its own variable).
+      * `None` = the universal row-pattern variable (all bound rows). */
+    def boundRows(variable: Option[String]): IndexedSeq[R] = {
+      val b = Vector.newBuilder[R]
+      // acc is most-recent-first; rebuild in binding order
+      acc.reverseIterator.foreach { case (si, ri) =>
+        if (variable.forall(_ == stepName(si))) b += rows(ri)
+      }
+      b.result()
+    }
+  }
+
+  /** Generic pattern step over row type R: a named tri-state predicate
+    * with a quantifier. The Event-typed [[Step]] surface adapts onto
+    * this; the SQL front-end compiles DEFINE clauses to it directly. */
+  final case class GStep[R](name: String, quant: Quant,
+      pred: MatchCtx[R] => PredRes,
+      /** True when `pred` may call `ctx.inputAt(-1)` — the streaming
+        * executor then retains the O(1) predecessor marker across full
+        * consumption so PREV stays exact across triggers. */
+      needsPrev: Boolean = false)
+
+  /** Adapt the Event-typed Step (row predicate + optional PREV/NEXT
+    * cross-row predicates) onto the generic tri-state form, preserving
+    * its exact semantics: predicate first, then PREV (no predecessor
+    * fails it), then NEXT (tail of a final input fails; tail of a
+    * non-final input is undecided). */
+  private def adapt(s: Step): GStep[Event] = GStep(s.name, s.quant, ctx => {
+    if (!s.pred(ctx.row)) Unsat
+    else if (!s.prevPred.forall(p => ctx.inputAt(-1).exists(p(ctx.row, _)))) Unsat
+    else s.nextPred match {
+      case None => Sat
+      case Some(p) => ctx.inputAt(1) match {
+        case Some(n) => if (p(ctx.row, n)) Sat else Unsat
+        case None => if (ctx.finalInput) Unsat else Undecided
+      }
+    }
+  }, needsPrev = s.prevPred.isDefined)
 
   /** `prev` carries the input row immediately before `rows.head` (dropped
     * from the buffer by consumption) so PREV predicates stay exact across
@@ -115,38 +201,12 @@ object PatternMatch {
   case class BufState(rows: Seq[Event], prev: Option[Event],
       nMatches: Long = 0L)
 
-  /** Result of attempting a match at a fixed start offset. */
+  /** Result of attempting a match at a fixed start offset. `binds` is in
+    * binding (row) order. */
   private sealed trait Attempt
   private final case class Matched(endExclusive: Int, binds: List[(Int, Int)]) extends Attempt
   private case object NoMatch extends Attempt
   private case object NeedMore extends Attempt // pattern ran off the buffer
-
-  /** Tri-state DEFINE evaluation: a NEXT reference at the buffer tail of a
-    * non-final input cannot be decided yet. */
-  private sealed trait PredRes
-  private case object Sat extends PredRes
-  private case object Unsat extends PredRes
-  private case object Undecided extends PredRes
-
-  private def stepOk(st: Step, rows: IndexedSeq[Event], ri: Int,
-      bufPrev: Option[Event], finalInput: Boolean): PredRes = {
-    if (!st.pred(rows(ri))) return Unsat
-    val prevOk = st.prevPred match {
-      case None => true
-      case Some(p) =>
-        val prev = if (ri == 0) bufPrev else Some(rows(ri - 1))
-        prev.exists(p(rows(ri), _))
-    }
-    if (!prevOk) return Unsat
-    st.nextPred match {
-      case None => Sat
-      case Some(p) =>
-        if (ri + 1 < rows.length) { // NEXT reads input order, ignores WITHIN
-          if (p(rows(ri), rows(ri + 1))) Sat else Unsat
-        } else if (finalInput) Unsat // partition tail: NEXT is NULL
-        else Undecided
-    }
-  }
 
   /** Greedy backtracking matcher over `rows(start until end)` — `end` is
     * the WITHIN window boundary (rows.length when unbounded). When a
@@ -157,73 +217,80 @@ object PatternMatch {
     * might invalidate. `finalAtEnd` holds when the input is batch, when
     * the window boundary lies inside the buffer (the row after it proves
     * no in-window row is missing), or when the watermark has passed the
-    * window end. */
-  private def tryMatch(steps: IndexedSeq[Step], rows: IndexedSeq[Event],
+    * window end.
+    *
+    * The partial-match bindings accumulate DOWNWARD through the
+    * recursion (`acc`, most-recent-first), so every predicate evaluation
+    * sees the attempt's bindings so far — the substrate for
+    * cross-variable DEFINE references. */
+  private def tryMatch[R](steps: IndexedSeq[GStep[R]], rows: IndexedSeq[R],
       start: Int, end: Int, finalAtEnd: Boolean, finalInput: Boolean,
-      bufPrev: Option[Event]): Attempt = {
-    def ok(st: Step, ri: Int): PredRes = stepOk(st, rows, ri, bufPrev, finalInput)
+      bufPrev: Option[R]): Attempt = {
+    val names: Int => String = si => steps(si).name
+    def ok(st: GStep[R], si: Int, ri: Int, acc: List[(Int, Int)]): PredRes =
+      st.pred(new MatchCtx(rows, ri, bufPrev, finalInput, names,
+        (si, ri) :: acc))
     // greedy/reluctant run extent: rows [ri, j) satisfy the step; if the
     // row at j is UNDECIDED (a NEXT reference awaiting its successor) the
-    // run extent itself is unknown
-    def runExtent(st: Step, ri: Int): (Int, Boolean) = {
+    // run extent itself is unknown. states(k - ri) is the binding
+    // accumulator after binding rows [ri, k) to this step.
+    def runExtent(st: GStep[R], si: Int, ri: Int, acc: List[(Int, Int)],
+        cap: Int): (Int, Boolean, Vector[List[(Int, Int)]]) = {
       var j = ri
+      var a = acc
+      val states = Vector.newBuilder[List[(Int, Int)]]
+      states += a
       var undecided = false
       var stop = false
-      while (j < end && !stop) ok(st, j) match {
-        case Sat => j += 1
+      while (j < cap && !stop) ok(st, si, j, a) match {
+        case Sat => a = (si, j) :: a; j += 1; states += a
         case Unsat => stop = true
         case Undecided => undecided = true; stop = true
       }
-      (j, undecided)
+      (j, undecided, states.result())
     }
-    def go(si: Int, ri: Int): Attempt =
-      if (si == steps.length) Matched(ri, Nil)
+    def go(si: Int, ri: Int, acc: List[(Int, Int)]): Attempt =
+      if (si == steps.length) Matched(ri, acc.reverse)
       else {
         val st = steps(si)
         st.quant match {
           case One =>
             if (ri >= end) { if (finalAtEnd) NoMatch else NeedMore }
-            else ok(st, ri) match {
+            else ok(st, si, ri, acc) match {
               case Unsat => NoMatch
               case Undecided => NeedMore
-              case Sat => go(si + 1, ri + 1) match {
-                case Matched(e, b) => Matched(e, (si, ri) :: b)
-                case other => other
-              }
+              case Sat => go(si + 1, ri + 1, (si, ri) :: acc)
             }
           case Opt =>
             if (ri >= end) {
-              if (finalAtEnd) go(si + 1, ri) // skip: empty binding
+              if (finalAtEnd) go(si + 1, ri, acc) // skip: empty binding
               else NeedMore // greedy arm undecidable
-            } else ok(st, ri) match {
+            } else ok(st, si, ri, acc) match {
               case Undecided => NeedMore // greedy prefers the take arm
-              case Sat => go(si + 1, ri + 1) match {
-                case Matched(e, b) => Matched(e, (si, ri) :: b)
+              case Sat => go(si + 1, ri + 1, (si, ri) :: acc) match {
+                case m: Matched => m
                 case NeedMore => NeedMore
-                case NoMatch => go(si + 1, ri) // backtrack: skip the row
+                case NoMatch => go(si + 1, ri, acc) // backtrack: skip the row
               }
-              case Unsat => go(si + 1, ri)
+              case Unsat => go(si + 1, ri, acc)
             }
           case OptReluctant =>
             // shortest first: try the empty binding, then take the row.
             // A NeedMore on the skip arm blocks committing to the longer
             // alternative — more input could validate the shorter one.
-            go(si + 1, ri) match {
+            go(si + 1, ri, acc) match {
               case m: Matched => m
               case NeedMore => NeedMore
               case NoMatch =>
                 if (ri >= end) { if (finalAtEnd) NoMatch else NeedMore }
-                else ok(st, ri) match {
+                else ok(st, si, ri, acc) match {
                   case Unsat => NoMatch
                   case Undecided => NeedMore
-                  case Sat => go(si + 1, ri + 1) match {
-                    case Matched(e, b) => Matched(e, (si, ri) :: b)
-                    case other => other
-                  }
+                  case Sat => go(si + 1, ri + 1, (si, ri) :: acc)
                 }
             }
           case Plus | Star =>
-            val (j, undecided) = runExtent(st, ri)
+            val (j, undecided, states) = runExtent(st, si, ri, acc, end)
             // an undecided extension or a run touching a non-final buffer
             // end blocks the greedy (longest-first) choice
             if (undecided || (j == end && !finalAtEnd)) NeedMore
@@ -231,9 +298,8 @@ object PatternMatch {
               val minEnd = if (st.quant == Plus) ri + 1 else ri
               var k = j // greedy: longest run first
               while (k >= minEnd) {
-                go(si + 1, k) match {
-                  case Matched(e, b) =>
-                    return Matched(e, (ri until k).map((si, _)).toList ::: b)
+                go(si + 1, k, states(k - ri)) match {
+                  case m: Matched => return m
                   case NeedMore => return NeedMore
                   case NoMatch => k -= 1
                 }
@@ -241,24 +307,34 @@ object PatternMatch {
               NoMatch
             }
           case PlusReluctant | StarReluctant =>
-            val (j, undecided) = runExtent(st, ri)
+            val (j, undecided, states) = runExtent(st, si, ri, acc, end)
             val minEnd = if (st.quant == PlusReluctant) ri + 1 else ri
             // shortest run first; the first Matched is safe to commit even
             // when the run touches a non-final buffer end — future rows
             // only ever extend it, they cannot produce a SHORTER match
             var k = minEnd
             while (k <= j) {
-              go(si + 1, k) match {
-                case Matched(e, b) =>
-                  return Matched(e, (ri until k).map((si, _)).toList ::: b)
+              go(si + 1, k, states(k - ri)) match {
+                case m: Matched => return m
                 case NeedMore => return NeedMore
                 case NoMatch => k += 1
               }
             }
             if (undecided || (j == end && !finalAtEnd)) NeedMore else NoMatch
+          case Times(min, maxOpt) =>
+            // POSSESSIVE (see Times doc): extend maximally up to max,
+            // then proceed with exactly that run — no re-shortening
+            val cap = maxOpt.map(m => math.min(end, ri + m)).getOrElse(end)
+            val (j, undecided, states) = runExtent(st, si, ri, acc, cap)
+            val len = j - ri
+            if (undecided) NeedMore
+            // run touches a non-final buffer end and could still grow
+            else if (j == end && !finalAtEnd && maxOpt.forall(len < _)) NeedMore
+            else if (len < min) NoMatch
+            else go(si + 1, j, states(len))
         }
       }
-    go(0, start)
+    go(0, start, Nil)
   }
 
   /** Scan a sorted closed prefix: emit matches, resume per the AFTER
@@ -269,10 +345,10 @@ object PatternMatch {
     * `withinUs == Long.MaxValue` means no WITHIN bound; otherwise each
     * attempt is confined to rows within `withinUs` of its start row and
     * becomes final once the watermark (`wmUs`) passes that window. */
-  private def scan(steps: IndexedSeq[Step], rows: IndexedSeq[Event],
+  private def scan[R](steps: IndexedSeq[GStep[R]], rows: IndexedSeq[R],
       finalInput: Boolean, wmUs: Long, withinUs: Long,
-      bufPrev: Option[Event], skip: SkipStrategy): (List[List[Bound]], Int) = {
-    import StatefulOps.eventMicros
+      bufPrev: Option[R], skip: SkipStrategy, microsOf: R => Long)
+      : (List[List[Bound[R]]], Int) = {
     def boundIdx(variable: String, binds: List[(Int, Int)], first: Boolean,
         start: Int): Int = {
       val si = steps.indexWhere(_.name == variable)
@@ -286,7 +362,7 @@ object PatternMatch {
           "same row — an infinite loop; the reference rejects this strategy too")
       t
     }
-    val out = List.newBuilder[List[Bound]]
+    val out = List.newBuilder[List[Bound[R]]]
     var i = 0
     var retain = rows.length
     var open = true
@@ -294,9 +370,9 @@ object PatternMatch {
       val (end, finalAtEnd) =
         if (withinUs == Long.MaxValue) (rows.length, finalInput)
         else {
-          val limitUs = eventMicros(rows(i).ts) + withinUs
+          val limitUs = microsOf(rows(i)) + withinUs
           var w = i
-          while (w < rows.length && eventMicros(rows(w).ts) <= limitUs) w += 1
+          while (w < rows.length && microsOf(rows(w)) <= limitUs) w += 1
           (w, finalInput || w < rows.length || limitUs <= wmUs)
         }
       tryMatch(steps, rows, i, end, finalAtEnd, finalInput, bufPrev) match {
@@ -324,11 +400,11 @@ object PatternMatch {
     * event-time span from its first row and prunes partial-match state
     * once the watermark closes the window. */
   def matchPattern[O: Encoder](events: Dataset[Event], steps: Seq[Step],
-      delay: String, emit: (Long, Seq[Bound]) => O,
+      delay: String, emit: (Long, Seq[Bound[Event]]) => O,
       within: Option[java.time.Duration] = None,
       skip: SkipStrategy = SkipPastLastRow): Dataset[O] =
-    matchPatternNumbered(events, steps, delay,
-      (key, _: Long, bound: Seq[Bound]) => Iterator.single(emit(key, bound)),
+    matchPatternNumbered(events, steps.map(adapt), delay,
+      (key, _: Long, bound: Seq[Bound[Event]]) => Iterator.single(emit(key, bound)),
       within, skip)
 
   /** One output row per MATCHED ROW — SQL's `ALL ROWS PER MATCH` with
@@ -344,8 +420,8 @@ object PatternMatch {
       delay: String, within: Option[java.time.Duration] = None,
       skip: SkipStrategy = SkipPastLastRow): Dataset[ClassifiedRow] = {
     implicit val enc: Encoder[ClassifiedRow] = Encoders.product[ClassifiedRow]
-    matchPatternNumbered(events, steps, delay,
-      (key, matchNo: Long, bound: Seq[Bound]) => {
+    matchPatternNumbered(events, steps.map(adapt), delay,
+      (key, matchNo: Long, bound: Seq[Bound[Event]]) => {
         val finals = bound.map(b => b.name -> b.rows.size.toLong).toMap
         val running = scala.collection.mutable.Map.empty[String, Long]
         var pos = 0L
@@ -363,9 +439,13 @@ object PatternMatch {
   final case class ClassifiedRow(user_id: Long, match_no: Long, pos: Long,
       classifier: String, event_id: Long, running_n: Long, final_n: Long)
 
-  private def matchPatternNumbered[O: Encoder](events: Dataset[Event],
-      steps: Seq[Step], delay: String,
-      emitAll: (Long, Long, Seq[Bound]) => Iterator[O],
+  /** The Event-model executor over GENERIC steps — the SQL front-end
+    * compiles its (wider) DEFINE grammar straight to [[GStep]]s and runs
+    * them here, streaming or batch; the Event-typed [[Step]] surface
+    * arrives via [[adapt]]. */
+  def matchPatternNumbered[O: Encoder](events: Dataset[Event],
+      steps: Seq[GStep[Event]], delay: String,
+      emitAll: (Long, Long, Seq[Bound[Event]]) => Iterator[O],
       within: Option[java.time.Duration],
       skip: SkipStrategy): Dataset[O] = {
     require(steps.nonEmpty, "PATTERN must have at least one step")
@@ -383,6 +463,8 @@ object PatternMatch {
     // minimally and finalize immediately.
     val greedyTail = steps.last.quant match {
       case Opt | Plus | Star => true
+      // a possessive run below its max is still extendable by future rows
+      case Times(_, _) => true
       case _ => false
     }
     require(isBatch || !greedyTail || within.isDefined,
@@ -390,7 +472,7 @@ object PatternMatch {
         s"or carry a WITHIN bound: a trailing greedy '${steps.last.name}' " +
         s"(${steps.last.quant}) can always be extended by future rows and " +
         "would never finalize")
-    val usesPrev = steps.exists(_.prevPred.isDefined)
+    val usesPrev = steps.exists(_.needsPrev)
     implicit val stateEnc: Encoder[BufState] = Encoders.product[BufState]
     events
       .withWatermark("ts", delay)
@@ -410,7 +492,7 @@ object PatternMatch {
           val bufPrev = st.flatMap(_.prev)
           val (matches, retainFrom) =
             scan(stepsArr, sorted.take(closedN), isBatch, wmUs, withinUs,
-              bufPrev, skip)
+              bufPrev, skip, (e: Event) => eventMicros(e.ts))
           val baseNo = st.map(_.nMatches).getOrElse(0L)
           val newCount = baseNo + matches.size
           val kept = sorted.slice(retainFrom, closedN) ++ sorted.drop(closedN)
@@ -457,4 +539,90 @@ object PatternMatch {
           }
         })
   }
+
+  /** BATCH MATCH_RECOGNIZE over an ARBITRARY DataFrame — the
+    * general-schema executor behind [[MatchRecognizeSql.sqlDf]]
+    * (reference: the clause accepts any registered table,
+    * MatchRecognizeITCase.scala:169-183 partitions a 4-column table by
+    * two keys). The Event-model path above stays the streaming executor;
+    * this one trades the typed state machinery for schema generality and
+    * runs the SAME generic scan core, so the two paths cannot diverge on
+    * match semantics.
+    *
+    * Scale: one shuffle on the partition columns (`groupByKey`), then a
+    * per-key in-memory sort + single-pass NFA — state is O(one key's
+    * rows), the same bound every MATCH_RECOGNIZE engine has. An EMPTY
+    * `partCols` is accepted (the reference IT cases use partitionless
+    * patterns) but is inherently sequential — one group — on any engine;
+    * partition when the data is large.
+    *
+    * `emit(key, matchNo, binds)` produces output rows with `outSchema`.
+    */
+  def matchRowsBatch(df: DataFrame, partCols: Seq[String],
+      orderKeys: Seq[(String, Boolean)], steps: Seq[GStep[Row]],
+      skip: SkipStrategy, within: Option[java.time.Duration],
+      emit: (Row, Long, Seq[Bound[Row]]) => Iterator[Row],
+      outSchema: StructType): DataFrame = {
+    require(!df.isStreaming,
+      "the general-schema MATCH_RECOGNIZE path is batch-only; streaming " +
+        "pattern match runs on the event model (MatchRecognizeSql.sql)")
+    require(steps.nonEmpty, "PATTERN must have at least one step")
+    require(orderKeys.nonEmpty, "ORDER BY must name at least one column")
+    val schema = df.schema
+    val partIdx = partCols.map(schema.fieldIndex).toArray
+    val keySchema = StructType(partIdx.map(schema.fields(_)).toSeq)
+    val ordKeys = orderKeys.map { case (c, asc) =>
+      val i = schema.fieldIndex(c); (i, asc, schema.fields(i).dataType)
+    }
+    val withinUs = within.map(_.toNanos / 1000).getOrElse(Long.MaxValue)
+    require(withinUs > 0, s"WITHIN must be a positive duration, got $within")
+    val microsOf: Row => Long = within match {
+      case None => _ => 0L
+      case Some(_) =>
+        val (i, asc, dt) = ordKeys.head
+        require(dt == TimestampType && asc, "WITHIN requires the leading " +
+          s"ORDER BY column to be an ascending timestamp, got $dt")
+        r => StatefulOps.eventMicros(r.getAs[java.sql.Timestamp](i))
+    }
+    val ord = rowOrdering(ordKeys)
+    val stepsArr = steps.toIndexedSeq
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    def run(key: Row, it: Iterator[Row]): Iterator[Row] = {
+      val sorted = it.toIndexedSeq.sorted(ord)
+      val (matches, _) = scan(stepsArr, sorted, finalInput = true,
+        Long.MaxValue, withinUs, None, skip, microsOf)
+      matches.iterator.zipWithIndex.flatMap { case (m, i) =>
+        emit(key, i + 1L, m)
+      }
+    }
+    if (partIdx.isEmpty) {
+      // partitionless clause (the reference IT cases use them): one
+      // sequential group — a constant key, since Spark rejects an
+      // empty clustering expression list
+      df.groupByKey(_ => 0)(Encoders.scalaInt)
+        .flatMapGroups((_: Int, it: Iterator[Row]) => run(Row.empty, it))(outEnc)
+    } else {
+      val keyEnc: Encoder[Row] = Encoders.row(keySchema)
+      df.groupByKey(r => Row.fromSeq(partIdx.toSeq.map(r.get)))(keyEnc)
+        .flatMapGroups((key: Row, it: Iterator[Row]) => run(key, it))(outEnc)
+    }
+  }
+
+  /** Multi-column Row ordering with per-key direction; nulls first on
+    * ASC, last on DESC (Spark's default sort convention). */
+  private def rowOrdering(keys: Seq[(Int, Boolean, DataType)]): Ordering[Row] =
+    new Ordering[Row] {
+      override def compare(a: Row, b: Row): Int = {
+        keys.foreach { case (i, asc, _) =>
+          val (x, y) = (a.get(i), b.get(i))
+          val c =
+            if (x == null && y == null) 0
+            else if (x == null) -1
+            else if (y == null) 1
+            else x.asInstanceOf[Comparable[Any]].compareTo(y)
+          if (c != 0) return if (asc) c else -c
+        }
+        0
+      }
+    }
 }

@@ -18,7 +18,7 @@ object ScaleAudit {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val outFile = args(1)
-    val prefix = if (args.length > 2) args(2) else ""
+    val prefixes = (if (args.length > 2) args(2) else "").split(',').toSeq
     val spark = graft.core.SessionFactory.local("graft-scale-audit")
     graft.core.Catalog.assertFixtureSchemas(spark, dir)
     // same warmup discipline as Bench: session/codegen/reader init and the
@@ -29,7 +29,7 @@ object ScaleAudit {
     graft.core.Catalog.registerAnalyzed(spark, dir)
     val out = new PrintWriter(outFile)
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+      .filter(q => prefixes.exists(q._1.startsWith)).foreach { case (name, fn) =>
         System.gc()
         val t0 = System.nanoTime()
         try {

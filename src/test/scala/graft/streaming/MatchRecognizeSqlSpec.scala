@@ -74,31 +74,84 @@ class MatchRecognizeSqlSpec extends SparkSpec {
       assert(e.getMessage.contains(fragment),
         s"error '${e.getMessage}' should mention '$fragment'")
     }
-    // cross-variable DEFINE reference
-    bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
-          |PATTERN (A B) DEFINE B AS A.value < value)""".stripMargin,
-      "cross-variable")
-    // PREV offset beyond 1
-    bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
-          |PATTERN (A) DEFINE A AS value < PREV(value, 2))""".stripMargin,
-      "offset 1")
     // unknown field
     bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
           |PATTERN (A) DEFINE A AS price > 5)""".stripMargin,
       "unknown field")
-    // wrong partition key
+    // wrong partition key on the EVENT-MODEL entry (sqlDf takes any)
     bad("""MATCH_RECOGNIZE (PARTITION BY event_type ORDER BY ts
           |PATTERN (A))""".stripMargin,
       "PARTITION BY must be user_id")
-    // MEASURES in ALL ROWS mode
-    bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
-          |MEASURES A.event_id AS x ALL ROWS PER MATCH
-          |PATTERN (A))""".stripMargin,
-      "canonical projection")
     // DEFINE of a variable the PATTERN does not name
     bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
           |PATTERN (A) DEFINE Z AS value > 0)""".stripMargin,
       "not a PATTERN variable")
+    // a MEASURE referencing a variable the PATTERN does not name
+    bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+          |MEASURES Z.event_id AS x PATTERN (A))""".stripMargin,
+      "not a PATTERN variable")
+    // reluctant bounded quantifier (the reference's are possessive)
+    bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+          |PATTERN (A{2,3}? B))""".stripMargin,
+      "possessive")
+    // navigation nesting
+    bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+          |MEASURES FIRST(LAST(A.value)) AS x PATTERN (A))""".stripMargin,
+      "cannot nest")
+    // PREV in MEASURES
+    bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+          |MEASURES PREV(value) AS x PATTERN (A))""".stripMargin,
+      "PREV/NEXT in MEASURES")
+  }
+
+  test("cross-variable DEFINE references and PREV offsets > 1 now " +
+      "evaluate (batch)") {
+    // B's DEFINE references A's binding (LAST(A.value)) and a 2-deep
+    // physical PREV — the round-9 front-end rejected both (reference
+    // grammar: MatchRecognizeITCase.scala:178-182 `LAST(A.name, 2)`)
+    val df = MatchRecognizeSql.sql(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES A.event_id AS a_id, B.event_id AS b_id,
+        |           LAST(A.value) AS a_value
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B)
+        |  DEFINE A AS event_type = 'view',
+        |         B AS value > LAST(A.value) AND PREV(value, 2) IS NOT NULL
+        |)""".stripMargin)
+    val got = df.collect()
+    assert(got.nonEmpty)
+    // every match's B row value exceeds its A row value by construction
+    assert(df.columns.toSeq == Seq("user_id", "a_id", "b_id", "a_value"))
+  }
+
+  test("MEASURES under ALL ROWS PER MATCH carry RUNNING semantics") {
+    val df = MatchRecognizeSql.sql(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS cls,
+        |           COUNT(*) AS pos_running
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B+ C)
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin)
+    val got = df.collect()
+    assert(got.nonEmpty)
+    // output = input columns + measures
+    assert(df.columns.toSeq == Seq("user_id", "event_id", "ts",
+      "event_type", "value", "mno", "cls", "pos_running"))
+    // RUNNING COUNT(*) is the row's 1-based position within its match:
+    // per (user_id, mno) the positions are 1..n and the classifier
+    // sequence is A, B+, C
+    got.groupBy(r => (r.getLong(0), r.getLong(5))).foreach {
+      case (_, rows) =>
+        val sorted = rows.sortBy(_.getLong(7))
+        assert(sorted.map(_.getLong(7)).toSeq == (1L to sorted.length).toSeq)
+        assert(sorted.head.getString(6) == "A")
+        assert(sorted.last.getString(6) == "C")
+        assert(sorted.drop(1).dropRight(1).forall(_.getString(6) == "B"))
+    }
   }
 
   test("string escapes and numeric literals in DEFINE evaluate correctly") {

@@ -33,7 +33,7 @@ class PatternMatchSpec extends SparkSpec {
   private def runBatch(events: Seq[Event], steps: Seq[Step]): Seq[M] = {
     import spark.implicits._
     matchPattern(spark.createDataset(events), steps, "0 seconds",
-      (_: Long, bound: Seq[Bound]) => {
+      (_: Long, bound: Seq[Bound[Event]]) => {
         val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
         M(by.getOrElse("A", Nil), by.getOrElse("B", Nil), by.getOrElse("C", Nil))
       }).collect().toSeq.sortBy(_.c.headOption.getOrElse(0L))
@@ -90,7 +90,7 @@ class PatternMatchSpec extends SparkSpec {
       matchPattern(input.toDS(), Seq(
         Step("A", _.event_type == "view", One),
         Step("B", _.event_type == "click", Plus)), // trailing B+ never finalizes
-        delay = "0 seconds", (_: Long, _: Seq[Bound]) => 0)
+        delay = "0 seconds", (_: Long, _: Seq[Bound[Event]]) => 0)
     }
     assert(e.getMessage.contains("never finalize"))
     // the same pattern IS valid in batch, where the input end is final
@@ -112,7 +112,7 @@ class PatternMatchSpec extends SparkSpec {
       evv(5, 4, 6.0), // equal: neither D nor U — breaks any run
       evv(6, 5, 5.0), evv(7, 6, 8.0))), // second V at 6-7
       steps, "0 seconds",
-      (_: Long, bound: Seq[Bound]) => {
+      (_: Long, bound: Seq[Bound[Event]]) => {
         val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
         M(by("D"), by("U"), Nil)
       }).collect().toSeq.sortBy(_.a.head)
@@ -132,7 +132,7 @@ class PatternMatchSpec extends SparkSpec {
       evv(1, 0, 9.0), evv(2, 1, 5.0), evv(3, 2, 8.0), // match: D={2} U={3}
       evv(4, 3, 6.0), evv(5, 4, 7.0))), // 4 is D only if PREV=row3 (8.0) visible
       steps, "0 seconds",
-      (_: Long, bound: Seq[Bound]) => {
+      (_: Long, bound: Seq[Bound[Event]]) => {
         val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
         M(by("D"), by("U"), Nil)
       }).collect().toSeq.sortBy(_.a.head)
@@ -147,7 +147,7 @@ class PatternMatchSpec extends SparkSpec {
     import spark.implicits._
     def run(events: Seq[Event]) = matchPattern(
       spark.createDataset(events), ABplusC, "0 seconds",
-      (_: Long, bound: Seq[Bound]) => {
+      (_: Long, bound: Seq[Bound[Event]]) => {
         val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
         M(by("A"), by("B"), by("C"))
       }, within = within).collect().toSeq
@@ -166,7 +166,7 @@ class PatternMatchSpec extends SparkSpec {
       Step("A", _.event_type == "view", One),
       Step("B", _.event_type == "click", Plus)),
       delay = "0 seconds",
-      (_: Long, bound: Seq[Bound]) => {
+      (_: Long, bound: Seq[Bound[Event]]) => {
         val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
         M(by("A"), by("B"), Nil)
       }, within = Some(java.time.Duration.ofMinutes(5)))
@@ -191,7 +191,7 @@ class PatternMatchSpec extends SparkSpec {
     import spark.implicits._
     val input = MemoryStream[Event]
     val query = matchPattern(input.toDS(), ABplusC, delay = "0 seconds",
-      (_: Long, bound: Seq[Bound]) => {
+      (_: Long, bound: Seq[Bound[Event]]) => {
         val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
         M(by("A"), by("B"), by("C"))
       }, within = Some(java.time.Duration.ofMinutes(5)))
@@ -214,7 +214,7 @@ class PatternMatchSpec extends SparkSpec {
     import spark.implicits._
     val input = MemoryStream[Event]
     val query = matchPattern(input.toDS(), ABplusC, delay = "5 minutes",
-      (_: Long, bound: Seq[Bound]) => {
+      (_: Long, bound: Seq[Bound[Event]]) => {
         val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
         M(by("A"), by("B"), by("C"))
       }).writeStream.format("memory").queryName("nfa").outputMode("append").start()
@@ -275,7 +275,7 @@ class PatternMatchSpec extends SparkSpec {
       Step("A", _.event_type == "view", One),
       Step("C", _.event_type == "click", PlusReluctant)),
       "0 seconds",
-      (_: Long, bound: Seq[Bound]) => {
+      (_: Long, bound: Seq[Bound[Event]]) => {
         val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
         M(by.getOrElse("A", Nil), Nil, by.getOrElse("C", Nil))
       }).writeStream.format("memory").queryName("relu").outputMode("append").start()
@@ -309,7 +309,7 @@ class PatternMatchSpec extends SparkSpec {
       Step("A", _.event_type == "view", One,
         nextPred = Some((_, n) => n.event_type == "purchase"))),
       "0 seconds",
-      (_: Long, bound: Seq[Bound]) =>
+      (_: Long, bound: Seq[Bound[Event]]) =>
         M(bound.head.rows.map(_.event_id), Nil, Nil))
       .writeStream.format("memory").queryName("nextdef")
       .outputMode("append").start()
@@ -340,7 +340,7 @@ class PatternMatchSpec extends SparkSpec {
       skip: SkipStrategy): Seq[M] = {
     import spark.implicits._
     matchPattern(spark.createDataset(events), steps, "0 seconds",
-      (_: Long, bound: Seq[Bound]) => {
+      (_: Long, bound: Seq[Bound[Event]]) => {
         val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
         M(by.getOrElse("A", Nil), by.getOrElse("B", Nil), by.getOrElse("C", Nil))
       }, skip = skip).collect().toSeq.sortBy(_.a.headOption.getOrElse(0L))
