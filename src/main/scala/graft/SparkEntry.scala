@@ -35,7 +35,8 @@ object SparkEntry {
       graft.operators.Analytics.defs ++
       graft.streaming.StatefulBatch.defs ++
       graft.operators.Funnel.defs ++
-      graft.operators.MatchSql.defs
+      graft.operators.MatchSql.defs ++
+      graft.operators.OverSql.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

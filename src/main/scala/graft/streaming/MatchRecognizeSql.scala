@@ -489,7 +489,7 @@ object MatchRecognizeSql {
   // =====================================================================
   // Tokenizer (unchanged model: words, numbers, 'strings', operators)
   // =====================================================================
-  private def tokenize(s: String): Vector[String] = {
+  private[streaming] def tokenize(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < s.length) {
@@ -527,7 +527,7 @@ object MatchRecognizeSql {
   // =====================================================================
   // Parser
   // =====================================================================
-  private final class P(toks: Vector[String]) {
+  private[streaming] final class P(toks: Vector[String]) {
     var i = 0
     def peek: String = if (i < toks.length) toks(i) else ""
     def peekAt(k: Int): String = if (i + k < toks.length) toks(i + k) else ""

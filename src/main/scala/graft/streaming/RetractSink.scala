@@ -87,12 +87,28 @@ object RetractSink {
       }
     }
 
-  /** Streaming writer applying the changelog to `dir/current`. Each
-    * writer instance carries a fresh runId, so replay skipping never
-    * crosses a query restart. */
+  /** Streaming writer applying the changelog to `dir/current`.
+    *
+    * `stableId` is the idempotence scope of the applied-batch marker and
+    * decides what a "replay" is:
+    *
+    *  - Pass an id stable across restarts of the SAME checkpoint — the
+    *    checkpoint location is the natural choice (the same discipline as
+    *    a transactional sink's txnAppId). Then a batch that was merged
+    *    into the snapshot but whose checkpoint commit was lost to a crash
+    *    is recognized on restart and skipped — the additive (non-
+    *    idempotent) algebra stays exactly-once through kill-and-restart.
+    *    The id must change if the checkpoint is wiped: a fresh checkpoint
+    *    restarts batchIds at 0 and a stale high-water mark would swallow
+    *    the new run's batches.
+    *  - Default (None): a fresh UUID per writer instance. Replay skipping
+    *    then covers only within-run retries; a crash between the snapshot
+    *    flip and the checkpoint commit double-applies that one batch on
+    *    restart. Safe only for fresh-sink-per-run callers. */
   def retractWriter(stream: DataFrame, keys: Seq[String], flagCol: String,
-      valueCol: String, dir: String): DataStreamWriter[Row] = {
-    val runId = java.util.UUID.randomUUID().toString
+      valueCol: String, dir: String,
+      stableId: Option[String] = None): DataStreamWriter[Row] = {
+    val runId = stableId.getOrElse(java.util.UUID.randomUUID().toString)
     stream.writeStream
       .outputMode("update")
       .foreachBatch((batch: DataFrame, id: Long) =>

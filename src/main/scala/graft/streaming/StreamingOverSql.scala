@@ -1,0 +1,252 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, round}
+
+import graft.streaming.StatefulOps.Event
+
+/** SQL text entry for the STREAMING OVER-aggregate family — the same
+  * move as [[MatchRecognizeSql]] for pattern matching: a thin clause
+  * mapper from the reference's streaming OVER shapes (reference:
+  * flink-table-planner-blink .../stream/StreamExecOverAggregate.scala:56
+  * routing on the window's ROWS/RANGE bound and row-time vs proc-time
+  * order key, and the OverWindowITCase query texts) onto the stateful
+  * operators in [[StatefulOps]], so a reference user can paste the
+  * `OVER (PARTITION BY k ORDER BY rowtime ROWS/RANGE BETWEEN ...
+  * PRECEDING AND CURRENT ROW)` clause instead of calling the API.
+  *
+  * Accepted grammar (anything else fails loudly — mis-executing a
+  * clause silently is worse than rejecting it):
+  *
+  * {{{
+  * SELECT item [, item]* FROM <ident>
+  * [WINDOW <name> AS ( spec )] [ORDER BY out [, out]*]
+  * item  := user_id | event_id
+  *        | [ROUND(] agg OVER ( spec | <name> ) [, digits)] [AS alias]
+  * agg   := COUNT(*) | SUM(value) | MAX(value) | AVG(value)
+  * spec  := PARTITION BY user_id
+  *          ORDER BY ts [, event_id] | proctime
+  *          frame
+  * frame := ROWS UNBOUNDED PRECEDING
+  *        | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  *        | ROWS BETWEEN <n> PRECEDING AND CURRENT ROW
+  *        | RANGE BETWEEN <micros> PRECEDING AND CURRENT ROW
+  *        | RANGE BETWEEN INTERVAL '<n>' DAY|HOUR|MINUTE|SECOND
+  *                        PRECEDING AND CURRENT ROW
+  * }}}
+  *
+  * Dispatch mirrors the reference's `StreamExecOverAggregate` routing:
+  * row-time order key + unbounded frame →
+  * [[StatefulOps.runningAggregates]]; + bounded ROWS →
+  * [[StatefulOps.rowsBoundedAggregates]]; + bounded RANGE →
+  * [[StatefulOps.rangeBoundedAggregates]]; `ORDER BY proctime` routes
+  * the bounded frames to the proc-time twins (reference
+  * ProcTimeRowsBoundedPrecedingFunction /
+  * ProcTimeRangeBoundedPrecedingFunction). Every OVER item in one
+  * statement must share one window spec — that is one operator pass,
+  * exactly the constraint the reference's per-window physical operator
+  * imposes.
+  *
+  * The measure surface is the operator contract, not a parser limit:
+  * the stateful operators are typed to the engine's [[Event]] model and
+  * emit (count, sum, max) over `value`, so COUNT(*) / SUM(value) /
+  * MAX(value) map directly, AVG(value) derives as sum/count, and
+  * anything else (MIN, other columns, other partition keys) is rejected
+  * with the reason. The generic-schema path exists for batch SQL via
+  * [[MatchRecognizeSql.sqlDf]]'s model; widening the STATEFUL operators
+  * beyond Event is a separate (streaming-state) design, documented in
+  * SURVEY §2.9.
+  */
+object StreamingOverSql {
+
+  private sealed trait Frame
+  private case object Unbounded extends Frame
+  private final case class RowsPreceding(n: Int) extends Frame
+  private final case class RangePreceding(us: Long) extends Frame
+
+  private final case class Spec(partCol: String, orderCols: Seq[String],
+      procTime: Boolean, frame: Frame)
+
+  private sealed trait Item
+  private final case class PassThrough(name: String) extends Item
+  private final case class Measure(fn: String, arg: String, alias: String,
+      spec: Either[String, Spec], roundDigits: Option[Int]) extends Item
+
+  /** Run a streaming-OVER SQL statement against the events dataset
+    * (batch or streaming — the operators collapse identically). */
+  def sql(events: Dataset[Event], text: String): DataFrame = {
+    val p = new MatchRecognizeSql.P(MatchRecognizeSql.tokenize(text))
+    p.expect("SELECT")
+    val items = scala.collection.mutable.ArrayBuffer.empty[Item]
+    items += parseItem(p)
+    while (p.accept(",")) items += parseItem(p)
+    p.expect("FROM")
+    p.ident() // single-input statement; the dataset IS the table
+    var windows = Map.empty[String, Spec]
+    if (p.accept("WINDOW")) {
+      do {
+        val name = p.ident().toLowerCase
+        p.expect("AS"); p.expect("(")
+        windows += name -> parseSpec(p)
+        p.expect(")")
+      } while (p.accept(","))
+    }
+    val outOrder = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (p.accept("ORDER")) {
+      p.expect("BY")
+      do outOrder += p.ident().toLowerCase while (p.accept(","))
+    }
+    require(p.peek.isEmpty, s"unexpected trailing tokens from '${p.peek}'")
+
+    val measures = items.collect { case m: Measure => m }
+    require(measures.nonEmpty, "no OVER aggregate in SELECT list")
+    val specs = measures.map {
+      case Measure(_, _, _, Left(name), _) =>
+        windows.getOrElse(name, sys.error(
+          s"OVER references undefined window '$name'"))
+      case Measure(_, _, _, Right(s), _) => s
+    }
+    require(specs.distinct.size == 1,
+      "every OVER item must share one window spec (one operator pass); " +
+        s"found ${specs.distinct.size} distinct specs")
+    val spec = specs.head
+
+    // dispatch: the reference's StreamExecOverAggregate routing
+    val (df, cnt, sum, max) = spec.frame match {
+      case Unbounded =>
+        require(!spec.procTime,
+          "proc-time unbounded OVER not in the operator suite (the " +
+            "reference routes it to ProcTimeUnboundedPrecedingFunction; " +
+            "use ORDER BY ts, or the running-aggregate API)")
+        (StatefulOps.runningAggregates(events).toDF(),
+          "running_count", "running_sum", "running_max")
+      case RowsPreceding(n) =>
+        val out =
+          if (spec.procTime) StatefulOps.procRowsBoundedAggregates(events, n)
+          else StatefulOps.rowsBoundedAggregates(events, n)
+        (out.toDF(), "n_in_frame", "frame_sum", "frame_max")
+      case RangePreceding(us) =>
+        val d = java.time.Duration.ofNanos(us * 1000L)
+        val out =
+          if (spec.procTime) StatefulOps.procRangeBoundedAggregates(events, d)
+          else StatefulOps.rangeBoundedAggregates(events, d)
+        (out.toDF(), "n_in_frame", "frame_sum", "frame_max")
+    }
+
+    val cols = items.map {
+      case PassThrough(name) => col(name)
+      case Measure(fn, _, alias, _, dig) =>
+        val base = fn match {
+          case "COUNT" => col(cnt)
+          case "SUM" => col(sum)
+          case "MAX" => col(max)
+          case "AVG" => col(sum) / col(cnt)
+        }
+        dig.fold(base)(d => round(base, d)).as(alias)
+    }
+    val sel = df.select(cols.toSeq: _*)
+    if (outOrder.isEmpty) sel else sel.orderBy(outOrder.map(col).toSeq: _*)
+  }
+
+  private def parseItem(p: MatchRecognizeSql.P): Item = {
+    val rounded = p.acceptWords("ROUND", "(")
+    val t = p.peek.toUpperCase
+    if (Set("COUNT", "SUM", "MAX", "AVG", "MIN").contains(t) &&
+        p.peekAt(1) == "(") {
+      p.next(); p.expect("(")
+      val arg = p.next()
+      p.expect(")")
+      require(t != "MIN",
+        "MIN over a streaming frame is not in the operator contract " +
+          "(the stateful operators emit count/sum/max over value)")
+      if (t == "COUNT") require(arg == "*",
+        s"only COUNT(*) is supported, found COUNT($arg)")
+      else require(arg.equalsIgnoreCase("value"),
+        s"$t aggregates the Event model's `value` column, found $t($arg)")
+      p.expect("OVER")
+      val spec: Either[String, Spec] =
+        if (p.accept("(")) { val s = parseSpec(p); p.expect(")"); Right(s) }
+        else Left(p.ident().toLowerCase)
+      val digits = if (rounded) {
+        p.expect(","); val d = p.intLit(); p.expect(")"); Some(d)
+      } else None
+      val alias =
+        if (p.accept("AS")) p.ident().toLowerCase
+        else sys.error(s"alias required for $t OVER (the driver compare " +
+          "matches columns by name)")
+      Measure(t, arg, alias, spec, digits)
+    } else {
+      require(!rounded, "ROUND(...) wraps only an aggregate OVER item")
+      val name = p.ident().toLowerCase
+      require(name == "user_id" || name == "event_id",
+        s"pass-through column must be user_id or event_id (the operator " +
+          s"output), found '$name'")
+      PassThrough(name)
+    }
+  }
+
+  private def parseSpec(p: MatchRecognizeSql.P): Spec = {
+    p.expect("PARTITION"); p.expect("BY")
+    val part = p.ident().toLowerCase
+    require(part == "user_id",
+      s"the stateful OVER operators key on user_id (Event model), " +
+        s"found PARTITION BY $part")
+    p.expect("ORDER"); p.expect("BY")
+    val first = p.ident().toLowerCase
+    val procTime = first == "proctime"
+    val orderCols = scala.collection.mutable.ArrayBuffer(first)
+    if (procTime && p.accept("(")) p.expect(")") // proctime() attribute form
+    while (p.accept(",")) orderCols += p.ident().toLowerCase
+    require(procTime && orderCols.size == 1 ||
+        orderCols.toSeq == Seq("ts") || orderCols.toSeq == Seq("ts", "event_id"),
+      "ORDER BY must be the operator's deterministic event-time key " +
+        s"(ts[, event_id]) or proctime, found ${orderCols.mkString(", ")}")
+    val frame = parseFrame(p)
+    Spec(part, orderCols.toSeq, procTime, frame)
+  }
+
+  private def parseFrame(p: MatchRecognizeSql.P): Frame = {
+    if (p.accept("ROWS")) {
+      if (p.acceptWords("UNBOUNDED", "PRECEDING")) Unbounded
+      else {
+        p.expect("BETWEEN")
+        if (p.acceptWords("UNBOUNDED", "PRECEDING")) {
+          p.expect("AND"); p.expect("CURRENT"); p.expect("ROW")
+          Unbounded
+        } else {
+          val n = p.intLit()
+          p.expect("PRECEDING"); p.expect("AND")
+          p.expect("CURRENT"); p.expect("ROW")
+          RowsPreceding(n)
+        }
+      }
+    } else if (p.accept("RANGE")) {
+      p.expect("BETWEEN")
+      val us: Long =
+        if (p.accept("INTERVAL")) {
+          val lit = p.next()
+          require(lit.length >= 2 && lit.head == '\'' && lit.last == '\'',
+            s"INTERVAL expects a quoted value, found $lit")
+          val n = lit.substring(1, lit.length - 1).trim.toLong
+          val unit = p.next().toUpperCase.stripSuffix("S")
+          val perUnit = unit match {
+            case "DAY" => 86400000000L
+            case "HOUR" => 3600000000L
+            case "MINUTE" => 60000000L
+            case "SECOND" => 1000000L
+            case u => sys.error(s"unsupported INTERVAL unit $u")
+          }
+          n * perUnit
+        } else {
+          // bare literal = epoch microseconds (the fixture ts precision)
+          val t = p.next()
+          require(t.nonEmpty && t.forall(_.isDigit),
+            s"RANGE bound must be an integer or INTERVAL, found '$t'")
+          t.toLong
+        }
+      p.expect("PRECEDING"); p.expect("AND")
+      p.expect("CURRENT"); p.expect("ROW")
+      RangePreceding(us)
+    } else sys.error(s"expected ROWS or RANGE frame, found '${p.peek}'")
+  }
+}

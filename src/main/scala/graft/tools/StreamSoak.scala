@@ -228,6 +228,32 @@ object StreamSoak {
         // emission ORDER is checked separately below per output file
         reconstructed(real), true))
 
+    // The early/late-fire ops keep a PROC-TIME timer per open window, and
+    // the sentinel windows (far-future ts) never close — so they re-register
+    // their 100ms timer forever and AvailableNow never self-terminates
+    // (observed: >700 empty timer batches before the 5-minute kill). That is
+    // correct operator semantics on an unbounded stream; for the finite
+    // replay, end-of-soak is "source exhausted + a few quiet timer batches"
+    // (every real window's final fires within ~2 timer batches of the
+    // sentinel watermark push), then an explicit stop.
+    def awaitQuiesced(q: org.apache.spark.sql.streaming.StreamingQuery,
+        quietBatches: Int = 6): Unit = {
+      var lastSeen = -1L
+      var quiet = 0
+      while (q.isActive && quiet < quietBatches) {
+        Option(q.lastProgress).foreach { pr =>
+          if (pr.batchId != lastSeen) {
+            lastSeen = pr.batchId
+            quiet = if (pr.numInputRows == 0) quiet + 1 else 0
+          }
+        }
+        Thread.sleep(100)
+      }
+      if (q.isActive) q.stop()
+      q.awaitTermination()
+    }
+    val procTimerOps = Set("early_fire", "late_fire")
+
     ops.filter(_._1.startsWith(opPrefix)).foreach {
       case (name, dir, op, check, exactMultiset) =>
         val sinkDir = s"$work/out_$name"
@@ -238,7 +264,7 @@ object StreamSoak {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        if (procTimerOps(name)) awaitQuiesced(q) else q.awaitTermination()
         val wall = (System.nanoTime() - t0) / 1e9
         // per-batch state metrics (recentProgress keeps the last ~100)
         q.recentProgress.foreach { p =>
@@ -274,6 +300,213 @@ object StreamSoak {
           s""""exact_multiset":$exactMultiset$extra}""")
         out.flush()
         System.err.println(s"[stream-soak] $name done: wall=$wall drift=${onlyS + onlyB}")
+    }
+
+    // =================================================================
+    // Round-10 extension (r9 VERDICT #5): the SINKS through the same
+    // replay, plus a kill-and-restart recovery leg.
+    // =================================================================
+    import org.apache.spark.sql.streaming.StreamingQuery
+    import graft.streaming.{RetractSink, UpsertSink}
+    def wipe(paths: String*): Unit = paths.foreach(p =>
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p)))
+    def drainProgress(q: StreamingQuery, name: String): Unit =
+      q.recentProgress.foreach { p =>
+        out.println(s"""{"op":"$name","batch":${p.batchId},""" +
+          s""""input_rows":${p.numInputRows},""" +
+          s""""batch_ms":${Option(p.durationMs.get("triggerExecution")).getOrElse(-1L)}}""")
+      }
+    def summarize(name: String, wall: Double, rows: Long, onlyS: Long,
+        onlyB: Long, extra: String = ""): Unit = {
+      out.println(s"""{"op":"$name","summary":true,"wall_sec":$wall,""" +
+        s""""final_rows":$rows,"only_stream":$onlyS,"only_batch":$onlyB,""" +
+        s""""drift":${if (onlyS + onlyB > 0) "true" else "false"}$extra}""")
+      out.flush()
+      System.err.println(s"[stream-soak] $name done: wall=$wall drift=${onlyS + onlyB}")
+    }
+    // batch keep-last collapse over the real rows — the upsert contract
+    def upsertWant(): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      real(batchDs(eventsDir).toDF()).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "value")
+    }
+    def upsertGot(dirSink: String): DataFrame =
+      UpsertSink.currentState(spark, dirSink).filter(col("event_id") >= 0L)
+        .select("user_id", "event_type", "event_id", "value")
+
+    // ---- q104 upsert sink: latest-row-per-(user,type) via the
+    //      versioned-snapshot foreachBatch merge, 22 micro-batches ----
+    if ("upsert_sink".startsWith(opPrefix) || opPrefix.isEmpty) {
+      val dirSink = s"$work/sink_upsert"; val ckpt = s"$work/ckpt_upsert"
+      wipe(dirSink, ckpt)
+      val t0 = System.nanoTime()
+      val q = UpsertSink.upsertWriter(streamDs(eventsDir).toDF(),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"), dirSink,
+          nBuckets = 8)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainProgress(q, "upsert_sink")
+      val got = upsertGot(dirSink).cache(); val want = upsertWant()
+      summarize("upsert_sink", wall, got.count(),
+        got.exceptAll(want).count(), want.exceptAll(got).count())
+      got.unpersist()
+    }
+
+    // ---- q105 retract sink: ±1 changelog fold through the applied-
+    //      marker merge (exactly-once via (runId, batchId) skipping) ----
+    if ("retract_sink".startsWith(opPrefix) || opPrefix.isEmpty) {
+      val dirSink = s"$work/sink_retract"; val ckpt = s"$work/ckpt_retract"
+      wipe(dirSink, ckpt)
+      val changelog = streamDs(eventsDir).toDF()
+        .filter(col("event_type").isin("click", "error") &&
+          col("event_id") >= 0L)
+        .withColumn("flag",
+          when(col("event_type") === "click", lit(1)).otherwise(lit(-1)))
+      val t0 = System.nanoTime()
+      val q = RetractSink.retractWriter(changelog, Seq("user_id"), "flag",
+          "value", dirSink, stableId = Some(ckpt))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainProgress(q, "retract_sink")
+      // one-shot signed aggregate; counts exact, totals at 1e-6 (the
+      // incremental double folds associate differently — the q105 trade)
+      val want = real(batchDs(eventsDir).toDF())
+        .filter(col("event_type").isin("click", "error"))
+        .withColumn("flag",
+          when(col("event_type") === "click", lit(1)).otherwise(lit(-1)))
+        .groupBy("user_id")
+        .agg(sum(col("flag")).as("wcnt"),
+          sum(col("flag") * col("value")).as("wtotal"))
+        .filter(col("wcnt") =!= 0L)
+      val got = UpsertSink.currentState(spark, dirSink)
+        .select(col("user_id"), col("cnt"), col("total"))
+      val j = got.join(want, Seq("user_id"), "full_outer").cache()
+      val mismatch = j.filter(col("cnt").isNull || col("wcnt").isNull ||
+        col("cnt") =!= col("wcnt") ||
+        abs(col("total") - col("wtotal")) > 1e-6).count()
+      val onlyB = j.filter(col("cnt").isNull).count()
+      summarize("retract_sink", wall, j.count() - onlyB, mismatch, onlyB)
+      j.unpersist()
+    }
+
+    // ---- kill-and-restart recovery: stop the stream mid-soak at the
+    //      replay's midpoint, restart from the checkpoint, and require
+    //      the final answer IDENTICAL to the uninterrupted run's —
+    //      the exactly-once property a real cluster depends on ----
+    def runInterrupted(mk: () => StreamingQuery, stopAfterBatch: Long): Int = {
+      val q = mk()
+      var stopped = 0
+      while (q.isActive) {
+        val last = Option(q.lastProgress)
+        if (last.exists(_.batchId >= stopAfterBatch)) {
+          q.stop(); stopped = 1
+        } else Thread.sleep(200)
+      }
+      q.awaitTermination()
+      stopped
+    }
+    if ("recovery_topn".startsWith(opPrefix) || opPrefix.isEmpty) {
+      val sinkDir = s"$work/out_recovery_topn"; val ckpt = s"$work/ckpt_recovery_topn"
+      wipe(sinkDir, ckpt)
+      def mk(): StreamingQuery =
+        StatefulOps.topNPerKey(streamDs(eventsDir), 3).toDF().writeStream
+          .format("parquet").option("path", sinkDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      val t0 = System.nanoTime()
+      val stopped = runInterrupted(mk, nFiles / 2)
+      // restart from the checkpoint: the remaining files replay, the
+      // aborted batch (if any) re-executes against the file-sink commit
+      // log, duplicates are impossible
+      val q2 = mk(); q2.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainProgress(q2, "recovery_topn")
+      val got = finalTopN(spark.read.parquet(sinkDir)).cache()
+      // identical to the UNINTERRUPTED soak's sink (out_topn, written
+      // above) when present, else to the batch collapse — both must hold
+      val baseDir = new java.io.File(s"$work/out_topn")
+      val want =
+        if (baseDir.isDirectory) finalTopN(spark.read.parquet(baseDir.getPath))
+        else finalTopN(StatefulOps.topNPerKey(batchDs(eventsDir), 3).toDF())
+      summarize("recovery_topn", wall, got.count(),
+        got.exceptAll(want).count(), want.exceptAll(got).count(),
+        s""","stopped_midway":$stopped""")
+      got.unpersist()
+    }
+    if ("recovery_upsert".startsWith(opPrefix) || opPrefix.isEmpty) {
+      val dirSink = s"$work/sink_recovery_upsert"
+      val ckpt = s"$work/ckpt_recovery_upsert"
+      wipe(dirSink, ckpt)
+      def mk(): StreamingQuery =
+        UpsertSink.upsertWriter(streamDs(eventsDir).toDF(),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"), dirSink,
+          nBuckets = 8)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      val t0 = System.nanoTime()
+      val stopped = runInterrupted(mk, nFiles / 2)
+      val q2 = mk(); q2.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainProgress(q2, "recovery_upsert")
+      // a stop can abort a foreachBatch merge mid-write; the manifest
+      // pointer flip is what keeps the visible state complete, and the
+      // replayed merge is idempotent — the final snapshot must equal the
+      // uninterrupted contract exactly
+      val got = upsertGot(dirSink).cache(); val want = upsertWant()
+      summarize("recovery_upsert", wall, got.count(),
+        got.exceptAll(want).count(), want.exceptAll(got).count(),
+        s""","stopped_midway":$stopped""")
+      got.unpersist()
+    }
+    // The retract sink is the sharpest recovery probe: its algebra is
+    // ADDITIVE, so a batch merged into the snapshot but re-run after the
+    // kill (checkpoint commit lost) double-counts — visible as a cnt
+    // mismatch, not maskable by idempotence. Exactly-once here depends on
+    // the checkpoint-stable marker id (RetractSink.retractWriter docs).
+    if ("recovery_retract".startsWith(opPrefix) || opPrefix.isEmpty) {
+      val dirSink = s"$work/sink_recovery_retract"
+      val ckpt = s"$work/ckpt_recovery_retract"
+      wipe(dirSink, ckpt)
+      val changelog = streamDs(eventsDir).toDF()
+        .filter(col("event_type").isin("click", "error") &&
+          col("event_id") >= 0L)
+        .withColumn("flag",
+          when(col("event_type") === "click", lit(1)).otherwise(lit(-1)))
+      def mk(): StreamingQuery =
+        RetractSink.retractWriter(changelog, Seq("user_id"), "flag",
+            "value", dirSink, stableId = Some(ckpt))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      val t0 = System.nanoTime()
+      val stopped = runInterrupted(mk, nFiles / 2)
+      val q2 = mk(); q2.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainProgress(q2, "recovery_retract")
+      val want = real(batchDs(eventsDir).toDF())
+        .filter(col("event_type").isin("click", "error"))
+        .withColumn("flag",
+          when(col("event_type") === "click", lit(1)).otherwise(lit(-1)))
+        .groupBy("user_id")
+        .agg(sum(col("flag")).as("wcnt"),
+          sum(col("flag") * col("value")).as("wtotal"))
+        .filter(col("wcnt") =!= 0L)
+      val got = UpsertSink.currentState(spark, dirSink)
+        .select(col("user_id"), col("cnt"), col("total"))
+      val j = got.join(want, Seq("user_id"), "full_outer").cache()
+      val mismatch = j.filter(col("cnt").isNull || col("wcnt").isNull ||
+        col("cnt") =!= col("wcnt") ||
+        abs(col("total") - col("wtotal")) > 1e-6).count()
+      val onlyB = j.filter(col("cnt").isNull).count()
+      summarize("recovery_retract", wall, j.count() - onlyB, mismatch,
+        onlyB, s""","stopped_midway":$stopped""")
+      j.unpersist()
     }
     out.close()
     spark.stop()

@@ -105,6 +105,30 @@ class UpsertSinkSpec extends SparkSpec {
     assert(cnts() == Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("retract replay skipping is scoped by the marker id: stable across " +
+      "restart = exactly-once; fresh per run = re-applied") {
+    import spark.implicits._
+    val rdir = Files.createTempDirectory("retract-stable").toString
+    val c1 = Seq(Chg(1, 1, 10.0)).toDF()
+    def cnts() = UpsertSink.currentState(spark, rdir).as[St].collect()
+      .map(s => s.k -> s.cnt).toMap
+    // run A applies batch 0; its checkpoint commit is "lost" to a crash
+    RetractSink.mergeBatch(c1, Seq("k"), "flag", "v", rdir, batchId = 0,
+      runId = "ckpt/loc")
+    // restart with the SAME stable id: the engine re-runs batch 0 — the
+    // marker recognizes it and the additive merge stays exactly-once
+    RetractSink.mergeBatch(c1, Seq("k"), "flag", "v", rdir, batchId = 0,
+      runId = "ckpt/loc")
+    assert(cnts() == Map(1L -> 1L),
+      "same stable id: replayed batch must be skipped across restart")
+    // a DIFFERENT id (the default fresh-UUID posture, or a wiped
+    // checkpoint restarting batchIds at 0) is a new scope: applied
+    RetractSink.mergeBatch(c1, Seq("k"), "flag", "v", rdir, batchId = 0,
+      runId = "run-B")
+    assert(cnts() == Map(1L -> 2L),
+      "different id: batch 0 of a new scope must apply")
+  }
+
   test("retract sink applies the ± changelog; a fully retracted key disappears") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
