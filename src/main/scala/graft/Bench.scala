@@ -82,9 +82,24 @@ object Bench {
       catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    println(resultJson(timed, sfDir, Some((cSt, cMt))))
+    val line = resultJson(timed, sfDir, Some((cSt, cMt)))
+    println(line)
+    writeFullLine(line)
     spark.stop()
   }
+
+  /** The driver's wrapper truncates the metric line to its last 2000
+    * chars; persist the complete line so every field (canaries included)
+    * is recoverable from a committed artifact regardless of wrapper
+    * behavior. Best-effort: a bench run outside the repo root skips it. */
+  private def writeFullLine(line: String): Unit =
+    try {
+      val dir = new java.io.File("scale")
+      if (dir.isDirectory) {
+        val w = new java.io.PrintWriter(new java.io.File(dir, "bench_full_latest.json"))
+        try w.println(line) finally w.close()
+      }
+    } catch { case _: Throwable => () }
 
   private def resultJson(timed: Seq[(String, Double, Boolean)],
       sfDir: String, canary: Option[(Double, Double)] = None,
@@ -111,7 +126,11 @@ object Bench {
         val mts = blockCanaries.map(c => f"${c._2}%.3f").mkString("[", ",", "]")
         s""""block_canary_st":$sts,"block_canary_mt":$mts,"""
       }
-    s"""{"metric":"total","value":$total,"unit":"sec",$can$blocks"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // canaries go AFTER the query map: the driver's bench wrapper keeps
+    // only the last 2000 chars of this line, and the 272-entry query map
+    // is far wider than that — fields in front of it are truncated away
+    // (round-10 verdict "What's wrong" #4 lost r10's canary stamps)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,$can$blocks"sf":"$sfDir"}"""
   }
 
   /** Isolated-run protocol (round-7 verdict #6): per-query numbers from one
@@ -174,7 +193,9 @@ object Bench {
     val med =
       if (cans.isEmpty) None
       else Some((median(cans.map(_._1)), median(cans.map(_._2))))
-    println(resultJson(timed, sfDir, med, cans))
+    val line = resultJson(timed, sfDir, med, cans)
+    println(line)
+    writeFullLine(line)
   }
 
   /** Extract a child's canary fields, if present. */
