@@ -266,8 +266,16 @@ object MatchRecognizeSql {
 
   /** Compile to a closure over Env. Values follow SQL 3-valued logic:
     * null propagates; Pending (streaming-undecidable) dominates except
-    * where Kleene logic already decides (false AND x, true OR x). */
-  private def compile[R](e: Ex, acc: FieldAccess[R]): Eval[R] = e match {
+    * where Kleene logic already decides (false AND x, true OR x).
+    *
+    * `lenient` marks positions whose value feeds the predicate root only
+    * through AND/OR (never through NOT / IS NULL / a comparison, which all
+    * distinguish FALSE from NULL). There the root maps FALSE and NULL to
+    * the same outcome (Unsat), so AND(Pending, null) — whose truth value
+    * is confined to {FALSE, NULL} — is already decided and must not hold
+    * the NFA buffer as Undecided (advice r10). */
+  private def compile[R](e: Ex, acc: FieldAccess[R],
+      lenient: Boolean = false): Eval[R] = e match {
     case Lit(v, _) => _ => v
     case CurField(f) =>
       val i = fieldIdx(acc, f)
@@ -306,12 +314,18 @@ object MatchRecognizeSql {
         case (Pending, _) | (_, Pending) => Pending
         case (x, y) =>
           if (intg) {
+            // fail loudly like Calcite's runtime: integer division by zero
+            // and silent Long wraparound both raise, instead of yielding a
+            // NULL that quietly un-matches the predicate
             val (a, b) = (toL(x), toL(y))
             op match {
-              case '+' => a + b
-              case '-' => a - b
-              case '*' => a * b
-              case '/' => if (b == 0) null else a / b
+              case '+' => Math.addExact(a, b)
+              case '-' => Math.subtractExact(a, b)
+              case '*' => Math.multiplyExact(a, b)
+              case '/' =>
+                if (b == 0) throw new ArithmeticException(
+                  "MATCH_RECOGNIZE: integer division by zero in DEFINE/MEASURES")
+                else a / b
             }
           } else {
             val (a, b) = (toD(x), toD(y))
@@ -356,20 +370,28 @@ object MatchRecognizeSql {
         case other => sys.error(s"LIKE over non-string ${other.getClass.getSimpleName}")
       }
     case AndEx(l, r) =>
-      val (fl, fr) = (compile(l, acc), compile(r, acc))
+      val (fl, fr) = (compile(l, acc, lenient), compile(r, acc, lenient))
       env => {
         val a = fl(env)
         if (a == java.lang.Boolean.FALSE) java.lang.Boolean.FALSE
         else {
           val b = fr(env)
           if (b == java.lang.Boolean.FALSE) java.lang.Boolean.FALSE
+          // Pending AND null can only resolve to FALSE or NULL; when the
+          // root folds those together (lenient), the conjunction is
+          // already decided — emit null instead of withholding as Pending
+          else if (lenient && (a == Pending && b == null ||
+            a == null && b == Pending)) null
           else if (a == Pending || b == Pending) Pending
           else if (a == null || b == null) null
           else java.lang.Boolean.TRUE
         }
       }
     case OrEx(l, r) =>
-      val (fl, fr) = (compile(l, acc), compile(r, acc))
+      // OR(Pending, null) stays Pending even at the root: the Pending side
+      // may yet resolve TRUE (Sat) while null pins the alternative at
+      // Unsat — genuinely undecided, unlike the AND dual
+      val (fl, fr) = (compile(l, acc, lenient), compile(r, acc, lenient))
       env => {
         val a = fl(env)
         if (a == java.lang.Boolean.TRUE) java.lang.Boolean.TRUE
@@ -425,7 +447,7 @@ object MatchRecognizeSql {
     * tri-state (TRUE → Sat; FALSE/NULL → Unsat; Pending → Undecided). */
   private def compilePred[R](e: Ex, acc: FieldAccess[R])
       : MatchCtx[R] => PredRes = {
-    val f = compile(e, acc)
+    val f = compile(e, acc, lenient = true)
     ctx => f(defineEnv(ctx, acc)) match {
       case java.lang.Boolean.TRUE => Sat
       case Pending => Undecided

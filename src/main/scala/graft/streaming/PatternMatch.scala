@@ -463,8 +463,11 @@ object PatternMatch extends Serializable {
     // minimally and finalize immediately.
     val greedyTail = steps.last.quant match {
       case Opt | Plus | Star => true
-      // a possessive run below its max is still extendable by future rows
-      case Times(_, _) => true
+      // exact {n}: every complete run holds exactly n rows, so reaching
+      // max finalizes it — no future row can extend. {n,m} with n<m and
+      // {n,} are still extendable at any accepted length >= n (a run of k
+      // rows, n <= k < m, must wait for the next row or a WITHIN bound)
+      case Times(min, max) => !max.contains(min)
       case _ => false
     }
     require(isBatch || !greedyTail || within.isDefined,

@@ -241,12 +241,15 @@ object StreamSoak {
       var lastSeen = -1L
       var quiet = 0
       while (q.isActive && quiet < quietBatches) {
-        Option(q.lastProgress).foreach { pr =>
-          if (pr.batchId != lastSeen) {
+        // walk EVERY batch since the last poll (recentProgress keeps ~100):
+        // sampling only lastProgress could miss a non-empty batch that
+        // completed between polls right before an empty timer batch, and
+        // stop the query while data was still in flight (advice r10)
+        q.recentProgress.filter(_.batchId > lastSeen)
+          .sortBy(_.batchId).foreach { pr =>
             lastSeen = pr.batchId
             quiet = if (pr.numInputRows == 0) quiet + 1 else 0
           }
-        }
         Thread.sleep(100)
       }
       if (q.isActive) q.stop()

@@ -166,4 +166,22 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.forall(_.getDouble(2) >= 50.0))
   }
+
+  test("integer division by zero in DEFINE fails loudly, not as NULL") {
+    // Calcite/Flink raise on integral /0; a silent NULL would quietly
+    // un-match the predicate instead of surfacing the bad expression
+    val df = MatchRecognizeSql.sql(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES A.event_id AS eid
+        |  PATTERN (A)
+        |  DEFINE A AS event_id / 0 > 1
+        |)""".stripMargin)
+    val e = intercept[Throwable](df.collect())
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[ArithmeticException] &&
+      c.getMessage.contains("division by zero")),
+      s"expected an ArithmeticException in the cause chain, got $e")
+  }
 }

@@ -209,6 +209,46 @@ class PatternMatchSpec extends SparkSpec {
       s"the expired partial match must be pruned, not completed late: $got")
   }
 
+  test("a streaming pattern may end in an exact {n} tail without WITHIN") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // {2,} and {2,3} tails stay rejected: an accepted 2-row run could
+    // still be extended by a future row, so it never self-finalizes
+    for (q <- Seq(Times(2, None), Times(2, Some(3)))) {
+      val in2 = MemoryStream[Event]
+      val e = intercept[IllegalArgumentException] {
+        matchPattern(in2.toDS(), Seq(
+          Step("A", _.event_type == "view", One),
+          Step("B", _.event_type == "click", q)),
+          delay = "0 seconds", (_: Long, _: Seq[Bound[Event]]) => 0)
+      }
+      assert(e.getMessage.contains("never finalize"), s"$q must stay rejected")
+    }
+    // exact {2}: a max-length possessive run cannot be extended — legal
+    // without WITHIN, and the run finalizes at max (advice r10)
+    val input = MemoryStream[Event]
+    val query = matchPattern(input.toDS(), Seq(
+      Step("A", _.event_type == "view", One),
+      Step("B", _.event_type == "click", Times(2, Some(2)))),
+      delay = "0 seconds",
+      (_: Long, bound: Seq[Bound[Event]]) => {
+        val by = bound.map(s => s.name -> s.rows.map(_.event_id)).toMap
+        M(by("A"), by("B"), Nil)
+      })
+      .writeStream.format("memory").queryName("nfaexactn")
+      .outputMode("append").start()
+    input.addData(ev(1, 0, "view"), ev(2, 1, "click"), ev(3, 2, "click"))
+    query.processAllAvailable()
+    input.addData(Event(9L, 900, ts(30), "view", 0.0)) // close the prefix
+    query.processAllAvailable()
+    input.addData(Event(9L, 901, ts(40), "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("nfaexactn").as[M].collect().toSeq
+    assert(got == Seq(M(Seq(1), Seq(2, 3), Nil)),
+      s"the exact {2} tail must finalize at max length, got $got")
+  }
+
   test("streaming matches batch across out-of-order arrival and batch splits") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
