@@ -84,7 +84,7 @@ object Bench {
     }
     val line = resultJson(timed, sfDir, Some((cSt, cMt)))
     println(line)
-    writeFullLine(line)
+    writeFullLine(line, sfDir)
     spark.stop()
   }
 
@@ -92,12 +92,17 @@ object Bench {
     * chars; persist the complete line so every field (canaries included)
     * is recoverable from a committed artifact regardless of wrapper
     * behavior. Best-effort: a bench run outside the repo root skips it. */
-  private def writeFullLine(line: String): Unit =
+  private def writeFullLine(line: String, sfDir: String): Unit =
     try {
       val dir = new java.io.File("scale")
       if (dir.isDirectory) {
-        val w = new java.io.PrintWriter(new java.io.File(dir, "bench_full_latest.json"))
-        try w.println(line) finally w.close()
+        // per-sf file too, so a later smoke run at another scale factor
+        // cannot clobber the round's sf0.1 evidence
+        val sfBase = new java.io.File(sfDir).getName
+        Seq("bench_full_latest.json", s"bench_full_$sfBase.json").foreach { f =>
+          val w = new java.io.PrintWriter(new java.io.File(dir, f))
+          try w.println(line) finally w.close()
+        }
       }
     } catch { case _: Throwable => () }
 
@@ -195,7 +200,7 @@ object Bench {
       else Some((median(cans.map(_._1)), median(cans.map(_._2))))
     val line = resultJson(timed, sfDir, med, cans)
     println(line)
-    writeFullLine(line)
+    writeFullLine(line, sfDir)
   }
 
   /** Extract a child's canary fields, if present. */

@@ -16,7 +16,8 @@ import graft.streaming.{StatefulOps, StreamingOverSql}
 object OverSql {
 
   def defs: Seq[QueryDef] =
-    Seq(q133SqlOverRunning, q134SqlOverRows, q135SqlOverRange)
+    Seq(q133SqlOverRunning, q134SqlOverRows, q135SqlOverRange,
+      q136SqlOverAnyRows, q137SqlOverAnyRange, q138SqlOverAnyUnbounded)
 
   private def run(sql: String)(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
@@ -60,6 +61,88 @@ object OverSql {
     * with the reference's INTERVAL bound (reference
     * RowTimeRangeBoundedPrecedingFunction.java; the oracle frames on the
     * same 86400000000 epoch-microseconds horizon). */
+  /** The GENERAL-SCHEMA executor ([[graft.streaming.OverAggregates]],
+    * new r11) on a non-Event table: the orders fact, ROWS frame, MIN —
+    * the OverWindowITCase surface the Event-typed trio cannot express
+    * (reference: .../stream/sql/OverWindowITCase.scala
+    * testRowTimeBoundedPartitionedRowsOver shape). */
+  val q136SqlOverAnyRows: QueryDef = QueryDef("q136_sql_over_any_rows",
+    """SELECT o_custkey, o_orderkey,
+      |  COUNT(*) OVER win AS cnt_w,
+      |  round(SUM(o_totalprice) OVER win, 4) AS sum_price,
+      |  MIN(o_totalprice) OVER win AS min_price
+      |FROM orders
+      |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    graft.streaming.StreamingOverSql.sqlDf(
+      graft.core.Catalog.load(spark, dir, "orders"),
+      """SELECT o_custkey, o_orderkey,
+        |  COUNT(*) OVER win AS cnt_w,
+        |  ROUND(SUM(o_totalprice) OVER win, 4) AS sum_price,
+        |  MIN(o_totalprice) OVER win AS min_price
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** General-schema RANGE frame partitioned by a STRING key (the IT
+    * cases partition by the string column c) — inexpressible on the
+    * Event-typed operators, whose key is the Long user_id. The oracle
+    * frames on epoch micros like q95's. */
+  val q137SqlOverAnyRange: QueryDef = QueryDef("q137_sql_over_any_range",
+    """WITH e AS (
+      |  SELECT event_type, event_id, value, epoch_us(ts) AS us FROM events)
+      |SELECT event_type, event_id,
+      |  COUNT(*) OVER win AS cnt_w,
+      |  round(SUM(value) OVER win, 4) AS sum_v,
+      |  MIN(value) OVER win AS min_v
+      |FROM e
+      |WINDOW win AS (PARTITION BY event_type ORDER BY us
+      |               RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, event_id""".stripMargin) { (spark, dir) =>
+    graft.streaming.StreamingOverSql.sqlDf(
+      graft.core.Catalog.load(spark, dir, "events"),
+      """SELECT event_type, event_id,
+        |  COUNT(*) OVER win AS cnt_w,
+        |  ROUND(SUM(value) OVER win, 4) AS sum_v,
+        |  MIN(value) OVER win AS min_v
+        |FROM events
+        |WINDOW win AS (PARTITION BY event_type ORDER BY ts
+        |               RANGE BETWEEN INTERVAL '1' MINUTE
+        |                     PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, event_id""".stripMargin)
+  }
+
+  /** General-schema unbounded frame over a COMPOSITE partition key with
+    * MIN (reference testRowTimeUnBoundedPartitionedRowsOver's aggregate
+    * surface). SUM is gate-hashed at 4dp (sums of 2dp money never sit
+    * near a 4dp midpoint); AVG is spec-checked with exact rational
+    * expectations instead (OverAggregatesSpec) — sum/n lands on EXACT
+    * 4dp rounding midpoints whenever n divides a power of 10/2, where
+    * the double-vs-DuckDB last-ulp difference flips the rounding. */
+  val q138SqlOverAnyUnbounded: QueryDef = QueryDef("q138_sql_over_any_unbounded",
+    """SELECT user_id, event_type, event_id,
+      |  COUNT(*) OVER win AS cnt_w,
+      |  round(SUM(value) OVER win, 4) AS sum_v,
+      |  MIN(value) OVER win AS min_v
+      |FROM events
+      |WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_type, event_id""".stripMargin) { (spark, dir) =>
+    graft.streaming.StreamingOverSql.sqlDf(
+      graft.core.Catalog.load(spark, dir, "events"),
+      """SELECT user_id, event_type, event_id,
+        |  COUNT(*) OVER win AS cnt_w,
+        |  ROUND(SUM(value) OVER win, 4) AS sum_v,
+        |  MIN(value) OVER win AS min_v
+        |FROM events
+        |WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_type, event_id""".stripMargin)
+  }
+
   val q135SqlOverRange: QueryDef = QueryDef("q135_sql_over_range",
     graft.streaming.StatefulBatch.q95RangeFrame.oracle.get) { (spark, dir) =>
     run("""SELECT user_id, event_id,

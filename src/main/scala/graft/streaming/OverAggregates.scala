@@ -1,0 +1,289 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+import org.apache.spark.sql.types._
+
+/** Streaming OVER aggregates over an ARBITRARY DataFrame — the
+  * general-schema executor behind [[StreamingOverSql.sqlDf]], the same
+  * generalization move [[PatternMatch.matchRowsBatch]] made for
+  * MATCH_RECOGNIZE (reference: the OVER clause accepts any registered
+  * table — flink-table-planner-blink
+  * .../stream/sql/OverWindowITCase.scala partitions 3-column tuples by a
+  * STRING key and aggregates arbitrary columns; the physical routing is
+  * StreamExecOverAggregate.scala:56). The Event-typed operators in
+  * [[StatefulOps]] remain the spec'd fixed-schema fast path; this one
+  * trades their typed state for schema generality:
+  *
+  *  - composite (or empty) `partCols`, any column types;
+  *  - any numeric value columns; COUNT(*) / COUNT(col) / SUM / MIN /
+  *    MAX / AVG with SQL null-skipping (MIN is exactly what the typed
+  *    trio cannot express — its state emits count/sum/max only);
+  *  - the three row-time frames the reference routes on: UNBOUNDED
+  *    PRECEDING, ROWS n PRECEDING, RANGE t PRECEDING (all
+  *    ... AND CURRENT ROW).
+  *
+  * Event-time protocol is the package standard: rows BUFFER until the
+  * watermark closes them, then fold through the frame in `orderCols`
+  * order (RowTime*PrecedingFunction's register-timer-fire-on-watermark
+  * protocol); a batch input is one final prefix and collapses to the
+  * plain SQL window — which is what the DuckDB oracle checks.
+  *
+  * Scale: one shuffle on the partition columns, then per-key state:
+  * O(1) accumulators for UNBOUNDED (min/max are monotone without
+  * eviction), O(n+1) ring for ROWS, O(rows inside one horizon) for
+  * RANGE — plus the not-yet-closed buffer, bounded by the watermark
+  * delay. Empty `partCols` is accepted (the reference IT cases use
+  * non-partitioned OVER) but is inherently one sequential group on any
+  * engine — partition when the data is large. The frame fold is
+  * recomputed per row rather than incrementally maintained: MIN/MAX are
+  * not invertible under eviction (the reference re-scans when the
+  * extremum retires) and the left-to-right double sum is
+  * bit-deterministic regardless of eviction history.
+  */
+object OverAggregates {
+
+  sealed trait Frame extends Serializable
+  case object UnboundedPreceding extends Frame
+  final case class RowsPreceding(n: Int) extends Frame
+  final case class RangePreceding(horizon: java.time.Duration) extends Frame
+
+  /** One OVER aggregate: fn in COUNT/SUM/MIN/MAX/AVG; `valueCol` None
+    * means COUNT(*). Output column named `alias` (COUNT: non-null long;
+    * others: nullable double — SQL null when the frame holds no non-null
+    * input). */
+  final case class Agg(fn: String, valueCol: Option[String], alias: String)
+
+  // kryo-encoded per-key state: raw pending rows (external row values),
+  // the retained frame (event micros + per-agg inputs), and the
+  // unbounded accumulators. Public only because Encoders.kryo requires a
+  // public class — not part of the API surface.
+  final case class Acc(n: Long, sum: Double, min: Double, max: Double)
+  final case class GenState(
+      pending: Seq[Seq[Any]],
+      frameUs: Seq[Long],
+      frameVals: Seq[Seq[Any]],
+      rows: Long,
+      accs: Seq[Acc])
+  private val emptyState = GenState(Nil, Nil, Nil, 0L, Nil)
+
+  def overAggregates(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[String], frame: Frame, aggs: Seq[Agg],
+      delay: String = "0 seconds"): DataFrame = {
+    require(orderCols.nonEmpty, "ORDER BY must name at least one column")
+    require(aggs.nonEmpty, "at least one OVER aggregate is required")
+    val schema = df.schema
+    val isStreaming = df.isStreaming
+    (partCols ++ orderCols).foreach(c => require(schema.fieldNames.contains(c),
+      s"column '$c' not in input schema ${schema.fieldNames.mkString(", ")}"))
+    val leadIdx = schema.fieldIndex(orderCols.head)
+    val leadIsTs = schema.fields(leadIdx).dataType == TimestampType
+    if (isStreaming) require(leadIsTs,
+      s"streaming OVER orders on event time: the leading ORDER BY column " +
+        s"must be a timestamp, got ${schema.fields(leadIdx).dataType}")
+    frame match {
+      case RangePreceding(h) =>
+        require(!h.isNegative, s"RANGE horizon must be >= 0, got $h")
+        require(leadIsTs, "a RANGE frame measures event time: the leading " +
+          s"ORDER BY column must be a timestamp, got " +
+          s"${schema.fields(leadIdx).dataType}")
+      case RowsPreceding(n) =>
+        require(n >= 0, s"ROWS frame bound must be >= 0, got $n")
+      case UnboundedPreceding => ()
+    }
+    val horizonUs = frame match {
+      case RangePreceding(h) => h.toNanos / 1000
+      case _ => 0L
+    }
+    // per-agg input extraction: column index + numeric widening to double
+    val aggIdx: Seq[Int] = aggs.map {
+      case Agg(fn, colOpt, _) =>
+        require(Set("COUNT", "SUM", "MIN", "MAX", "AVG").contains(fn),
+          s"unsupported OVER aggregate $fn")
+        colOpt match {
+          case None =>
+            require(fn == "COUNT", s"$fn requires a value column")
+            -1
+          case Some(c) =>
+            val i = schema.fieldIndex(c)
+            require(fn == "COUNT" || schema.fields(i).dataType
+              .isInstanceOf[NumericType],
+              s"$fn($c) needs a numeric column, got ${schema.fields(i).dataType}")
+            i
+        }
+    }
+    val outSchema = StructType(schema.fields.toSeq ++ aggs.map {
+      case Agg("COUNT", _, alias) => StructField(alias, LongType, nullable = false)
+      case Agg(_, _, alias) => StructField(alias, DoubleType, nullable = true)
+    })
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stEnc: Encoder[GenState] = Encoders.kryo[GenState]
+
+    def toDouble(v: Any): java.lang.Double = v match {
+      case null => null
+      case d: java.lang.Double => d
+      case n: java.lang.Number => n.doubleValue() // covers BigDecimal too
+      case d: scala.math.BigDecimal => d.toDouble
+      case other => sys.error(s"non-numeric aggregate input $other")
+    }
+    // per-row agg inputs; COUNT(*) entries mark presence (never null)
+    def entryOf(vals: Seq[Any]): Seq[Any] = aggIdx.map {
+      case -1 => java.lang.Double.valueOf(1.0)
+      case i => toDouble(vals(i))
+    }
+    def leadUs(vals: Seq[Any]): Long =
+      StatefulOps.eventMicros(vals(leadIdx).asInstanceOf[java.sql.Timestamp])
+    val ordIdx = orderCols.map(schema.fieldIndex)
+    val ord: Ordering[Seq[Any]] = new Ordering[Seq[Any]] {
+      override def compare(a: Seq[Any], b: Seq[Any]): Int = {
+        ordIdx.foreach { i =>
+          val (x, y) = (a(i), b(i))
+          val c =
+            if (x == null && y == null) 0
+            else if (x == null) -1
+            else if (y == null) 1
+            else x.asInstanceOf[Comparable[Any]].compareTo(y)
+          if (c != 0) return c
+        }
+        0
+      }
+    }
+    // one fold over the retained frame entries -> the agg output values
+    def foldFrame(entries: collection.Seq[Seq[Any]]): Seq[Any] =
+      aggs.zipWithIndex.map { case (Agg(fn, colOpt, _), ai) =>
+        if (fn == "COUNT" && colOpt.isEmpty) entries.length.toLong
+        else {
+          var n = 0L; var sum = 0.0
+          var min = Double.PositiveInfinity; var max = Double.NegativeInfinity
+          entries.foreach { e =>
+            val v = e(ai).asInstanceOf[java.lang.Double]
+            if (v != null) {
+              n += 1; sum += v.doubleValue()
+              if (v < min) min = v
+              if (v > max) max = v
+            }
+          }
+          fn match {
+            case "COUNT" => n
+            case _ if n == 0 => null
+            case "SUM" => sum
+            case "AVG" => sum / n
+            case "MIN" => min
+            case "MAX" => max
+          }
+        }
+      }
+    def unboundedOut(rows: Long, accs: Seq[Acc]): Seq[Any] =
+      aggs.zip(accs).map { case (Agg(fn, colOpt, _), a) =>
+        fn match {
+          case "COUNT" => if (colOpt.isEmpty) rows else a.n
+          case _ if a.n == 0 => null
+          case "SUM" => a.sum
+          case "AVG" => a.sum / a.n
+          case "MIN" => a.min
+          case "MAX" => a.max
+        }
+      }
+
+    def process(rows: Iterator[Row], state: GroupState[GenState])
+        : Iterator[Row] = {
+      val st = state.getOption.getOrElse(emptyState)
+      val all = (st.pending ++ rows.map(_.toSeq)).sorted(ord)
+      val wmUs =
+        if (!isStreaming) Long.MaxValue
+        else state.getCurrentWatermarkMs() * 1000L
+      val (ripe, pending) =
+        if (!isStreaming) (all, Nil)
+        else all.partition(v => leadUs(v) <= wmUs)
+      val out = Seq.newBuilder[Row]
+      var newSt = st
+      frame match {
+        case UnboundedPreceding =>
+          var rowsSoFar = st.rows
+          var accs = if (st.accs.nonEmpty) st.accs
+            else aggs.map(_ => Acc(0L, 0.0, Double.PositiveInfinity,
+              Double.NegativeInfinity))
+          ripe.foreach { vals =>
+            rowsSoFar += 1
+            val e = entryOf(vals)
+            accs = accs.zipWithIndex.map { case (a, ai) =>
+              val v = e(ai).asInstanceOf[java.lang.Double]
+              if (v == null) a
+              else Acc(a.n + 1, a.sum + v.doubleValue(),
+                math.min(a.min, v.doubleValue()), math.max(a.max, v.doubleValue()))
+            }
+            out += Row.fromSeq(vals ++ unboundedOut(rowsSoFar, accs))
+          }
+          newSt = GenState(pending, Nil, Nil, rowsSoFar, accs)
+        case RowsPreceding(n) =>
+          val cap = n + 1
+          val ring = scala.collection.mutable.ArrayDeque.empty[Seq[Any]]
+          ring.addAll(st.frameVals)
+          ripe.foreach { vals =>
+            ring.append(entryOf(vals))
+            if (ring.length > cap) ring.removeHead()
+            out += Row.fromSeq(vals ++ foldFrame(ring))
+          }
+          newSt = GenState(pending, Nil, ring.toSeq, 0L, Nil)
+        case RangePreceding(_) =>
+          val bufUs = scala.collection.mutable.ArrayDeque.empty[Long]
+          val bufVals = scala.collection.mutable.ArrayDeque.empty[Seq[Any]]
+          bufUs.addAll(st.frameUs); bufVals.addAll(st.frameVals)
+          val sorted = ripe.toIndexedSeq
+          var i = 0
+          while (i < sorted.length) {
+            val us = leadUs(sorted(i))
+            var j = i
+            while (j < sorted.length && leadUs(sorted(j)) == us) j += 1
+            // SQL RANGE peers: same-time rows share one frame incl. all
+            (i until j).foreach { k =>
+              bufUs.append(us); bufVals.append(entryOf(sorted(k)))
+            }
+            while (bufUs.nonEmpty && bufUs.head < us - horizonUs) {
+              bufUs.removeHead(); bufVals.removeHead()
+            }
+            val agg = foldFrame(bufVals)
+            (i until j).foreach(k => out += Row.fromSeq(sorted(k) ++ agg))
+            i = j
+          }
+          // no future row (all have ts > wm) can reach below wm - horizon
+          if (isStreaming && wmUs >= horizonUs)
+            while (bufUs.nonEmpty && bufUs.head < wmUs - horizonUs) {
+              bufUs.removeHead(); bufVals.removeHead()
+            }
+          newSt = GenState(pending, bufUs.toSeq, bufVals.toSeq, 0L, Nil)
+      }
+      if (!isStreaming) () // batch: single invocation, state irrelevant
+      else {
+        state.update(newSt)
+        if (pending.nonEmpty) {
+          // fire once the watermark can cover the earliest pending row
+          val headMs = leadUs(pending.head) / 1000
+          state.setTimeoutTimestamp(
+            math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
+        }
+        // an idle key's frame state persists: any future row's frame may
+        // reach back into it (UNBOUNDED/ROWS always; RANGE until evicted)
+      }
+      out.result().iterator
+    }
+
+    val wmDf = if (isStreaming) df.withWatermark(orderCols.head, delay) else df
+    if (partCols.isEmpty) {
+      wmDf.groupByKey(_ => 0)(Encoders.scalaInt)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+          (_: Int, rows: Iterator[Row], state: GroupState[GenState]) =>
+            process(rows, state))(stEnc, outEnc)
+    } else {
+      val partIdx = partCols.map(schema.fieldIndex).toArray
+      val keySchema = StructType(partIdx.map(schema.fields(_)).toSeq)
+      val keyEnc: Encoder[Row] = Encoders.row(keySchema)
+      wmDf.groupByKey(r => Row.fromSeq(partIdx.toSeq.map(r.get)))(keyEnc)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+          (_: Row, rows: Iterator[Row], state: GroupState[GenState]) =>
+            process(rows, state))(stEnc, outEnc)
+    }
+  }
+}

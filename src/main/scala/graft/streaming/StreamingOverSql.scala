@@ -47,15 +47,16 @@ import graft.streaming.StatefulOps.Event
   * exactly the constraint the reference's per-window physical operator
   * imposes.
   *
-  * The measure surface is the operator contract, not a parser limit:
-  * the stateful operators are typed to the engine's [[Event]] model and
-  * emit (count, sum, max) over `value`, so COUNT(*) / SUM(value) /
+  * [[sql]]'s measure surface is the TYPED operator contract: the
+  * StatefulOps trio is typed to the engine's [[Event]] model and emits
+  * (count, sum, max) over `value`, so COUNT(*) / SUM(value) /
   * MAX(value) map directly, AVG(value) derives as sum/count, and
-  * anything else (MIN, other columns, other partition keys) is rejected
-  * with the reason. The generic-schema path exists for batch SQL via
-  * [[MatchRecognizeSql.sqlDf]]'s model; widening the STATEFUL operators
-  * beyond Event is a separate (streaming-state) design, documented in
-  * SURVEY §2.9.
+  * anything else is rejected with the reason. [[sqlDf]] (r11) lifts
+  * those limits for the row-time family: it runs the clause over an
+  * ARBITRARY DataFrame through [[OverAggregates]] — composite/string/
+  * absent PARTITION BY, any numeric value columns, MIN and COUNT(col)
+  * included — leaving only `ORDER BY proctime` (arrival-order framing)
+  * on the Event-model path.
   */
 object StreamingOverSql {
 
@@ -146,6 +147,138 @@ object StreamingOverSql {
     }
     val sel = df.select(cols.toSeq: _*)
     if (outOrder.isEmpty) sel else sel.orderBy(outOrder.map(col).toSeq: _*)
+  }
+
+  /** Run a streaming-OVER SQL statement against an ARBITRARY DataFrame
+    * (batch or streaming) — the general-schema twin of [[sql]], executed
+    * by [[OverAggregates.overAggregates]] the way
+    * [[MatchRecognizeSql.sqlDf]] is executed by
+    * [[PatternMatch.matchRowsBatch]] (reference surface: the row-time
+    * OverWindowITCase shapes — string/composite/absent PARTITION BY,
+    * COUNT/SUM/MIN/MAX/AVG over any numeric column, UNBOUNDED / ROWS n /
+    * RANGE t PRECEDING frames). `FROM <ident>` is nominal: the DataFrame
+    * IS the table. `ORDER BY proctime` is not in this executor's contract
+    * (arrival-order framing is the Event-model path, [[sql]]); it is
+    * rejected with that pointer rather than mis-executed. */
+  def sqlDf(df: DataFrame, text: String): DataFrame = {
+    val p = new MatchRecognizeSql.P(MatchRecognizeSql.tokenize(text))
+    p.expect("SELECT")
+    val items = scala.collection.mutable.ArrayBuffer.empty[Item]
+    items += parseItemDf(p, df)
+    while (p.accept(",")) items += parseItemDf(p, df)
+    p.expect("FROM")
+    p.ident()
+    var windows = Map.empty[String, Spec]
+    if (p.accept("WINDOW")) {
+      do {
+        val name = p.ident().toLowerCase
+        p.expect("AS"); p.expect("(")
+        windows += name -> parseSpecDf(p, df)
+        p.expect(")")
+      } while (p.accept(","))
+    }
+    val outOrder = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (p.accept("ORDER")) {
+      p.expect("BY")
+      do outOrder += p.ident().toLowerCase while (p.accept(","))
+    }
+    require(p.peek.isEmpty, s"unexpected trailing tokens from '${p.peek}'")
+
+    val measures = items.collect { case m: Measure => m }
+    require(measures.nonEmpty, "no OVER aggregate in SELECT list")
+    val specs = measures.map {
+      case Measure(_, _, _, Left(name), _) =>
+        windows.getOrElse(name, sys.error(
+          s"OVER references undefined window '$name'"))
+      case Measure(_, _, _, Right(s), _) => s
+    }
+    require(specs.distinct.size == 1,
+      "every OVER item must share one window spec (one operator pass); " +
+        s"found ${specs.distinct.size} distinct specs")
+    val spec = specs.head
+    require(!spec.procTime,
+      "ORDER BY proctime frames on arrival order — that is the Event-model " +
+        "operator contract (StreamingOverSql.sql / the StatefulOps proc-time " +
+        "twins); the general-schema executor orders on event time")
+    val frame = spec.frame match {
+      case Unbounded => OverAggregates.UnboundedPreceding
+      case RowsPreceding(n) => OverAggregates.RowsPreceding(n)
+      case RangePreceding(us) =>
+        OverAggregates.RangePreceding(java.time.Duration.ofNanos(us * 1000L))
+    }
+    val aggs = measures.map(m => OverAggregates.Agg(m.fn,
+      if (m.arg == "*" || m.arg == "1") None else Some(m.arg), m.alias)).toSeq
+    val out = OverAggregates.overAggregates(df,
+      spec.partCol.split(',').toSeq.filter(_.nonEmpty), spec.orderCols,
+      frame, aggs)
+    val cols = items.map {
+      case PassThrough(name) => col(name)
+      case Measure(_, _, alias, _, dig) =>
+        dig.fold(col(alias))(d => round(col(alias), d)).as(alias)
+    }
+    val sel = out.select(cols.toSeq: _*)
+    if (outOrder.isEmpty) sel else sel.orderBy(outOrder.map(col).toSeq: _*)
+  }
+
+  private def parseItemDf(p: MatchRecognizeSql.P, df: DataFrame): Item = {
+    val rounded = p.acceptWords("ROUND", "(")
+    val t = p.peek.toUpperCase
+    if (Set("COUNT", "SUM", "MAX", "AVG", "MIN").contains(t) &&
+        p.peekAt(1) == "(") {
+      p.next(); p.expect("(")
+      val arg0 = p.next()
+      p.expect(")")
+      val arg = if (arg0 == "*" || arg0 == "1") arg0 else {
+        val a = arg0.toLowerCase
+        require(df.columns.contains(a),
+          s"$t($arg0): no such column in ${df.columns.mkString(", ")}")
+        a
+      }
+      require(t == "COUNT" || (arg != "*" && arg != "1"),
+        s"$t requires a value column, found $t($arg0)")
+      p.expect("OVER")
+      val spec: Either[String, Spec] =
+        if (p.accept("(")) { val s = parseSpecDf(p, df); p.expect(")"); Right(s) }
+        else Left(p.ident().toLowerCase)
+      val digits = if (rounded) {
+        p.expect(","); val d = p.intLit(); p.expect(")"); Some(d)
+      } else None
+      val alias =
+        if (p.accept("AS")) p.ident().toLowerCase
+        else sys.error(s"alias required for $t OVER (the driver compare " +
+          "matches columns by name)")
+      Measure(t, arg, alias, spec, digits)
+    } else {
+      require(!rounded, "ROUND(...) wraps only an aggregate OVER item")
+      val name = p.ident().toLowerCase
+      require(df.columns.contains(name),
+        s"pass-through column '$name' not in ${df.columns.mkString(", ")}")
+      PassThrough(name)
+    }
+  }
+
+  /** General-schema window spec: PARTITION BY is optional (the reference
+    * IT cases use non-partitioned OVER) and composite; ORDER BY names any
+    * input columns (the executor enforces the leading-timestamp contract
+    * where streaming/RANGE requires it). Encodes the partition columns
+    * comma-joined in Spec.partCol so the shared-spec equality check
+    * stays structural. */
+  private def parseSpecDf(p: MatchRecognizeSql.P, df: DataFrame): Spec = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (p.accept("PARTITION")) {
+      p.expect("BY")
+      do parts += p.ident().toLowerCase while (p.accept(","))
+    }
+    p.expect("ORDER"); p.expect("BY")
+    val orderCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    do orderCols += p.ident().toLowerCase while (p.accept(","))
+    val procTime = orderCols.headOption.contains("proctime")
+    if (procTime && p.accept("(")) p.expect(")")
+    (parts ++ orderCols.filterNot(_ == "proctime")).foreach(c =>
+      require(df.columns.contains(c),
+        s"window spec column '$c' not in ${df.columns.mkString(", ")}"))
+    val frame = parseFrame(p)
+    Spec(parts.mkString(","), orderCols.toSeq, procTime, frame)
   }
 
   private def parseItem(p: MatchRecognizeSql.P): Item = {

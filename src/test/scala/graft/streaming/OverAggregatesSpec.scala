@@ -1,0 +1,226 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Top-level (encoder-friendly) row shape mirroring the reference IT
+  * tables: 3 data columns + rowtime. */
+case class OverT1(a: Long, b: Int, c: String, rowtime: Timestamp)
+
+/** The general-schema streaming OVER executor must reproduce the
+  * reference's own IT-case results on the reference's own data
+  * (reference: flink-table-planner-blink
+  * .../runtime/stream/sql/OverWindowITCase.scala — the row-time shapes,
+  * which partition 3-column tuples by a STRING key, aggregate arbitrary
+  * columns, and include MIN/AVG/COUNT(col), none of which the Event-typed
+  * trio can express), and its batch collapse must agree with Spark's own
+  * window evaluation. Expected rows are the IT case's literal expected
+  * lists with the LTCNT UDF column removed (user-defined aggregates are
+  * out of the clause's scope here). */
+class OverAggregatesSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  // testRowTimeBoundedPartitionedRowsOver's data, Flink ms mapped to
+  // minutes; the ts-3 "Hello" row moves to batch 1 (its frame is
+  // event-time-order invariant) so batch 2's earliest row stays ahead of
+  // the max-event-time watermark Spark derives from batch 1
+  private val boundedRowsData = Seq(
+    OverT1(1, 1, "Hello", ts(1)), OverT1(2, 2, "Hello", ts(2)),
+    OverT1(1, 1, "Hello", ts(1)), OverT1(2, 2, "Hello", ts(2)),
+    OverT1(2, 2, "Hello", ts(2)), OverT1(1, 1, "Hello", ts(1)),
+    OverT1(7, 7, "Hello World", ts(3)), OverT1(7, 7, "Hello World", ts(1)),
+    OverT1(7, 7, "Hello World", ts(1)), OverT1(3, 3, "Hello", ts(3)))
+  private val boundedRowsData2 = Seq(
+    OverT1(4, 4, "Hello", ts(4)),
+    OverT1(5, 5, "Hello", ts(5)), OverT1(6, 6, "Hello", ts(6)),
+    OverT1(20, 20, "Hello World", ts(20)),
+    OverT1(8, 8, "Hello World", ts(8)), OverT1(7, 7, "Hello World", ts(7)))
+  // OverWindowITCase.testRowTimeBoundedPartitionedRowsOver expected,
+  // minus the LTCNT column: (c, a, COUNT(1), SUM(a))
+  private val boundedRowsExpected = Seq(
+    ("Hello", 1L, 1L, 1.0), ("Hello", 1L, 2L, 2.0), ("Hello", 1L, 3L, 3.0),
+    ("Hello", 2L, 3L, 4.0), ("Hello", 2L, 3L, 5.0), ("Hello", 2L, 3L, 6.0),
+    ("Hello", 3L, 3L, 7.0), ("Hello", 4L, 3L, 9.0), ("Hello", 5L, 3L, 12.0),
+    ("Hello", 6L, 3L, 15.0),
+    ("Hello World", 7L, 1L, 7.0), ("Hello World", 7L, 2L, 14.0),
+    ("Hello World", 7L, 3L, 21.0), ("Hello World", 7L, 3L, 21.0),
+    ("Hello World", 8L, 3L, 22.0), ("Hello World", 20L, 3L, 35.0))
+
+  private val overRowsSql =
+    """SELECT c, a,
+      |  COUNT(1) OVER (PARTITION BY c ORDER BY rowtime
+      |                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt,
+      |  SUM(a) OVER (PARTITION BY c ORDER BY rowtime
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sum_a
+      |FROM T1""".stripMargin
+
+  test("reference testRowTimeBoundedPartitionedRowsOver, streaming, " +
+    "string partition key, cross-batch frames") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[OverT1]
+    val out = StreamingOverSql.sqlDf(input.toDF(), overRowsSql)
+    val q = out.writeStream.format("memory").queryName("genover1")
+      .outputMode("append").start()
+    input.addData(boundedRowsData: _*)
+    q.processAllAvailable() // wm -> 3 min; the ts<=3 rows emit mid-stream
+    input.addData(boundedRowsData2: _*)
+    q.processAllAvailable()
+    input.addData(OverT1(0, 0, "ZZZ", ts(100))) // close every real row
+    q.processAllAvailable()
+    input.addData(OverT1(0, 0, "ZZZ", ts(200)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("genover1").filter($"c" =!= "ZZZ")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.sorted == boundedRowsExpected.sorted,
+      s"streaming mismatch:\n got ${got.sorted}\nwant ${boundedRowsExpected.sorted}")
+  }
+
+  test("the same clause collapses identically in batch") {
+    import spark.implicits._
+    val df = (boundedRowsData ++ boundedRowsData2).toDF()
+    val got = StreamingOverSql.sqlDf(df, overRowsSql)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.sorted == boundedRowsExpected.sorted)
+  }
+
+  test("reference testRowTimeBoundedNonPartitionedRangeOver (batch " +
+    "collapse): no PARTITION BY, RANGE INTERVAL frame, COUNT(col)") {
+    import spark.implicits._
+    // the IT case's data: (a aggregated, b labels, c, rowtime ms)
+    val data = Seq(
+      (1L, 15, "Hello", 1500L), (1L, 16, "Hello", 1600L),
+      (1L, 1, "Hello", 1000L), (2L, 2, "Hello", 2000L),
+      (2L, 2, "Hello", 2000L), (2L, 3, "Hello", 2000L),
+      (3L, 3, "Hello", 3000L), (4L, 4, "Hello", 4000L),
+      (5L, 5, "Hello", 5000L), (6L, 6, "Hello", 6000L),
+      (6L, 65, "Hello", 6500L), (6L, 9, "Hello", 9000L),
+      (6L, 18, "Hello", 9500L), (6L, 9, "Hello", 9000L),
+      (7L, 7, "Hello World", 10000L), (7L, 17, "Hello World", 11000L),
+      (7L, 77, "Hello World", 11000L), (7L, 18, "Hello World", 14000L),
+      (8L, 8, "Hello World", 15000L), (20L, 20, "Hello World", 20000L))
+    val df = data.map { case (a, b, c, ms) =>
+      OverT1(a, b, c, new Timestamp(ms))
+    }.toDF()
+    val got = StreamingOverSql.sqlDf(df,
+      """SELECT c, b,
+        |  COUNT(a) OVER (ORDER BY rowtime RANGE BETWEEN INTERVAL '1'
+        |                 SECOND PRECEDING AND CURRENT ROW) AS cnt,
+        |  SUM(a) OVER (ORDER BY rowtime RANGE BETWEEN INTERVAL '1'
+        |               SECOND PRECEDING AND CURRENT ROW) AS sum_a
+        |FROM T1""".stripMargin)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    val expected = Seq( // the IT case's expected list, (c, b, cnt, sum)
+      ("Hello", 1, 1L, 1.0), ("Hello", 15, 2L, 2.0), ("Hello", 16, 3L, 3.0),
+      ("Hello", 2, 6L, 9.0), ("Hello", 3, 6L, 9.0), ("Hello", 2, 6L, 9.0),
+      ("Hello", 3, 4L, 9.0), ("Hello", 4, 2L, 7.0), ("Hello", 5, 2L, 9.0),
+      ("Hello", 6, 2L, 11.0), ("Hello", 65, 2L, 12.0),
+      ("Hello", 9, 2L, 12.0), ("Hello", 9, 2L, 12.0), ("Hello", 18, 3L, 18.0),
+      ("Hello World", 7, 4L, 25.0), ("Hello World", 17, 3L, 21.0),
+      ("Hello World", 77, 3L, 21.0), ("Hello World", 18, 1L, 7.0),
+      ("Hello World", 8, 2L, 15.0), ("Hello World", 20, 1L, 20.0))
+    assert(got.sorted == expected.sorted,
+      s"\n got ${got.sorted}\nwant ${expected.sorted}")
+  }
+
+  test("reference testRowTimeUnBoundedPartitionedRowsOver (streaming): " +
+    "MIN/MAX/AVG/COUNT(col) with a numeric partition key") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def r(msOff: Long, a: Int, b: Long, c: String) =
+      OverT1(a.toLong, b.toInt, c, new Timestamp(14000000L + msOff))
+    val batch1 = Seq(r(5, 1, 1, "Hi"), r(0, 2, 1, "Hello"),
+      r(2, 3, 1, "Hello"), r(3, 1, 2, "Hello"), r(4, 1, 3, "Hello world"),
+      r(7, 3, 2, "Hello world"), r(8, 2, 2, "Hello world"))
+    val batch2 = Seq(r(12, 1, 5, "Hello world"), r(21, 1, 6, "Hello world"))
+    val batch3 = Seq(r(23, 2, 5, "Hello world"), r(24, 3, 5, "Hello world"),
+      r(26, 1, 7, "Hello world"), r(25, 1, 8, "Hello world"),
+      r(22, 1, 9, "Hello world"))
+    val input = MemoryStream[OverT1]
+    val out = StreamingOverSql.sqlDf(input.toDF(),
+      """SELECT a, b, c,
+        |  SUM(b) OVER w AS sum_b, COUNT(b) OVER w AS cnt_b,
+        |  AVG(b) OVER w AS avg_b, MAX(b) OVER w AS max_b,
+        |  MIN(b) OVER w AS min_b
+        |FROM T1
+        |WINDOW w AS (PARTITION BY a ORDER BY rowtime
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("genover2")
+      .outputMode("append").start()
+    Seq(batch1, batch2, batch3).foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    }
+    input.addData(r(1000000, 99, 0, "ZZZ")); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("genover2").filter($"a" =!= 99)
+      .as[(Long, Int, String, Double, Long, Double, Double, Double)]
+      .collect().toSeq
+    val expected = Seq( // the IT expected list minus LTCNT
+      (1L, 2, "Hello", 2.0, 1L, 2.0 / 1, 2.0, 2.0),
+      (1L, 3, "Hello world", 5.0, 2L, 5.0 / 2, 3.0, 2.0),
+      (1L, 1, "Hi", 6.0, 3L, 6.0 / 3, 3.0, 1.0),
+      (2L, 1, "Hello", 1.0, 1L, 1.0 / 1, 1.0, 1.0),
+      (2L, 2, "Hello world", 3.0, 2L, 3.0 / 2, 2.0, 1.0),
+      (3L, 1, "Hello", 1.0, 1L, 1.0 / 1, 1.0, 1.0),
+      (3L, 2, "Hello world", 3.0, 2L, 3.0 / 2, 2.0, 1.0),
+      (1L, 5, "Hello world", 11.0, 4L, 11.0 / 4, 5.0, 1.0),
+      (1L, 6, "Hello world", 17.0, 5L, 17.0 / 5, 6.0, 1.0),
+      (1L, 9, "Hello world", 26.0, 6L, 26.0 / 6, 9.0, 1.0),
+      (1L, 8, "Hello world", 34.0, 7L, 34.0 / 7, 9.0, 1.0),
+      (1L, 7, "Hello world", 41.0, 8L, 41.0 / 8, 9.0, 1.0),
+      (2L, 5, "Hello world", 8.0, 3L, 8.0 / 3, 5.0, 1.0),
+      (3L, 5, "Hello world", 8.0, 3L, 8.0 / 3, 5.0, 1.0))
+    assert(got.sorted == expected.sorted,
+      s"\n got ${got.sorted.mkString("\n     ")}\nwant ${expected.sorted.mkString("\n     ")}")
+  }
+
+  test("batch collapse agrees with Spark's own window evaluation, " +
+    "including SQL null skipping") {
+    val ev = graft.core.Catalog.load(spark, sf(), "events")
+      .withColumn("v2", when(col("event_id") % 7 === 0, lit(null))
+        .otherwise(col("value")))
+    val got = StreamingOverSql.sqlDf(ev,
+      """SELECT user_id, event_id,
+        |  COUNT(v2) OVER w AS cnt_v,
+        |  ROUND(SUM(v2) OVER w, 4) AS sum_v,
+        |  MIN(v2) OVER w AS min_v,
+        |  ROUND(AVG(v2) OVER w, 4) AS avg_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)
+    val spec = "(PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    val want = ev.selectExpr("user_id", "event_id",
+      s"COUNT(v2) OVER $spec AS cnt_v",
+      s"ROUND(SUM(v2) OVER $spec, 4) AS sum_v",
+      s"MIN(v2) OVER $spec AS min_v",
+      s"ROUND(AVG(v2) OVER $spec, 4) AS avg_v")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "general executor disagrees with Spark's window evaluation")
+  }
+
+  test("contracts fail loudly: proctime, non-numeric SUM, unknown column") {
+    import spark.implicits._
+    val df = boundedRowsData.toDF()
+    val e1 = intercept[RuntimeException](StreamingOverSql.sqlDf(df,
+      """SELECT c, COUNT(1) OVER (PARTITION BY c ORDER BY proctime
+        |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt FROM T1""".stripMargin))
+    assert(e1.getMessage.contains("proctime"))
+    val e2 = intercept[Exception](StreamingOverSql.sqlDf(df,
+      """SELECT c, SUM(c) OVER (PARTITION BY a ORDER BY rowtime
+        |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM T1""".stripMargin)
+      .collect())
+    assert(e2.getMessage.toLowerCase.contains("numeric"))
+    val e3 = intercept[Exception](StreamingOverSql.sqlDf(df,
+      """SELECT nope, COUNT(1) OVER (PARTITION BY c ORDER BY rowtime
+        |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt FROM T1""".stripMargin))
+    assert(e3.getMessage.contains("nope"))
+  }
+}
