@@ -71,14 +71,14 @@ object SessionFactory {
         b.config(k, v)
       }).getOrElse(builder)
     val spark = withExtra.getOrCreate()
-    // opt-in transitive join-filter (qds72 week-set rewrite): always
-    // injected, no-ops unless spark.graft.transitiveSelfJoinFilter.enabled
-    // is set — see graft.plans.TransitiveSelfJoinFilter
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.TransitiveSelfJoinFilter))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+
-          graft.plans.TransitiveSelfJoinFilter
+    // opt-in rewrites (qds72 week-set filter; qds95 pair-exists → min/max):
+    // always injected, each no-ops unless its spark.graft.* flag is set
+    Seq(graft.plans.TransitiveSelfJoinFilter, graft.plans.PairExistsToMinMax)
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+      }
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

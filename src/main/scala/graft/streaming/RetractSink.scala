@@ -21,6 +21,20 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * output modes do not surface directly. Scale notes as [[UpsertSink]]:
   * delta is batch-sized, the merge joins on the natural key, snapshot
   * swap is rename-atomic under the single-writer guarantee.
+  *
+  * INPUT CONTRACT — the changelog must be a VALID retract stream: every
+  * retract message mirrors a previously emitted accumulate message (same
+  * keys, same value), the `RetractStreamTableSink` contract. Under that
+  * invariant a zero-crossing (cnt back to 0) leaves total ~ 0, so the
+  * full-retraction drop is lossless — exactly the reference's
+  * record-count-zero state clear (blink runtime GroupAggFunction: "if
+  * all input rows are retracted, clear state"). An ARBITRARY signed
+  * stream (a -1 carrying a value no +1 ever carried) can reach cnt == 0
+  * with nonzero total; the drop then discards that total and later rows
+  * re-accumulate from zero, diverging from a one-shot signed aggregate.
+  * That is reference-faithful behavior on an input that violates the
+  * retract-stream invariant, not a sink defect (measured at scale in
+  * SCALE.md §Round 11).
   */
 object RetractSink {
 

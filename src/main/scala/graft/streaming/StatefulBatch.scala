@@ -73,25 +73,36 @@ object StatefulBatch {
       .orderBy(col("user_id"))
   }
 
-  /** The retract sink replayed over a changelog derived from the events
-    * fixture (clicks accumulate, errors retract), state read back after
-    * the bounded run: applying the ±1 algebra incrementally must equal
-    * the one-shot signed aggregate. Totals compared at 4dp — the
-    * incremental double additions associate differently than the
-    * oracle's single pass (same trade as q74). */
+  /** The retract sink replayed over a VALID retract changelog derived
+    * from the events fixture — every retract message mirrors an
+    * accumulate message (same key, same value), the reference contract
+    * (a RetractStreamTableSink's retract rows are the previously emitted
+    * rows). Rows with `event_id % 3 == 0` get a mirrored retract twin;
+    * users with `user_id % 97 == 0` are retracted IN FULL, exercising
+    * the full-retraction drop (cnt back to 0 removes the key). The
+    * mirror invariant is load-bearing: at a zero-crossing the sink drops
+    * the key's state (exactly the reference's record-count-zero state
+    * clear, GroupAggFunction), which is lossless only because mirrored
+    * retracts leave total ~ 0 there. The soak's round-10 leg fed an
+    * UNMIRRORED signed stream and measured 97k keys of total drift at
+    * 22 batches — that is the sink faithfully implementing reference
+    * semantics on an input that violates the retract-stream invariant,
+    * recorded in SCALE.md §Round 11. Totals compared at 4dp (incremental
+    * double folds; same trade as q74). */
   val q105RetractApply: QueryDef = QueryDef("q105_retract_apply",
-    """SELECT user_id, CAST(SUM(flag) AS BIGINT) AS cnt,
-      |  round(SUM(flag * value), 4) AS total
-      |FROM (SELECT user_id, value,
-      |        CASE event_type WHEN 'click' THEN 1 ELSE -1 END AS flag
-      |      FROM events WHERE event_type IN ('click', 'error')) c
-      |GROUP BY user_id HAVING SUM(flag) <> 0
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  round(SUM(value), 4) AS total
+      |FROM events
+      |WHERE event_type IN ('click', 'error')
+      |  AND NOT (event_id % 3 = 0 OR user_id % 97 = 0)
+      |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
     val sinkDir = java.nio.file.Files.createTempDirectory("graft-retract").toString
     val changelog = eventsStream(spark, dir)
       .filter(col("event_type").isin("click", "error"))
-      .withColumn("flag",
-        when(col("event_type") === "click", lit(1)).otherwise(lit(-1)))
+      .withColumn("flag", explode(
+        when(col("event_id") % 3 === 0 || col("user_id") % 97 === 0,
+          array(lit(1), lit(-1))).otherwise(array(lit(1)))))
     val q = RetractSink
       .retractWriter(changelog, Seq("user_id"), "flag", "value", sinkDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

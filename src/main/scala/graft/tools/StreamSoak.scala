@@ -360,43 +360,52 @@ object StreamSoak {
       got.unpersist()
     }
 
-    // ---- q105 retract sink: ±1 changelog fold through the applied-
-    //      marker merge (exactly-once via (runId, batchId) skipping) ----
+    // ---- q105 retract sink: a VALID retract changelog (every retract
+    //      mirrors an accumulate — the RetractStreamTableSink contract;
+    //      see RetractSink's input-contract note) folded through the
+    //      applied-marker merge. event_id%3 rows get a mirrored retract
+    //      twin; user_id%97 users are retracted in full, so their keys
+    //      must LEAVE the table. The round-10 version of this leg fed an
+    //      unmirrored ±1 stream and measured 97,300 keys of total drift
+    //      over 22 batches — the sink's record-count-zero state drop
+    //      (reference GroupAggFunction semantics) discarding totals an
+    //      invalid stream left nonzero at zero-crossings ----
+    def retractChangelog(df: DataFrame): DataFrame = df
+      .filter(col("event_type").isin("click", "error") &&
+        col("event_id") >= 0L)
+      .withColumn("flag", explode(
+        when(col("event_id") % 3 === 0 || col("user_id") % 97 === 0,
+          array(lit(1), lit(-1))).otherwise(array(lit(1)))))
+    def retractWant(): DataFrame = real(batchDs(eventsDir).toDF())
+      .filter(col("event_type").isin("click", "error") &&
+        !(col("event_id") % 3 === 0 || col("user_id") % 97 === 0))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("wcnt"), sum(col("value")).as("wtotal"))
+    def retractCheck(name: String, wall: Double, dirSink: String,
+        extra: String = ""): Unit = {
+      val got = UpsertSink.currentState(spark, dirSink)
+        .select(col("user_id"), col("cnt"), col("total"))
+      val j = got.join(retractWant(), Seq("user_id"), "full_outer").cache()
+      val mismatch = j.filter(col("cnt").isNull || col("wcnt").isNull ||
+        col("cnt") =!= col("wcnt") ||
+        abs(col("total") - col("wtotal")) > 1e-6).count()
+      val onlyB = j.filter(col("cnt").isNull).count()
+      summarize(name, wall, j.count() - onlyB, mismatch, onlyB, extra)
+      j.unpersist()
+    }
     if ("retract_sink".startsWith(opPrefix) || opPrefix.isEmpty) {
       val dirSink = s"$work/sink_retract"; val ckpt = s"$work/ckpt_retract"
       wipe(dirSink, ckpt)
-      val changelog = streamDs(eventsDir).toDF()
-        .filter(col("event_type").isin("click", "error") &&
-          col("event_id") >= 0L)
-        .withColumn("flag",
-          when(col("event_type") === "click", lit(1)).otherwise(lit(-1)))
       val t0 = System.nanoTime()
-      val q = RetractSink.retractWriter(changelog, Seq("user_id"), "flag",
-          "value", dirSink, stableId = Some(ckpt))
+      val q = RetractSink.retractWriter(
+          retractChangelog(streamDs(eventsDir).toDF()), Seq("user_id"),
+          "flag", "value", dirSink, stableId = Some(ckpt))
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
       drainProgress(q, "retract_sink")
-      // one-shot signed aggregate; counts exact, totals at 1e-6 (the
-      // incremental double folds associate differently — the q105 trade)
-      val want = real(batchDs(eventsDir).toDF())
-        .filter(col("event_type").isin("click", "error"))
-        .withColumn("flag",
-          when(col("event_type") === "click", lit(1)).otherwise(lit(-1)))
-        .groupBy("user_id")
-        .agg(sum(col("flag")).as("wcnt"),
-          sum(col("flag") * col("value")).as("wtotal"))
-        .filter(col("wcnt") =!= 0L)
-      val got = UpsertSink.currentState(spark, dirSink)
-        .select(col("user_id"), col("cnt"), col("total"))
-      val j = got.join(want, Seq("user_id"), "full_outer").cache()
-      val mismatch = j.filter(col("cnt").isNull || col("wcnt").isNull ||
-        col("cnt") =!= col("wcnt") ||
-        abs(col("total") - col("wtotal")) > 1e-6).count()
-      val onlyB = j.filter(col("cnt").isNull).count()
-      summarize("retract_sink", wall, j.count() - onlyB, mismatch, onlyB)
-      j.unpersist()
+      retractCheck("retract_sink", wall, dirSink)
     }
 
     // ---- kill-and-restart recovery: stop the stream mid-soak at the
@@ -477,14 +486,10 @@ object StreamSoak {
       val dirSink = s"$work/sink_recovery_retract"
       val ckpt = s"$work/ckpt_recovery_retract"
       wipe(dirSink, ckpt)
-      val changelog = streamDs(eventsDir).toDF()
-        .filter(col("event_type").isin("click", "error") &&
-          col("event_id") >= 0L)
-        .withColumn("flag",
-          when(col("event_type") === "click", lit(1)).otherwise(lit(-1)))
       def mk(): StreamingQuery =
-        RetractSink.retractWriter(changelog, Seq("user_id"), "flag",
-            "value", dirSink, stableId = Some(ckpt))
+        RetractSink.retractWriter(
+            retractChangelog(streamDs(eventsDir).toDF()), Seq("user_id"),
+            "flag", "value", dirSink, stableId = Some(ckpt))
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
       val t0 = System.nanoTime()
@@ -492,24 +497,8 @@ object StreamSoak {
       val q2 = mk(); q2.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
       drainProgress(q2, "recovery_retract")
-      val want = real(batchDs(eventsDir).toDF())
-        .filter(col("event_type").isin("click", "error"))
-        .withColumn("flag",
-          when(col("event_type") === "click", lit(1)).otherwise(lit(-1)))
-        .groupBy("user_id")
-        .agg(sum(col("flag")).as("wcnt"),
-          sum(col("flag") * col("value")).as("wtotal"))
-        .filter(col("wcnt") =!= 0L)
-      val got = UpsertSink.currentState(spark, dirSink)
-        .select(col("user_id"), col("cnt"), col("total"))
-      val j = got.join(want, Seq("user_id"), "full_outer").cache()
-      val mismatch = j.filter(col("cnt").isNull || col("wcnt").isNull ||
-        col("cnt") =!= col("wcnt") ||
-        abs(col("total") - col("wtotal")) > 1e-6).count()
-      val onlyB = j.filter(col("cnt").isNull).count()
-      summarize("recovery_retract", wall, j.count() - onlyB, mismatch,
-        onlyB, s""","stopped_midway":$stopped""")
-      j.unpersist()
+      retractCheck("recovery_retract", wall, dirSink,
+        s""","stopped_midway":$stopped""")
     }
     out.close()
     spark.stop()
