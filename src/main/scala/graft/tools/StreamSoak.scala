@@ -530,7 +530,10 @@ object StreamSoak {
             var mn = Long.MaxValue; var mx = Long.MinValue; var bad = 0L
             var prev = (Long.MinValue, Long.MinValue)
             it.foreach { case (ts, id) =>
-              val us = ts.getTime * 1000
+              // full micros precision: the operator orders on eventMicros,
+              // and ms-truncated stamps flag same-ms micro-ordered rows
+              // as disorder (3 false positives in the r11 run)
+              val us = StatefulOps.eventMicros(ts)
               if (us < prev._1 || (us == prev._1 && id < prev._2)) bad += 1
               prev = (us, id)
               if (us < mn) mn = us
