@@ -919,19 +919,32 @@ object MatchRecognizeSql {
   }
 
   // =====================================================================
-  // Entry: arbitrary-schema batch DataFrame
+  // Entry: arbitrary-schema DataFrame (batch or streaming)
   // =====================================================================
-  /** Parse + execute `text` over any batch DataFrame — schema-driven
-    * field registry, composite or empty PARTITION BY, arbitrary ORDER BY.
+  /** Parse + execute `text` over any DataFrame — schema-driven field
+    * registry, composite or empty PARTITION BY, arbitrary ORDER BY.
     * ONE ROW PER MATCH returns partition columns + measures; ALL ROWS
-    * PER MATCH returns every input column + RUNNING measures. */
-  def sqlDf(df: DataFrame, text: String): DataFrame = {
+    * PER MATCH returns every input column + RUNNING measures. A
+    * STREAMING input runs the same NFA through
+    * [[PatternMatch.matchRowsStream]] (r11) under the Event path's
+    * watermark protocol: leading ORDER BY column must be an ascending
+    * timestamp, and physical PREV/NEXT offsets stay <= 1 (the retained
+    * predecessor marker); `delay` is the watermark. */
+  def sqlDf(df: DataFrame, text: String, delay: String = "0 seconds")
+      : DataFrame = {
     val q = parse(text)
     val acc = new RowAccess(df.schema)
     // resolve partition/order column names against the schema, loudly
     val partCols = q.partCols.map(c => acc.canonical(fieldIdx(acc, c)))
     val orderKeys = q.orderKeys.map { case (c, asc) =>
       (acc.canonical(fieldIdx(acc, c)), asc)
+    }
+    if (df.isStreaming) {
+      val worst = q.defines.values.map(maxInputOffset).foldLeft(0)(math.max)
+      require(worst <= 1,
+        s"streaming PREV/NEXT offsets beyond 1 are unsupported (got " +
+          s"$worst): the NFA retains a single predecessor marker across " +
+          "consumption — run in batch for deeper physical offsets")
     }
     val steps = compileSteps(q, acc)
     val measureFields = q.measures.map { case (alias, ex) =>
@@ -941,19 +954,29 @@ object MatchRecognizeSql {
 
     if (q.allRows) {
       val outSchema = StructType(df.schema.fields.toSeq ++ measureFields)
-      PatternMatch.matchRowsBatch(df, partCols, orderKeys, steps, q.skip,
-        q.within, (key, matchNo, bound) =>
-          runningEnvs(acc, bound, matchNo).map { case (row, env) =>
-            Row.fromSeq(row.toSeq ++ measureEvals.map(_(env)))
-          }, outSchema)
+      val emitAll = (key: Row, matchNo: Long, bound: Seq[Bound[Row]]) =>
+        runningEnvs(acc, bound, matchNo).map { case (row, env) =>
+          Row.fromSeq(row.toSeq ++ measureEvals.map(_(env)))
+        }
+      if (df.isStreaming)
+        PatternMatch.matchRowsStream(df, partCols, orderKeys, steps, q.skip,
+          q.within, emitAll, outSchema, delay)
+      else
+        PatternMatch.matchRowsBatch(df, partCols, orderKeys, steps, q.skip,
+          q.within, emitAll, outSchema)
     } else {
       val keyFields = partCols.map(c => df.schema(df.schema.fieldIndex(c)))
       val outSchema = StructType(keyFields ++ measureFields)
-      PatternMatch.matchRowsBatch(df, partCols, orderKeys, steps, q.skip,
-        q.within, (key, matchNo, bound) => {
-          val env = finalEnv(acc, bound, matchNo)
-          Iterator.single(Row.fromSeq(key.toSeq ++ measureEvals.map(_(env))))
-        }, outSchema)
+      val emitOne = (key: Row, matchNo: Long, bound: Seq[Bound[Row]]) => {
+        val env = finalEnv(acc, bound, matchNo)
+        Iterator.single(Row.fromSeq(key.toSeq ++ measureEvals.map(_(env))))
+      }
+      if (df.isStreaming)
+        PatternMatch.matchRowsStream(df, partCols, orderKeys, steps, q.skip,
+          q.within, emitOne, outSchema, delay)
+      else
+        PatternMatch.matchRowsBatch(df, partCols, orderKeys, steps, q.skip,
+          q.within, emitOne, outSchema)
     }
   }
 

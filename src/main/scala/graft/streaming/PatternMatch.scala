@@ -611,6 +611,128 @@ object PatternMatch extends Serializable {
     }
   }
 
+  /** Kryo-encoded per-key streaming state for the general-schema
+    * executor — the [[BufState]] shape with raw row values (public only
+    * because Encoders.kryo requires a public class). */
+  final case class GenBufState(rows: Seq[Seq[Any]], prev: Option[Seq[Any]],
+      nMatches: Long = 0L)
+
+  /** STREAMING MATCH_RECOGNIZE over an ARBITRARY DataFrame — the
+    * general-schema twin of the Event-typed streaming executor, closing
+    * the gap [[matchRowsBatch]] left (it is batch-only): reference CEP
+    * SQL runs on any schema in both execution modes. Same watermark
+    * protocol as the Event path: rows BUFFER per key until the watermark
+    * closes them, the NFA scans the closed prefix in `orderKeys` order
+    * (leading key must be an ascending timestamp — the event-time axis),
+    * unadjudicated partial matches retain their rows, an event-time
+    * timer re-fires when the watermark reaches the earliest retained
+    * row, and a PREV-using pattern keeps the O(1) predecessor marker
+    * across full consumption (expiring with WITHIN, the same pruning the
+    * reference NFA applies to its shared buffer).
+    *
+    * Scale: one shuffle on the partition columns; per-key state is the
+    * unadjudicated buffer — bounded by WITHIN + the watermark delay,
+    * exactly the Event path's bound. Empty `partCols` is accepted but
+    * single-group sequential, as everywhere in this package. */
+  def matchRowsStream(df: DataFrame, partCols: Seq[String],
+      orderKeys: Seq[(String, Boolean)], steps: Seq[GStep[Row]],
+      skip: SkipStrategy, within: Option[java.time.Duration],
+      emit: (Row, Long, Seq[Bound[Row]]) => Iterator[Row],
+      outSchema: StructType, delay: String = "0 seconds"): DataFrame = {
+    require(df.isStreaming, "matchRowsStream is the streaming executor; " +
+      "batch inputs take matchRowsBatch")
+    require(steps.nonEmpty, "PATTERN must have at least one step")
+    require(orderKeys.nonEmpty, "ORDER BY must name at least one column")
+    val schema = df.schema
+    val leadIdx = schema.fieldIndex(orderKeys.head._1)
+    require(schema.fields(leadIdx).dataType == TimestampType && orderKeys.head._2,
+      "streaming MATCH_RECOGNIZE orders on event time: the leading ORDER " +
+        s"BY column must be an ascending timestamp, got " +
+        s"${schema.fields(leadIdx).dataType}")
+    val withinUs = within.map(_.toNanos / 1000).getOrElse(Long.MaxValue)
+    require(withinUs > 0, s"WITHIN must be a positive duration, got $within")
+    // same finalization contract as the Event streaming path: a trailing
+    // greedy arm (except exact {n}) never self-finalizes without WITHIN
+    val greedyTail = steps.last.quant match {
+      case Opt | Plus | Star => true
+      case Times(min, max) => !max.contains(min)
+      case _ => false
+    }
+    require(!greedyTail || within.isDefined,
+      "a streaming PATTERN must end with an exactly-one or reluctant step " +
+        s"or carry a WITHIN bound: a trailing greedy '${steps.last.name}' " +
+        s"(${steps.last.quant}) can always be extended by future rows and " +
+        "would never finalize")
+    val usesPrev = steps.exists(_.needsPrev)
+    val stepsArr = steps.toIndexedSeq
+    val ordKeys = orderKeys.map { case (c, asc) =>
+      val i = schema.fieldIndex(c); (i, asc, schema.fields(i).dataType)
+    }
+    val ord = rowOrdering(ordKeys)
+    val microsOf: Row => Long =
+      r => StatefulOps.eventMicros(r.getAs[java.sql.Timestamp](leadIdx))
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stEnc: Encoder[GenBufState] = Encoders.kryo[GenBufState]
+
+    def process(key: Row, rows: Iterator[Row],
+        state: GroupState[GenBufState]): Iterator[Row] = {
+      val st = state.getOption
+      val buf = st.map(_.rows.map(Row.fromSeq)).getOrElse(Nil) ++ rows
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val sorted = buf.sorted(ord).toIndexedSeq
+      val closedN = sorted.segmentLength(r => microsOf(r) <= wmUs)
+      val bufPrev = st.flatMap(_.prev).map(Row.fromSeq)
+      val (matches, retainFrom) = scan(stepsArr, sorted.take(closedN),
+        finalInput = false, wmUs, withinUs, bufPrev, skip, microsOf)
+      val baseNo = st.map(_.nMatches).getOrElse(0L)
+      val newCount = baseNo + matches.size
+      val kept = sorted.slice(retainFrom, closedN) ++ sorted.drop(closedN)
+      val newPrev: Option[Row] =
+        if (!usesPrev) None
+        else if (retainFrom > 0) Some(sorted(retainFrom - 1))
+        else bufPrev
+      if (kept.isEmpty) {
+        val markerDeadUs = newPrev.map(microsOf)
+          .map(us => if (withinUs == Long.MaxValue) Long.MaxValue
+                     else us + withinUs)
+        if (usesPrev && newPrev.isDefined && markerDeadUs.exists(_ > wmUs)) {
+          state.update(GenBufState(Nil, newPrev.map(_.toSeq), newCount))
+          if (markerDeadUs.get != Long.MaxValue)
+            state.setTimeoutTimestamp(
+              math.max(markerDeadUs.get / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+        } else state.remove()
+      } else {
+        state.update(GenBufState(kept.map(_.toSeq),
+          newPrev.map(_.toSeq), newCount))
+        val headMs = microsOf(kept.head) / 1000
+        state.setTimeoutTimestamp(
+          math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
+      }
+      matches.iterator.zipWithIndex.flatMap { case (m, i) =>
+        emit(key, baseNo + i + 1, m)
+      }
+    }
+
+    val wmDf = df.withWatermark(orderKeys.head._1, delay)
+    if (partCols.isEmpty) {
+      wmDf.groupByKey(_ => 0)(Encoders.scalaInt)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+          (_: Int, rows: Iterator[Row], state: GroupState[GenBufState]) =>
+            process(Row.empty, rows, state))(stEnc, outEnc)
+    } else {
+      val partIdx = partCols.map(schema.fieldIndex).toArray
+      val keySchema = StructType(partIdx.map(schema.fields(_)).toSeq)
+      val keyEnc: Encoder[Row] = Encoders.row(keySchema)
+      wmDf.groupByKey(r => Row.fromSeq(partIdx.toSeq.map(r.get)))(keyEnc)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+          (key: Row, rows: Iterator[Row], state: GroupState[GenBufState]) =>
+            process(key, rows, state))(stEnc, outEnc)
+    }
+  }
+
   /** Multi-column Row ordering with per-key direction; nulls first on
     * ASC, last on DESC (Spark's default sort convention). */
   private def rowOrdering(keys: Seq[(Int, Boolean, DataType)]): Ordering[Row] =

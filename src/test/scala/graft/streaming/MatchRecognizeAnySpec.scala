@@ -2,6 +2,11 @@ package graft.streaming
 
 import graft.SparkSpec
 
+/** Top-level (encoder-friendly) ticker row for the streaming
+  * general-schema tests. */
+case class MrTick(sym: String, price: Int, id: Long,
+    rowtime: java.sql.Timestamp)
+
 /** The general-schema SQL MATCH_RECOGNIZE entry ([[MatchRecognizeSql
   * .sqlDf]]) must reproduce the REFERENCE's own IT-case queries —
   * verbatim clause text, the IT case's literal data, the IT case's
@@ -163,5 +168,48 @@ class MatchRecognizeAnySpec extends SparkSpec {
     // COUNT(A.v) must skip the null row (SQL), not count it
     assert(rows(got) ==
       Seq(Seq[Any](3L, 2L, 6L, 2.0, 1.0, 3.0, 4)), rows(got).toString)
+  }
+
+  test("STREAMING sqlDf: the reference ticker V-shape on a non-Event " +
+      "schema, partial matches crossing micro-batch boundaries") {
+    implicit val sq = spark.sqlContext
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val q = """SELECT * FROM ticker MATCH_RECOGNIZE (
+              |  PARTITION BY sym
+              |  ORDER BY rowtime
+              |  MEASURES FIRST(DOWN.price) AS first_down,
+              |           LAST(DOWN.price) AS last_down,
+              |           UP.price AS up_p
+              |  ONE ROW PER MATCH
+              |  PATTERN (DOWN+ UP)
+              |  DEFINE DOWN AS price < PREV(price),
+              |         UP AS price > PREV(price)
+              |)""".stripMargin
+    // ACME's DOWN run starts in batch 1 and completes in batch 2 — the
+    // kryo-buffered partial match must survive the boundary
+    val batch1 = Seq(MrTick("ACME", 12, 1, ts(1)), MrTick("ACME", 11, 2, ts(2)),
+      MrTick("ACME", 10, 3, ts(3)), MrTick("BETA", 7, 10, ts(1)))
+    val batch2 = Seq(MrTick("ACME", 9, 4, ts(4)), MrTick("ACME", 11, 5, ts(5)),
+      MrTick("BETA", 6, 11, ts(7)), MrTick("BETA", 8, 12, ts(8)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MrTick]
+    val stream = MatchRecognizeSql.sqlDf(input.toDF(), q)
+    val query = stream.writeStream.format("memory").queryName("mrstream")
+      .outputMode("append").start()
+    input.addData(batch1: _*); query.processAllAvailable()
+    input.addData(batch2: _*); query.processAllAvailable()
+    input.addData(MrTick("ZZZ", 0, 99, ts(100))); query.processAllAvailable()
+    input.addData(MrTick("ZZZ", 0, 98, ts(200))); query.processAllAvailable()
+    query.stop()
+    import spark.implicits._
+    val got = spark.table("mrstream").filter($"sym" =!= "ZZZ")
+      .as[(String, Int, Int, Int)].collect().toSet
+    val want = Set(("ACME", 11, 9, 11), ("BETA", 6, 6, 8))
+    assert(got == want, s"got $got")
+    // the batch collapse of the same clause over the same rows agrees
+    val batchGot = MatchRecognizeSql
+      .sqlDf((batch1 ++ batch2).toDF(), q)
+      .as[(String, Int, Int, Int)].collect().toSet
+    assert(batchGot == want, s"batch twin disagrees: $batchGot")
   }
 }
