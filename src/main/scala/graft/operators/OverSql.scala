@@ -17,7 +17,8 @@ object OverSql {
 
   def defs: Seq[QueryDef] =
     Seq(q133SqlOverRunning, q134SqlOverRows, q135SqlOverRange,
-      q136SqlOverAnyRows, q137SqlOverAnyRange, q138SqlOverAnyUnbounded)
+      q136SqlOverAnyRows, q137SqlOverAnyRange, q138SqlOverAnyUnbounded,
+      q139SqlOverAnyProcRows)
 
   private def run(sql: String)(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
@@ -141,6 +142,31 @@ object OverSql {
         |WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_type, event_id""".stripMargin)
+  }
+
+  /** General-schema PROC-TIME ROWS frame (r11): arrival-order frames on
+    * a string-partitioned table with MIN — the reference
+    * testProcTimeBoundedPartitionedRowsOver surface. In batch the whole
+    * input is one arrival sequence ordered by the declared determinism
+    * key (ts, event_id), so the oracle is the plain ROWS window over
+    * that key. */
+  val q139SqlOverAnyProcRows: QueryDef = QueryDef("q139_sql_over_any_proc_rows",
+    """SELECT event_type, event_id,
+      |  round(SUM(value) OVER win, 4) AS sum_v,
+      |  MIN(value) OVER win AS min_v
+      |FROM events
+      |WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, event_id""".stripMargin) { (spark, dir) =>
+    graft.streaming.StreamingOverSql.sqlDf(
+      graft.core.Catalog.load(spark, dir, "events"),
+      """SELECT event_type, event_id,
+        |  ROUND(SUM(value) OVER win, 4) AS sum_v,
+        |  MIN(value) OVER win AS min_v
+        |FROM events
+        |WINDOW win AS (PARTITION BY event_type ORDER BY proctime, ts, event_id
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, event_id""".stripMargin)
   }
 
   val q135SqlOverRange: QueryDef = QueryDef("q135_sql_over_range",

@@ -41,7 +41,7 @@ import org.apache.spark.sql.types._
   * extremum retires) and the left-to-right double sum is
   * bit-deterministic regardless of eviction history.
   */
-object OverAggregates {
+object OverAggregates extends Serializable {
 
   sealed trait Frame extends Serializable
   case object UnboundedPreceding extends Frame
@@ -95,23 +95,7 @@ object OverAggregates {
       case RangePreceding(h) => h.toNanos / 1000
       case _ => 0L
     }
-    // per-agg input extraction: column index + numeric widening to double
-    val aggIdx: Seq[Int] = aggs.map {
-      case Agg(fn, colOpt, _) =>
-        require(Set("COUNT", "SUM", "MIN", "MAX", "AVG").contains(fn),
-          s"unsupported OVER aggregate $fn")
-        colOpt match {
-          case None =>
-            require(fn == "COUNT", s"$fn requires a value column")
-            -1
-          case Some(c) =>
-            val i = schema.fieldIndex(c)
-            require(fn == "COUNT" || schema.fields(i).dataType
-              .isInstanceOf[NumericType],
-              s"$fn($c) needs a numeric column, got ${schema.fields(i).dataType}")
-            i
-        }
-    }
+    val aggIdx = checkAggs(schema, aggs)
     val outSchema = StructType(schema.fields.toSeq ++ aggs.map {
       case Agg("COUNT", _, alias) => StructField(alias, LongType, nullable = false)
       case Agg(_, _, alias) => StructField(alias, DoubleType, nullable = true)
@@ -119,60 +103,12 @@ object OverAggregates {
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val stEnc: Encoder[GenState] = Encoders.kryo[GenState]
 
-    def toDouble(v: Any): java.lang.Double = v match {
-      case null => null
-      case d: java.lang.Double => d
-      case n: java.lang.Number => n.doubleValue() // covers BigDecimal too
-      case d: scala.math.BigDecimal => d.toDouble
-      case other => sys.error(s"non-numeric aggregate input $other")
-    }
-    // per-row agg inputs; COUNT(*) entries mark presence (never null)
-    def entryOf(vals: Seq[Any]): Seq[Any] = aggIdx.map {
-      case -1 => java.lang.Double.valueOf(1.0)
-      case i => toDouble(vals(i))
-    }
+    def entryOf(vals: Seq[Any]): Seq[Any] = entryOfVals(vals, aggIdx)
     def leadUs(vals: Seq[Any]): Long =
       StatefulOps.eventMicros(vals(leadIdx).asInstanceOf[java.sql.Timestamp])
-    val ordIdx = orderCols.map(schema.fieldIndex)
-    val ord: Ordering[Seq[Any]] = new Ordering[Seq[Any]] {
-      override def compare(a: Seq[Any], b: Seq[Any]): Int = {
-        ordIdx.foreach { i =>
-          val (x, y) = (a(i), b(i))
-          val c =
-            if (x == null && y == null) 0
-            else if (x == null) -1
-            else if (y == null) 1
-            else x.asInstanceOf[Comparable[Any]].compareTo(y)
-          if (c != 0) return c
-        }
-        0
-      }
-    }
-    // one fold over the retained frame entries -> the agg output values
+    val ord = seqOrdering(orderCols.map(schema.fieldIndex))
     def foldFrame(entries: collection.Seq[Seq[Any]]): Seq[Any] =
-      aggs.zipWithIndex.map { case (Agg(fn, colOpt, _), ai) =>
-        if (fn == "COUNT" && colOpt.isEmpty) entries.length.toLong
-        else {
-          var n = 0L; var sum = 0.0
-          var min = Double.PositiveInfinity; var max = Double.NegativeInfinity
-          entries.foreach { e =>
-            val v = e(ai).asInstanceOf[java.lang.Double]
-            if (v != null) {
-              n += 1; sum += v.doubleValue()
-              if (v < min) min = v
-              if (v > max) max = v
-            }
-          }
-          fn match {
-            case "COUNT" => n
-            case _ if n == 0 => null
-            case "SUM" => sum
-            case "AVG" => sum / n
-            case "MIN" => min
-            case "MAX" => max
-          }
-        }
-      }
+      foldEntries(entries, aggs)
     def unboundedOut(rows: Long, accs: Seq[Acc]): Seq[Any] =
       aggs.zip(accs).map { case (Agg(fn, colOpt, _), a) =>
         fn match {
@@ -268,11 +204,74 @@ object OverAggregates {
       out.result().iterator
     }
 
-    val wmDf = if (isStreaming) df.withWatermark(orderCols.head, delay) else df
+    runKeyed(df, partCols, schema, stEnc, outEnc,
+      if (isStreaming) d => d.withWatermark(orderCols.head, delay)
+      else identity, process)
+  }
+
+  /** PROC-TIME streaming OVER with a bounded ROWS frame over an ARBITRARY
+    * DataFrame — the general-schema twin of
+    * [[StatefulOps.procRowsBoundedAggregates]] (reference:
+    * ProcTimeRowsBoundedPrecedingFunction; OverWindowITCase
+    * testProcTimeBoundedPartitionedRowsOver partitions by a non-Event
+    * key and aggregates MIN — neither expressible on the typed op).
+    * Proc-time contract: NO watermark, NO buffering, NO event-time
+    * reordering — a row frames against whatever arrived before it,
+    * emitted immediately. Within one micro-batch arrival order is made
+    * deterministic by `tieBreak` (post-shuffle intra-batch order is
+    * otherwise arbitrary; the reference has the same freedom within a
+    * network buffer). In batch execution the whole input is one arrival
+    * sequence, so the operator collapses to the plain
+    * `ROWS BETWEEN n PRECEDING AND CURRENT ROW` window over `tieBreak` —
+    * the oracle shape. Per-key state is the O(n+1) agg-input ring. */
+  def procRowsAggregates(df: DataFrame, partCols: Seq[String],
+      tieBreak: Seq[String], preceding: Int, aggs: Seq[Agg]): DataFrame = {
+    require(preceding >= 0, s"ROWS frame bound must be >= 0, got $preceding")
+    require(aggs.nonEmpty, "at least one OVER aggregate is required")
+    val schema = df.schema
+    (partCols ++ tieBreak).foreach(c => require(schema.fieldNames.contains(c),
+      s"column '$c' not in input schema ${schema.fieldNames.mkString(", ")}"))
+    val aggIdx = checkAggs(schema, aggs)
+    val outSchema = StructType(schema.fields.toSeq ++ aggs.map {
+      case Agg("COUNT", _, alias) => StructField(alias, LongType, nullable = false)
+      case Agg(_, _, alias) => StructField(alias, DoubleType, nullable = true)
+    })
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stEnc: Encoder[GenState] = Encoders.kryo[GenState]
+    val isStreaming = df.isStreaming
+    val cap = preceding + 1
+    val tieIdx = tieBreak.map(schema.fieldIndex)
+    val ord: Ordering[Seq[Any]] = seqOrdering(tieIdx)
+    def process(rows: Iterator[Row], state: GroupState[GenState])
+        : Iterator[Row] = {
+      val ring = scala.collection.mutable.ArrayDeque.empty[Seq[Any]]
+      state.getOption.foreach(s => ring.addAll(s.frameVals))
+      val batch = rows.map(_.toSeq).toSeq
+      val arrived = if (tieIdx.isEmpty) batch else batch.sorted(ord)
+      val out = arrived.map { vals =>
+        ring.append(entryOfVals(vals, aggIdx))
+        if (ring.length > cap) ring.removeHead()
+        Row.fromSeq(vals ++ foldEntries(ring, aggs))
+      }
+      if (isStreaming) state.update(GenState(Nil, Nil, ring.toSeq, 0L, Nil))
+      out.iterator
+    }
+    // proc-time: no watermark exists, so no event-time timers either
+    runKeyed(df, partCols, schema, stEnc, outEnc, identity, process,
+      GroupStateTimeout.NoTimeout)
+  }
+
+  // shared: keyed dispatch over (possibly empty) partition columns
+  private def runKeyed(df: DataFrame, partCols: Seq[String],
+      schema: StructType, stEnc: Encoder[GenState], outEnc: Encoder[Row],
+      pre: DataFrame => DataFrame,
+      process: (Iterator[Row], GroupState[GenState]) => Iterator[Row],
+      timeout: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout)
+      : DataFrame = {
+    val wmDf = pre(df)
     if (partCols.isEmpty) {
       wmDf.groupByKey(_ => 0)(Encoders.scalaInt)
-        .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.EventTimeTimeout)(
+        .flatMapGroupsWithState(OutputMode.Append, timeout)(
           (_: Int, rows: Iterator[Row], state: GroupState[GenState]) =>
             process(rows, state))(stEnc, outEnc)
     } else {
@@ -280,10 +279,90 @@ object OverAggregates {
       val keySchema = StructType(partIdx.map(schema.fields(_)).toSeq)
       val keyEnc: Encoder[Row] = Encoders.row(keySchema)
       wmDf.groupByKey(r => Row.fromSeq(partIdx.toSeq.map(r.get)))(keyEnc)
-        .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.EventTimeTimeout)(
+        .flatMapGroupsWithState(OutputMode.Append, timeout)(
           (_: Row, rows: Iterator[Row], state: GroupState[GenState]) =>
             process(rows, state))(stEnc, outEnc)
     }
   }
+
+  // ---- shared kernels between the row-time and proc-time executors ----
+
+  /** Validate the agg list; per-agg input column index (-1 = COUNT(*)). */
+  private def checkAggs(schema: StructType, aggs: Seq[Agg]): Seq[Int] =
+    aggs.map {
+      case Agg(fn, colOpt, _) =>
+        require(Set("COUNT", "SUM", "MIN", "MAX", "AVG").contains(fn),
+          s"unsupported OVER aggregate $fn")
+        colOpt match {
+          case None =>
+            require(fn == "COUNT", s"$fn requires a value column")
+            -1
+          case Some(c) =>
+            val i = schema.fieldIndex(c)
+            require(fn == "COUNT" || schema.fields(i).dataType
+              .isInstanceOf[NumericType],
+              s"$fn($c) needs a numeric column, got ${schema.fields(i).dataType}")
+            i
+        }
+    }
+
+  private def toDouble(v: Any): java.lang.Double = v match {
+    case null => null
+    case d: java.lang.Double => d
+    case n: java.lang.Number => n.doubleValue() // covers BigDecimal too
+    case d: scala.math.BigDecimal => d.toDouble
+    case other => sys.error(s"non-numeric aggregate input $other")
+  }
+
+  /** Per-row agg inputs; COUNT(*) entries mark presence (never null). */
+  private def entryOfVals(vals: Seq[Any], aggIdx: Seq[Int]): Seq[Any] =
+    aggIdx.map {
+      case -1 => java.lang.Double.valueOf(1.0)
+      case i => toDouble(vals(i))
+    }
+
+  /** One fold over the retained frame entries -> the agg output values. */
+  private def foldEntries(entries: collection.Seq[Seq[Any]],
+      aggs: Seq[Agg]): Seq[Any] =
+    aggs.zipWithIndex.map { case (Agg(fn, colOpt, _), ai) =>
+      if (fn == "COUNT" && colOpt.isEmpty) entries.length.toLong
+      else {
+        var n = 0L; var sum = 0.0
+        var min = Double.PositiveInfinity; var max = Double.NegativeInfinity
+        entries.foreach { e =>
+          val v = e(ai).asInstanceOf[java.lang.Double]
+          if (v != null) {
+            n += 1; sum += v.doubleValue()
+            if (v < min) min = v
+            if (v > max) max = v
+          }
+        }
+        fn match {
+          case "COUNT" => n
+          case _ if n == 0 => null
+          case "SUM" => sum
+          case "AVG" => sum / n
+          case "MIN" => min
+          case "MAX" => max
+        }
+      }
+    }
+
+  /** Ascending multi-column ordering over raw row values; nulls first
+    * (Spark's ASC convention). */
+  private def seqOrdering(idxs: Seq[Int]): Ordering[Seq[Any]] =
+    new Ordering[Seq[Any]] {
+      override def compare(a: Seq[Any], b: Seq[Any]): Int = {
+        idxs.foreach { i =>
+          val (x, y) = (a(i), b(i))
+          val c =
+            if (x == null && y == null) 0
+            else if (x == null) -1
+            else if (y == null) 1
+            else x.asInstanceOf[Comparable[Any]].compareTo(y)
+          if (c != 0) return c
+        }
+        0
+      }
+    }
 }

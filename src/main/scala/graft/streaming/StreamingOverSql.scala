@@ -196,21 +196,29 @@ object StreamingOverSql {
       "every OVER item must share one window spec (one operator pass); " +
         s"found ${specs.distinct.size} distinct specs")
     val spec = specs.head
-    require(!spec.procTime,
-      "ORDER BY proctime frames on arrival order — that is the Event-model " +
-        "operator contract (StreamingOverSql.sql / the StatefulOps proc-time " +
-        "twins); the general-schema executor orders on event time")
-    val frame = spec.frame match {
-      case Unbounded => OverAggregates.UnboundedPreceding
-      case RowsPreceding(n) => OverAggregates.RowsPreceding(n)
-      case RangePreceding(us) =>
-        OverAggregates.RangePreceding(java.time.Duration.ofNanos(us * 1000L))
-    }
     val aggs = measures.map(m => OverAggregates.Agg(m.fn,
       if (m.arg == "*" || m.arg == "1") None else Some(m.arg), m.alias)).toSeq
-    val out = OverAggregates.overAggregates(df,
-      spec.partCol.split(',').toSeq.filter(_.nonEmpty), spec.orderCols,
-      frame, aggs)
+    val parts = spec.partCol.split(',').toSeq.filter(_.nonEmpty)
+    val out =
+      if (spec.procTime) spec.frame match {
+        // proc-time ROWS: arrival-order frames on any schema; the
+        // trailing ORDER BY columns are the intra-batch determinism key
+        // (micro-batch rendering of the reference's arrival order)
+        case RowsPreceding(n) => OverAggregates.procRowsAggregates(df,
+          parts, spec.orderCols.filterNot(_ == "proctime"), n, aggs)
+        case other => sys.error(
+          s"proc-time $other OVER is the Event-model operator contract " +
+            "(StreamingOverSql.sql / the StatefulOps proc-time twins); " +
+            "the general executor covers proc-time ROWS frames")
+      } else {
+        val frame = spec.frame match {
+          case Unbounded => OverAggregates.UnboundedPreceding
+          case RowsPreceding(n) => OverAggregates.RowsPreceding(n)
+          case RangePreceding(us) => OverAggregates.RangePreceding(
+            java.time.Duration.ofNanos(us * 1000L))
+        }
+        OverAggregates.overAggregates(df, parts, spec.orderCols, frame, aggs)
+      }
     val cols = items.map {
       case PassThrough(name) => col(name)
       case Measure(_, _, alias, _, dig) =>

@@ -11,6 +11,9 @@ import graft.SparkSpec
   * tables: 3 data columns + rowtime. */
 case class OverT1(a: Long, b: Int, c: String, rowtime: Timestamp)
 
+/** The reference's 5-tuple test table (TestData.tupleData5). */
+case class OverT5(a: Int, b: Long, c: Int, d: String, e: Long)
+
 /** The general-schema streaming OVER executor must reproduce the
   * reference's own IT-case results on the reference's own data
   * (reference: flink-table-planner-blink
@@ -206,13 +209,59 @@ class OverAggregatesSpec extends SparkSpec {
       "general executor disagrees with Spark's window evaluation")
   }
 
-  test("contracts fail loudly: proctime, non-numeric SUM, unknown column") {
+  test("reference testProcTimeBoundedPartitionedRowsOver (streaming): " +
+    "proc-time ROWS frame with SUM/MIN on the 5-tuple table") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(
+      OverT5(1, 1L, 0, "Hallo", 1L), OverT5(2, 2L, 1, "Hallo Welt", 2L),
+      OverT5(2, 3L, 2, "Hallo Welt wie", 1L),
+      OverT5(3, 4L, 3, "Hallo Welt wie gehts?", 2L),
+      OverT5(3, 5L, 4, "ABC", 2L), OverT5(3, 6L, 5, "BCD", 3L),
+      OverT5(4, 7L, 6, "CDE", 2L), OverT5(4, 8L, 7, "DEF", 1L),
+      OverT5(4, 9L, 8, "EFG", 1L), OverT5(4, 10L, 9, "FGH", 2L),
+      OverT5(5, 11L, 10, "GHI", 1L), OverT5(5, 12L, 11, "HIJ", 3L),
+      OverT5(5, 13L, 12, "IJK", 3L), OverT5(5, 14L, 13, "JKL", 2L),
+      OverT5(5, 15L, 14, "KLM", 2L))
+    val q = """SELECT a,
+              |  SUM(c) OVER w AS sum_c, MIN(c) OVER w AS min_c
+              |FROM MyTable
+              |WINDOW w AS (PARTITION BY a ORDER BY proctime, c
+              |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[OverT5]
+    val out = StreamingOverSql.sqlDf(input.toDF(), q)
+    val query = out.writeStream.format("memory").queryName("genproc")
+      .outputMode("append").start()
+    // group a=4's ring crosses the batch boundary (c=6,7 | c=8,9)
+    input.addData(data.take(8): _*); query.processAllAvailable()
+    input.addData(data.drop(8): _*); query.processAllAvailable()
+    query.stop() // proc-time emits immediately: no sentinel needed
+    val got = spark.table("genproc").as[(Int, Double, Double)]
+      .collect().toSeq
+    val expected = Seq( // the IT case's expected list: (a, SUM(c), MIN(c))
+      (1, 0.0, 0.0), (2, 1.0, 1.0), (2, 3.0, 1.0),
+      (3, 3.0, 3.0), (3, 7.0, 3.0), (3, 12.0, 3.0),
+      (4, 6.0, 6.0), (4, 13.0, 6.0), (4, 21.0, 6.0), (4, 30.0, 6.0),
+      (5, 10.0, 10.0), (5, 21.0, 10.0), (5, 33.0, 10.0),
+      (5, 46.0, 10.0), (5, 60.0, 10.0))
+    assert(got.sorted == expected.sorted,
+      s"\n got ${got.sorted}\nwant ${expected.sorted}")
+    // batch collapse: the whole input is one arrival sequence
+    val batchGot = StreamingOverSql.sqlDf(data.toDF(), q)
+      .as[(Int, Double, Double)].collect().toSeq
+    assert(batchGot.sorted == expected.sorted)
+  }
+
+  test("contracts fail loudly: proctime RANGE, non-numeric SUM, " +
+    "unknown column") {
     import spark.implicits._
     val df = boundedRowsData.toDF()
     val e1 = intercept[RuntimeException](StreamingOverSql.sqlDf(df,
       """SELECT c, COUNT(1) OVER (PARTITION BY c ORDER BY proctime
-        |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt FROM T1""".stripMargin))
-    assert(e1.getMessage.contains("proctime"))
+        |RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS cnt
+        |FROM T1""".stripMargin))
+    assert(e1.getMessage.contains("proc-time"))
     val e2 = intercept[Exception](StreamingOverSql.sqlDf(df,
       """SELECT c, SUM(c) OVER (PARTITION BY a ORDER BY rowtime
         |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM T1""".stripMargin)
