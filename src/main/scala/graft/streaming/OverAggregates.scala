@@ -54,10 +54,12 @@ object OverAggregates extends Serializable {
     * input). */
   final case class Agg(fn: String, valueCol: Option[String], alias: String)
 
-  // kryo-encoded per-key state: raw pending rows (external row values),
-  // the retained frame (event micros + per-agg inputs), and the
-  // unbounded accumulators. Public only because Encoders.kryo requires a
-  // public class — not part of the API surface.
+  // Per-key state: raw pending rows (external row values), the retained
+  // frame (event micros + per-agg inputs), and the unbounded
+  // accumulators. Java-serialized, not kryo: kryo's reflective field
+  // scan needs java.base --add-opens a plain-java launch lacks, and the
+  // small bounded ring/pending buffers do not need kryo speed. Public
+  // because the serialized-state encoder requires a public class.
   final case class Acc(n: Long, sum: Double, min: Double, max: Double)
   final case class GenState(
       pending: Seq[Seq[Any]],
@@ -101,7 +103,7 @@ object OverAggregates extends Serializable {
       case Agg(_, _, alias) => StructField(alias, DoubleType, nullable = true)
     })
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stEnc: Encoder[GenState] = Encoders.kryo[GenState]
+    implicit val stEnc: Encoder[GenState] = Encoders.javaSerialization[GenState]
 
     def entryOf(vals: Seq[Any]): Seq[Any] = entryOfVals(vals, aggIdx)
     def leadUs(vals: Seq[Any]): Long =
@@ -237,7 +239,7 @@ object OverAggregates extends Serializable {
       case Agg(_, _, alias) => StructField(alias, DoubleType, nullable = true)
     })
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stEnc: Encoder[GenState] = Encoders.kryo[GenState]
+    implicit val stEnc: Encoder[GenState] = Encoders.javaSerialization[GenState]
     val isStreaming = df.isStreaming
     val cap = preceding + 1
     val tieIdx = tieBreak.map(schema.fieldIndex)

@@ -611,9 +611,10 @@ object PatternMatch extends Serializable {
     }
   }
 
-  /** Kryo-encoded per-key streaming state for the general-schema
-    * executor — the [[BufState]] shape with raw row values (public only
-    * because Encoders.kryo requires a public class). */
+  /** Serialized per-key streaming state for the general-schema
+    * executor — the [[BufState]] shape with raw row values
+    * (java-serialized: see OverAggregates.GenState note; public because
+    * the serialized-state encoder requires a public class). */
   final case class GenBufState(rows: Seq[Seq[Any]], prev: Option[Seq[Any]],
       nMatches: Long = 0L)
 
@@ -672,7 +673,7 @@ object PatternMatch extends Serializable {
     val microsOf: Row => Long =
       r => StatefulOps.eventMicros(r.getAs[java.sql.Timestamp](leadIdx))
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stEnc: Encoder[GenBufState] = Encoders.kryo[GenBufState]
+    implicit val stEnc: Encoder[GenBufState] = Encoders.javaSerialization[GenBufState]
 
     def process(key: Row, rows: Iterator[Row],
         state: GroupState[GenBufState]): Iterator[Row] = {

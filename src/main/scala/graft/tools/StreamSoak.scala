@@ -226,7 +226,37 @@ object StreamSoak {
         // multiset: stream must release exactly the real rows (the last
         // sentinel stays pending at termination — excluded both sides);
         // emission ORDER is checked separately below per output file
-        reconstructed(real), true))
+        reconstructed(real), true),
+      // round-11 extension: the GENERAL-SCHEMA executors (kryo row state)
+      // at volume — string-keyed OVER frames and streaming SQL
+      // MATCH_RECOGNIZE, each against its own batch collapse
+      ("gen_over_rows", eventsDir,
+        (ds: Dataset[Event]) => graft.streaming.StreamingOverSql.sqlDf(
+          ds.toDF(),
+          """SELECT event_type, event_id,
+            |  COUNT(*) OVER w AS cnt_w,
+            |  SUM(value) OVER w AS sum_v,
+            |  MIN(value) OVER w AS min_v
+            |FROM events
+            |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+            |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin),
+        reconstructed(real), true),
+      ("gen_match", eventsDir,
+        (ds: Dataset[Event]) => graft.streaming.MatchRecognizeSql.sqlDf(
+          ds.toDF(),
+          // every variable excludes the sentinel rows (event_id < 0), so
+          // the stream (sentinel never closed) and the batch collapse
+          // (sentinel is a final row) bind identical matches
+          """SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts, event_id
+            |  MEASURES A.event_id AS a_id, B.event_id AS b_id
+            |  ONE ROW PER MATCH
+            |  PATTERN (A B)
+            |  DEFINE A AS event_type = 'view' AND event_id >= 0,
+            |         B AS event_type = 'purchase' AND event_id >= 0
+            |)""".stripMargin),
+        reconstructed(identity), true))
 
     // The early/late-fire ops keep a PROC-TIME timer per open window, and
     // the sentinel windows (far-future ts) never close — so they re-register
