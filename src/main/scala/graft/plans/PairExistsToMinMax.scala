@@ -91,15 +91,20 @@ object PairExistsToMinMax extends Rule[LogicalPlan] {
     * Project-over-pair-join. Returns the input instance unchanged (eq)
     * when nothing matched. */
   private def rewriteSetCtx(p: LogicalPlan): LogicalPlan = p match {
-    case proj @ Project(_, jn: Join) =>
+    // a nondeterministic Project/Filter over the pair output is NOT
+    // set-equivalent (deduplicating the pairs changes e.g. a rand()
+    // sample's distribution) — Spark mostly forbids nondeterminism in
+    // subqueries, but the rule also fires on hand-built Dataset plans,
+    // so the descent stops there (falls to `case other`)
+    case proj @ Project(pl, jn: Join) if pl.forall(_.deterministic) =>
       pairRewrite(proj, jn).getOrElse {
         val c = rewriteSetCtx(jn)
         if (c eq jn) proj else proj.copy(child = c)
       }
-    case f: Filter =>
+    case f: Filter if f.condition.deterministic =>
       val c = rewriteSetCtx(f.child)
       if (c eq f.child) f else f.copy(child = c)
-    case pr: Project =>
+    case pr: Project if pr.projectList.forall(_.deterministic) =>
       val c = rewriteSetCtx(pr.child)
       if (c eq pr.child) pr else pr.copy(child = c)
     case d: Distinct =>
@@ -115,19 +120,20 @@ object PairExistsToMinMax extends Rule[LogicalPlan] {
   private def pairRewrite(proj: Project, jn: Join): Option[LogicalPlan] = {
     if (jn.joinType != Inner) return None
     val cond = jn.condition.getOrElse(return None)
-    val (eqs, neqs, others) = {
+    val (eqs, neqs, notNulls, others) = {
       val cs = splitConjuncts(cond)
       val e = cs.collect { case EqualTo(a: AttributeReference,
         b: AttributeReference) => (a, b) }
       val n = cs.collect { case Not(EqualTo(a: AttributeReference,
         b: AttributeReference)) => (a, b) }
+      val nn = cs.collect { case IsNotNull(a: AttributeReference) => a }
       val o = cs.filterNot {
         case EqualTo(_: AttributeReference, _: AttributeReference) => true
         case Not(EqualTo(_: AttributeReference, _: AttributeReference)) => true
-        case IsNotNull(_: AttributeReference) => true // redundant w/ eq or neq
+        case IsNotNull(_: AttributeReference) => true // validated below
         case _ => false
       }
-      (e, n, o)
+      (e, n, nn, o)
     }
     if (eqs.size != 1 || neqs.size != 1 || others.nonEmpty) return None
     val (l, r) = (jn.left, jn.right)
@@ -142,6 +148,11 @@ object PairExistsToMinMax extends Rule[LogicalPlan] {
     }
     val (k1, k2) = orient(eqs.head).getOrElse(return None)
     val (w1, w2) = orient(neqs.head).getOrElse(return None)
+    // IsNotNull conjuncts are only redundant when they cover the eq/neq
+    // columns themselves; an isnotnull over a THIRD column is a real
+    // predicate the min/max form would silently drop — disqualify
+    val eqNeqIds = Set(k1, k2, w1, w2).map(_.exprId)
+    if (!notNulls.forall(a => eqNeqIds.contains(a.exprId))) return None
     // k and w must be the SAME column of the shared relation on both
     // sides — output position is the identity that survives sameResult
     def pos(side: LogicalPlan, a: Attribute): Int =

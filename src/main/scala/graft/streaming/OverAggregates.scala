@@ -78,6 +78,7 @@ object OverAggregates extends Serializable {
     val isStreaming = df.isStreaming
     (partCols ++ orderCols).foreach(c => require(schema.fieldNames.contains(c),
       s"column '$c' not in input schema ${schema.fieldNames.mkString(", ")}"))
+    orderCols.foreach(c => requireOrderable(schema, c))
     val leadIdx = schema.fieldIndex(orderCols.head)
     val leadIsTs = schema.fields(leadIdx).dataType == TimestampType
     if (isStreaming) require(leadIsTs,
@@ -233,6 +234,7 @@ object OverAggregates extends Serializable {
     val schema = df.schema
     (partCols ++ tieBreak).foreach(c => require(schema.fieldNames.contains(c),
       s"column '$c' not in input schema ${schema.fieldNames.mkString(", ")}"))
+    tieBreak.foreach(c => requireOrderable(schema, c))
     val aggIdx = checkAggs(schema, aggs)
     val outSchema = StructType(schema.fields.toSeq ++ aggs.map {
       case Agg("COUNT", _, alias) => StructField(alias, LongType, nullable = false)
@@ -349,6 +351,24 @@ object OverAggregates extends Serializable {
         }
       }
     }
+
+  /** The ORDER BY / tie-break comparators cast external values to
+    * `Comparable[Any]`; an array/map/struct column (rendered Seq/Map/Row)
+    * or binary (Array[Byte]) would pass the schema-existence check and
+    * only throw ClassCastException mid-query — fail loudly up front
+    * instead, like every other entry-point contract here. */
+  private[streaming] def requireOrderable(schema: StructType, c: String): Unit = {
+    val dt = schema.fields(schema.fieldIndex(c)).dataType
+    val ok = dt match {
+      case _: NumericType | StringType | BooleanType | DateType |
+          TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    require(ok,
+      s"ORDER BY / tie-break column '$c' has non-comparable external type " +
+        s"$dt (arrays/maps/structs/binary render as types without a " +
+        "runtime Comparable); order on an atomic column")
+  }
 
   /** Ascending multi-column ordering over raw row values; nulls first
     * (Spark's ASC convention). */

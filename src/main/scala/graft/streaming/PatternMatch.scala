@@ -575,6 +575,7 @@ object PatternMatch extends Serializable {
     val partIdx = partCols.map(schema.fieldIndex).toArray
     val keySchema = StructType(partIdx.map(schema.fields(_)).toSeq)
     val ordKeys = orderKeys.map { case (c, asc) =>
+      OverAggregates.requireOrderable(schema, c) // fail loudly, not mid-query
       val i = schema.fieldIndex(c); (i, asc, schema.fields(i).dataType)
     }
     val withinUs = within.map(_.toNanos / 1000).getOrElse(Long.MaxValue)
@@ -667,6 +668,7 @@ object PatternMatch extends Serializable {
     val usesPrev = steps.exists(_.needsPrev)
     val stepsArr = steps.toIndexedSeq
     val ordKeys = orderKeys.map { case (c, asc) =>
+      OverAggregates.requireOrderable(schema, c) // fail loudly, not mid-query
       val i = schema.fieldIndex(c); (i, asc, schema.fields(i).dataType)
     }
     val ord = rowOrdering(ordKeys)

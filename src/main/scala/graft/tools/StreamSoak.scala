@@ -227,7 +227,8 @@ object StreamSoak {
         // sentinel stays pending at termination — excluded both sides);
         // emission ORDER is checked separately below per output file
         reconstructed(real), true),
-      // round-11 extension: the GENERAL-SCHEMA executors (kryo row state)
+      // round-11 extension: the GENERAL-SCHEMA executors (java-serialized
+      // row state — OverAggregates.GenState / PatternMatch.GenBufState)
       // at volume — string-keyed OVER frames and streaming SQL
       // MATCH_RECOGNIZE, each against its own batch collapse
       ("gen_over_rows", eventsDir,

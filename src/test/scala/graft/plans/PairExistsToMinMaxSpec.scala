@@ -119,6 +119,68 @@ class PairExistsToMinMaxSpec extends SparkSpec {
     }
   }
 
+  // --- direct-rule gate tests: hand-built catalyst plans, because the
+  // optimizer itself strips/pushes the offending conjuncts before
+  // extraOptimizations run in the normal pipeline (the advisory's point:
+  // the rule ALSO fires on plans that did not take that path) ---
+
+  import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull, Rand, LessThan, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, JoinHint, LogicalPlan, Project => LProject}
+
+  /** Semi probe over a hand-built pair join; `extraCond` mutates the pair
+    * join's condition, `wrapRight` wraps the Project(k, pairJoin). */
+  private def handBuiltSemi(extraCond: Option[LogicalPlan => org.apache.spark.sql.catalyst.expressions.Expression] = None,
+      wrapRight: LogicalPlan => LogicalPlan = identity): LogicalPlan = {
+    val ws3 = lineitem.select(col("l_orderkey").as("k"),
+      col("l_suppkey").as("w"), col("l_quantity").as("v"))
+    val left = ws3.queryExecution.analyzed
+    val right = ws3.queryExecution.analyzed
+    def a(p: LogicalPlan, n: String) = p.output.find(_.name == n).get
+    val base = And(EqualTo(a(left, "k"), a(right, "k")),
+      Not(EqualTo(a(left, "w"), a(right, "w"))))
+    val cond = extraCond.fold[org.apache.spark.sql.catalyst.expressions.Expression](base)(
+      f => And(base, f(left)))
+    val pair = LJoin(left, right, Inner, Some(cond), JoinHint.NONE)
+    val proj = LProject(Seq(a(left, "k")), pair)
+    val ord = orders.select(col("o_orderkey")).queryExecution.analyzed
+    LJoin(ord, wrapRight(proj), LeftSemi,
+      Some(EqualTo(a(ord, "o_orderkey"), a(left, "k"))), JoinHint.NONE)
+  }
+  private def rewritten(p: LogicalPlan): Boolean =
+    p.collect { case ag: Aggregate if ag.aggregateExpressions.exists(
+      _.toString.contains("__graft_min_w")) => ag }.nonEmpty
+
+  test("declines: isnotnull over a THIRD column in the join condition") {
+    withFlag(on = true) {
+      // control: the same hand-built shape without the extra conjunct DOES
+      // rewrite — proves the flag is visible and isolates the gate
+      assert(rewritten(PairExistsToMinMax(handBuiltSemi())))
+      val withThird = handBuiltSemi(extraCond = Some(l =>
+        IsNotNull(l.output.find(_.name == "v").get)))
+      assert(!rewritten(PairExistsToMinMax(withThird)),
+        "isnotnull over a non-key/ineq column is a real predicate; " +
+          "dropping it would widen the key set")
+      // isnotnull over the KEY columns stays redundant and still rewrites
+      val withKeyNn = handBuiltSemi(extraCond = Some(l =>
+        IsNotNull(l.output.find(_.name == "k").get)))
+      assert(rewritten(PairExistsToMinMax(withKeyNn)))
+    }
+  }
+
+  test("declines: nondeterministic filter over the pair output") {
+    withFlag(on = true) {
+      val nd = handBuiltSemi(wrapRight = proj =>
+        LFilter(LessThan(new Rand(Literal(42L)), Literal(2.0)), proj))
+      assert(!rewritten(PairExistsToMinMax(nd)),
+        "deduplicating pairs under a nondeterministic filter changes the " +
+          "sampled distribution — not set-equivalent")
+      // a deterministic filter in the same position still rewrites
+      val det = handBuiltSemi(wrapRight = proj =>
+        LFilter(IsNotNull(proj.output.head), proj))
+      assert(rewritten(PairExistsToMinMax(det)))
+    }
+  }
+
   test("declines: multiplicity-sensitive consumer (inner join / count)") {
     withFlag(on = true) {
       // the pair multiset feeds an inner join: multiplicities are

@@ -272,4 +272,32 @@ class OverAggregatesSpec extends SparkSpec {
         |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt FROM T1""".stripMargin))
     assert(e3.getMessage.contains("nope"))
   }
+
+  test("non-comparable ORDER BY / tie-break columns fail up front, " +
+    "not mid-query") {
+    import org.apache.spark.sql.functions.{array, col, struct}
+    import spark.implicits._
+    // array and struct external types (Seq / Row) carry no runtime
+    // Comparable — the old behavior was a ClassCastException inside the
+    // executor; the contract is now a loud require at the entry point
+    val df = Seq((1, 2.0), (2, 3.0)).toDF("a", "v")
+      .withColumn("arr", array(col("a")))
+      .withColumn("st", struct(col("a")))
+    val agg = Seq(OverAggregates.Agg("SUM", Some("v"), "s"))
+    val e1 = intercept[IllegalArgumentException](
+      OverAggregates.procRowsAggregates(df, Seq("a"), Seq("arr"), 2, agg))
+    assert(e1.getMessage.contains("non-comparable"))
+    val e2 = intercept[IllegalArgumentException](
+      OverAggregates.overAggregates(df, Seq("a"), Seq("st"),
+        OverAggregates.RowsPreceding(2), agg))
+    assert(e2.getMessage.contains("non-comparable"))
+    // the general-schema MATCH_RECOGNIZE paths share the gate
+    val e3 = intercept[IllegalArgumentException](
+      MatchRecognizeSql.sqlDf(df,
+        """SELECT * FROM T MATCH_RECOGNIZE (
+          |  PARTITION BY a ORDER BY arr
+          |  MEASURES FIRST(B.v) AS fv
+          |  PATTERN (B) DEFINE B AS B.v > 0) AS M""".stripMargin))
+    assert(e3.getMessage.contains("non-comparable"))
+  }
 }
