@@ -36,7 +36,8 @@ object SparkEntry {
       graft.streaming.StatefulBatch.defs ++
       graft.operators.Funnel.defs ++
       graft.operators.MatchSql.defs ++
-      graft.operators.OverSql.defs
+      graft.operators.OverSql.defs ++
+      graft.operators.RankDedupSql.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
