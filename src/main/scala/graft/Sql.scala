@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The single SQL front door — parity with the reference's one
+  * `sqlQuery(String)` entry (reference: flink-table
+  * .../api/internal/TableEnvironmentImpl.java:300, which accepts every
+  * statement including embedded MATCH_RECOGNIZE), where graft previously
+  * exposed per-family entries (`spark.sql`, [[
+  * graft.streaming.MatchRecognizeSql.sqlDf]], [[
+  * graft.streaming.StreamingOverSql.sqlDf]], [[
+  * graft.streaming.RankSql.sqlDf]]).
+  *
+  * Division of labor: Spark SQL already evaluates OVER windows,
+  * ROW_NUMBER filters, joins, subqueries and unions natively in batch —
+  * the ONE clause it cannot parse at all is MATCH_RECOGNIZE. So the
+  * router extracts each `<table> MATCH_RECOGNIZE ( ... )` table
+  * reference from the statement, executes it through the existing
+  * general-schema executor, registers the result as a temp view, and
+  * hands the spliced statement to `spark.sql` — the surrounding query
+  * (joins, aggregations, set ops over the clause result) composes
+  * untouched. Tables named in the statement must be resolvable through
+  * the session catalog (temp views or tables), exactly as in the
+  * reference's registered-table model.
+  *
+  * The df-parameterized entries remain the STREAMING front doors: a
+  * streaming source is a DataFrame, not a catalog name, and Spark SQL
+  * cannot plan the stateful executors' operators from text alone.
+  */
+object Sql {
+
+  def sql(spark: SparkSession, text: String): DataFrame =
+    spark.sql(spliceMatchRecognize(spark, text))
+
+  /** Replace every `<table> MATCH_RECOGNIZE (...)` reference with a temp
+    * view holding the executed clause result; returns the spliced
+    * statement. Exposed for tests. */
+  private[graft] def spliceMatchRecognize(spark: SparkSession,
+      text: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var n = 0
+    while (i < text.length) {
+      val kw = indexOfWord(text, "MATCH_RECOGNIZE", i)
+      if (kw < 0) { out.append(text.substring(i)); i = text.length }
+      else {
+        // backtrack over whitespace to the preceding table identifier
+        var e = kw - 1
+        while (e >= i && text.charAt(e).isWhitespace) e -= 1
+        val idEnd = e + 1
+        while (e >= i && (text.charAt(e).isLetterOrDigit ||
+          text.charAt(e) == '_' || text.charAt(e) == '.')) e -= 1
+        val table = text.substring(e + 1, idEnd)
+        require(table.nonEmpty && !table.head.isDigit,
+          s"MATCH_RECOGNIZE must follow a table reference, found " +
+            s"'${text.substring(math.max(i, kw - 20), kw)}'")
+        // forward: the balanced clause body
+        var j = kw + "MATCH_RECOGNIZE".length
+        while (j < text.length && text.charAt(j).isWhitespace) j += 1
+        require(j < text.length && text.charAt(j) == '(',
+          "expected '(' after MATCH_RECOGNIZE")
+        val close = balancedClose(text, j)
+        val clause = text.substring(kw, close + 1)
+        val view = s"graft_mr_$n"
+        n += 1
+        graft.streaming.MatchRecognizeSql
+          .sqlDf(spark.table(table), s"SELECT * FROM $table $clause")
+          .createOrReplaceTempView(view)
+        out.append(text.substring(i, e + 1)).append(view)
+        i = close + 1
+      }
+    }
+    out.result()
+  }
+
+  /** First occurrence of `word` at or after `from`, case-insensitive, on
+    * identifier boundaries, outside single-quoted string literals. */
+  private def indexOfWord(s: String, word: String, from: Int): Int = {
+    val u = s.toUpperCase
+    var i = from
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inStr = !inStr; i += 1 }
+      else if (!inStr && u.startsWith(word, i) &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+          (i + word.length >= s.length || !isIdentChar(s.charAt(i + word.length))))
+        return i
+      else i += 1
+    }
+    -1
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Index of the ')' balancing the '(' at `open`, skipping string
+    * literals. */
+  private def balancedClose(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') {
+        depth -= 1
+        if (depth == 0) return i
+      }
+      i += 1
+    }
+    sys.error("unbalanced parentheses in MATCH_RECOGNIZE clause")
+  }
+}

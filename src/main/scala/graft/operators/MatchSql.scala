@@ -18,7 +18,50 @@ object MatchSql {
   def defs: Seq[QueryDef] =
     Seq(q125SqlFunnel, q126SqlPrev, q127SqlReluctant, q128SqlNext,
       q129SqlSkipNext, q130SqlAllRows, q131SqlCompositeKey,
-      q132SqlLogicalOffsets)
+      q132SqlLogicalOffsets, q143FrontDoor)
+
+  /** The SINGLE SQL front door ([[graft.Sql.sql]], r12): a
+    * MATCH_RECOGNIZE clause EMBEDDED in a larger statement — the clause
+    * result joined and the join aggregated by the enclosing SQL, all as
+    * one string (reference parity: TableEnvironmentImpl.sqlQuery accepts
+    * the composite statement; graft previously needed per-family
+    * entries). The oracle expresses the adjacent view→purchase pair
+    * match as window SQL (disjoint by construction — the two variables
+    * bind different event types, so SKIP PAST LAST ROW prunes nothing). */
+  val q143FrontDoor: QueryDef = QueryDef("q143_sql_front_door",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |pairs AS (
+      |  SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id
+      |  FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      |  WHERE a.event_type = 'view' AND b.event_type = 'purchase')
+      |SELECT p.user_id, p.view_id, p.purchase_id, u.n_events
+      |FROM pairs p
+      |JOIN (SELECT user_id, COUNT(*) AS n_events
+      |      FROM events GROUP BY user_id) u
+      |  ON u.user_id = p.user_id
+      |ORDER BY p.user_id, p.view_id""".stripMargin) { (spark, dir) =>
+    graft.core.Catalog.load(spark, dir, "events")
+      .createOrReplaceTempView("events")
+    graft.Sql.sql(spark,
+      """SELECT m.user_id, m.view_id, m.purchase_id, u.n_events
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES A.event_id AS view_id, B.event_id AS purchase_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B)
+        |  DEFINE A AS event_type = 'view',
+        |         B AS event_type = 'purchase'
+        |) AS m
+        |JOIN (SELECT user_id, COUNT(*) AS n_events
+        |      FROM events GROUP BY user_id) u
+        |  ON m.user_id = u.user_id
+        |ORDER BY m.user_id, m.view_id""".stripMargin)
+  }
 
   private def run(sql: String)(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
