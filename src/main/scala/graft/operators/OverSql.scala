@@ -18,7 +18,46 @@ object OverSql {
   def defs: Seq[QueryDef] =
     Seq(q133SqlOverRunning, q134SqlOverRows, q135SqlOverRange,
       q136SqlOverAnyRows, q137SqlOverAnyRange, q138SqlOverAnyUnbounded,
-      q139SqlOverAnyProcRows)
+      q139SqlOverAnyProcRows, q144OverDecimal)
+
+  /** DECIMAL-EXACT general-schema OVER (r12, VERDICT r11 #5): SUM/MIN
+    * over a DECIMAL(12,2) money column stay decimal through the frame
+    * fold (reference long-backed decimal semantics, Decimal.java:43) —
+    * the final cast to double happens AFTER exact arithmetic on both
+    * engines, so the gate hashes EXACT values, no 4dp rounding. AVG
+    * derives as double from the exact decimal sum (deterministic under
+    * any partitioning; both engines divide the identical rational). */
+  val q144OverDecimal: QueryDef = QueryDef("q144_sql_over_decimal",
+    """WITH t AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(price) OVER win AS DOUBLE) AS sum_price,
+      |  CAST(MIN(price) OVER win AS DOUBLE) AS min_price,
+      |  CAST(SUM(price) OVER win AS DOUBLE)
+      |    / COUNT(price) OVER win AS avg_price
+      |FROM t
+      |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.DecimalType
+    val t = graft.core.Catalog.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+    graft.streaming.OverAggregates.overAggregates(t,
+      Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+      graft.streaming.OverAggregates.RowsPreceding(2),
+      Seq(graft.streaming.OverAggregates.Agg("SUM", Some("price"), "sum_price"),
+        graft.streaming.OverAggregates.Agg("MIN", Some("price"), "min_price"),
+        graft.streaming.OverAggregates.Agg("AVG", Some("price"), "avg_price")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("sum_price").cast("double").as("sum_price"),
+        col("min_price").cast("double").as("min_price"),
+        col("avg_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 
   private def run(sql: String)(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =

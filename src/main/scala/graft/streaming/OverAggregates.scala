@@ -49,9 +49,14 @@ object OverAggregates extends Serializable {
   final case class RangePreceding(horizon: java.time.Duration) extends Frame
 
   /** One OVER aggregate: fn in COUNT/SUM/MIN/MAX/AVG; `valueCol` None
-    * means COUNT(*). Output column named `alias` (COUNT: non-null long;
-    * others: nullable double — SQL null when the frame holds no non-null
-    * input). */
+    * means COUNT(*). Output column named `alias`: COUNT is a non-null
+    * long; over a DOUBLE-or-narrower numeric column SUM/MIN/MAX/AVG are
+    * nullable double; over a DECIMAL column the arithmetic stays
+    * DECIMAL-EXACT (r12 — the reference's long-backed decimal semantics,
+    * flink-table-runtime-blink .../dataformat/Decimal.java:43): SUM is
+    * DecimalType(38, s), MIN/MAX keep the input type, AVG derives as
+    * double from the exact decimal sum. SQL null when the frame holds no
+    * non-null input. */
   final case class Agg(fn: String, valueCol: Option[String], alias: String)
 
   // Per-key state: raw pending rows (external row values), the retained
@@ -60,7 +65,9 @@ object OverAggregates extends Serializable {
   // scan needs java.base --add-opens a plain-java launch lacks, and the
   // small bounded ring/pending buffers do not need kryo speed. Public
   // because the serialized-state encoder requires a public class.
-  final case class Acc(n: Long, sum: Double, min: Double, max: Double)
+  // sum/min/max hold java.lang.Double OR java.math.BigDecimal (decimal
+  // inputs); null = no non-null input seen.
+  final case class Acc(n: Long, sum: Any, min: Any, max: Any)
   final case class GenState(
       pending: Seq[Seq[Any]],
       frameUs: Seq[Long],
@@ -99,10 +106,7 @@ object OverAggregates extends Serializable {
       case _ => 0L
     }
     val aggIdx = checkAggs(schema, aggs)
-    val outSchema = StructType(schema.fields.toSeq ++ aggs.map {
-      case Agg("COUNT", _, alias) => StructField(alias, LongType, nullable = false)
-      case Agg(_, _, alias) => StructField(alias, DoubleType, nullable = true)
-    })
+    val outSchema = StructType(schema.fields.toSeq ++ outFields(aggs, aggIdx))
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val stEnc: Encoder[GenState] = Encoders.javaSerialization[GenState]
 
@@ -118,7 +122,7 @@ object OverAggregates extends Serializable {
           case "COUNT" => if (colOpt.isEmpty) rows else a.n
           case _ if a.n == 0 => null
           case "SUM" => a.sum
-          case "AVG" => a.sum / a.n
+          case "AVG" => toD(a.sum) / a.n
           case "MIN" => a.min
           case "MAX" => a.max
         }
@@ -140,16 +144,16 @@ object OverAggregates extends Serializable {
         case UnboundedPreceding =>
           var rowsSoFar = st.rows
           var accs = if (st.accs.nonEmpty) st.accs
-            else aggs.map(_ => Acc(0L, 0.0, Double.PositiveInfinity,
-              Double.NegativeInfinity))
+            else aggs.map(_ => Acc(0L, null, null, null))
           ripe.foreach { vals =>
             rowsSoFar += 1
             val e = entryOf(vals)
             accs = accs.zipWithIndex.map { case (a, ai) =>
-              val v = e(ai).asInstanceOf[java.lang.Double]
+              val v = e(ai)
               if (v == null) a
-              else Acc(a.n + 1, a.sum + v.doubleValue(),
-                math.min(a.min, v.doubleValue()), math.max(a.max, v.doubleValue()))
+              else Acc(a.n + 1, addVals(a.sum, v),
+                if (a.min == null || cmpNum(v, a.min) < 0) v else a.min,
+                if (a.max == null || cmpNum(v, a.max) > 0) v else a.max)
             }
             out += Row.fromSeq(vals ++ unboundedOut(rowsSoFar, accs))
           }
@@ -236,10 +240,7 @@ object OverAggregates extends Serializable {
       s"column '$c' not in input schema ${schema.fieldNames.mkString(", ")}"))
     tieBreak.foreach(c => requireOrderable(schema, c))
     val aggIdx = checkAggs(schema, aggs)
-    val outSchema = StructType(schema.fields.toSeq ++ aggs.map {
-      case Agg("COUNT", _, alias) => StructField(alias, LongType, nullable = false)
-      case Agg(_, _, alias) => StructField(alias, DoubleType, nullable = true)
-    })
+    val outSchema = StructType(schema.fields.toSeq ++ outFields(aggs, aggIdx))
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val stEnc: Encoder[GenState] = Encoders.javaSerialization[GenState]
     val isStreaming = df.isStreaming
@@ -291,8 +292,12 @@ object OverAggregates extends Serializable {
 
   // ---- shared kernels between the row-time and proc-time executors ----
 
-  /** Validate the agg list; per-agg input column index (-1 = COUNT(*)). */
-  private def checkAggs(schema: StructType, aggs: Seq[Agg]): Seq[Int] =
+  /** Per-agg input descriptor: column index (-1 = COUNT(*)) and the
+    * input's DecimalType when the arithmetic must stay decimal-exact. */
+  private[streaming] final case class AggIn(idx: Int, dec: Option[DecimalType])
+
+  /** Validate the agg list; per-agg input descriptor. */
+  private def checkAggs(schema: StructType, aggs: Seq[Agg]): Seq[AggIn] =
     aggs.map {
       case Agg(fn, colOpt, _) =>
         require(Set("COUNT", "SUM", "MIN", "MAX", "AVG").contains(fn),
@@ -300,29 +305,78 @@ object OverAggregates extends Serializable {
         colOpt match {
           case None =>
             require(fn == "COUNT", s"$fn requires a value column")
-            -1
+            AggIn(-1, None)
           case Some(c) =>
             val i = schema.fieldIndex(c)
-            require(fn == "COUNT" || schema.fields(i).dataType
-              .isInstanceOf[NumericType],
-              s"$fn($c) needs a numeric column, got ${schema.fields(i).dataType}")
-            i
+            val dt = schema.fields(i).dataType
+            require(fn == "COUNT" || dt.isInstanceOf[NumericType],
+              s"$fn($c) needs a numeric column, got $dt")
+            AggIn(i, dt match {
+              case d: DecimalType => Some(d)
+              case _ => None
+            })
         }
+    }
+
+  /** Output fields per agg: COUNT long; decimal inputs keep exact
+    * decimal arithmetic (SUM widens to the max precision, the same
+    * no-overflow guarantee as Spark's own sum; MIN/MAX keep the input
+    * type); everything else double. AVG over decimal derives as double
+    * FROM THE EXACT DECIMAL SUM, so it is deterministic under any
+    * partitioning even though the final division is floating. */
+  private def outFields(aggs: Seq[Agg], aggIn: Seq[AggIn]): Seq[StructField] =
+    aggs.zip(aggIn).map {
+      case (Agg("COUNT", _, alias), _) =>
+        StructField(alias, LongType, nullable = false)
+      case (Agg("SUM", _, alias), AggIn(_, Some(d))) =>
+        StructField(alias, DecimalType(DecimalType.MAX_PRECISION, d.scale),
+          nullable = true)
+      case (Agg(fn, _, alias), AggIn(_, Some(d))) if fn == "MIN" || fn == "MAX" =>
+        StructField(alias, d, nullable = true)
+      case (Agg(_, _, alias), _) => StructField(alias, DoubleType, nullable = true)
     }
 
   private def toDouble(v: Any): java.lang.Double = v match {
     case null => null
     case d: java.lang.Double => d
     case n: java.lang.Number => n.doubleValue() // covers BigDecimal too
-    case d: scala.math.BigDecimal => d.toDouble
     case other => sys.error(s"non-numeric aggregate input $other")
   }
 
-  /** Per-row agg inputs; COUNT(*) entries mark presence (never null). */
-  private def entryOfVals(vals: Seq[Any], aggIdx: Seq[Int]): Seq[Any] =
-    aggIdx.map {
-      case -1 => java.lang.Double.valueOf(1.0)
-      case i => toDouble(vals(i))
+  /** Double for the mixed-type accumulators (decimal sum → double AVG). */
+  private def toD(v: Any): Double = v match {
+    case d: java.lang.Double => d.doubleValue()
+    case b: java.math.BigDecimal => b.doubleValue()
+    case other => sys.error(s"unexpected accumulator value $other")
+  }
+
+  /** Exact addition on the accumulator domain (null = empty). */
+  private def addVals(a: Any, v: Any): Any =
+    if (a == null) v
+    else (a, v) match {
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        java.lang.Double.valueOf(x + y)
+      case other => sys.error(s"mixed accumulator types $other")
+    }
+
+  /** Comparison on the accumulator domain (Double and BigDecimal are
+    * both Comparable with themselves). */
+  private def cmpNum(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Per-row agg inputs; COUNT(*) entries mark presence (never null);
+    * decimal aggs keep java.math.BigDecimal for exact folds. */
+  private def entryOfVals(vals: Seq[Any], aggIn: Seq[AggIn]): Seq[Any] =
+    aggIn.map {
+      case AggIn(-1, _) => java.lang.Double.valueOf(1.0)
+      case AggIn(i, Some(_)) => vals(i) match {
+        case null => null
+        case b: java.math.BigDecimal => b
+        case b: scala.math.BigDecimal => b.bigDecimal
+        case other => sys.error(s"decimal column yielded $other")
+      }
+      case AggIn(i, None) => toDouble(vals(i))
     }
 
   /** One fold over the retained frame entries -> the agg output values. */
@@ -331,21 +385,24 @@ object OverAggregates extends Serializable {
     aggs.zipWithIndex.map { case (Agg(fn, colOpt, _), ai) =>
       if (fn == "COUNT" && colOpt.isEmpty) entries.length.toLong
       else {
-        var n = 0L; var sum = 0.0
-        var min = Double.PositiveInfinity; var max = Double.NegativeInfinity
+        var n = 0L
+        var sum: Any = null
+        var min: Any = null
+        var max: Any = null
         entries.foreach { e =>
-          val v = e(ai).asInstanceOf[java.lang.Double]
+          val v = e(ai)
           if (v != null) {
-            n += 1; sum += v.doubleValue()
-            if (v < min) min = v
-            if (v > max) max = v
+            n += 1
+            sum = addVals(sum, v)
+            if (min == null || cmpNum(v, min) < 0) min = v
+            if (max == null || cmpNum(v, max) > 0) max = v
           }
         }
         fn match {
           case "COUNT" => n
           case _ if n == 0 => null
           case "SUM" => sum
-          case "AVG" => sum / n
+          case "AVG" => toD(sum) / n
           case "MIN" => min
           case "MAX" => max
         }

@@ -273,6 +273,42 @@ class OverAggregatesSpec extends SparkSpec {
     assert(e3.getMessage.contains("nope"))
   }
 
+  test("decimal inputs stay decimal-exact through the frame fold " +
+    "(ROWS and UNBOUNDED), AVG derives from the exact sum") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    import OverAggregates.Agg
+    // 0.10 + 0.20 is the canonical double-accumulation trap: the double
+    // path yields 0.30000000000000004, the decimal path exactly 0.30
+    val df = Seq((1, "0.10"), (2, "0.20"), (3, "0.30"))
+      .toDF("id", "s")
+      .withColumn("price", col("s").cast(DecimalType(12, 2))).drop("s")
+    val aggs = Seq(Agg("SUM", Some("price"), "sum_p"),
+      Agg("MIN", Some("price"), "min_p"), Agg("AVG", Some("price"), "avg_p"))
+    val out = OverAggregates.overAggregates(df, Nil, Seq("id"),
+      OverAggregates.RowsPreceding(2), aggs)
+    assert(out.schema("sum_p").dataType == DecimalType(38, 2))
+    assert(out.schema("min_p").dataType == DecimalType(12, 2))
+    assert(out.schema("avg_p").dataType == DoubleType)
+    val got = out.orderBy("id").collect().map(r =>
+      (r.getAs[java.math.BigDecimal]("sum_p").stripTrailingZeros,
+        r.getAs[java.math.BigDecimal]("min_p").stripTrailingZeros,
+        r.getAs[Double]("avg_p")))
+    def d(s: String) = new java.math.BigDecimal(s).stripTrailingZeros
+    assert(got(1)._1 == d("0.30"), s"exact decimal sum, got ${got(1)._1}")
+    assert(got(2)._1 == d("0.60"))
+    assert(got.map(_._2).toSeq == Seq(d("0.10"), d("0.10"), d("0.10")))
+    // AVG = correctly-rounded double of the EXACT sum, divided by n
+    assert(got(1)._3 == new java.math.BigDecimal("0.30").doubleValue() / 2)
+    // unbounded accumulators take the same decimal path
+    val unb = OverAggregates.overAggregates(df, Nil, Seq("id"),
+      OverAggregates.UnboundedPreceding, aggs)
+      .orderBy("id").collect()
+      .map(_.getAs[java.math.BigDecimal]("sum_p").stripTrailingZeros)
+    assert(unb.toSeq == Seq(d("0.10"), d("0.30"), d("0.60")))
+  }
+
   test("non-comparable ORDER BY / tie-break columns fail up front, " +
     "not mid-query") {
     import org.apache.spark.sql.functions.{array, col, struct}
