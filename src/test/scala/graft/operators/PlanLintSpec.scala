@@ -128,4 +128,42 @@ class PlanLintSpec extends SparkSpec {
     assert(pinned.isEmpty,
       s"qds72 contains user-pinned shuffles (AQE skew-split ineligible): $pinned")
   }
+
+  test("PairExistsToMinMax's aggregate plans two-phase (map-side combine)") {
+    // The rewrite's whole point at scale is that the hot order key
+    // becomes an ORDINARY skewed aggregate: partial min/max must combine
+    // map-side before the key shuffle, or the hot key's rows would all
+    // cross the wire to one reducer. Assert the physical plan carries a
+    // partial-mode HashAggregate below a final-mode one for the rewrite's
+    // min/max columns.
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_suppkey").as("w"))
+    val pairs = {
+      val b = li.select(col("k").as("k2"), col("w").as("w2"))
+      li.as("a").join(b, col("a.k") === col("k2") &&
+        col("a.w") =!= col("w2")).select(col("a.k"))
+    }
+    val probe = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select(col("o_orderkey"))
+      .join(pairs, col("o_orderkey") === col("k"), "left_semi")
+    spark.conf.set(graft.plans.PairExistsToMinMax.FLAG, "true")
+    try {
+      probe.collect()
+      val nodes = planNodes(probe.queryExecution.executedPlan)
+      // the rewrite fired: its alias appears in some aggregate's output
+      assert(nodes.collect { case h: HashAggregateExec if
+        h.resultExpressions.exists(_.name.contains("__graft_min_w")) => h
+      }.nonEmpty, "rewrite did not fire (no __graft_min_w aggregate)")
+      // and the only aggregates in this plan are the rewrite's min/max —
+      // they must plan as Partial (map-side) + Final around the shuffle
+      val modes = nodes.collect { case h: HashAggregateExec =>
+        h.aggregateExpressions.map(_.mode).distinct
+      }
+      assert(modes.exists(_.contains(Partial)) && modes.exists(_.contains(Final)),
+        s"rewrite aggregate is not two-phase: modes per node = $modes")
+    } finally spark.conf.unset(graft.plans.PairExistsToMinMax.FLAG)
+  }
 }
