@@ -19,7 +19,68 @@ import graft.core.{Catalog, QueryDef, Tables}
 object Windows {
 
   def defs: Seq[QueryDef] =
-    Seq(q60Tumble, q61Hop, q62Session, q108DynamicSession)
+    Seq(q60Tumble, q61Hop, q62Session, q108DynamicSession,
+      q145CountTumbleAny, q146CountSlideAny)
+
+  /** GENERAL-SCHEMA count-tumbling windows (r12 — the last §2.9 shape
+    * that was Event-typed; reference CountTumblingWindowAssigner.java):
+    * every 3 orders per customer in (o_orderdate, o_orderkey) order form
+    * a window; only complete windows emit; the money sum folds in exact
+    * decimal ([[graft.streaming.CountWindows]]), so the gate hashes
+    * exact values. */
+  val q145CountTumbleAny: QueryDef = QueryDef("q145_count_tumble_any",
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) - 1 AS rn
+      |  FROM orders)
+      |SELECT o_custkey, rn // 3 AS win_seq, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |  MIN_BY(o_orderkey, rn) AS first_id, MAX_BY(o_orderkey, rn) AS last_id
+      |FROM seq GROUP BY o_custkey, rn // 3
+      |HAVING COUNT(*) = 3
+      |ORDER BY o_custkey, win_seq""".stripMargin) { (spark, dir) =>
+    val t = Catalog.load(spark, dir, "orders")
+      .withColumn("price", col("o_totalprice").cast(DecimalType(18, 2)))
+    graft.streaming.CountWindows.countTumble(t, Seq("o_custkey"),
+      Seq("o_orderdate", "o_orderkey"), 3, "price", "o_orderkey")
+      .select(col("o_custkey"), col("win_seq"), col("n_rows"),
+        col("sum_v").cast("double").as("sum_v"),
+        col("first_id"), col("last_id"))
+      .orderBy(col("o_custkey"), col("win_seq"))
+  }
+
+  /** General-schema count-sliding windows (reference
+    * CountSlidingWindowAssigner.java): per order, a window of the 4 most
+    * recent lines completes at every 2nd line once 4 have arrived. */
+  val q146CountSlideAny: QueryDef = QueryDef("q146_count_slide_any",
+    """WITH seq AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+      |  FROM lineitem)
+      |SELECT s.l_orderkey, CAST((s.rn - 4) / 2 AS BIGINT) AS win_seq,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(w.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |  MIN_BY(w.l_linenumber, w.rn) AS first_id,
+      |  MAX_BY(w.l_linenumber, w.rn) AS last_id
+      |FROM seq s JOIN seq w
+      |  ON w.l_orderkey = s.l_orderkey AND w.rn BETWEEN s.rn - 3 AND s.rn
+      |WHERE s.rn >= 4 AND (s.rn - 4) % 2 = 0
+      |GROUP BY s.l_orderkey, s.rn
+      |ORDER BY s.l_orderkey, win_seq""".stripMargin) { (spark, dir) =>
+    val t = Catalog.load(spark, dir, "lineitem")
+      .withColumn("qty", col("l_quantity").cast(DecimalType(18, 2)))
+    // (l_linenumber, l_partkey, l_suppkey) is the fixture's total order
+    // within an order — bare l_linenumber repeats (up to 6x), and a tied
+    // ROW_NUMBER draws nondeterministic window contents on both engines
+    graft.streaming.CountWindows.countSlide(t, Seq("l_orderkey"),
+      Seq("l_linenumber", "l_partkey", "l_suppkey"), 4, 2, "qty", "l_linenumber")
+      .select(col("l_orderkey"), col("win_seq"), col("n_rows"),
+        col("sum_v").cast("double").as("sum_v"),
+        col("first_id"), col("last_id"))
+      .orderBy(col("l_orderkey"), col("win_seq"))
+  }
 
   private val tsCol = col("ts")
 

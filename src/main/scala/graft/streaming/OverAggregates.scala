@@ -73,12 +73,28 @@ object OverAggregates extends Serializable {
       frameUs: Seq[Long],
       frameVals: Seq[Seq[Any]],
       rows: Long,
-      accs: Seq[Acc])
+      accs: Seq[Acc],
+      lastUs: Long = Long.MinValue)
   private val emptyState = GenState(Nil, Nil, Nil, 0L, Nil)
 
+  /** Row-time streaming OVER over an arbitrary DataFrame; see the object
+    * Scaladoc for semantics.
+    *
+    * `idleTtl` is the reference's idle-state retention
+    * (KeyedProcessFunctionWithCleanupState.java:93, opt-in here as
+    * there): a key whose frame has seen no row for `idleTtl` of EVENT
+    * time is cleared once the watermark passes that horizon, so an
+    * abandoned key's ring/frame/accumulators stop occupying the store. A
+    * row arriving after the gap starts a FRESH frame — the documented
+    * retention trade, applied deterministically in-band (a ripe row
+    * whose event-time gap from the key's previous row reaches the TTL
+    * resets state even if the expiry timer shares its batch, so results
+    * never race the timer). Batch execution applies the same in-band
+    * gap semantics, keeping the batch collapse the stream's oracle. */
   def overAggregates(df: DataFrame, partCols: Seq[String],
       orderCols: Seq[String], frame: Frame, aggs: Seq[Agg],
-      delay: String = "0 seconds"): DataFrame = {
+      delay: String = "0 seconds",
+      idleTtl: Option[java.time.Duration] = None): DataFrame = {
     require(orderCols.nonEmpty, "ORDER BY must name at least one column")
     require(aggs.nonEmpty, "at least one OVER aggregate is required")
     val schema = df.schema
@@ -104,6 +120,12 @@ object OverAggregates extends Serializable {
     val horizonUs = frame match {
       case RangePreceding(h) => h.toNanos / 1000
       case _ => 0L
+    }
+    val ttlUs = idleTtl.map(_.toNanos / 1000)
+    ttlUs.foreach { t =>
+      require(t > 0, s"idleTtl must be positive, got $idleTtl")
+      require(leadIsTs, "idleTtl measures EVENT time: the leading ORDER " +
+        s"BY column must be a timestamp, got ${schema.fields(leadIdx).dataType}")
     }
     val aggIdx = checkAggs(schema, aggs)
     val outSchema = StructType(schema.fields.toSeq ++ outFields(aggs, aggIdx))
@@ -140,12 +162,24 @@ object OverAggregates extends Serializable {
         else all.partition(v => leadUs(v) <= wmUs)
       val out = Seq.newBuilder[Row]
       var newSt = st
+      // in-band deterministic idle reset: a ripe row whose event-time gap
+      // from the key's previous row reaches the TTL starts fresh state
+      // HERE, never racing the expiry timer (which may share this batch)
+      var prevUs = st.lastUs
+      def gapReset(vals: Seq[Any])(reset: => Unit): Unit = ttlUs.foreach { t =>
+        val us = leadUs(vals)
+        if (prevUs != Long.MinValue && us - prevUs >= t) reset
+        prevUs = us
+      }
       frame match {
         case UnboundedPreceding =>
           var rowsSoFar = st.rows
           var accs = if (st.accs.nonEmpty) st.accs
             else aggs.map(_ => Acc(0L, null, null, null))
           ripe.foreach { vals =>
+            gapReset(vals) {
+              rowsSoFar = 0L; accs = aggs.map(_ => Acc(0L, null, null, null))
+            }
             rowsSoFar += 1
             val e = entryOf(vals)
             accs = accs.zipWithIndex.map { case (a, ai) =>
@@ -163,6 +197,7 @@ object OverAggregates extends Serializable {
           val ring = scala.collection.mutable.ArrayDeque.empty[Seq[Any]]
           ring.addAll(st.frameVals)
           ripe.foreach { vals =>
+            gapReset(vals)(ring.clear())
             ring.append(entryOf(vals))
             if (ring.length > cap) ring.removeHead()
             out += Row.fromSeq(vals ++ foldFrame(ring))
@@ -178,6 +213,7 @@ object OverAggregates extends Serializable {
             val us = leadUs(sorted(i))
             var j = i
             while (j < sorted.length && leadUs(sorted(j)) == us) j += 1
+            gapReset(sorted(i)) { bufUs.clear(); bufVals.clear() }
             // SQL RANGE peers: same-time rows share one frame incl. all
             (i until j).foreach { k =>
               bufUs.append(us); bufVals.append(entryOf(sorted(k)))
@@ -196,17 +232,34 @@ object OverAggregates extends Serializable {
             }
           newSt = GenState(pending, bufUs.toSeq, bufVals.toSeq, 0L, Nil)
       }
+      if (ttlUs.isDefined)
+        newSt = newSt.copy(lastUs =
+          if (ripe.nonEmpty) leadUs(ripe.last) else st.lastUs)
       if (!isStreaming) () // batch: single invocation, state irrelevant
       else {
-        state.update(newSt)
-        if (pending.nonEmpty) {
-          // fire once the watermark can cover the earliest pending row
-          val headMs = leadUs(pending.head) / 1000
-          state.setTimeoutTimestamp(
-            math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
+        // idle retention: once the watermark is `idleTtl` of event time
+        // past the key's last row (and nothing is pending), drop the
+        // key's state — the reference's cleanup-timer contract
+        val idleExpired = pending.isEmpty && ttlUs.exists(t =>
+          newSt.lastUs != Long.MinValue && wmUs >= newSt.lastUs + t)
+        if (idleExpired) state.remove()
+        else {
+          state.update(newSt)
+          if (pending.nonEmpty) {
+            // fire once the watermark can cover the earliest pending row
+            val headMs = leadUs(pending.head) / 1000
+            state.setTimeoutTimestamp(
+              math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
+          } else ttlUs.foreach { t =>
+            if (newSt.lastUs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max((newSt.lastUs + t) / 1000 + 1,
+                  state.getCurrentWatermarkMs() + 1))
+          }
         }
-        // an idle key's frame state persists: any future row's frame may
-        // reach back into it (UNBOUNDED/ROWS always; RANGE until evicted)
+        // without idleTtl an idle key's frame state persists: any future
+        // row's frame may reach back into it (UNBOUNDED/ROWS always;
+        // RANGE until evicted)
       }
       out.result().iterator
     }
@@ -232,7 +285,8 @@ object OverAggregates extends Serializable {
     * `ROWS BETWEEN n PRECEDING AND CURRENT ROW` window over `tieBreak` —
     * the oracle shape. Per-key state is the O(n+1) agg-input ring. */
   def procRowsAggregates(df: DataFrame, partCols: Seq[String],
-      tieBreak: Seq[String], preceding: Int, aggs: Seq[Agg]): DataFrame = {
+      tieBreak: Seq[String], preceding: Int, aggs: Seq[Agg],
+      idleTtl: Option[String] = None): DataFrame = {
     require(preceding >= 0, s"ROWS frame bound must be >= 0, got $preceding")
     require(aggs.nonEmpty, "at least one OVER aggregate is required")
     val schema = df.schema
@@ -249,6 +303,12 @@ object OverAggregates extends Serializable {
     val ord: Ordering[Seq[Any]] = seqOrdering(tieIdx)
     def process(rows: Iterator[Row], state: GroupState[GenState])
         : Iterator[Row] = {
+      // idleTtl = the reference's PROCESSING-time cleanup timer
+      // (registerProcessingCleanupTimer): an idle key's ring drops after
+      // that much processing time. Opt-in — the processing-time timeout
+      // makes Spark schedule empty micro-batches to evaluate expiry.
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      idleTtl.foreach(state.setTimeoutDuration)
       val ring = scala.collection.mutable.ArrayDeque.empty[Seq[Any]]
       state.getOption.foreach(s => ring.addAll(s.frameVals))
       val batch = rows.map(_.toSeq).toSeq
@@ -261,9 +321,10 @@ object OverAggregates extends Serializable {
       if (isStreaming) state.update(GenState(Nil, Nil, ring.toSeq, 0L, Nil))
       out.iterator
     }
-    // proc-time: no watermark exists, so no event-time timers either
+    // proc-time: no watermark exists, so no event-time timers
     runKeyed(df, partCols, schema, stEnc, outEnc, identity, process,
-      GroupStateTimeout.NoTimeout)
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout)
   }
 
   // shared: keyed dispatch over (possibly empty) partition columns

@@ -640,7 +640,8 @@ object PatternMatch extends Serializable {
       orderKeys: Seq[(String, Boolean)], steps: Seq[GStep[Row]],
       skip: SkipStrategy, within: Option[java.time.Duration],
       emit: (Row, Long, Seq[Bound[Row]]) => Iterator[Row],
-      outSchema: StructType, delay: String = "0 seconds"): DataFrame = {
+      outSchema: StructType, delay: String = "0 seconds",
+      idleTtl: Option[java.time.Duration] = None): DataFrame = {
     require(df.isStreaming, "matchRowsStream is the streaming executor; " +
       "batch inputs take matchRowsBatch")
     require(steps.nonEmpty, "PATTERN must have at least one step")
@@ -695,9 +696,17 @@ object PatternMatch extends Serializable {
         else if (retainFrom > 0) Some(sorted(retainFrom - 1))
         else bufPrev
       if (kept.isEmpty) {
+        // the buffer is fully adjudicated; only the O(1) PREV marker may
+        // remain. Without WITHIN it is semantically needed forever — the
+        // opt-in idleTtl (the reference's idle-state retention) bounds it:
+        // the marker drops `idleTtl` of event time after its row, and a
+        // later row sees no predecessor (PREV -> null), the documented
+        // retention trade.
+        val markerLifeUs = math.min(withinUs,
+          idleTtl.map(_.toNanos / 1000).getOrElse(Long.MaxValue))
         val markerDeadUs = newPrev.map(microsOf)
-          .map(us => if (withinUs == Long.MaxValue) Long.MaxValue
-                     else us + withinUs)
+          .map(us => if (markerLifeUs == Long.MaxValue) Long.MaxValue
+                     else us + markerLifeUs)
         if (usesPrev && newPrev.isDefined && markerDeadUs.exists(_ > wmUs)) {
           state.update(GenBufState(Nil, newPrev.map(_.toSeq), newCount))
           if (markerDeadUs.get != Long.MaxValue)

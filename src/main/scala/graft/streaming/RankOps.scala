@@ -67,10 +67,19 @@ object RankOps {
     * @param rankAlias Some(name) appends a 1-based rank column (the
     *                  `ROW_NUMBER()` value); None emits kept rows bare
     *                  (the dedup shape, where rank is always 1).
+    * @param idleTtl   opt-in idle-state retention (the reference's
+    *                  processing-time cleanup timer): a key that
+    *                  receives no row for this much PROCESSING time
+    *                  drops its prefix — a later row starts a fresh
+    *                  ranking, the documented retention trade. Enabling
+    *                  it makes Spark schedule empty micro-batches to
+    *                  evaluate expiry, so reserve it for long-running
+    *                  jobs that need bounded state.
     */
   def rankRows(df: DataFrame, partCols: Seq[String],
       orderKeys: Seq[(String, Boolean)], n: Int,
-      rankAlias: Option[String] = None): DataFrame = {
+      rankAlias: Option[String] = None,
+      idleTtl: Option[String] = None): DataFrame = {
     require(n > 0, s"rank bound must be positive, got $n")
     require(orderKeys.nonEmpty, "ORDER BY must name at least one column")
     val schema = df.schema
@@ -130,6 +139,8 @@ object RankOps {
 
     def process(rows: Iterator[Row], state: GroupState[RankState])
         : Iterator[Row] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      if (isStreaming) idleTtl.foreach(state.setTimeoutDuration)
       val st = state.getOption.getOrElse(RankState(0L, Nil))
       var seen = st.seen
       val incoming = rows.map { r =>
@@ -149,10 +160,14 @@ object RankOps {
     }
 
     // rank/dedup trigger on arrival (proc-time operators in the
-    // reference): no watermark, hence no event-time timers
+    // reference): no watermark, hence no event-time timers; the opt-in
+    // idleTtl uses the processing-time cleanup timer instead
+    val timeout =
+      if (idleTtl.isDefined && isStreaming) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     if (partCols.isEmpty) {
       df.groupByKey(_ => 0)(Encoders.scalaInt)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        .flatMapGroupsWithState(OutputMode.Append, timeout)(
           (_: Int, rows: Iterator[Row], state: GroupState[RankState]) =>
             process(rows, state))(stEnc, outEnc)
     } else {
@@ -160,7 +175,7 @@ object RankOps {
       val keySchema = StructType(partIdx.map(schema.fields(_)).toSeq)
       val keyEnc: Encoder[Row] = Encoders.row(keySchema)
       df.groupByKey(r => Row.fromSeq(partIdx.toSeq.map(r.get)))(keyEnc)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        .flatMapGroupsWithState(OutputMode.Append, timeout)(
           (_: Row, rows: Iterator[Row], state: GroupState[RankState]) =>
             process(rows, state))(stEnc, outEnc)
     }

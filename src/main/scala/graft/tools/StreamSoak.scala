@@ -92,6 +92,8 @@ object StreamSoak {
         .agg(min(col("ts"))).head().getTimestamp(0).getTime) / nFiles
 
     val real = (df: DataFrame) => df.filter(col("event_id") >= 0L)
+    // idle-key horizon for the TTL leg: odd users stop at mid-span
+    val ttlCutoffMs = maxRealTs.getTime - fileSpanMs * nFiles / 2
     // window ops: drop the sentinel windows (their finals can't fire in
     // the stream — the watermark never passes the last sentinel)
     val realWin = (df: DataFrame) => df.filter(col("w_start_us") <= maxRealUs)
@@ -127,6 +129,24 @@ object StreamSoak {
         .withColumn("sample_rank", row_number().over(w))
         .filter(col("sample_rank") <= 32)
         .select("stratum", "item_id", "sample_rank")
+    }
+    // general-schema rank/dedup logs: entries only ever enter the
+    // prefix through the log, so final = the log's rows re-ranked the
+    // operator's way (the same argument as finalTopN/finalKeepLast)
+    def genTopNFinal(log: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id").asc)
+      real(log).drop("rn").distinct()
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+    }
+    def genKeepLastFinal(log: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      real(log).distinct().withColumn("rx", row_number().over(w))
+        .filter(col("rx") === 1).drop("rx")
     }
     // window-fire logs: a window's final answer is its LAST fire —
     // n_events is monotone across a window's emissions, so last =
@@ -257,7 +277,46 @@ object StreamSoak {
             |  DEFINE A AS event_type = 'view' AND event_id >= 0,
             |         B AS event_type = 'purchase' AND event_id >= 0
             |)""".stripMargin),
-        reconstructed(identity), true))
+        reconstructed(identity), true),
+      // round-12 extension: the general-schema RANK/DEDUP executors
+      // (RankOps.rankRows behind the ROW_NUMBER-filter SQL). Value-based
+      // total orders make the maintained prefix arrival-independent, so
+      // the stream's change log reconstructs to exactly the batch
+      // collapse. Sentinels sit in their own partitions (event_type
+      // 'sentinel' / user_id 0) and are dropped by the real() filter.
+      ("gen_topn", eventsDir,
+        (ds: Dataset[Event]) => graft.streaming.RankSql.sqlDf(ds.toDF(),
+          """SELECT * FROM (
+            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            |    ORDER BY value DESC, event_id ASC) AS rn
+            |  FROM events)
+            |WHERE rn <= 5""".stripMargin),
+        reconstructed(genTopNFinal), false),
+      ("gen_keeplast", eventsDir,
+        (ds: Dataset[Event]) => graft.streaming.RankSql.sqlDf(ds.toDF(),
+          """SELECT user_id, event_type, event_id, ts, value FROM (
+            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+            |    ORDER BY ts DESC, event_id DESC) AS rn
+            |  FROM events)
+            |WHERE rn = 1""".stripMargin),
+        reconstructed(genKeepLastFinal), false),
+      // round-12: idle-state retention (VERDICT r11 #7) — odd users stop
+      // sending at mid-span; with idleTtl = 3 file-spans their ring state
+      // must EXPIRE (state_rows plateaus ~half of peak, extra fields
+      // below) while results stay the exact batch collapse: the in-band
+      // gap reset applies the identical TTL semantics in both modes, and
+      // the ordered replay keeps expiry behind every key's next arrival
+      ("gen_over_ttl", eventsDir,
+        (ds: Dataset[Event]) => graft.streaming.OverAggregates.overAggregates(
+          ds.filter(e => e.user_id % 2 == 0 || e.ts.getTime <= ttlCutoffMs)
+            .toDF(),
+          Seq("user_id"), Seq("ts", "event_id"),
+          graft.streaming.OverAggregates.RowsPreceding(4),
+          Seq(graft.streaming.OverAggregates.Agg("COUNT", None, "cnt_w"),
+            graft.streaming.OverAggregates.Agg("SUM", Some("value"), "sum_v")),
+          delay = "60 seconds",
+          idleTtl = Some(java.time.Duration.ofMillis(fileSpanMs * 3))),
+        reconstructed(real), true))
 
     // The early/late-fire ops keep a PROC-TIME timer per open window, and
     // the sentinel windows (far-future ts) never close — so they re-register
@@ -326,6 +385,13 @@ object StreamSoak {
             s""","early_fires":${streamLog.filter(col("is_final") === 0).count()},""" +
               s""""late_finals":${streamLog.filter(col("is_final") === 2).count()}"""
           case "sort" => s""","order_violations":${sortOrderViolations(spark, sinkDir)}"""
+          case "gen_over_ttl" =>
+            // the retention claim: per-key state must PLATEAU once the
+            // idle half expires, not track total keys seen
+            val sr = q.recentProgress.toSeq
+              .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+            if (sr.isEmpty) ""
+            else s""","state_peak":${sr.max},"state_final":${sr.last}"""
           case _ => ""
         }
         out.println(s"""{"op":"$name","summary":true,"wall_sec":$wall,""" +

@@ -309,6 +309,49 @@ class OverAggregatesSpec extends SparkSpec {
     assert(unb.toSeq == Seq(d("0.10"), d("0.30"), d("0.60")))
   }
 
+  test("idleTtl: an idle key's state expires and a later row starts a " +
+    "fresh frame; stream equals the batch collapse with gap semantics") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import OverAggregates.{Agg, RowsPreceding}
+    val ttl = java.time.Duration.ofMinutes(10)
+    // key "a": rows at 1,2,3 min, then a 20-min gap (>= ttl) to 23 min —
+    // the 23-min row must frame alone; key "b" stays dense (never resets)
+    val data = Seq(
+      OverT1(1, 1, "a", ts(1)), OverT1(2, 2, "a", ts(2)),
+      OverT1(3, 3, "a", ts(3)), OverT1(9, 9, "a", ts(23)),
+      OverT1(4, 4, "b", ts(1)), OverT1(5, 5, "b", ts(8)),
+      OverT1(6, 6, "b", ts(16)), OverT1(7, 7, "b", ts(23)))
+    val aggs = Seq(Agg("COUNT", None, "cnt_w"), Agg("SUM", Some("a"), "sum_a"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      OverAggregates.overAggregates(df, Seq("c"), Seq("rowtime", "a"),
+        RowsPreceding(2), aggs, idleTtl = Some(ttl))
+    // batch collapse applies the same in-band gap reset deterministically
+    val batch = run(data.toDF()).select("c", "a", "cnt_w", "sum_a")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(batch.contains(("a", 9L, 1L, 9.0)),
+      s"post-gap row must start a fresh frame, got $batch")
+    assert(batch.contains(("b", 7L, 3L, 18.0)),
+      "dense key must keep its full frame")
+    // streaming: state expires via the event-time timer; the late-epoch
+    // row then folds against empty state — identical output
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[OverT1]
+    val q = run(input.toDF()).select("c", "a", "cnt_w", "sum_a")
+      .writeStream.format("memory").queryName("genttl")
+      .outputMode("append").start()
+    input.addData(data.filter(_.rowtime.before(ts(10))): _*)
+    q.processAllAvailable()
+    input.addData(data.filterNot(_.rowtime.before(ts(10))): _*)
+    q.processAllAvailable()
+    input.addData(OverT1(0, 0, "zz", ts(100))); q.processAllAvailable()
+    input.addData(OverT1(0, 0, "zz", ts(200))); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("genttl").as[(String, Long, Long, Double)]
+      .collect().toSet.filter(r => r._1 == "a" || r._1 == "b")
+    assert(stream == batch, s"\nstream $stream\nbatch  $batch")
+  }
+
   test("non-comparable ORDER BY / tie-break columns fail up front, " +
     "not mid-query") {
     import org.apache.spark.sql.functions.{array, col, struct}
