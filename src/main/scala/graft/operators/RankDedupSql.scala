@@ -13,12 +13,37 @@ import graft.streaming.RankSql
 object RankDedupSql {
 
   def defs: Seq[QueryDef] =
-    Seq(q140KeepLastDedup, q141StreamTopN, q142TopNth)
+    Seq(q140KeepLastDedup, q141StreamTopN, q142TopNth, q147TopNNative)
 
+  // batchNative = false: these three gate the STREAMING executor's batch
+  // collapse (its only oracle-checked surface); q147 gates the native
+  // batch plan users get by default
   private def run(table: String, sql: String)(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    RankSql.sqlDf(graft.core.Catalog.load(spark, dir, table), sql)
+    RankSql.sqlDf(graft.core.Catalog.load(spark, dir, table), sql,
+      batchNative = false)
+
+  /** The DEFAULT batch route of the same SQL entry: Spark's native
+    * WindowExec with the rank filter pushed into WindowGroupLimit (each
+    * partition keeps its top n before the final sort — the 100 TB batch
+    * plan; `PlanLintSpec` asserts the pushdown fired). Same statement
+    * family as q141, checked against the same kind of oracle. */
+  val q147TopNNative: QueryDef = QueryDef("q147_sql_topn_native",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin) { (spark, dir) =>
+    RankSql.sqlDf(graft.core.Catalog.load(spark, dir, "orders"),
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin)
+  }
 
   /** Keep-LAST dedup on the orders fact: each customer's most recent
     * order (latest o_orderdate, ties to the highest key — a total order,

@@ -189,4 +189,35 @@ object RankOps {
   def keepOne(df: DataFrame, partCols: Seq[String],
       orderKeys: Seq[(String, Boolean)]): DataFrame =
     rankRows(df, partCols, orderKeys, n = 1, rankAlias = None)
+
+  /** BATCH-NATIVE rank: the identical `ROW_NUMBER() <= n` result
+    * planned as Spark's own WindowExec — whole-stage-codegen'd,
+    * spill-aware, and with the rank filter pushed into
+    * WindowGroupLimit (each partition keeps only its top n BEFORE the
+    * final sort — the plan that survives 100 TB, vs the stateful
+    * executor's groupByKey + per-key in-memory fold, whose job is
+    * streaming semantics, not batch throughput). Value-based orderings
+    * only: the `proctime` arrival pseudo-column has no meaning in a
+    * batch plan. `RankOpsSpec` pins this path row-identical to the
+    * executor's batch collapse. */
+  def rankRowsBatchNative(df: DataFrame, partCols: Seq[String],
+      orderKeys: Seq[(String, Boolean)], n: Int,
+      rankAlias: Option[String] = None): DataFrame = {
+    require(!df.isStreaming,
+      "rankRowsBatchNative is the batch plan; streaming takes rankRows")
+    require(!orderKeys.exists(k => k._1 == "proctime" &&
+      !df.columns.contains("proctime")),
+      "the proctime arrival pseudo-column is streaming-only; order on " +
+        "value columns in batch")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = (if (partCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partCols.map(col): _*))
+      .orderBy(orderKeys.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }: _*)
+    val alias = rankAlias.getOrElse("__graft_rn")
+    val ranked = df.withColumn(alias, row_number().over(w).cast("long"))
+      .filter(col(alias) <= n)
+    if (rankAlias.isEmpty) ranked.drop(alias) else ranked
+  }
 }

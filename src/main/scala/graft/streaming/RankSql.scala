@@ -48,8 +48,18 @@ object RankSql {
 
   /** Run a ROW_NUMBER-filter SQL statement against an arbitrary
     * DataFrame (batch or streaming — the operator collapses to the plain
-    * window query on batch, the oracle shape). */
-  def sqlDf(df: DataFrame, text: String): DataFrame = {
+    * window query on batch, the oracle shape).
+    *
+    * `batchNative` (default ON): a BATCH input with a value-based order
+    * plans as Spark's own WindowExec with the rank filter pushed into
+    * WindowGroupLimit ([[RankOps.rankRowsBatchNative]]) — the
+    * 100 TB-right plan. Pass false to force the stateful executor's
+    * batch collapse instead (the correctness gate does, so the declared
+    * queries keep exercising the streaming executor; `RankOpsSpec` pins
+    * the two paths row-identical). Streaming inputs and proctime orders
+    * always take the stateful executor. */
+  def sqlDf(df: DataFrame, text: String,
+      batchNative: Boolean = true): DataFrame = {
     val q = parse(text)
     // parsed identifiers are lowercased; resolve them against the actual
     // schema case-insensitively (Spark's own resolution default)
@@ -67,8 +77,14 @@ object RankSql {
       "the trailing ORDER BY is a batch presentation order; a continuous " +
         "stream has no final order — drop it on streaming inputs")
     // the executor ranks whole input rows; inner projection composes after
-    val ranked = RankOps.rankRows(df, partCols, orderKeys, q.k,
-      rankAlias = Some(q.rnAlias))
+    val useNative = batchNative && !df.isStreaming &&
+      !orderKeys.exists(k => k._1 == "proctime" &&
+        !df.columns.contains("proctime"))
+    val ranked =
+      if (useNative) RankOps.rankRowsBatchNative(df, partCols, orderKeys,
+        q.k, rankAlias = Some(q.rnAlias))
+      else RankOps.rankRows(df, partCols, orderKeys, q.k,
+        rankAlias = Some(q.rnAlias))
     val filtered =
       if (q.exact && q.k > 1) ranked.filter(col(q.rnAlias) === q.k)
       else ranked

@@ -129,6 +129,16 @@ class PlanLintSpec extends SparkSpec {
       s"qds72 contains user-pinned shuffles (AQE skew-split ineligible): $pinned")
   }
 
+  test("q147's native rank plan pushes the filter into WindowGroupLimit") {
+    // the batch route's point: each partition keeps only its top n
+    // BEFORE the shuffle/final sort — without the pushdown the full
+    // table crosses the window sort at 100 TB
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val nodes = executedPlanNodes("q147_sql_topn_native", sf("sf0.01"))
+    assert(nodes.exists(_.isInstanceOf[WindowGroupLimitExec]),
+      s"no WindowGroupLimitExec in:\n${nodes.map(_.nodeName).mkString("\n")}")
+  }
+
   test("PairExistsToMinMax's aggregate plans two-phase (map-side combine)") {
     // The rewrite's whole point at scale is that the hot order key
     // becomes an ORDINARY skewed aggregate: partial min/max must combine

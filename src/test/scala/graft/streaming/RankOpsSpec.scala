@@ -151,6 +151,24 @@ class RankOpsSpec extends SparkSpec {
     assert(rows(got) == rows(want))
   }
 
+  test("the native batch route is row-identical to the executor's " +
+    "batch collapse") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val keys = Seq(("o_totalprice", false), ("o_orderkey", true))
+    val exec = RankOps.rankRows(orders, Seq("o_custkey"), keys, 3,
+      rankAlias = Some("rn")).orderBy(col("o_custkey"), col("rn"))
+    val native = RankOps.rankRowsBatchNative(orders, Seq("o_custkey"),
+      keys, 3, rankAlias = Some("rn")).orderBy(col("o_custkey"), col("rn"))
+    assert(exec.schema == native.schema)
+    assert(rows(native) == rows(exec))
+    // dedup shape (no rank column) too
+    val d1 = RankOps.keepOne(orders, Seq("o_custkey"), keys)
+      .orderBy(col("o_custkey"))
+    val d2 = RankOps.rankRowsBatchNative(orders, Seq("o_custkey"), keys, 1)
+      .orderBy(col("o_custkey"))
+    assert(rows(d2) == rows(d1))
+  }
+
   test("contracts fail loudly: unknown column, bad rank filter, " +
     "streaming ORDER BY, rank-0, non-comparable order column") {
     import spark.implicits._
