@@ -18,7 +18,37 @@ object OverSql {
   def defs: Seq[QueryDef] =
     Seq(q133SqlOverRunning, q134SqlOverRows, q135SqlOverRange,
       q136SqlOverAnyRows, q137SqlOverAnyRange, q138SqlOverAnyUnbounded,
-      q139SqlOverAnyProcRows, q144OverDecimal)
+      q139SqlOverAnyProcRows, q144OverDecimal, q148OverNative)
+
+  /** The DEFAULT batch route of the same OVER SQL entry (r12): native
+    * WindowExec — codegen'd, spill-aware, the 100 TB batch plan — where
+    * q136–q138 pin the stateful executor's collapse. RANGE frame on the
+    * single timestamp key (the native-expressible shape), MIN included;
+    * `PlanLintSpec` asserts the plan is a WindowExec with no stateful
+    * operator. */
+  val q148OverNative: QueryDef = QueryDef("q148_sql_over_native",
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
+      |SELECT user_id, event_id,
+      |  COUNT(value) OVER win AS cnt_v,
+      |  round(SUM(value) OVER win, 4) AS sum_v,
+      |  MIN(value) OVER win AS min_v
+      |FROM e
+      |WINDOW win AS (PARTITION BY user_id ORDER BY us
+      |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    graft.streaming.StreamingOverSql.sqlDf(
+      graft.core.Catalog.load(spark, dir, "events"),
+      """SELECT user_id, event_id,
+        |  COUNT(value) OVER win AS cnt_v,
+        |  ROUND(SUM(value) OVER win, 4) AS sum_v,
+        |  MIN(value) OVER win AS min_v
+        |FROM events
+        |WINDOW win AS (PARTITION BY user_id ORDER BY ts
+        |               RANGE BETWEEN INTERVAL '1' HOUR
+        |                     PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)
+  }
 
   /** DECIMAL-EXACT general-schema OVER (r12, VERDICT r11 #5): SUM/MIN
     * over a DECIMAL(12,2) money column stay decimal through the frame
@@ -124,7 +154,8 @@ object OverSql {
         |FROM orders
         |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      batchNative = false) // the gate pins the streaming executor's collapse
   }
 
   /** General-schema RANGE frame partitioned by a STRING key (the IT
@@ -152,7 +183,8 @@ object OverSql {
         |WINDOW win AS (PARTITION BY event_type ORDER BY ts
         |               RANGE BETWEEN INTERVAL '1' MINUTE
         |                     PRECEDING AND CURRENT ROW)
-        |ORDER BY event_type, event_id""".stripMargin)
+        |ORDER BY event_type, event_id""".stripMargin,
+      batchNative = false) // the gate pins the streaming executor's collapse
   }
 
   /** General-schema unbounded frame over a COMPOSITE partition key with
@@ -180,7 +212,8 @@ object OverSql {
         |FROM events
         |WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_type, event_id""".stripMargin)
+        |ORDER BY user_id, event_type, event_id""".stripMargin,
+      batchNative = false) // the gate pins the streaming executor's collapse
   }
 
   /** General-schema PROC-TIME ROWS frame (r11): arrival-order frames on

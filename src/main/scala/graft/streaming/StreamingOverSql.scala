@@ -159,8 +159,19 @@ object StreamingOverSql {
     * RANGE t PRECEDING frames). `FROM <ident>` is nominal: the DataFrame
     * IS the table. `ORDER BY proctime` is not in this executor's contract
     * (arrival-order framing is the Event-model path, [[sql]]); it is
-    * rejected with that pointer rather than mis-executed. */
-  def sqlDf(df: DataFrame, text: String): DataFrame = {
+    * rejected with that pointer rather than mis-executed.
+    *
+    * `batchNative` (default ON, r12): a BATCH row-time input plans as
+    * Spark's own WindowExec — whole-stage-codegen'd, spill-aware, the
+    * 100 TB batch plan — for every frame the native window expresses
+    * (UNBOUNDED / ROWS always; RANGE when the order key is the single
+    * timestamp, framed on epoch micros exactly like the executor).
+    * Pass false to force the stateful executor's batch collapse (the
+    * correctness gate does for q136–q138, so the declared queries keep
+    * exercising the streaming executor; `StreamingOverSqlSpec` pins the
+    * two paths row-identical, decimal exactness included). */
+  def sqlDf(df: DataFrame, text: String,
+      batchNative: Boolean = true): DataFrame = {
     val p = new MatchRecognizeSql.P(MatchRecognizeSql.tokenize(text))
     p.expect("SELECT")
     val items = scala.collection.mutable.ArrayBuffer.empty[Item]
@@ -199,6 +210,16 @@ object StreamingOverSql {
     val aggs = measures.map(m => OverAggregates.Agg(m.fn,
       if (m.arg == "*" || m.arg == "1") None else Some(m.arg), m.alias)).toSeq
     val parts = spec.partCol.split(',').toSeq.filter(_.nonEmpty)
+    nativeBatch(df, spec, aggs, parts, batchNative).foreach { ranked =>
+      val cols2 = items.map {
+        case PassThrough(name) => col(name)
+        case Measure(_, _, alias, _, dig) =>
+          dig.fold(col(alias))(d => round(col(alias), d)).as(alias)
+      }
+      val sel2 = ranked.select(cols2.toSeq: _*)
+      return if (outOrder.isEmpty) sel2
+        else sel2.orderBy(outOrder.map(col).toSeq: _*)
+    }
     val out =
       if (spec.procTime) spec.frame match {
         // proc-time ROWS: arrival-order frames on any schema; the
@@ -226,6 +247,64 @@ object StreamingOverSql {
     }
     val sel = out.select(cols.toSeq: _*)
     if (outOrder.isEmpty) sel else sel.orderBy(outOrder.map(col).toSeq: _*)
+  }
+
+  /** The native-WindowExec batch plan for an expressible spec, or None
+    * to fall back to the stateful executor (streaming, proc-time, or a
+    * RANGE frame with a composite order key). Output columns match the
+    * executor's types and values bit-for-bit: frames fold left-to-right
+    * in the same order (doubles), decimal SUM casts to the executor's
+    * DecimalType(38, s), and AVG over decimal divides the EXACT decimal
+    * sum as the executor does. */
+  private def nativeBatch(df: DataFrame, spec: Spec,
+      aggs: Seq[OverAggregates.Agg], parts: Seq[String],
+      enabled: Boolean): Option[DataFrame] = {
+    import org.apache.spark.sql.expressions.{Window, WindowSpec}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, TimestampType}
+    if (!enabled || df.isStreaming || spec.procTime) return None
+    val base =
+      if (parts.isEmpty) Window.partitionBy()
+      else Window.partitionBy(parts.map(col): _*)
+    val w: WindowSpec = spec.frame match {
+      case Unbounded => base.orderBy(spec.orderCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      case RowsPreceding(n) => base.orderBy(spec.orderCols.map(col): _*)
+        .rowsBetween(-n.toLong, 0L)
+      case RangePreceding(us) =>
+        // native rangeBetween needs ONE numeric order key; the executor
+        // frames on the leading timestamp's epoch micros — same math
+        if (spec.orderCols.size != 1) return None
+        val c = spec.orderCols.head
+        if (df.schema(df.schema.fieldIndex(c)).dataType != TimestampType)
+          return None
+        base.orderBy(unix_micros(col(c))).rangeBetween(-us, 0L)
+    }
+    val out = aggs.foldLeft(df) { case (acc, OverAggregates.Agg(fn, colOpt, alias)) =>
+      val expr = (fn, colOpt) match {
+        case ("COUNT", None) => count(lit(1)).over(w)
+        case ("COUNT", Some(c)) => count(col(c)).over(w)
+        case (f, Some(c)) =>
+          val isDec = df.schema(df.schema.fieldIndex(c)).dataType match {
+            case d: DecimalType => Some(d)
+            case _ => None
+          }
+          (f, isDec) match {
+            case ("SUM", Some(d)) => sum(col(c)).over(w)
+              .cast(DecimalType(DecimalType.MAX_PRECISION, d.scale))
+            case ("AVG", Some(_)) => // exact decimal sum, then one division
+              (sum(col(c)).over(w).cast("double") / count(col(c)).over(w))
+            case ("SUM", None) => sum(col(c)).over(w)
+            case ("AVG", None) => avg(col(c)).over(w)
+            case ("MIN", _) => min(col(c)).over(w)
+            case ("MAX", _) => max(col(c)).over(w)
+            case other => sys.error(s"unreachable agg $other")
+          }
+        case other => sys.error(s"unreachable agg $other")
+      }
+      acc.withColumn(alias, expr)
+    }
+    Some(out)
   }
 
   private def parseItemDf(p: MatchRecognizeSql.P, df: DataFrame): Item = {

@@ -139,6 +139,15 @@ class PlanLintSpec extends SparkSpec {
       s"no WindowGroupLimitExec in:\n${nodes.map(_.nodeName).mkString("\n")}")
   }
 
+  test("q148's native OVER plan is a WindowExec, no stateful operator") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = executedPlanNodes("q148_sql_over_native", sf("sf0.01"))
+    assert(nodes.exists(_.isInstanceOf[WindowExec]),
+      s"no WindowExec in:\n${nodes.map(_.nodeName).mkString("\n")}")
+    assert(!nodes.exists(_.nodeName.contains("FlatMapGroupsWithState")),
+      "the native batch route must not plan the stateful executor")
+  }
+
   test("PairExistsToMinMax's aggregate plans two-phase (map-side combine)") {
     // The rewrite's whole point at scale is that the hot order key
     // becomes an ORDINARY skewed aggregate: partial min/max must combine

@@ -85,6 +85,60 @@ class StreamingOverSqlSpec extends SparkSpec {
       "undefined window")
   }
 
+  test("the native batch route is row-identical to the executor's " +
+    "collapse on every expressible frame, decimals included") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.DecimalType
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+      // raw parquet yields TimestampNTZ; the executors' event-time
+      // contract is TimestampType (Catalog.load normalizes the same way)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .withColumn("price", col("o_totalprice").cast(DecimalType(12, 2)))
+    val shapes = Seq(
+      // ROWS frame with decimal SUM/AVG and MIN — the exactness stressor
+      """SELECT o_custkey, o_orderkey,
+        |  SUM(price) OVER w AS s, AVG(price) OVER w AS a,
+        |  MIN(price) OVER w AS m
+        |FROM t WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      // UNBOUNDED with COUNT(col) and double aggregates
+      """SELECT o_custkey, o_orderkey,
+        |  COUNT(o_totalprice) OVER w AS c, MAX(o_totalprice) OVER w AS mx
+        |FROM t WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      // RANGE on the single timestamp key
+      """SELECT o_custkey, o_orderkey, COUNT(*) OVER w AS c
+        |FROM t WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    shapes.foreach { q =>
+      val native = StreamingOverSql.sqlDf(orders, q)
+      val exec = StreamingOverSql.sqlDf(orders, q, batchNative = false)
+      assert(native.schema.map(f => (f.name, f.dataType)) ==
+        exec.schema.map(f => (f.name, f.dataType)), q)
+      assert(rows(native) == rows(exec), q)
+      // and the native route really planned a WindowExec
+      native.collect()
+      assert(planNodes(native.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    }
+    // a RANGE frame with a composite order key is NOT native-expressible:
+    // the entry must fall back to the executor, not mis-plan
+    val fallback = StreamingOverSql.sqlDf(orders,
+      """SELECT o_custkey, o_orderkey, COUNT(*) OVER w AS c
+        |FROM t WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    fallback.collect()
+    assert(!planNodes(fallback.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+  }
+
   test("AVG derives as sum/count from the operator output") {
     val df = StreamingOverSql.sql(events,
       """SELECT user_id, event_id, AVG(value) OVER w AS running_avg
