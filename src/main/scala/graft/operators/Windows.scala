@@ -20,7 +20,33 @@ object Windows {
 
   def defs: Seq[QueryDef] =
     Seq(q60Tumble, q61Hop, q62Session, q108DynamicSession,
-      q145CountTumbleAny, q146CountSlideAny)
+      q145CountTumbleAny, q146CountSlideAny, q149CountTumbleNative)
+
+  /** The BATCH-NATIVE route of the count-tumble shape (r12): ROW_NUMBER
+    * chunking + a native hash aggregate with map-side combine — the
+    * 100 TB batch plan, where q145 pins the streaming executor's
+    * collapse. Decimal sum keeps it bit-exact. */
+  val q149CountTumbleNative: QueryDef = QueryDef("q149_count_tumble_native",
+    """WITH seq AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_partkey, l_suppkey) - 1 AS rn
+      |  FROM lineitem)
+      |SELECT l_orderkey, rn // 4 AS win_seq, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |  MIN_BY(l_linenumber, rn) AS first_id, MAX_BY(l_linenumber, rn) AS last_id
+      |FROM seq GROUP BY l_orderkey, rn // 4
+      |HAVING COUNT(*) = 4
+      |ORDER BY l_orderkey, win_seq""".stripMargin) { (spark, dir) =>
+    val t = Catalog.load(spark, dir, "lineitem")
+      .withColumn("qty", col("l_quantity").cast(DecimalType(18, 2)))
+    graft.streaming.CountWindows.countTumbleBatchNative(t, Seq("l_orderkey"),
+      Seq("l_linenumber", "l_partkey", "l_suppkey"), 4, "qty", "l_linenumber")
+      .select(col("l_orderkey"), col("win_seq"), col("n_rows"),
+        col("sum_v").cast("double").as("sum_v"),
+        col("first_id"), col("last_id"))
+      .orderBy(col("l_orderkey"), col("win_seq"))
+  }
 
   /** GENERAL-SCHEMA count-tumbling windows (r12 — the last §2.9 shape
     * that was Event-typed; reference CountTumblingWindowAssigner.java):

@@ -42,6 +42,48 @@ object CountWindows {
       idleTtl: Option[String] = None): DataFrame =
     countSlide(df, partCols, orderCols, size, size, valueCol, idCol, idleTtl)
 
+  /** BATCH-NATIVE count-tumbling windows: the identical result planned
+    * as ROW_NUMBER chunking + a native hash aggregate — codegen'd,
+    * spill-aware, partial-aggregated map-side, the 100 TB batch plan vs
+    * the stateful executor's groupByKey + per-key fold (whose job is
+    * streaming semantics). Use a DECIMAL `valueCol` when the sum must be
+    * bit-identical to the executor's left-to-right fold — a double sum
+    * under native partial aggregation is order-dependent in the last
+    * ulp. Sliding windows stay on the executor (a native rendering is a
+    * self-join that multiplies the fact by size/slide).
+    * `CountWindowsSpec` pins this path row-identical to the executor's
+    * batch collapse on decimal values. */
+  def countTumbleBatchNative(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[String], size: Int, valueCol: String,
+      idCol: String): DataFrame = {
+    require(!df.isStreaming,
+      "countTumbleBatchNative is the batch plan; streaming takes countTumble")
+    require(size > 0, s"count-window size must be positive, got $size")
+    val winSize = size // functions._ shadows the param name below
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val schema = df.schema
+    val sumT = schema(schema.fieldIndex(valueCol)).dataType match {
+      case d: DecimalType => DecimalType(DecimalType.MAX_PRECISION, d.scale)
+      case _: NumericType => DoubleType
+      case other => sys.error(s"sum column '$valueCol' must be numeric, got $other")
+    }
+    val w = (if (partCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partCols.map(col): _*))
+      .orderBy(orderCols.map(col): _*)
+    val rn = row_number().over(w).cast("long") - 1L
+    df.withColumn("__graft_rn", rn)
+      .withColumn("win_seq", (col("__graft_rn") / lit(winSize)).cast("long"))
+      .groupBy((partCols.map(col) :+ col("win_seq")): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol)).cast(sumT).as("sum_v"),
+        min_by(col(idCol), col("__graft_rn")).as("first_id"),
+        max_by(col(idCol), col("__graft_rn")).as("last_id"))
+      .filter(col("n_rows") === winSize)
+      .select((partCols.map(col) ++ Seq(col("win_seq"), col("n_rows"),
+        col("sum_v"), col("first_id"), col("last_id"))): _*)
+  }
+
   /** Sliding count windows: once `size` rows have arrived, a window of
     * the most recent `size` rows completes at every `slide`-th
     * subsequent row (win_seq = completion index, 0-based). */

@@ -43,6 +43,23 @@ class CountWindowsSpec extends SparkSpec {
     assert(rows(got).nonEmpty)
   }
 
+  test("the native batch tumble is row-identical to the executor's " +
+    "collapse on decimal values") {
+    import org.apache.spark.sql.types.DecimalType
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .withColumn("qty", col("l_quantity").cast(DecimalType(18, 2)))
+    val keys = Seq("l_linenumber", "l_partkey", "l_suppkey")
+    val exec = CountWindows.countTumble(li, Seq("l_orderkey"), keys, 3,
+      "qty", "l_linenumber").orderBy(col("l_orderkey"), col("win_seq"))
+    val native = CountWindows.countTumbleBatchNative(li, Seq("l_orderkey"),
+      keys, 3, "qty", "l_linenumber")
+      .orderBy(col("l_orderkey"), col("win_seq"))
+    assert(exec.schema.map(f => (f.name, f.dataType)) ==
+      native.schema.map(f => (f.name, f.dataType)))
+    assert(rows(native) == rows(exec))
+    assert(rows(native).nonEmpty)
+  }
+
   test("streaming: windows crossing the batch boundary complete exactly " +
     "once, equal to the batch collapse") {
     import spark.implicits._
