@@ -489,8 +489,8 @@ object OverAggregates extends Serializable {
   }
 
   /** Ascending multi-column ordering over raw row values; nulls first
-    * (Spark's ASC convention). */
-  private def seqOrdering(idxs: Seq[Int]): Ordering[Seq[Any]] =
+    * (Spark's ASC convention). Shared with [[RowSort]]. */
+  private[streaming] def seqOrdering(idxs: Seq[Int]): Ordering[Seq[Any]] =
     new Ordering[Seq[Any]] {
       override def compare(a: Seq[Any], b: Seq[Any]): Int = {
         idxs.foreach { i =>

@@ -24,7 +24,26 @@ object StatefulBatch {
     Seq(q72TopnState, q73KeepLastState, q74RunningOver, q88TemporalJoinState,
       q90CountTumble, q91CountSlide, q94RowsFrame, q95RangeFrame,
       q97EarlyFire, q110LateFire, q104UpsertSink, q105RetractApply,
-      q120ProcRowsFrame, q121ProcRangeFrame, q124StreamReservoir)
+      q120ProcRowsFrame, q121ProcRangeFrame, q124StreamReservoir,
+      q150StreamSortAny)
+
+  /** GENERAL-SCHEMA streaming event-time sort (r12 — the last stateful
+    * operator that was Event-typed; reference RowTimeSortOperator via
+    * StreamExecSort) collapsed to batch: the orders fact re-ordered on
+    * (o_orderdate, o_orderkey). The gate hashes the multiset (full row
+    * content); the EMISSION-ORDER contract — rows release in event-time
+    * order as the watermark advances — is pinned by `RowSortSpec`. */
+  val q150StreamSortAny: QueryDef = QueryDef("q150_stream_sort_any",
+    """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderdate, o_orderkey""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.col
+    RowSort.sortByEventTime(
+      graft.core.Catalog.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice")),
+      Seq("o_orderdate", "o_orderkey"))
+  }
 
   /** Bounded stream over the events fixture, layout-adaptive: the driver
     * fixture is a single `events.parquet` FILE inside `dir` (the file

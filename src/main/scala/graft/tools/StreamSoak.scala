@@ -316,6 +316,12 @@ object StreamSoak {
             graft.streaming.OverAggregates.Agg("SUM", Some("value"), "sum_v")),
           delay = "60 seconds",
           idleTtl = Some(java.time.Duration.ofMillis(fileSpanMs * 3))),
+        reconstructed(real), true),
+      // round-12: the general-schema streaming sort (RowSort) — same
+      // multiset + per-file order-violation discipline as the Event leg
+      ("gen_sort", eventsDir,
+        (ds: Dataset[Event]) => graft.streaming.RowSort.sortByEventTime(
+          ds.toDF(), Seq("ts", "event_id"), "60 seconds"),
         reconstructed(real), true))
 
     // The early/late-fire ops keep a PROC-TIME timer per open window, and
@@ -384,7 +390,8 @@ object StreamSoak {
           case "late_fire" =>
             s""","early_fires":${streamLog.filter(col("is_final") === 0).count()},""" +
               s""""late_finals":${streamLog.filter(col("is_final") === 2).count()}"""
-          case "sort" => s""","order_violations":${sortOrderViolations(spark, sinkDir)}"""
+          case "sort" | "gen_sort" =>
+            s""","order_violations":${sortOrderViolations(spark, sinkDir)}"""
           case "gen_over_ttl" =>
             // the retention claim: per-key state must PLATEAU once the
             // idle half expires, not track total keys seen
