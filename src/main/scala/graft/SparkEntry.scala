@@ -37,7 +37,8 @@ object SparkEntry {
       graft.operators.Funnel.defs ++
       graft.operators.MatchSql.defs ++
       graft.operators.OverSql.defs ++
-      graft.operators.RankDedupSql.defs
+      graft.operators.RankDedupSql.defs ++
+      graft.operators.Sketches.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

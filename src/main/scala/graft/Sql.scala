@@ -26,6 +26,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The df-parameterized entries remain the STREAMING front doors: a
   * streaming source is a DataFrame, not a catalog name, and Spark SQL
   * cannot plan the stateful executors' operators from text alone.
+  *
+  * DML parity: the reference's `sqlUpdate` accepts exactly INSERT /
+  * CREATE TABLE / DROP TABLE (TableEnvironmentImpl.java:339-384); all
+  * three are Spark SQL statements and flow through this same entry —
+  * including an INSERT whose SELECT embeds a MATCH_RECOGNIZE clause
+  * (the splicer is position-based, so it works inside any statement
+  * form). Pinned by `SqlSpec`.
   */
 object Sql {
 

