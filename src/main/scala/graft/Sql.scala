@@ -23,9 +23,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the session catalog (temp views or tables), exactly as in the
   * reference's registered-table model.
   *
-  * The df-parameterized entries remain the STREAMING front doors: a
-  * streaming source is a DataFrame, not a catalog name, and Spark SQL
-  * cannot plan the stateful executors' operators from text alone.
+  * Streaming tables take the same door: a statement whose FROM names a
+  * streaming temp view routes rank/dedup (`ROW_NUMBER()` filter) and
+  * OVER-frame shapes to the stateful executors ([[routeStreaming]]) —
+  * Spark SQL cannot plan either on a stream — and leaves natively
+  * streamable statements (projections, filters, group/window
+  * aggregates, stream-static joins) with Spark. The df-parameterized
+  * per-family entries remain for sources not registered in the catalog.
   *
   * DML parity: the reference's `sqlUpdate` accepts exactly INSERT /
   * CREATE TABLE / DROP TABLE (TableEnvironmentImpl.java:339-384); all
@@ -36,8 +40,64 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sql {
 
-  def sql(spark: SparkSession, text: String): DataFrame =
-    spark.sql(spliceMatchRecognize(spark, text))
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val spliced = spliceMatchRecognize(spark, text)
+    routeStreaming(spark, spliced).getOrElse(spark.sql(spliced))
+  }
+
+  /** Statements over a STREAMING registered table that Spark SQL cannot
+    * plan on a stream — the reference's rank/dedup `ROW_NUMBER()` filter
+    * (StreamExecDeduplicateRule / StreamExecRank) and OVER frame
+    * aggregates (StreamExecOverAggregate) — route to the stateful
+    * executors, so one `sql(text)` call serves them by table NAME just
+    * like everything else. Detection is conservative: only when a
+    * referenced table is a streaming temp view AND the statement carries
+    * the defining keyword does the router step in; Spark itself could
+    * never run those statements (UnsupportedOperationChecker rejects
+    * rank/OVER on streams at query start), so there is nothing the
+    * rerouting can shadow — a statement that deviates from the executor
+    * grammar fails loudly in its parser instead of obscurely at
+    * writeStream start. Everything else (streaming or batch) stays with
+    * Spark SQL. */
+  private def routeStreaming(spark: SparkSession,
+      text: String): Option[DataFrame] = {
+    val rank = indexOfWord(text, "ROW_NUMBER", 0) >= 0
+    val over = indexOfWord(text, "OVER", 0) >= 0
+    if (!rank && !over) return None
+    val rels = referencedTables(spark, text)
+    val streamingRels = rels.filter { n =>
+      scala.util.Try(spark.table(n).isStreaming).getOrElse(false)
+    }
+    if (streamingRels.isEmpty) return None
+    // reference parity: StreamExecRank supports only ROW_NUMBER on a
+    // stream and throws on the other rank types (StreamExecRank.scala:
+    // 139-143) — reject them with the same message instead of a
+    // confusing OVER-parser error
+    Seq("RANK", "DENSE_RANK").foreach { fn =>
+      require(indexOfWord(text, fn, 0) < 0 || rank,
+        s"$fn() on streaming table is not supported currently " +
+          "(reference parity: only ROW_NUMBER ranks a stream)")
+    }
+    require(rels.size == 1,
+      "a streaming rank/OVER statement must read exactly one table " +
+        s"(the stateful executor's input); found ${rels.mkString(", ")} — " +
+        "compose joins in a view over the executor result instead")
+    val df = spark.table(streamingRels.head)
+    if (rank) Some(graft.streaming.RankSql.sqlDf(df, text))
+    else Some(graft.streaming.StreamingOverSql.sqlDf(df, text))
+  }
+
+  /** Table/view names referenced by the statement (parse only — no
+    * analysis, so rank-on-stream shapes Spark cannot plan still parse). */
+  private def referencedTables(spark: SparkSession,
+      text: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    scala.util.Try(spark.sessionState.sqlParser.parsePlan(text))
+      .map(_.collect {
+        case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+      }.distinct)
+      .getOrElse(Seq.empty)
+  }
 
   /** Replace every `<table> MATCH_RECOGNIZE (...)` reference with a temp
     * view holding the executed clause result; returns the spliced

@@ -1,8 +1,10 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.streaming.{OverT1, RankT3}
 
 /** The single SQL front door must execute embedded MATCH_RECOGNIZE
   * clauses through the general-schema executor and let the surrounding
@@ -143,5 +145,90 @@ class SqlSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_pairs")
       org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile)
     }
+  }
+
+  test("streaming table by name: the ROW_NUMBER filter routes to the " +
+    "stateful rank executor; the identical batch statement stays native") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RankT3]
+    input.toDF().createOrReplaceTempView("sql_stream_rank")
+    val stmt =
+      """SELECT b, a, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a DESC) AS rn
+        |  FROM sql_stream_rank)
+        |WHERE rn = 1""".stripMargin
+    val routed = graft.Sql.sql(spark, stmt)
+    assert(routed.isStreaming) // Spark SQL could never plan this on a stream
+    val q = routed.writeStream.format("memory").queryName("sqlrankroute")
+      .outputMode("append").start()
+    val data = Seq(RankT3(1, 1L, "x"), RankT3(5, 1L, "y"), RankT3(3, 2L, "z"),
+      RankT3(4, 2L, "w"), RankT3(2, 1L, "v"))
+    input.addData(data.take(3): _*); q.processAllAvailable()
+    input.addData(data.drop(3): _*); q.processAllAvailable()
+    q.stop()
+    // append log is a changelog; the final keep-one per key is max(a)
+    val fin = spark.table("sqlrankroute").groupBy("b").agg(max("a").as("a"))
+      .as[(Long, Int)].collect().toSet
+    assert(fin == Set((1L, 5), (2L, 4)))
+    // the same statement on a BATCH view bypasses the router entirely
+    data.toDF().createOrReplaceTempView("sql_batch_rank")
+    val batch = graft.Sql.sql(spark,
+      stmt.replace("sql_stream_rank", "sql_batch_rank"))
+    assert(!batch.isStreaming)
+    assert(rows(batch.orderBy("b")) ==
+      Seq(Seq(1L, 5, 1), Seq(2L, 4, 1)))
+  }
+
+  test("streaming table by name: an OVER frame routes to the stateful " +
+    "OVER executor") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val input = MemoryStream[OverT1]
+    input.toDF().createOrReplaceTempView("sql_stream_over")
+    val routed = graft.Sql.sql(spark,
+      """SELECT c, a, SUM(a) OVER (PARTITION BY c ORDER BY rowtime
+        |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS sum_a
+        |FROM sql_stream_over""".stripMargin)
+    assert(routed.isStreaming)
+    val q = routed.writeStream.format("memory").queryName("sqloverroute")
+      .outputMode("append").start()
+    input.addData(OverT1(1, 1, "k1", ts(1)), OverT1(2, 2, "k1", ts(2)),
+      OverT1(7, 7, "k2", ts(1)))
+    q.processAllAvailable()
+    input.addData(OverT1(3, 3, "k1", ts(3)))
+    q.processAllAvailable()
+    // watermark sentinels close every real row's frame
+    input.addData(OverT1(0, 0, "ZZZ", ts(100))); q.processAllAvailable()
+    input.addData(OverT1(0, 0, "ZZZ", ts(200))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sqloverroute").filter($"c" =!= "ZZZ")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("k1", 1L, 1.0), ("k1", 2L, 3.0), ("k1", 3L, 5.0),
+      ("k2", 7L, 7.0)))
+  }
+
+  test("a streaming rank statement over several tables is rejected with " +
+    "the composition pointer") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RankT3]
+    input.toDF().createOrReplaceTempView("sql_stream_rank2")
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("sql_batch_dim")
+    val e = intercept[IllegalArgumentException](graft.Sql.sql(spark,
+      """SELECT * FROM (
+        |  SELECT t.*, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn
+        |  FROM sql_stream_rank2 t JOIN sql_batch_dim d ON t.a = d.id)
+        |WHERE rn = 1""".stripMargin))
+    assert(e.getMessage.contains("exactly one table"))
+    // reference parity: StreamExecRank.scala:141 throws the same message
+    val e2 = intercept[IllegalArgumentException](graft.Sql.sql(spark,
+      """SELECT * FROM (
+        |  SELECT *, RANK() OVER (PARTITION BY b ORDER BY a) AS r
+        |  FROM sql_stream_rank2)
+        |WHERE r = 1""".stripMargin))
+    assert(e2.getMessage.contains(
+      "RANK() on streaming table is not supported"))
   }
 }
