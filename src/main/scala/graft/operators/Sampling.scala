@@ -30,7 +30,8 @@ object Sampling {
 
   def defs: Seq[QueryDef] =
     Seq(q54StratifiedSample, q55WeightedMixture, q56SplitAssign,
-      q107TemperatureMix, q117ClusterSample, q122TokenBudget)
+      q107TemperatureMix, q117ClusterSample, q122TokenBudget,
+      q154WeightedReservoir)
 
   private val M = 2147483647L // 2^31 - 1, the Mersenne prime of MINSTD
 
@@ -328,5 +329,51 @@ object Sampling {
     tokenBudgetCap(Tables(spark, dir).documents, "source", "doc_id", "text",
       budgetTokens = 800L, seed = 31)
       .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Weighted sampling WITHOUT replacement, exactly k rows, inclusion
+    * probability proportional to the weight (A-Res: Efraimidis &
+    * Spirakis, IPL'06): each row draws u in (0,1) and the k largest
+    * u^(1/w) win — equivalently the k largest ln(u)/w, the form used
+    * here. The u comes from [[pseudoRank]], so the draw is reproducible
+    * across runs, engines and partitionings (the same property as every
+    * selection in this module); the key is rounded once to 12 decimals
+    * and compared as an exact DECIMAL, so the top-k boundary cannot
+    * drift with float merge order. One map pass + TakeOrderedAndProject
+    * (k rows to one reducer, never a global sort): the 100 TB plan.
+    * Rows with weight <= 0 are excluded, as in the paper. */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 11L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val u = (pseudoRank(col(idCol), seed) + 1).cast(DoubleType) /
+      2147483648.0 // exact dyadic rational in (0,1)
+    val keyed = df.filter(col(weightCol) > 0)
+      .withColumn("skey",
+        round(log(u) / col(weightCol), 12).cast(DecimalType(20, 12)))
+    keyed
+      .orderBy(col("skey").desc, col(idCol))
+      .limit(k)
+      .withColumn("sel_rank",
+        row_number().over(Window.orderBy(col("skey").desc, col(idCol))))
+      .drop("skey")
+  }
+
+  /** 200 documents drawn with probability ∝ length (n_chars): the
+    * quality-weighted corpus draw of a curation pipeline. */
+  val q154WeightedReservoir: QueryDef = QueryDef("q154_weighted_reservoir",
+    s"""WITH keyed AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(round(ln((${pseudoRankSql("doc_id", seed = 11)} + 1.0)
+       |      / 2147483648.0) / n_chars, 12) AS DECIMAL(20,12)) AS skey
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT doc_id, n_chars, sel_rank FROM (
+       |  SELECT doc_id, n_chars,
+       |    row_number() OVER (ORDER BY skey DESC, doc_id) AS sel_rank
+       |  FROM keyed)
+       |WHERE sel_rank <= 200 ORDER BY sel_rank""".stripMargin) {
+    (spark, dir) =>
+      weightedReservoir(Tables(spark, dir).documents
+        .select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", k = 200)
+        .orderBy(col("sel_rank"))
   }
 }

@@ -245,4 +245,42 @@ class SamplingSpec extends SparkSpec {
     // deterministic across runs
     assert(capped.collect().map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
+
+  test("weightedReservoir: exactly k, dense 1-based ranks, repartition-" +
+    "invariant, inclusion monotone in the weight") {
+    import spark.implicits._
+    // 2000 rows, weights 1 or 20 alternating in blocks of 100
+    val pop = (0L until 2000L).map(i => (i, if ((i / 100) % 2 == 0) 20L else 1L))
+      .toDF("item_id", "w")
+    val got = Sampling.weightedReservoir(pop, "item_id", "w", k = 300)
+    val rs = got.collect()
+    assert(rs.length == 300)
+    assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to 300))
+    // repartitioning must not change the draw (pure map + exact-key top-k)
+    val got2 = Sampling.weightedReservoir(pop.repartition(13), "item_id",
+      "w", k = 300)
+    assert(rows(got.orderBy("sel_rank")) == rows(got2.orderBy("sel_rank")))
+    // A-Res property: P(include) rises with weight — the 20x-weighted half
+    // must dominate the sample decisively (expected ~95% of picks)
+    val heavy = rs.count(_.getLong(1) == 20L)
+    assert(heavy > 240, s"heavy-weight rows under-sampled: $heavy/300")
+    // weight <= 0 rows are excluded even at k > |positive|
+    val withZero = Seq((1L, 0L), (2L, 5L), (3L, -1L)).toDF("item_id", "w")
+    assert(Sampling.weightedReservoir(withZero, "item_id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("weightedReservoir with equal weights reduces to the uniform " +
+    "pseudoRank draw") {
+    import spark.implicits._
+    val pop = (0L until 500L).map(i => (i, 7L)).toDF("item_id", "w")
+    val got = Sampling.weightedReservoir(pop, "item_id", "w", k = 50,
+      seed = 11).select("item_id").as[Long].collect().toSet
+    // equal w: ordering by ln(u)/w = ordering by u desc = pseudoRank desc
+    val want = pop.select(col("item_id"),
+      Sampling.pseudoRank(col("item_id"), 11L).as("r"))
+      .orderBy(col("r").desc, col("item_id")).limit(50)
+      .select("item_id").as[Long].collect().toSet
+    assert(got == want)
+  }
 }
