@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkSpec
+
+/** Seeded randomized sweep: on many generated datasets — random key
+  * cardinality, null rate, duplicate timestamps, full order-key ties —
+  * every general-schema executor's batch collapse must agree with the
+  * independent native plan (Spark's own WindowExec / hash aggregate)
+  * row for row. The fixed-fixture specs pin each path once; this sweep
+  * guards the envelope: tie handling, null skipping, empty partitions,
+  * frame boundaries at random sizes. Seeds are FIXED (no run-to-run
+  * flake); widening the seed list is the knob. */
+class ExecutorPropertySpec extends SparkSpec {
+
+  /** Random rows: (k grp, ts with heavy duplication, v nullable double,
+    * d nullable decimal, id unique). */
+  private def gen(seed: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val nKeys = 1 + rnd.nextInt(6)
+    val n = 50 + rnd.nextInt(300)
+    val nullEvery = 2 + rnd.nextInt(5)
+    (0 until n).map { i =>
+      val ts = new Timestamp(60000L * rnd.nextInt(40)) // heavy ts ties
+      val v: java.lang.Double =
+        if (rnd.nextInt(nullEvery) == 0) null
+        else java.lang.Double.valueOf((rnd.nextInt(2000) - 1000) / 100.0)
+      (s"k${rnd.nextInt(nKeys)}", ts, v, i.toLong)
+    }.toDF("grp", "ts", "v", "id")
+      .withColumn("d", col("v").cast(DecimalType(10, 2)))
+  }
+
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.count() == b.count() && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("OVER executor vs native WindowExec: ROWS / UNBOUNDED / RANGE " +
+    "frames agree on random data with nulls and timestamp ties") {
+    for (seed <- 1 to 6) {
+      val df = gen(seed).cache()
+      val frame = seed % 3 match {
+        case 0 => "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        case 1 => s"ROWS BETWEEN ${1 + seed} PRECEDING AND CURRENT ROW"
+        case 2 => "RANGE BETWEEN INTERVAL '5' MINUTE PRECEDING AND CURRENT ROW"
+      }
+      // RANGE frames order on the single timestamp; ROWS add the unique
+      // id so the executor's fold order is well-defined under ts ties
+      val order = if (seed % 3 == 2) "ts" else "ts, id"
+      val sql =
+        s"""SELECT grp, id,
+           |  COUNT(v) OVER w AS cnt_v,
+           |  ROUND(SUM(v) OVER w, 4) AS sum_v,
+           |  MIN(v) OVER w AS min_v,
+           |  MAX(v) OVER w AS max_v,
+           |  SUM(d) OVER w AS sum_d
+           |FROM t
+           |WINDOW w AS (PARTITION BY grp ORDER BY $order $frame)""".stripMargin
+      val exec = StreamingOverSql.sqlDf(df, sql, batchNative = false)
+      val native = StreamingOverSql.sqlDf(df, sql, batchNative = true)
+      assert(multisetEqual(exec, native),
+        s"seed=$seed frame=$frame: executor disagrees with WindowExec")
+      df.unpersist()
+    }
+  }
+
+  test("rank executor vs native WindowGroupLimit plan: top-n / dedup / " +
+    "k-th agree on random data with order-key ties") {
+    for (seed <- 1 to 6) {
+      val df = gen(seed + 100).cache()
+      val n = 1 + seed % 4
+      // primary order key 'v' carries ties AND nulls; unique id tiebreak
+      // makes the final order well-defined on both paths
+      val keys = Seq(("v", seed % 2 == 0), ("id", true))
+      val exec = RankOps.rankRows(df, Seq("grp"), keys, n)
+      val native = RankOps.rankRowsBatchNative(df, Seq("grp"), keys, n)
+      assert(multisetEqual(exec, native), s"seed=$seed n=$n topn")
+      df.unpersist()
+    }
+  }
+
+  test("count-tumble executor vs native chunked aggregate agree on " +
+    "random data (decimal values: bit-identical sums)") {
+    for (seed <- 1 to 6) {
+      val df = gen(seed + 200).cache()
+      val size = 2 + seed % 5
+      val exec = CountWindows.countTumble(df, Seq("grp"), Seq("ts", "id"),
+        size, "d", "id")
+      val native = CountWindows.countTumbleBatchNative(df, Seq("grp"),
+        Seq("ts", "id"), size, "d", "id")
+      assert(multisetEqual(exec, native), s"seed=$seed size=$size")
+      df.unpersist()
+    }
+  }
+}
