@@ -36,7 +36,8 @@ import graft.core.{QueryDef, Tables}
 object Sketches {
 
   def defs: Seq[QueryDef] =
-    Seq(q151HeavyHitters, q152BloomDecontaminate, q153DsirSample)
+    Seq(q151HeavyHitters, q152BloomDecontaminate, q153DsirSample,
+      q155WindowedHeavyHitters)
 
   /** Exact heavy hitters over a column, count-min pruned.
     *
@@ -166,6 +167,33 @@ object Sketches {
       .orderBy(col("sel_rank"))
   }
 
+  /** Exact heavy hitters PER EVENT-TIME WINDOW, batch or streaming from
+    * the same code: per-window term counts and per-window totals are two
+    * watermark-bounded window aggregates whose append outputs join on
+    * the window column — the chained-stateful shape Structured Streaming
+    * executes in one continuous query (two shuffles keyed by
+    * (window, term) and (window); the totals side is #windows-sized, so
+    * the join broadcasts at any data scale). A term is emitted for a
+    * window iff cnt * den >= the window's total, exactly — results
+    * append once per closed window and match the batch collapse as a
+    * multiset. State is watermark-bounded on all three operators; a
+    * window that closes leaves nothing behind. */
+  def windowedHeavyHitters(df: DataFrame, tsCol: String, termCol: String,
+      dur: String = "1 hour", den: Long = 4L,
+      delay: String = "0 seconds"): DataFrame = {
+    require(den >= 1, s"den must be >= 1: $den")
+    val src = if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+    val counts = src
+      .groupBy(window(col(tsCol), dur).as("win"), col(termCol).as("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = src.groupBy(window(col(tsCol), dur).as("win"))
+      .agg(count(lit(1)).as("total"))
+    counts.join(totals, Seq("win"))
+      .filter(col("cnt") * den >= col("total"))
+      .select(col("win").getField("start").as("win_start"),
+        col("term"), col("cnt"))
+  }
+
   /** Terms covering ≥ 1/200 of all occurrences, exactly. */
   val q151HeavyHitters: QueryDef = QueryDef("q151_heavy_hitters",
     """WITH words AS (
@@ -245,5 +273,22 @@ object Sketches {
        |  FROM keyed)
        |WHERE sel_rank <= 100 ORDER BY sel_rank""".stripMargin) {
     (spark, dir) => dsirSample(Tables(spark, dir).documents)
+  }
+
+  /** Event types covering ≥ 1/4 of each hour's events — the batch
+    * collapse of the streaming windowed-heavy-hitter query. */
+  val q155WindowedHeavyHitters: QueryDef = QueryDef("q155_windowed_heavy",
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+      |         event_type AS term
+      |  FROM events),
+      |c AS (SELECT win_start, term, count(*) AS cnt FROM w GROUP BY 1, 2),
+      |t AS (SELECT win_start, count(*) AS total FROM w GROUP BY 1)
+      |SELECT win_start, term, cnt FROM c JOIN t USING (win_start)
+      |WHERE cnt * 4 >= total
+      |ORDER BY win_start, term""".stripMargin) { (spark, dir) =>
+    windowedHeavyHitters(Tables(spark, dir).events, "ts", "event_type",
+      dur = "1 hour", den = 4L)
+      .orderBy(col("win_start"), col("term"))
   }
 }

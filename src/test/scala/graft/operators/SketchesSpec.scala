@@ -90,4 +90,37 @@ class SketchesSpec extends SparkSpec {
     // the overall max weight neighborhood)
     assert(got.length == 20)
   }
+
+  test("windowedHeavyHitters streaming (chained stateful aggs + window " +
+    "join) equals the batch collapse, windows close exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L)
+    // window 0: a dominates (3/5); window 3: z is total (1/1); window 6
+    // opens but never closes (no later watermark) — must NOT emit
+    val batch1 = Seq((t(1), "a"), (t(2), "a"), (t(3), "a"), (t(4), "b"))
+    val batch2 = Seq((t(5), "c"), (t(35), "z"))
+    val batch3 = Seq((t(65), "open"))
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Sketches.windowedHeavyHitters(
+      input.toDF().toDF("ts", "term"), "ts", "term",
+      dur = "10 minutes", den = 4L)
+      .writeStream.format("memory").queryName("whh")
+      .outputMode("append").start()
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    input.addData(batch3: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("whh")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == Set((t(0), "a", 3L), (t(30), "z", 1L)),
+      s"got $got") // b, c miss the 1/4 bar; the open window held back
+    // batch collapse over the CLOSED windows agrees
+    val closed = (batch1 ++ batch2).toDF("ts", "term")
+    val want = Sketches.windowedHeavyHitters(closed, "ts", "term",
+      dur = "10 minutes", den = 4L)
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == want)
+  }
 }
