@@ -62,7 +62,15 @@ import graft.streaming.StatefulOps.Event
   * Bounded quantifiers `{n}` / `{n,}` / `{n,m}` carry the reference's
   * POSSESSIVE-greedy semantics (see [[PatternMatch.Times]]): the
   * IT-case `PATTERN (DOWN{2,} UP)` expectations are only reproducible
-  * without backtracking into the run.
+  * without backtracking into the run. One documented preferment
+  * divergence: where an optional/greedy step can either TAKE a row or
+  * be skipped so a later step completes the match on that same row
+  * (e.g. `... C D? E` when a row satisfies both D and E), graft keeps
+  * SQL:2016 static greedy preferment (D takes — Trino/Oracle
+  * behavior), while the reference's streaming NFA emits the moment any
+  * branch reaches a final state, leaving D empty
+  * (`MatchRecognizeITCase.testAggregates`; pinned with the full
+  * analysis in `MatchRecognizeAnySpec`).
   *
   * ONE ROW PER MATCH output is partition columns + MEASURES aliases
   * (FINAL semantics). ALL ROWS PER MATCH with MEASURES outputs every

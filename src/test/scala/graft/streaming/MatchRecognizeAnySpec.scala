@@ -212,4 +212,151 @@ class MatchRecognizeAnySpec extends SparkSpec {
       .as[(String, Int, Int, Int)].collect().toSet
     assert(batchGot == want, s"batch twin disagrees: $batchGot")
   }
+
+  test("reference testSimplePatternWithNulls: null partition-less rows, " +
+      "IS NULL defines, LAST over an all-null field " +
+      "(MatchRecognizeITCase.scala:95-139)") {
+    val t = Seq(
+      (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, null),
+      (6, "a"), (7, "b"), (8, "c"), (9, null)
+    ).toDF("id", "name")
+      .withColumn("nullField",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("ord", org.apache.spark.sql.functions.col("id"))
+    val got = MatchRecognizeSql.sqlDf(t,
+      """SELECT * FROM MyTable MATCH_RECOGNIZE (
+        |  ORDER BY ord
+        |  MEASURES
+        |    A.id AS aid,
+        |    A.nullField AS aNull,
+        |    LAST(B.nullField) AS bNull,
+        |    C.id AS cid
+        |  PATTERN (A B C)
+        |  DEFINE
+        |    A AS name = 'a' AND nullField IS NULL,
+        |    B AS name = 'b' AND LAST(A.nullField) IS NULL,
+        |    C AS name = 'c'
+        |) AS T""".stripMargin)
+      .select("aid", "bNull", "cid", "aNull")
+    // expected (":137"): 1,null,3,null and 6,null,8,null
+    val want = Set(Seq[Any](1, null, 3, null), Seq[Any](6, null, 8, null))
+    assert(rows(got).toSet == want, rows(got).toString)
+  }
+
+  test("reference testLogicalOffsetOutsideOfRangeInMeasures: " +
+      "FIRST(DOWN.price, 5) beyond the run is null " +
+      "(MatchRecognizeITCase.scala:480-520)") {
+    val t = Seq(
+      ("ACME", 1L, 19, 1), ("ACME", 2L, 17, 2),
+      ("ACME", 3L, 13, 3), ("ACME", 4L, 20, 4)
+    ).toDF("symbol", "tstamp", "price", "ord")
+    val got = MatchRecognizeSql.sqlDf(t,
+      """SELECT * FROM Ticker MATCH_RECOGNIZE (
+        |  ORDER BY ord
+        |  MEASURES
+        |    FIRST(DOWN.price) AS first,
+        |    LAST(DOWN.price) AS last,
+        |    FIRST(DOWN.price, 5) AS nullPrice
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (DOWN{2,} UP)
+        |  DEFINE
+        |    DOWN AS price < LAST(DOWN.price, 1) OR LAST(DOWN.price, 1) IS NULL,
+        |    UP AS price > LAST(DOWN.price)
+        |) AS T""".stripMargin)
+    // expected (":518"): 19,13,null
+    assert(rows(got).toSet == Set(Seq[Any](19, 13, null)), rows(got).toString)
+  }
+
+  test("reference testAggregatesWithNullInputs: null-skipping COUNT/SUM " +
+      "over qualified and unqualified columns " +
+      "(MatchRecognizeITCase.scala:592-645)") {
+    def I(v: Int): Integer = Integer.valueOf(v)
+    val data: Seq[(Int, String, Integer)] = Seq(
+      (1, "a", I(10)), (2, "z", I(10)), (3, "b", null), (4, "c", null),
+      (5, "d", I(3)), (6, "c", I(3)), (7, "c", I(3)), (8, "c", I(3)),
+      (9, "c", I(2)))
+    val t = data.toDF("id", "name", "price")
+      .withColumn("ord", org.apache.spark.sql.functions.col("id"))
+    val got = MatchRecognizeSql.sqlDf(t,
+      """SELECT * FROM MyTable MATCH_RECOGNIZE (
+        |  ORDER BY ord
+        |  MEASURES
+        |    SUM(A.price) AS sumA,
+        |    COUNT(A.id) AS countAId,
+        |    COUNT(A.price) AS countAPrice,
+        |    COUNT(*) AS countAll,
+        |    COUNT(price) AS countAllPrice,
+        |    LAST(id) AS endId
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A+ C)
+        |  DEFINE
+        |    A AS SUM(A.price) < 30,
+        |    C AS C.name = 'c'
+        |) AS T""".stripMargin)
+    // expected (":643"): 29,7,5,8,6,8
+    assert(rows(got).map(_.map {
+      case l: Long => l.toInt
+      case v => v
+    }).toSet == Set(Seq[Any](29, 7, 5, 8, 6, 8)), rows(got).toString)
+  }
+
+  test("reference testAggregates shape: running aggregates in DEFINE, " +
+      "expression aggregates, the WeightedAvg UDF expressed in-grammar " +
+      "as SUM(price*weight)/SUM(weight) — SQL:2016 greedy preferment " +
+      "(MatchRecognizeITCase.scala:531-590; divergence documented)") {
+    val t = Seq(
+      (1, "a", 1L, 0.8, 1), (2, "z", 2L, 0.8, 3), (3, "b", 1L, 0.8, 2),
+      (4, "c", 1L, 0.8, 5), (5, "d", 4L, 0.1, 5), (6, "a", 2L, 1.5, 2),
+      (7, "b", 2L, 0.8, 3), (8, "c", 1L, 0.8, 2), (9, "h", 4L, 0.8, 3),
+      (10, "h", 4L, 0.8, 3), (11, "h", 2L, 0.8, 3), (12, "h", 2L, 0.8, 3)
+    ).toDF("id", "name", "price", "rate", "weight")
+      .withColumn("ord", org.apache.spark.sql.functions.col("id"))
+    // the IT registers WeightedAvg(price, weight) = sum(price*weight) /
+    // sum(weight) in LONG division (JavaUserDefinedAggFunctions) — the
+    // same value the grammar writes directly
+    val got = MatchRecognizeSql.sqlDf(t,
+      """SELECT * FROM MyTable MATCH_RECOGNIZE (
+        |  ORDER BY ord
+        |  MEASURES
+        |    FIRST(id) AS startId,
+        |    SUM(A.price) AS sumA,
+        |    COUNT(D.price) AS countD,
+        |    SUM(D.price) AS sumD,
+        |    SUM(price * weight) / SUM(weight) AS wAvg,
+        |    AVG(B.price) AS avgB,
+        |    SUM(B.price * B.rate) AS sumExprB,
+        |    LAST(id) AS endId
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A+ B+ C D? E)
+        |  DEFINE
+        |    A AS SUM(A.price) < 6,
+        |    B AS SUM(B.price * B.rate) < SUM(A.price) AND
+        |         SUM(B.price * B.rate) > 0.2 AND
+        |         SUM(B.price) >= 1 AND
+        |         AVG(B.price) >= 1 AND
+        |         SUM(price * weight) / SUM(weight) > 1
+        |) AS T""".stripMargin)
+    // DOCUMENTED DIVERGENCE from the IT's expected rows (":588"
+    // `1,5,0,null,2,3.0,3.4,8` / `9,4,0,null,3,4.0,3.2,12`): at row 8
+    // both `D? -> take` and `skip D, complete via E` are live; SQL:2016
+    // static preferment is GREEDY (D takes row 8, E takes row 9 — what
+    // Trino/Oracle return), while the reference's streaming NFA emits
+    // the moment ANY branch reaches a final state, so its D stays empty
+    // and the match ends at row 8 (freeing rows 9-12 for a second
+    // match). graft implements the standard preferment; every aggregate
+    // value below (running DEFINE aggs, empty-variable COUNT=0 has no
+    // occasion here, the long-division weighted average, the expression
+    // aggregate) is pinned on the standard-greedy match 1-9, after
+    // which rows 10-12 cannot complete A+ B+ C D? E.
+    val want = Set(
+      Seq[Any](1, 5L, 1L, 1L, 2L, 3.0, 3.4, 9))
+    val norm = rows(got).map(_.map {
+      case i: Int => i
+      case l: Long => l
+      case d: Double => math.rint(d * 10) / 10
+      case v => v
+    }).toSet
+    assert(norm == want, rows(got).toString)
+  }
 }
