@@ -14,12 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Division of labor: Spark SQL already evaluates OVER windows,
   * ROW_NUMBER filters, joins, subqueries and unions natively in batch —
   * the ONE clause it cannot parse at all is MATCH_RECOGNIZE. So the
-  * router extracts each `<table> MATCH_RECOGNIZE ( ... )` table
-  * reference from the statement, executes it through the existing
-  * general-schema executor, registers the result as a temp view, and
-  * hands the spliced statement to `spark.sql` — the surrounding query
-  * (joins, aggregations, set ops over the clause result) composes
-  * untouched. Tables named in the statement must be resolvable through
+  * router extracts each `<table> MATCH_RECOGNIZE ( ... )` or
+  * `(subquery) MATCH_RECOGNIZE ( ... )` source from the statement,
+  * executes it through the existing general-schema executor (the
+  * subquery form runs through `spark.sql` first — a windowed aggregate
+  * feeding pattern matching is the reference's own IT composition),
+  * registers the result as a temp view, and hands the spliced
+  * statement to `spark.sql` — the surrounding query (joins,
+  * aggregations, set ops over the clause result) composes untouched. Tables named in the statement must be resolvable through
   * the session catalog (temp views or tables), exactly as in the
   * reference's registered-table model.
   *
@@ -111,16 +113,29 @@ object Sql {
       val kw = indexOfWord(text, "MATCH_RECOGNIZE", i)
       if (kw < 0) { out.append(text.substring(i)); i = text.length }
       else {
-        // backtrack over whitespace to the preceding table identifier
+        // backtrack over whitespace to the source: a table identifier or
+        // a parenthesized subquery (reference accepts both —
+        // MatchRecognizeITCase.testMatchRecognizeAppliedToWindowedGrouping)
         var e = kw - 1
         while (e >= i && text.charAt(e).isWhitespace) e -= 1
-        val idEnd = e + 1
-        while (e >= i && (text.charAt(e).isLetterOrDigit ||
-          text.charAt(e) == '_' || text.charAt(e) == '.')) e -= 1
-        val table = text.substring(e + 1, idEnd)
-        require(table.nonEmpty && !table.head.isDigit,
-          s"MATCH_RECOGNIZE must follow a table reference, found " +
-            s"'${text.substring(math.max(i, kw - 20), kw)}'")
+        val (srcDf, srcStart) =
+          if (e >= i && text.charAt(e) == ')') {
+            val open = balancedOpen(text, e)
+            require(open >= i, "unbalanced subquery before MATCH_RECOGNIZE")
+            val sub = text.substring(open + 1, e).trim
+            require(sub.nonEmpty, "empty subquery before MATCH_RECOGNIZE")
+            (spark.sql(sub), open)
+          } else {
+            val idEnd = e + 1
+            while (e >= i && (text.charAt(e).isLetterOrDigit ||
+              text.charAt(e) == '_' || text.charAt(e) == '.')) e -= 1
+            val table = text.substring(e + 1, idEnd)
+            require(table.nonEmpty && !table.head.isDigit,
+              s"MATCH_RECOGNIZE must follow a table reference or " +
+                s"(subquery), found " +
+                s"'${text.substring(math.max(i, kw - 20), kw)}'")
+            (spark.table(table), e + 1)
+          }
         // forward: the balanced clause body
         var j = kw + "MATCH_RECOGNIZE".length
         while (j < text.length && text.charAt(j).isWhitespace) j += 1
@@ -131,9 +146,9 @@ object Sql {
         val view = s"graft_mr_$n"
         n += 1
         graft.streaming.MatchRecognizeSql
-          .sqlDf(spark.table(table), s"SELECT * FROM $table $clause")
+          .sqlDf(srcDf, s"SELECT * FROM graft_mr_src $clause")
           .createOrReplaceTempView(view)
-        out.append(text.substring(i, e + 1)).append(view)
+        out.append(text.substring(i, srcStart)).append(view)
         i = close + 1
       }
     }
@@ -160,6 +175,29 @@ object Sql {
 
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_'
+
+  /** Index of the '(' balancing the ')' at `close`, scanning backward
+    * and skipping string literals (quote state derived by a forward
+    * pass — backward quote scanning is ambiguous). */
+  private def balancedOpen(s: String, close: Int): Int = {
+    // forward pass: record paren depth transitions outside strings
+    var inStr = false
+    var depth = 0
+    val opens = new java.util.ArrayDeque[Int]()
+    var i = 0
+    while (i <= close) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') { opens.push(i); depth += 1 }
+      else if (!inStr && c == ')') {
+        if (i == close) return if (opens.isEmpty) -1 else opens.pop()
+        if (!opens.isEmpty) opens.pop()
+        depth -= 1
+      }
+      i += 1
+    }
+    -1
+  }
 
   /** Index of the ')' balancing the '(' at `open`, skipping string
     * literals. */

@@ -57,7 +57,10 @@ import graft.streaming.StatefulOps.Event
   * batch-only — the streaming executor retains a single predecessor
   * marker across consumption), aggregates `COUNT(*)`, `COUNT(V.*)`,
   * `COUNT/SUM/MIN/MAX/AVG(expr)` (COUNT(expr) skips null evaluations,
-  * per SQL), and `CLASSIFIER()` / `MATCH_NUMBER()`.
+  * per SQL), `CLASSIFIER()` / `MATCH_NUMBER()`, and `MATCH_ROWTIME()`
+  * (the last matched row's primary order value, the reference's
+  * MatchRowTimeFunction — enables windowed GROUP BY over the clause
+  * result, MatchRecognizeITCase.testWindowedGroupingAppliedTo...).
   *
   * Bounded quantifiers `{n}` / `{n,}` / `{n,m}` carry the reference's
   * POSSESSIVE-greedy semantics (see [[PatternMatch.Times]]): the
@@ -112,6 +115,11 @@ object MatchRecognizeSql {
       expr: Option[Ex]) extends Ex
   private case object ClassifierEx extends Ex
   private case object MatchNumberEx extends Ex
+  /** `MATCH_ROWTIME()` — parse-time sugar, rewritten during parse
+    * finalization to universal `LAST(<primary order column>)` (the last
+    * matched row's event time, the reference's
+    * `MatchRowTimeFunction`). */
+  private case object MatchRowtimeEx extends Ex
 
   private final case class Parsed(partCols: Seq[String],
       orderKeys: Seq[(String, Boolean)],
@@ -720,8 +728,25 @@ object MatchRecognizeSql {
           "physical navigation is a DEFINE-side construct here")
     }
 
-    Parsed(partCols, orderKeys, measures, allRows, skip, patternVars,
-      within, defines)
+    // MATCH_ROWTIME() sugar: the last matched row's primary order value
+    val orderCol = orderKeys.headOption.map(_._1).getOrElse("")
+    def deRowtime(ex: Ex): Ex = ex match {
+      case MatchRowtimeEx =>
+        require(orderCol.nonEmpty, "MATCH_ROWTIME() requires an ORDER BY")
+        Nav(first = false, variable = None, CurField(orderCol), 0)
+      case Arith(op, l, r) => Arith(op, deRowtime(l), deRowtime(r))
+      case Neg(e) => Neg(deRowtime(e))
+      case Cmp(op, l, r) => Cmp(op, deRowtime(l), deRowtime(r))
+      case IsNullEx(e, n) => IsNullEx(deRowtime(e), n)
+      case LikeEx(e, pat, n) => LikeEx(deRowtime(e), pat, n)
+      case AndEx(l, r) => AndEx(deRowtime(l), deRowtime(r))
+      case OrEx(l, r) => OrEx(deRowtime(l), deRowtime(r))
+      case NotEx(e) => NotEx(deRowtime(e))
+      case other => other // leaves + Nav/InputNav/AggEx (no nesting)
+    }
+    Parsed(partCols, orderKeys, measures.map { case (a, e) =>
+      (a, deRowtime(e)) }, allRows, skip, patternVars,
+      within, defines.map { case (v, e) => (v, deRowtime(e)) })
   }
 
   // ---- expression parsing (precedence climbing) ----
@@ -844,6 +869,9 @@ object MatchRecognizeSql {
     }
     else if (t.equalsIgnoreCase("MATCH_NUMBER")) {
       p.next(); p.expect("("); p.expect(")"); MatchNumberEx
+    }
+    else if (t.equalsIgnoreCase("MATCH_ROWTIME")) {
+      p.next(); p.expect("("); p.expect(")"); MatchRowtimeEx
     }
     else {
       val id = p.ident()

@@ -147,6 +147,70 @@ class SqlSpec extends SparkSpec {
     }
   }
 
+  test("reference testMatchRecognizeAppliedToWindowedGrouping: the " +
+    "clause over a (windowed-aggregate subquery) source, one statement " +
+    "(MatchRecognizeITCase.scala:255-314)") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    Seq(
+      ("ACME", ts(1), 1, 1), ("ACME", ts(2), 2, 2),
+      ("ACME", ts(4), 1, 4), ("ACME", ts(5), 1, 3),
+      ("ACME", ts(7), 2, 3), ("ACME", ts(8), 2, 3),
+      ("ACME1", ts(1), 20, 4), ("ACME1", ts(1), 24, 4),
+      ("ACME1", ts(1), 25, 3), ("ACME1", ts(1), 19, 8)
+    ).toDF("symbol", "rowtime", "price", "tax")
+      .createOrReplaceTempView("ticker_wg")
+    val got = graft.Sql.sql(spark,
+      """SELECT * FROM (
+        |  SELECT symbol, SUM(price) AS price,
+        |         window(rowtime, '3 seconds').end AS wend,
+        |         window(rowtime, '3 seconds').start AS wstart
+        |  FROM ticker_wg GROUP BY symbol, window(rowtime, '3 seconds')
+        |) MATCH_RECOGNIZE (
+        |  PARTITION BY symbol
+        |  ORDER BY wend
+        |  MEASURES B.price AS dPrice, B.wstart AS dTime
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B)
+        |  DEFINE B AS B.price < A.price
+        |)""".stripMargin)
+    // reference expected (":312"): ACME,2,1970-01-01T00:00:03 — window
+    // sums 3,2,4: only (3 -> 2) descends; ACME1 has one window, no pair
+    assert(rows(got).toSet ==
+      Set(Seq[Any]("ACME", 2L, ts(3))), rows(got).toString)
+  }
+
+  test("reference testWindowedGroupingAppliedToMatchRecognize: windowed " +
+    "GROUP BY over the clause result via MATCH_ROWTIME(), one statement " +
+    "(MatchRecognizeITCase.scala:316-369)") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    Seq(
+      ("ACME", ts(1), 1, 1), ("ACME", ts(2), 2, 2),
+      ("ACME", ts(4), 1, 4), ("ACME", ts(5), 1, 3)
+    ).toDF("symbol", "rowtime", "price", "tax")
+      .createOrReplaceTempView("ticker_wg2")
+    val got = graft.Sql.sql(spark,
+      """SELECT symbol, SUM(price) AS price,
+        |       window(matchRowtime, '3 seconds').start AS startTime
+        |FROM ticker_wg2 MATCH_RECOGNIZE (
+        |  PARTITION BY symbol
+        |  ORDER BY rowtime
+        |  MEASURES
+        |    A.price AS price,
+        |    A.tax AS tax,
+        |    MATCH_ROWTIME() AS matchRowtime
+        |  ONE ROW PER MATCH
+        |  PATTERN (A)
+        |  DEFINE A AS A.price > 0
+        |) AS T
+        |GROUP BY symbol, window(matchRowtime, '3 seconds')""".stripMargin)
+    // reference expected (":366-368"): per-3s-window sums 3 and 2
+    assert(rows(got).toSet == Set(
+      Seq[Any]("ACME", 3L, ts(0)), Seq[Any]("ACME", 2L, ts(3))),
+      rows(got).toString)
+  }
+
   test("streaming table by name: the ROW_NUMBER filter routes to the " +
     "stateful rank executor; the identical batch statement stays native") {
     implicit val sq = spark.sqlContext

@@ -213,6 +213,28 @@ class MatchRecognizeAnySpec extends SparkSpec {
     assert(batchGot == want, s"batch twin disagrees: $batchGot")
   }
 
+  test("reference testEventsAreProperlyOrdered: three-key ORDER BY with " +
+      "mixed directions — each prefix order alone would admit a bogus " +
+      "match (MatchRecognizeITCase.scala:197-252)") {
+    // (secondaryOrder, ternaryOrder, name, id, eventTime)
+    val t = Seq(
+      (12, 1, "a", 1, 2L), (11, 2, "b", 2, 1L), (10, 3, "c", 3, 3L),
+      (8, 4, "a", 4, 4L), (9, 5, "b", 5, 4L), (7, 6, "c", 6, 5L),
+      (6, 8, "a", 7, 6L), (6, 7, "b", 8, 6L), (4, 9, "c", 9, 8L),
+      (3, 10, "a", 10, 9L), (2, 11, "b", 11, 10L), (1, 12, "c", 12, 11L)
+    ).toDF("secondaryorder", "ternaryorder", "name", "id", "et")
+    val got = MatchRecognizeSql.sqlDf(t,
+      """SELECT * FROM MyTable MATCH_RECOGNIZE (
+        |  ORDER BY et, secondaryorder DESC, ternaryorder ASC
+        |  MEASURES A.id AS aid, B.id AS bid, C.id AS cid
+        |  PATTERN (A B C)
+        |  DEFINE A AS name = 'a', B AS name = 'b', C AS name = 'c'
+        |) AS T""".stripMargin)
+    // expected (":250"): only 10,11,12 — event time breaks (1,2,3),
+    // secondary DESC breaks (4,5,6), ternary ASC breaks (7,8,9)
+    assert(rows(got).toSet == Set(Seq[Any](10, 11, 12)), rows(got).toString)
+  }
+
   test("reference testSimplePatternWithNulls: null partition-less rows, " +
       "IS NULL defines, LAST over an all-null field " +
       "(MatchRecognizeITCase.scala:95-139)") {
