@@ -197,4 +197,65 @@ class RankOpsSpec extends SparkSpec {
         |ORDER BY category""".stripMargin))
     assert(e5.getMessage.contains("presentation order"))
   }
+
+  test("reference RankITCase.testTopNWithoutRowNumber: the outer SELECT " +
+    "omits the rank column; streaming final state matches the IT's " +
+    "retract-sink result") {
+    import spark.implicits._
+    val data = Seq(
+      Shop("book", 1, 12), Shop("book", 2, 19), Shop("book", 4, 11),
+      Shop("book", 5, 20), Shop("fruit", 4, 33), Shop("fruit", 3, 44),
+      Shop("fruit", 5, 22), Shop("fruit", 1, 40))
+    val sql =
+      """SELECT category, num, shopId
+        |FROM (
+        |  SELECT category, shopId, num,
+        |      ROW_NUMBER() OVER (PARTITION BY category ORDER BY num DESC)
+        |        AS rank_num
+        |  FROM T)
+        |WHERE rank_num <= 2""".stripMargin
+    val log = streamLog(data, "ranknorow")(df => RankSql.sqlDf(df, sql))
+    assert(log.columns.toSeq == Seq("category", "num", "shopId"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("category").orderBy(col("num").desc)
+    val fin = log.distinct().withColumn("rx", row_number().over(w))
+      .filter(col("rx") <= 2).drop("rx")
+      .as[(String, Int, Int)].collect().toSet
+    // the IT's final retract result (":1091"): book 19/20, fruit 40/44
+    assert(fin == Set(("book", 19, 2), ("book", 20, 5),
+      ("fruit", 40, 1), ("fruit", 44, 3)), s"got $fin")
+  }
+
+  test("reference RankITCase.testUnarySortTopNOnString: rank over a " +
+    "grouped MAX on a STRING order key — final answer equals the IT's " +
+    "upsert-sink result") {
+    import spark.implicits._
+    // the reference ranks an UPDATING aggregate (retract-input rank, a
+    // Flink changelog operator); Spark's model recomputes the rank per
+    // micro-batch over the aggregate's state (the UpsertSink pattern),
+    // so the pinned contract is the FINAL answer: rank of the final
+    // grouped MAX equals the IT's converged upsert results
+    val data = Seq(
+      ("book", 11, "100"), ("book", 11, "200"), ("book", 12, "400"),
+      ("book", 12, "600"), ("book", 10, "600"), ("book", 10, "700"),
+      ("book", 9, "800"), ("book", 9, "900"), ("book", 10, "500"),
+      ("book", 8, "110"), ("book", 8, "120"), ("book", 7, "812"),
+      ("book", 9, "300"), ("book", 6, "900"), ("book", 7, "50"),
+      ("book", 11, "800"), ("book", 7, "50"), ("book", 8, "200"),
+      ("book", 6, "700"), ("book", 5, "800"), ("book", 4, "910"),
+      ("book", 3, "110"), ("book", 2, "900"), ("book", 1, "700"))
+    val agg = data.toDF("category", "shopId", "price")
+      .groupBy("category", "shopId")
+      .agg(org.apache.spark.sql.functions.max("price").as("max_price"))
+    val got = RankSql.sqlDf(agg,
+      """SELECT * FROM (
+        |  SELECT category, shopId, max_price, ROW_NUMBER() OVER (
+        |    PARTITION BY category ORDER BY max_price ASC) AS rank_num
+        |  FROM T)
+        |WHERE rank_num <= 3""".stripMargin)
+      .as[(String, Int, String, Long)].collect().toSet
+    // the IT's expected (":264-266"): lexicographic string order
+    assert(got == Set(("book", 3, "110", 1L), ("book", 8, "200", 2L),
+      ("book", 12, "600", 3L)), s"got $got")
+  }
 }
