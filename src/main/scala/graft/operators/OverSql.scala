@@ -18,7 +18,44 @@ object OverSql {
   def defs: Seq[QueryDef] =
     Seq(q133SqlOverRunning, q134SqlOverRows, q135SqlOverRange,
       q136SqlOverAnyRows, q137SqlOverAnyRange, q138SqlOverAnyUnbounded,
-      q139SqlOverAnyProcRows, q144OverDecimal, q148OverNative)
+      q139SqlOverAnyProcRows, q144OverDecimal, q148OverNative,
+      q156SqlOverRangeUnbounded)
+
+  /** RANGE UNBOUNDED PRECEDING with SQL PEER semantics (the reference's
+    * RowTimeRangeUnboundedPrecedingFunction;
+    * OverWindowITCase.testRowTimeUnBoundedPartitionedRangeOver): events
+    * bucketed to the minute so peers genuinely exist — every row in a
+    * tied minute carries the aggregate over ALL of that minute, where
+    * the ROWS twin (q138) would give each row a run up to itself. Forced
+    * onto the stateful executor; `OverAggregatesSpec` pins the native
+    * WindowExec route to the same rows. */
+  val q156SqlOverRangeUnbounded: QueryDef = QueryDef(
+    "q156_sql_over_range_unbounded",
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |         date_trunc('minute', ts) AS tmin
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  round(SUM(value) OVER w, 4) AS sv,
+      |  COUNT(value) OVER w AS cv
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tmin
+      |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val e = graft.core.Catalog.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        date_trunc("minute", col("ts")).as("tmin"))
+    StreamingOverSql.sqlDf(e,
+      """SELECT user_id, event_id,
+        |  ROUND(SUM(value) OVER w, 4) AS sv,
+        |  COUNT(value) OVER w AS cv
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tmin
+        |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+      batchNative = false)
+      .orderBy(col("user_id"), col("event_id"))
+  }
 
   /** The DEFAULT batch route of the same OVER SQL entry (r12): native
     * WindowExec — codegen'd, spill-aware, the 100 TB batch plan — where

@@ -45,6 +45,13 @@ object OverAggregates extends Serializable {
 
   sealed trait Frame extends Serializable
   case object UnboundedPreceding extends Frame
+  /** `RANGE UNBOUNDED PRECEDING`: the running aggregate with SQL PEER
+    * semantics — rows equal on every ORDER BY key share one frame that
+    * includes all of them (the reference's
+    * RowTimeRangeUnboundedPrecedingFunction; also SQL's default frame
+    * under ORDER BY). [[UnboundedPreceding]] is the ROWS twin: each row
+    * sees only rows up to itself. */
+  case object RangeUnbounded extends Frame
   final case class RowsPreceding(n: Int) extends Frame
   final case class RangePreceding(horizon: java.time.Duration) extends Frame
 
@@ -115,7 +122,7 @@ object OverAggregates extends Serializable {
           s"${schema.fields(leadIdx).dataType}")
       case RowsPreceding(n) =>
         require(n >= 0, s"ROWS frame bound must be >= 0, got $n")
-      case UnboundedPreceding => ()
+      case UnboundedPreceding | RangeUnbounded => ()
     }
     val horizonUs = frame match {
       case RangePreceding(h) => h.toNanos / 1000
@@ -190,6 +197,41 @@ object OverAggregates extends Serializable {
                 if (a.max == null || cmpNum(v, a.max) > 0) v else a.max)
             }
             out += Row.fromSeq(vals ++ unboundedOut(rowsSoFar, accs))
+          }
+          newSt = GenState(pending, Nil, Nil, rowsSoFar, accs)
+        case RangeUnbounded =>
+          // peer-inclusive running aggregate: rows equal on EVERY order
+          // key fold into the accumulators together, then all emit the
+          // same frame (SQL RANGE peers; the reference groups by rowtime
+          // the same way). A peer group split across micro-batches emits
+          // with the frames ripe at each batch — the executor's standing
+          // watermark discipline.
+          var rowsSoFar = st.rows
+          var accs = if (st.accs.nonEmpty) st.accs
+            else aggs.map(_ => Acc(0L, null, null, null))
+          val sorted = ripe.toIndexedSeq
+          var i = 0
+          while (i < sorted.length) {
+            var j = i
+            while (j < sorted.length && ord.compare(sorted(j), sorted(i)) == 0)
+              j += 1
+            gapReset(sorted(i)) {
+              rowsSoFar = 0L; accs = aggs.map(_ => Acc(0L, null, null, null))
+            }
+            (i until j).foreach { k =>
+              rowsSoFar += 1
+              val e = entryOf(sorted(k))
+              accs = accs.zipWithIndex.map { case (a, ai) =>
+                val v = e(ai)
+                if (v == null) a
+                else Acc(a.n + 1, addVals(a.sum, v),
+                  if (a.min == null || cmpNum(v, a.min) < 0) v else a.min,
+                  if (a.max == null || cmpNum(v, a.max) > 0) v else a.max)
+              }
+            }
+            val shared = unboundedOut(rowsSoFar, accs)
+            (i until j).foreach(k => out += Row.fromSeq(sorted(k) ++ shared))
+            i = j
           }
           newSt = GenState(pending, Nil, Nil, rowsSoFar, accs)
         case RowsPreceding(n) =>

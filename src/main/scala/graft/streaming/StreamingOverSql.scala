@@ -62,6 +62,10 @@ object StreamingOverSql {
 
   private sealed trait Frame
   private case object Unbounded extends Frame
+  /** RANGE UNBOUNDED PRECEDING — peer-inclusive (general-schema entry
+    * only; the Event-model [[sql]] entry keeps its running-aggregate
+    * trio). */
+  private case object RangeUnbounded extends Frame
   private final case class RowsPreceding(n: Int) extends Frame
   private final case class RangePreceding(us: Long) extends Frame
 
@@ -114,6 +118,9 @@ object StreamingOverSql {
 
     // dispatch: the reference's StreamExecOverAggregate routing
     val (df, cnt, sum, max) = spec.frame match {
+      case RangeUnbounded => sys.error(
+        "RANGE UNBOUNDED PRECEDING (peer semantics) is the general-schema " +
+          "entry's frame — use sqlDf; the Event-model trio is ROWS-running")
       case Unbounded =>
         require(!spec.procTime,
           "proc-time unbounded OVER not in the operator suite (the " +
@@ -234,6 +241,7 @@ object StreamingOverSql {
       } else {
         val frame = spec.frame match {
           case Unbounded => OverAggregates.UnboundedPreceding
+          case RangeUnbounded => OverAggregates.RangeUnbounded
           case RowsPreceding(n) => OverAggregates.RowsPreceding(n)
           case RangePreceding(us) => OverAggregates.RangePreceding(
             java.time.Duration.ofNanos(us * 1000L))
@@ -272,6 +280,8 @@ object StreamingOverSql {
     val w: WindowSpec = spec.frame match {
       case Unbounded => base.orderBy(spec.orderCols.map(col): _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      case RangeUnbounded => base.orderBy(spec.orderCols.map(col): _*)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       case RowsPreceding(n) => base.orderBy(spec.orderCols.map(col): _*)
         .rowsBetween(-n.toLong, 0L)
       case RangePreceding(us) =>
@@ -444,7 +454,12 @@ object StreamingOverSql {
         }
       }
     } else if (p.accept("RANGE")) {
+      if (p.acceptWords("UNBOUNDED", "PRECEDING")) return RangeUnbounded
       p.expect("BETWEEN")
+      if (p.acceptWords("UNBOUNDED", "PRECEDING")) {
+        p.expect("AND"); p.expect("CURRENT"); p.expect("ROW")
+        return RangeUnbounded
+      }
       val us: Long =
         if (p.accept("INTERVAL")) {
           val lit = p.next()

@@ -41,16 +41,18 @@ class ExecutorPropertySpec extends SparkSpec {
 
   test("OVER executor vs native WindowExec: ROWS / UNBOUNDED / RANGE " +
     "frames agree on random data with nulls and timestamp ties") {
-    for (seed <- 1 to 6) {
+    for (seed <- 1 to 8) {
       val df = gen(seed).cache()
-      val frame = seed % 3 match {
+      val frame = seed % 4 match {
         case 0 => "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
         case 1 => s"ROWS BETWEEN ${1 + seed} PRECEDING AND CURRENT ROW"
         case 2 => "RANGE BETWEEN INTERVAL '5' MINUTE PRECEDING AND CURRENT ROW"
+        case 3 => "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
       }
-      // RANGE frames order on the single timestamp; ROWS add the unique
-      // id so the executor's fold order is well-defined under ts ties
-      val order = if (seed % 3 == 2) "ts" else "ts, id"
+      // RANGE frames order on the single timestamp (heavy ties exercise
+      // SQL peer semantics); ROWS add the unique id so the executor's
+      // fold order is well-defined under ts ties
+      val order = if (seed % 4 >= 2) "ts" else "ts, id"
       val sql =
         s"""SELECT grp, id,
            |  COUNT(v) OVER w AS cnt_v,

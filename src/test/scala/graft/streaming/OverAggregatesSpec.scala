@@ -379,4 +379,94 @@ class OverAggregatesSpec extends SparkSpec {
           |  PATTERN (B) DEFINE B AS B.v > 0) AS M""".stripMargin))
     assert(e3.getMessage.contains("non-comparable"))
   }
+
+  // testRowTimeUnBoundedPartitionedRangeOver's data (a, b, c, rowtime
+  // ms), minus its LTCNT UDF measure (a user aggregate; dropping a
+  // MEASURE changes no frame)
+  private def msTs(ms: Long) = new Timestamp(ms)
+  private val rangeUnbData1 = Seq(
+    OverT1(1, 1, "Hi", msTs(14000005L)),
+    OverT1(2, 1, "Hello", msTs(14000000L)),
+    OverT1(1, 1, "Hello", msTs(14000002L)),
+    OverT1(1, 2, "Hello", msTs(14000002L)),
+    OverT1(1, 3, "Hello world", msTs(14000002L)),
+    OverT1(2, 2, "Hello world", msTs(14000003L)),
+    OverT1(2, 3, "Hello world", msTs(14000003L)))
+  private val rangeUnbData2 = Seq(
+    OverT1(1, 4, "Hello world", msTs(14000021L)),
+    OverT1(1, 5, "Hello world", msTs(14000022L)),
+    OverT1(1, 6, "Hello world", msTs(14000022L)),
+    OverT1(1, 7, "Hello world", msTs(14000022L)),
+    OverT1(2, 4, "Hello world", msTs(14000023L)),
+    OverT1(2, 5, "Hello world", msTs(14000023L)))
+  // OverWindowITCase.testRowTimeUnBoundedPartitionedRangeOver expected
+  // minus the LTCNT column: (a, b, c, SUM, COUNT, AVG, MAX, MIN)
+  private val rangeUnbExpected = Seq(
+    (1L, 1, "Hello", 6.0, 3L, 2.0, 3.0, 1.0),
+    (1L, 2, "Hello", 6.0, 3L, 2.0, 3.0, 1.0),
+    (1L, 3, "Hello world", 6.0, 3L, 2.0, 3.0, 1.0),
+    (1L, 1, "Hi", 7.0, 4L, 1.75, 3.0, 1.0),
+    (2L, 1, "Hello", 1.0, 1L, 1.0, 1.0, 1.0),
+    (2L, 2, "Hello world", 6.0, 3L, 2.0, 3.0, 1.0),
+    (2L, 3, "Hello world", 6.0, 3L, 2.0, 3.0, 1.0),
+    (1L, 4, "Hello world", 11.0, 5L, 2.2, 4.0, 1.0),
+    (1L, 5, "Hello world", 29.0, 8L, 3.625, 7.0, 1.0),
+    (1L, 6, "Hello world", 29.0, 8L, 3.625, 7.0, 1.0),
+    (1L, 7, "Hello world", 29.0, 8L, 3.625, 7.0, 1.0),
+    (2L, 4, "Hello world", 15.0, 5L, 3.0, 5.0, 1.0),
+    (2L, 5, "Hello world", 15.0, 5L, 3.0, 5.0, 1.0))
+
+  private val rangeUnbSql =
+    """SELECT a, b, c,
+      |  SUM(b) OVER w AS sum_b,
+      |  COUNT(b) OVER w AS cnt_b,
+      |  AVG(b) OVER w AS avg_b,
+      |  MAX(b) OVER w AS max_b,
+      |  MIN(b) OVER w AS min_b
+      |FROM T1
+      |WINDOW w AS (PARTITION BY a ORDER BY rowtime
+      |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  test("reference testRowTimeUnBoundedPartitionedRangeOver, streaming: " +
+    "RANGE UNBOUNDED peers share one frame including all of them " +
+    "(OverWindowITCase.scala:551-613)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[OverT1]
+    val out = StreamingOverSql.sqlDf(input.toDF(), rangeUnbSql)
+    val q = out.writeStream.format("memory").queryName("rangeunb")
+      .outputMode("append").start()
+    input.addData(rangeUnbData1: _*); q.processAllAvailable()
+    input.addData(rangeUnbData2: _*); q.processAllAvailable()
+    input.addData(OverT1(0, 0, "ZZZ", msTs(15000000L))); q.processAllAvailable()
+    input.addData(OverT1(0, 0, "ZZZ", msTs(16000000L))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rangeunb").filter($"c" =!= "ZZZ")
+      .as[(Long, Int, String, Double, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got.sorted == rangeUnbExpected.sorted,
+      s"got ${got.sorted}\nwant ${rangeUnbExpected.sorted}")
+  }
+
+  test("RANGE UNBOUNDED batch collapse and native WindowExec agree with " +
+    "the reference rows; the ROWS twin differs exactly on the tied rows") {
+    import spark.implicits._
+    val df = (rangeUnbData1 ++ rangeUnbData2).toDF()
+    val exec = StreamingOverSql.sqlDf(df, rangeUnbSql, batchNative = false)
+      .as[(Long, Int, String, Double, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(exec.sorted == rangeUnbExpected.sorted)
+    val native = StreamingOverSql.sqlDf(df, rangeUnbSql, batchNative = true)
+      .as[(Long, Int, String, Double, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(native.sorted == rangeUnbExpected.sorted)
+    // ROWS UNBOUNDED must NOT share frames across the ties
+    val rows = StreamingOverSql.sqlDf(df,
+      rangeUnbSql.replace("RANGE BETWEEN", "ROWS BETWEEN"),
+      batchNative = false)
+      .as[(Long, Int, String, Double, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(rows.sorted != rangeUnbExpected.sorted)
+    assert(rows.map(_._5).max == 8L) // same row count overall
+  }
 }
