@@ -19,7 +19,33 @@ object OverSql {
     Seq(q133SqlOverRunning, q134SqlOverRows, q135SqlOverRange,
       q136SqlOverAnyRows, q137SqlOverAnyRange, q138SqlOverAnyUnbounded,
       q139SqlOverAnyProcRows, q144OverDecimal, q148OverNative,
-      q156SqlOverRangeUnbounded)
+      q156SqlOverRangeUnbounded, q157SqlOverDistinct)
+
+  /** DISTINCT aggregates inside OVER frames (the reference's
+    * OverWindowITCase distinct family / DistinctView state): per-frame
+    * distinct user-set size and distinct-id sum over a sliding ROWS
+    * frame. Spark's own WindowExec rejects DISTINCT window aggregates,
+    * so this is executor-only — bounded frames dedupe on the frame
+    * recompute, unbounded frames keep a per-key value set (the
+    * reference's state shape). */
+  val q157SqlOverDistinct: QueryDef = QueryDef("q157_sql_over_distinct",
+    """SELECT user_id, event_id,
+      |  COUNT(DISTINCT user_id) OVER w AS du,
+      |  CAST(SUM(DISTINCT user_id) OVER w AS DOUBLE) AS su
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |             ROWS BETWEEN 50 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.col
+    StreamingOverSql.sqlDf(graft.core.Catalog.load(spark, dir, "events"),
+      """SELECT user_id, event_id,
+        |  COUNT(DISTINCT user_id) OVER w AS du,
+        |  SUM(DISTINCT user_id) OVER w AS su
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN 50 PRECEDING AND CURRENT ROW)""".stripMargin)
+      .orderBy(col("user_id"), col("event_id"))
+  }
 
   /** RANGE UNBOUNDED PRECEDING with SQL PEER semantics (the reference's
     * RowTimeRangeUnboundedPrecedingFunction;

@@ -64,7 +64,8 @@ object OverAggregates extends Serializable {
     * DecimalType(38, s), MIN/MAX keep the input type, AVG derives as
     * double from the exact decimal sum. SQL null when the frame holds no
     * non-null input. */
-  final case class Agg(fn: String, valueCol: Option[String], alias: String)
+  final case class Agg(fn: String, valueCol: Option[String], alias: String,
+      distinct: Boolean = false)
 
   // Per-key state: raw pending rows (external row values), the retained
   // frame (event micros + per-agg inputs), and the unbounded
@@ -81,7 +82,13 @@ object OverAggregates extends Serializable {
       frameVals: Seq[Seq[Any]],
       rows: Long,
       accs: Seq[Acc],
-      lastUs: Long = Long.MinValue)
+      lastUs: Long = Long.MinValue,
+      // per-agg distinct value sets — unbounded frames only (the
+      // reference's DistinctView state; bounded frames recompute from
+      // their retained entries instead). Non-distinct aggs keep empty
+      // sets. State grows with the key's distinct values, exactly the
+      // reference's cost.
+      distinctVals: Seq[Set[Any]] = Nil)
   private val emptyState = GenState(Nil, Nil, Nil, 0L, Nil)
 
   /** Row-time streaming OVER over an arbitrary DataFrame; see the object
@@ -145,9 +152,23 @@ object OverAggregates extends Serializable {
     val ord = seqOrdering(orderCols.map(schema.fieldIndex))
     def foldFrame(entries: collection.Seq[Seq[Any]]): Seq[Any] =
       foldEntries(entries, aggs)
-    def unboundedOut(rows: Long, accs: Seq[Acc]): Seq[Any] =
-      aggs.zip(accs).map { case (Agg(fn, colOpt, _), a) =>
-        fn match {
+    def unboundedOut(rows: Long, accs: Seq[Acc],
+        dsets: Seq[Set[Any]]): Seq[Any] =
+      aggs.zip(accs.zip(dsets)).map { case (Agg(fn, colOpt, _, dist), (a, ds)) =>
+        if (dist) fn match {
+          // DISTINCT: re-derive from the value set (insert-only under
+          // unbounded frames, so a set is the whole state). The double
+          // sum folds in VALUE order — set iteration order is hash
+          // noise, and a float sum must not depend on it
+          case "COUNT" => ds.size.toLong
+          case _ if ds.isEmpty => null
+          case "SUM" =>
+            ds.toSeq.sortWith(cmpNum(_, _) < 0).foldLeft(null: Any)(addVals)
+          case "AVG" =>
+            toD(ds.toSeq.sortWith(cmpNum(_, _) < 0)
+              .foldLeft(null: Any)(addVals)) / ds.size
+          case other => sys.error(s"unreachable distinct agg $other")
+        } else fn match {
           case "COUNT" => if (colOpt.isEmpty) rows else a.n
           case _ if a.n == 0 => null
           case "SUM" => a.sum
@@ -155,6 +176,23 @@ object OverAggregates extends Serializable {
           case "MIN" => a.min
           case "MAX" => a.max
         }
+      }
+    val emptyDsets: Seq[Set[Any]] = aggs.map(_ => Set.empty[Any])
+    def foldDset(dsets: Seq[Set[Any]], e: Seq[Any]): Seq[Set[Any]] =
+      aggs.zipWithIndex.zip(dsets).map { case ((agg, ai), ds) =>
+        val v = e(ai)
+        if (agg.distinct && v != null) ds + v else ds
+      }
+    def accUpdate(accs: Seq[Acc], e: Seq[Any]): Seq[Acc] =
+      aggs.zipWithIndex.zip(accs).map { case ((agg, ai), a) =>
+        val v = e(ai)
+        if (v == null) a
+        // COUNT only counts — its input may be a RAW non-numeric value
+        // (entryOfVals keeps it for counting / distinct membership)
+        else if (agg.fn == "COUNT") a.copy(n = a.n + 1)
+        else Acc(a.n + 1, addVals(a.sum, v),
+          if (a.min == null || cmpNum(v, a.min) < 0) v else a.min,
+          if (a.max == null || cmpNum(v, a.max) > 0) v else a.max)
       }
 
     def process(rows: Iterator[Row], state: GroupState[GenState])
@@ -183,22 +221,21 @@ object OverAggregates extends Serializable {
           var rowsSoFar = st.rows
           var accs = if (st.accs.nonEmpty) st.accs
             else aggs.map(_ => Acc(0L, null, null, null))
+          var dsets = if (st.distinctVals.nonEmpty) st.distinctVals
+            else emptyDsets
           ripe.foreach { vals =>
             gapReset(vals) {
               rowsSoFar = 0L; accs = aggs.map(_ => Acc(0L, null, null, null))
+              dsets = emptyDsets
             }
             rowsSoFar += 1
             val e = entryOf(vals)
-            accs = accs.zipWithIndex.map { case (a, ai) =>
-              val v = e(ai)
-              if (v == null) a
-              else Acc(a.n + 1, addVals(a.sum, v),
-                if (a.min == null || cmpNum(v, a.min) < 0) v else a.min,
-                if (a.max == null || cmpNum(v, a.max) > 0) v else a.max)
-            }
-            out += Row.fromSeq(vals ++ unboundedOut(rowsSoFar, accs))
+            accs = accUpdate(accs, e)
+            dsets = foldDset(dsets, e)
+            out += Row.fromSeq(vals ++ unboundedOut(rowsSoFar, accs, dsets))
           }
-          newSt = GenState(pending, Nil, Nil, rowsSoFar, accs)
+          newSt = GenState(pending, Nil, Nil, rowsSoFar, accs,
+            distinctVals = dsets)
         case RangeUnbounded =>
           // peer-inclusive running aggregate: rows equal on EVERY order
           // key fold into the accumulators together, then all emit the
@@ -209,6 +246,8 @@ object OverAggregates extends Serializable {
           var rowsSoFar = st.rows
           var accs = if (st.accs.nonEmpty) st.accs
             else aggs.map(_ => Acc(0L, null, null, null))
+          var dsets = if (st.distinctVals.nonEmpty) st.distinctVals
+            else emptyDsets
           val sorted = ripe.toIndexedSeq
           var i = 0
           while (i < sorted.length) {
@@ -217,23 +256,20 @@ object OverAggregates extends Serializable {
               j += 1
             gapReset(sorted(i)) {
               rowsSoFar = 0L; accs = aggs.map(_ => Acc(0L, null, null, null))
+              dsets = emptyDsets
             }
             (i until j).foreach { k =>
               rowsSoFar += 1
               val e = entryOf(sorted(k))
-              accs = accs.zipWithIndex.map { case (a, ai) =>
-                val v = e(ai)
-                if (v == null) a
-                else Acc(a.n + 1, addVals(a.sum, v),
-                  if (a.min == null || cmpNum(v, a.min) < 0) v else a.min,
-                  if (a.max == null || cmpNum(v, a.max) > 0) v else a.max)
-              }
+              accs = accUpdate(accs, e)
+              dsets = foldDset(dsets, e)
             }
-            val shared = unboundedOut(rowsSoFar, accs)
+            val shared = unboundedOut(rowsSoFar, accs, dsets)
             (i until j).foreach(k => out += Row.fromSeq(sorted(k) ++ shared))
             i = j
           }
-          newSt = GenState(pending, Nil, Nil, rowsSoFar, accs)
+          newSt = GenState(pending, Nil, Nil, rowsSoFar, accs,
+            distinctVals = dsets)
         case RowsPreceding(n) =>
           val cap = n + 1
           val ring = scala.collection.mutable.ArrayDeque.empty[Seq[Any]]
@@ -406,9 +442,14 @@ object OverAggregates extends Serializable {
     * mid-query ANSI cast failure. */
   private[streaming] def checkAggs(schema: StructType, aggs: Seq[Agg]): Seq[AggIn] =
     aggs.map {
-      case Agg(fn, colOpt, _) =>
+      case Agg(fn, colOpt, _, dist) =>
         require(Set("COUNT", "SUM", "MIN", "MAX", "AVG").contains(fn),
           s"unsupported OVER aggregate $fn")
+        require(!dist || Set("COUNT", "SUM", "AVG").contains(fn),
+          s"$fn(DISTINCT ...) is not accepted: MIN/MAX over a distinct " +
+            "set equal the plain aggregates — drop the DISTINCT")
+        require(!dist || colOpt.nonEmpty,
+          "DISTINCT requires a value column (COUNT(DISTINCT *) is not SQL)")
         colOpt match {
           case None =>
             require(fn == "COUNT", s"$fn requires a value column")
@@ -433,14 +474,14 @@ object OverAggregates extends Serializable {
     * partitioning even though the final division is floating. */
   private def outFields(aggs: Seq[Agg], aggIn: Seq[AggIn]): Seq[StructField] =
     aggs.zip(aggIn).map {
-      case (Agg("COUNT", _, alias), _) =>
+      case (Agg("COUNT", _, alias, _), _) =>
         StructField(alias, LongType, nullable = false)
-      case (Agg("SUM", _, alias), AggIn(_, Some(d))) =>
+      case (Agg("SUM", _, alias, _), AggIn(_, Some(d))) =>
         StructField(alias, DecimalType(DecimalType.MAX_PRECISION, d.scale),
           nullable = true)
-      case (Agg(fn, _, alias), AggIn(_, Some(d))) if fn == "MIN" || fn == "MAX" =>
+      case (Agg(fn, _, alias, _), AggIn(_, Some(d))) if fn == "MIN" || fn == "MAX" =>
         StructField(alias, d, nullable = true)
-      case (Agg(_, _, alias), _) => StructField(alias, DoubleType, nullable = true)
+      case (Agg(_, _, alias, _), _) => StructField(alias, DoubleType, nullable = true)
     }
 
   private def toDouble(v: Any): java.lang.Double = v match {
@@ -483,26 +524,41 @@ object OverAggregates extends Serializable {
         case b: scala.math.BigDecimal => b.bigDecimal
         case other => sys.error(s"decimal column yielded $other")
       }
-      case AggIn(i, None) => toDouble(vals(i))
+      // a non-numeric input is legal only under COUNT (checkAggs): keep
+      // the RAW value — it is counted / distinct-set-keyed, never summed
+      case AggIn(i, None) => vals(i) match {
+        case null => null
+        case n: Number => toDouble(n)
+        case raw => raw
+      }
     }
 
-  /** One fold over the retained frame entries -> the agg output values. */
+  /** One fold over the retained frame entries -> the agg output values.
+    * DISTINCT aggs (COUNT/SUM/AVG) fold over the frame's distinct
+    * non-null values — the frames that evict (ROWS/RANGE bounded)
+    * recompute from retained raw entries, so no multiset bookkeeping is
+    * needed (the reference's DistinctView does the equivalent over its
+    * state). */
   private def foldEntries(entries: collection.Seq[Seq[Any]],
       aggs: Seq[Agg]): Seq[Any] =
-    aggs.zipWithIndex.map { case (Agg(fn, colOpt, _), ai) =>
+    aggs.zipWithIndex.map { case (agg @ Agg(fn, colOpt, _, _), ai) =>
       if (fn == "COUNT" && colOpt.isEmpty) entries.length.toLong
       else {
+        val seen = if (agg.distinct)
+          new java.util.HashSet[Any]() else null
         var n = 0L
         var sum: Any = null
         var min: Any = null
         var max: Any = null
         entries.foreach { e =>
           val v = e(ai)
-          if (v != null) {
+          if (v != null && (seen == null || seen.add(v))) {
             n += 1
-            sum = addVals(sum, v)
-            if (min == null || cmpNum(v, min) < 0) min = v
-            if (max == null || cmpNum(v, max) > 0) max = v
+            if (fn != "COUNT") {
+              sum = addVals(sum, v)
+              if (min == null || cmpNum(v, min) < 0) min = v
+              if (max == null || cmpNum(v, max) > 0) max = v
+            }
           }
         }
         fn match {

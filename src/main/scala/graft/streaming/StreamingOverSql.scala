@@ -56,7 +56,12 @@ import graft.streaming.StatefulOps.Event
   * ARBITRARY DataFrame through [[OverAggregates]] — composite/string/
   * absent PARTITION BY, any numeric value columns, MIN and COUNT(col)
   * included — leaving only `ORDER BY proctime` (arrival-order framing)
-  * on the Event-model path.
+  * on the Event-model path. sqlDf additionally accepts
+  * `RANGE UNBOUNDED PRECEDING` (SQL peer semantics) and DISTINCT
+  * aggregates (`COUNT/SUM/AVG(DISTINCT col)` — the reference's
+  * DistinctView family; Spark's WindowExec rejects distinct window
+  * aggregates, so those always execute on the stateful operator's
+  * collapse).
   */
 object StreamingOverSql {
 
@@ -75,7 +80,8 @@ object StreamingOverSql {
   private sealed trait Item
   private final case class PassThrough(name: String) extends Item
   private final case class Measure(fn: String, arg: String, alias: String,
-      spec: Either[String, Spec], roundDigits: Option[Int]) extends Item
+      spec: Either[String, Spec], roundDigits: Option[Int],
+      distinct: Boolean = false) extends Item
 
   /** Run a streaming-OVER SQL statement against the events dataset
     * (batch or streaming — the operators collapse identically). */
@@ -106,10 +112,10 @@ object StreamingOverSql {
     val measures = items.collect { case m: Measure => m }
     require(measures.nonEmpty, "no OVER aggregate in SELECT list")
     val specs = measures.map {
-      case Measure(_, _, _, Left(name), _) =>
+      case Measure(_, _, _, Left(name), _, _) =>
         windows.getOrElse(name, sys.error(
           s"OVER references undefined window '$name'"))
-      case Measure(_, _, _, Right(s), _) => s
+      case Measure(_, _, _, Right(s), _, _) => s
     }
     require(specs.distinct.size == 1,
       "every OVER item must share one window spec (one operator pass); " +
@@ -143,7 +149,7 @@ object StreamingOverSql {
 
     val cols = items.map {
       case PassThrough(name) => col(name)
-      case Measure(fn, _, alias, _, dig) =>
+      case Measure(fn, _, alias, _, dig, _) =>
         val base = fn match {
           case "COUNT" => col(cnt)
           case "SUM" => col(sum)
@@ -205,22 +211,23 @@ object StreamingOverSql {
     val measures = items.collect { case m: Measure => m }
     require(measures.nonEmpty, "no OVER aggregate in SELECT list")
     val specs = measures.map {
-      case Measure(_, _, _, Left(name), _) =>
+      case Measure(_, _, _, Left(name), _, _) =>
         windows.getOrElse(name, sys.error(
           s"OVER references undefined window '$name'"))
-      case Measure(_, _, _, Right(s), _) => s
+      case Measure(_, _, _, Right(s), _, _) => s
     }
     require(specs.distinct.size == 1,
       "every OVER item must share one window spec (one operator pass); " +
         s"found ${specs.distinct.size} distinct specs")
     val spec = specs.head
     val aggs = measures.map(m => OverAggregates.Agg(m.fn,
-      if (m.arg == "*" || m.arg == "1") None else Some(m.arg), m.alias)).toSeq
+      if (m.arg == "*" || m.arg == "1") None else Some(m.arg), m.alias,
+      m.distinct)).toSeq
     val parts = spec.partCol.split(',').toSeq.filter(_.nonEmpty)
     nativeBatch(df, spec, aggs, parts, batchNative).foreach { ranked =>
       val cols2 = items.map {
         case PassThrough(name) => col(name)
-        case Measure(_, _, alias, _, dig) =>
+        case Measure(_, _, alias, _, dig, _) =>
           dig.fold(col(alias))(d => round(col(alias), d)).as(alias)
       }
       val sel2 = ranked.select(cols2.toSeq: _*)
@@ -250,7 +257,7 @@ object StreamingOverSql {
       }
     val cols = items.map {
       case PassThrough(name) => col(name)
-      case Measure(_, _, alias, _, dig) =>
+      case Measure(_, _, alias, _, dig, _) =>
         dig.fold(col(alias))(d => round(col(alias), d)).as(alias)
     }
     val sel = out.select(cols.toSeq: _*)
@@ -274,6 +281,9 @@ object StreamingOverSql {
     // same loud up-front contract as the executor: a non-numeric SUM
     // must fail here, not as an ANSI cast error mid-query
     OverAggregates.checkAggs(df.schema, aggs)
+    // Spark's WindowExec rejects DISTINCT window aggregates — those
+    // always take the stateful executor's collapse
+    if (aggs.exists(_.distinct)) return None
     val base =
       if (parts.isEmpty) Window.partitionBy()
       else Window.partitionBy(parts.map(col): _*)
@@ -293,7 +303,7 @@ object StreamingOverSql {
           return None
         base.orderBy(unix_micros(col(c))).rangeBetween(-us, 0L)
     }
-    val out = aggs.foldLeft(df) { case (acc, OverAggregates.Agg(fn, colOpt, alias)) =>
+    val out = aggs.foldLeft(df) { case (acc, OverAggregates.Agg(fn, colOpt, alias, _)) =>
       val expr = (fn, colOpt) match {
         case ("COUNT", None) => count(lit(1)).over(w)
         case ("COUNT", Some(c)) => count(col(c)).over(w)
@@ -326,6 +336,7 @@ object StreamingOverSql {
     if (Set("COUNT", "SUM", "MAX", "AVG", "MIN").contains(t) &&
         p.peekAt(1) == "(") {
       p.next(); p.expect("(")
+      val distinct = p.accept("DISTINCT")
       val arg0 = p.next()
       p.expect(")")
       val arg = if (arg0 == "*" || arg0 == "1") arg0 else {
@@ -336,6 +347,8 @@ object StreamingOverSql {
       }
       require(t == "COUNT" || (arg != "*" && arg != "1"),
         s"$t requires a value column, found $t($arg0)")
+      require(!distinct || (arg != "*" && arg != "1"),
+        s"DISTINCT requires a value column, found $t(DISTINCT $arg0)")
       p.expect("OVER")
       val spec: Either[String, Spec] =
         if (p.accept("(")) { val s = parseSpecDf(p, df); p.expect(")"); Right(s) }
@@ -347,7 +360,7 @@ object StreamingOverSql {
         if (p.accept("AS")) p.ident().toLowerCase
         else sys.error(s"alias required for $t OVER (the driver compare " +
           "matches columns by name)")
-      Measure(t, arg, alias, spec, digits)
+      Measure(t, arg, alias, spec, digits, distinct)
     } else {
       require(!rounded, "ROUND(...) wraps only an aggregate OVER item")
       val name = p.ident().toLowerCase

@@ -448,6 +448,85 @@ class OverAggregatesSpec extends SparkSpec {
       s"got ${got.sorted}\nwant ${rangeUnbExpected.sorted}")
   }
 
+  test("reference testRowTimeDistinctUnboundedPartitionedRangeOverWith" +
+    "NullValues: COUNT(DISTINCT c) over a nullable STRING, peers + " +
+    "null-skipping (OverWindowITCase.scala:898-941, minus its UDF column)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // (a=partition b, b=ts index, c nullable string); rowtime = ts secs
+    def sTs(s: Long) = new Timestamp(s * 1000L)
+    val data = Seq(
+      OverT1(1, 1, null, sTs(1)), OverT1(1, 2, null, sTs(2)),
+      OverT1(2, 3, null, sTs(3)), OverT1(1, 4, "Hello", sTs(4)),
+      OverT1(1, 5, "Hello", sTs(5)), OverT1(2, 6, "Hello", sTs(6)),
+      OverT1(1, 7, "Hello World", sTs(7)), OverT1(2, 8, "Hello World", sTs(8)),
+      OverT1(2, 9, "Hello World", sTs(9)), OverT1(1, 10, null, sTs(10)))
+    val sql =
+      """SELECT c, a, COUNT(DISTINCT c) OVER (PARTITION BY a
+        |  ORDER BY rowtime RANGE UNBOUNDED PRECEDING) AS dc
+        |FROM T""".stripMargin
+    val input = MemoryStream[OverT1]
+    val q = StreamingOverSql.sqlDf(input.toDF(), sql)
+      .writeStream.format("memory").queryName("distover")
+      .outputMode("append").start()
+    input.addData(data.take(5): _*); q.processAllAvailable()
+    input.addData(data.drop(5): _*); q.processAllAvailable()
+    input.addData(OverT1(0, 0, "ZZZ", sTs(100))); q.processAllAvailable()
+    input.addData(OverT1(0, 0, "ZZZ", sTs(200))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("distover").filter($"a" =!= 0L)
+      .as[(String, Long, Long)].collect().toSeq
+    // the IT's expected rows (":936-940"), minus the CntNullNonNull col
+    val want = Seq(
+      (null, 1L, 0L), (null, 1L, 0L), (null, 2L, 0L), (null, 1L, 2L),
+      ("Hello", 1L, 1L), ("Hello", 1L, 1L), ("Hello", 2L, 1L),
+      ("Hello World", 1L, 2L), ("Hello World", 2L, 2L),
+      ("Hello World", 2L, 2L))
+    assert(got.sortBy(r => (r._2, r._3, Option(r._1).getOrElse(""))) ==
+      want.sortBy(r => (r._2, r._3, Option(r._1).getOrElse(""))),
+      s"got $got")
+    // batch collapse agrees
+    val batch = StreamingOverSql.sqlDf(data.toDF(), sql)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(batch.sortBy(r => (r._2, r._3, Option(r._1).getOrElse(""))) ==
+      want.sortBy(r => (r._2, r._3, Option(r._1).getOrElse(""))))
+  }
+
+  test("DISTINCT aggregates over bounded frames: the frame recompute " +
+    "dedupes; SUM(DISTINCT)/AVG(DISTINCT) match DuckDB-style semantics") {
+    import spark.implicits._
+    def sTs(s: Long) = new Timestamp(s * 1000L)
+    // values 10,10,20,20,10 — sliding 3-row frames
+    val df = Seq((1, 10.0), (2, 10.0), (3, 20.0), (4, 20.0), (5, 10.0))
+      .map { case (i, v) => OverT1(1, i, "x", sTs(i)) -> v }
+      .map { case (t, v) => (t.a, t.b, v, t.rowtime) }
+      .toDF("a", "b", "v", "rowtime")
+    val got = StreamingOverSql.sqlDf(df,
+      """SELECT b, COUNT(DISTINCT v) OVER w AS dc,
+        |  SUM(DISTINCT v) OVER w AS ds
+        |FROM T
+        |WINDOW w AS (PARTITION BY a ORDER BY rowtime, b
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, 1L, 10.0), (2, 1L, 10.0), (3, 2L, 30.0),
+      (4, 2L, 30.0), (5, 2L, 30.0)), s"got $got")
+    // the native route never takes DISTINCT (Spark WindowExec rejects it)
+    val native = StreamingOverSql.sqlDf(df,
+      """SELECT b, COUNT(DISTINCT v) OVER w AS dc
+        |FROM T
+        |WINDOW w AS (PARTITION BY a ORDER BY rowtime, b
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+      batchNative = true)
+    assert(native.as[(Int, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((1, 1L), (2, 1L), (3, 2L), (4, 2L), (5, 2L)))
+    // MIN(DISTINCT) is rejected with the equivalence pointer
+    val e = intercept[IllegalArgumentException](StreamingOverSql.sqlDf(df,
+      """SELECT b, MIN(DISTINCT v) OVER (PARTITION BY a ORDER BY rowtime, b
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+        |FROM T""".stripMargin).collect())
+    assert(e.getMessage.contains("DISTINCT"))
+  }
+
   test("RANGE UNBOUNDED batch collapse and native WindowExec agree with " +
     "the reference rows; the ROWS twin differs exactly on the tied rows") {
     import spark.implicits._
