@@ -445,9 +445,9 @@ object OverAggregates extends Serializable {
       case Agg(fn, colOpt, _, dist) =>
         require(Set("COUNT", "SUM", "MIN", "MAX", "AVG").contains(fn),
           s"unsupported OVER aggregate $fn")
-        require(!dist || Set("COUNT", "SUM", "AVG").contains(fn),
-          s"$fn(DISTINCT ...) is not accepted: MIN/MAX over a distinct " +
-            "set equal the plain aggregates — drop the DISTINCT")
+        // MIN/MAX(DISTINCT) are accepted and equal the plain aggregates
+        // (a distinct set has the same extrema — SQL; the reference's
+        // proc-time distinct IT uses MIN(DISTINCT e))
         require(!dist || colOpt.nonEmpty,
           "DISTINCT requires a value column (COUNT(DISTINCT *) is not SQL)")
         colOpt match {

@@ -519,12 +519,54 @@ class OverAggregatesSpec extends SparkSpec {
       batchNative = true)
     assert(native.as[(Int, Long)].collect().sortBy(_._1).toSeq ==
       Seq((1, 1L), (2, 1L), (3, 2L), (4, 2L), (5, 2L)))
-    // MIN(DISTINCT) is rejected with the equivalence pointer
-    val e = intercept[IllegalArgumentException](StreamingOverSql.sqlDf(df,
+    // MIN(DISTINCT) is accepted and equals the plain MIN (SQL; the
+    // reference's proc-time distinct IT uses it)
+    val m = StreamingOverSql.sqlDf(df,
       """SELECT b, MIN(DISTINCT v) OVER (PARTITION BY a ORDER BY rowtime, b
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
-        |FROM T""".stripMargin).collect())
-    assert(e.getMessage.contains("DISTINCT"))
+        |FROM T""".stripMargin)
+    assert(m.as[(Int, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1, 10.0), (2, 10.0), (3, 10.0), (4, 10.0), (5, 10.0)))
+  }
+
+  test("reference testProcTimeDistinctBoundedPartitionedRowsOver: " +
+    "SUM/MIN(DISTINCT e) over an arrival-order ROWS frame " +
+    "(OverWindowITCase.scala:944-981, minus its COLLECT column)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(
+      OverT5(1, 1L, 0, "Hallo", 1L), OverT5(2, 2L, 1, "Hallo Welt", 2L),
+      OverT5(2, 3L, 2, "Hallo Welt wie", 1L),
+      OverT5(3, 4L, 3, "Hallo Welt wie gehts?", 2L),
+      OverT5(3, 5L, 4, "ABC", 2L), OverT5(3, 6L, 5, "BCD", 3L),
+      OverT5(4, 7L, 6, "CDE", 2L), OverT5(4, 8L, 7, "DEF", 1L),
+      OverT5(4, 9L, 8, "EFG", 1L), OverT5(4, 10L, 9, "FGH", 2L),
+      OverT5(5, 11L, 10, "GHI", 1L), OverT5(5, 12L, 11, "HIJ", 3L),
+      OverT5(5, 13L, 12, "IJK", 3L), OverT5(5, 14L, 13, "JKL", 2L),
+      OverT5(5, 15L, 14, "KLM", 2L))
+    val q = """SELECT a,
+              |  SUM(DISTINCT e) OVER w AS sd,
+              |  MIN(DISTINCT e) OVER w AS md
+              |FROM MyTable
+              |WINDOW w AS (PARTITION BY a ORDER BY proctime, b
+              |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[OverT5]
+    val query = StreamingOverSql.sqlDf(input.toDF(), q)
+      .writeStream.format("memory").queryName("procdist")
+      .outputMode("append").start()
+    input.addData(data.take(8): _*); query.processAllAvailable()
+    input.addData(data.drop(8): _*); query.processAllAvailable()
+    query.stop()
+    val got = spark.table("procdist")
+      .as[(Int, Double, Double)].collect().toSeq
+    // the IT's expected (":963-977") minus the COLLECT column
+    val want = Seq(
+      (1, 1.0, 1.0), (2, 2.0, 2.0), (2, 3.0, 1.0), (3, 2.0, 2.0),
+      (3, 2.0, 2.0), (3, 5.0, 2.0), (4, 2.0, 2.0), (4, 3.0, 1.0),
+      (4, 3.0, 1.0), (4, 3.0, 1.0), (5, 1.0, 1.0), (5, 4.0, 1.0),
+      (5, 4.0, 1.0), (5, 6.0, 1.0), (5, 5.0, 2.0))
+    assert(got.sorted == want.sorted, s"got ${got.sorted}")
   }
 
   test("RANGE UNBOUNDED batch collapse and native WindowExec agree with " +
