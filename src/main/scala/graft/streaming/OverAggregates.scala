@@ -63,9 +63,25 @@ object OverAggregates extends Serializable {
     * flink-table-runtime-blink .../dataformat/Decimal.java:43): SUM is
     * DecimalType(38, s), MIN/MAX keep the input type, AVG derives as
     * double from the exact decimal sum. SQL null when the frame holds no
-    * non-null input. */
+    * non-null input.
+    *
+    * MIN/MAX(DISTINCT) equal the plain aggregates (a distinct set has the
+    * same extrema — SQL); both executors normalize them to
+    * `distinct = false` at entry, so no distinct-value state is kept for
+    * them and every frame shape serves them. */
   final case class Agg(fn: String, valueCol: Option[String], alias: String,
       distinct: Boolean = false)
+
+  /** DISTINCT is a no-op on extrema: drop it for MIN/MAX so unbounded
+    * frames never route them to the distinct-set accumulators (which
+    * carry only COUNT/SUM/AVG) and bounded frames skip the per-fold
+    * dedup set. */
+  private[streaming] def normalizeAggs(aggs: Seq[Agg]): Seq[Agg] =
+    aggs.map { a =>
+      if (a.distinct && (a.fn == "MIN" || a.fn == "MAX"))
+        a.copy(distinct = false)
+      else a
+    }
 
   // Per-key state: raw pending rows (external row values), the retained
   // frame (event micros + per-agg inputs), and the unbounded
@@ -106,9 +122,10 @@ object OverAggregates extends Serializable {
     * never race the timer). Batch execution applies the same in-band
     * gap semantics, keeping the batch collapse the stream's oracle. */
   def overAggregates(df: DataFrame, partCols: Seq[String],
-      orderCols: Seq[String], frame: Frame, aggs: Seq[Agg],
+      orderCols: Seq[String], frame: Frame, aggs0: Seq[Agg],
       delay: String = "0 seconds",
       idleTtl: Option[java.time.Duration] = None): DataFrame = {
+    val aggs = normalizeAggs(aggs0)
     require(orderCols.nonEmpty, "ORDER BY must name at least one column")
     require(aggs.nonEmpty, "at least one OVER aggregate is required")
     val schema = df.schema
@@ -153,47 +170,12 @@ object OverAggregates extends Serializable {
     def foldFrame(entries: collection.Seq[Seq[Any]]): Seq[Any] =
       foldEntries(entries, aggs)
     def unboundedOut(rows: Long, accs: Seq[Acc],
-        dsets: Seq[Set[Any]]): Seq[Any] =
-      aggs.zip(accs.zip(dsets)).map { case (Agg(fn, colOpt, _, dist), (a, ds)) =>
-        if (dist) fn match {
-          // DISTINCT: re-derive from the value set (insert-only under
-          // unbounded frames, so a set is the whole state). The double
-          // sum folds in VALUE order — set iteration order is hash
-          // noise, and a float sum must not depend on it
-          case "COUNT" => ds.size.toLong
-          case _ if ds.isEmpty => null
-          case "SUM" =>
-            ds.toSeq.sortWith(cmpNum(_, _) < 0).foldLeft(null: Any)(addVals)
-          case "AVG" =>
-            toD(ds.toSeq.sortWith(cmpNum(_, _) < 0)
-              .foldLeft(null: Any)(addVals)) / ds.size
-          case other => sys.error(s"unreachable distinct agg $other")
-        } else fn match {
-          case "COUNT" => if (colOpt.isEmpty) rows else a.n
-          case _ if a.n == 0 => null
-          case "SUM" => a.sum
-          case "AVG" => toD(a.sum) / a.n
-          case "MIN" => a.min
-          case "MAX" => a.max
-        }
-      }
-    val emptyDsets: Seq[Set[Any]] = aggs.map(_ => Set.empty[Any])
+        dsets: Seq[Set[Any]]): Seq[Any] = accOutputs(aggs, rows, accs, dsets)
+    val emptyDsets: Seq[Set[Any]] = OverAggregates.emptyDsets(aggs)
     def foldDset(dsets: Seq[Set[Any]], e: Seq[Any]): Seq[Set[Any]] =
-      aggs.zipWithIndex.zip(dsets).map { case ((agg, ai), ds) =>
-        val v = e(ai)
-        if (agg.distinct && v != null) ds + v else ds
-      }
+      updateDsets(aggs, dsets, e)
     def accUpdate(accs: Seq[Acc], e: Seq[Any]): Seq[Acc] =
-      aggs.zipWithIndex.zip(accs).map { case ((agg, ai), a) =>
-        val v = e(ai)
-        if (v == null) a
-        // COUNT only counts — its input may be a RAW non-numeric value
-        // (entryOfVals keeps it for counting / distinct membership)
-        else if (agg.fn == "COUNT") a.copy(n = a.n + 1)
-        else Acc(a.n + 1, addVals(a.sum, v),
-          if (a.min == null || cmpNum(v, a.min) < 0) v else a.min,
-          if (a.max == null || cmpNum(v, a.max) > 0) v else a.max)
-      }
+      updateAccs(aggs, accs, e)
 
     def process(rows: Iterator[Row], state: GroupState[GenState])
         : Iterator[Row] = {
@@ -202,6 +184,17 @@ object OverAggregates extends Serializable {
       val wmUs =
         if (!isStreaming) Long.MaxValue
         else state.getCurrentWatermarkMs() * 1000L
+      // Emit-at-<= cannot split a RANGE peer group (rows tied on every
+      // ORDER BY key must share one frame): peers that are pending
+      // together flush in the SAME invocation and fold into one shared
+      // frame below, and a tied peer arriving AFTER the watermark has
+      // reached its timestamp never reaches this operator — Spark's
+      // event-time late filter drops rows with ts <= watermark before
+      // the stateful operator, the same late-row discipline as the
+      // reference's timer functions (pinned by the cross-batch tied-peer
+      // test in OverAggregatesSpec). Holding boundary rows until the
+      // watermark strictly passes would only add a watermark-advance of
+      // latency for an identical result multiset.
       val (ripe, pending) =
         if (!isStreaming) (all, Nil)
         else all.partition(v => leadUs(v) <= wmUs)
@@ -363,8 +356,9 @@ object OverAggregates extends Serializable {
     * `ROWS BETWEEN n PRECEDING AND CURRENT ROW` window over `tieBreak` —
     * the oracle shape. Per-key state is the O(n+1) agg-input ring. */
   def procRowsAggregates(df: DataFrame, partCols: Seq[String],
-      tieBreak: Seq[String], preceding: Int, aggs: Seq[Agg],
+      tieBreak: Seq[String], preceding: Int, aggs0: Seq[Agg],
       idleTtl: Option[String] = None): DataFrame = {
+    val aggs = normalizeAggs(aggs0)
     require(preceding >= 0, s"ROWS frame bound must be >= 0, got $preceding")
     require(aggs.nonEmpty, "at least one OVER aggregate is required")
     val schema = df.schema
@@ -466,13 +460,70 @@ object OverAggregates extends Serializable {
         }
     }
 
+  /** Fresh accumulators / distinct-value sets for an agg list. */
+  private[streaming] def emptyAccs(aggs: Seq[Agg]): Seq[Acc] =
+    aggs.map(_ => Acc(0L, null, null, null))
+  private[streaming] def emptyDsets(aggs: Seq[Agg]): Seq[Set[Any]] =
+    aggs.map(_ => Set.empty[Any])
+
+  /** Fold one entry (from [[entryOfVals]]) into the running accumulators
+    * — SQL null-skipping; COUNT only counts (its input may be a RAW
+    * non-numeric value, kept for counting / distinct membership). */
+  private[streaming] def updateAccs(aggs: Seq[Agg], accs: Seq[Acc],
+      e: Seq[Any]): Seq[Acc] =
+    aggs.zipWithIndex.zip(accs).map { case ((agg, ai), a) =>
+      val v = e(ai)
+      if (v == null) a
+      else if (agg.fn == "COUNT") a.copy(n = a.n + 1)
+      else Acc(a.n + 1, addVals(a.sum, v),
+        if (a.min == null || cmpNum(v, a.min) < 0) v else a.min,
+        if (a.max == null || cmpNum(v, a.max) > 0) v else a.max)
+    }
+
+  /** Fold one entry into the per-agg distinct-value sets (distinct aggs
+    * only; others keep their empty set). */
+  private[streaming] def updateDsets(aggs: Seq[Agg], dsets: Seq[Set[Any]],
+      e: Seq[Any]): Seq[Set[Any]] =
+    aggs.zipWithIndex.zip(dsets).map { case ((agg, ai), ds) =>
+      val v = e(ai)
+      if (agg.distinct && v != null) ds + v else ds
+    }
+
+  /** Agg output values from running accumulators + distinct sets (the
+    * insert-only state shape shared by unbounded OVER frames and open
+    * group windows). DISTINCT re-derives from the value set; the double
+    * sum folds in VALUE order — set iteration order is hash noise, and a
+    * float sum must not depend on it. MIN/MAX never reach the distinct
+    * branch ([[normalizeAggs]] strips their DISTINCT at entry). */
+  private[streaming] def accOutputs(aggs: Seq[Agg], rows: Long,
+      accs: Seq[Acc], dsets: Seq[Set[Any]]): Seq[Any] =
+    aggs.zip(accs.zip(dsets)).map { case (Agg(fn, colOpt, _, dist), (a, ds)) =>
+      if (dist) fn match {
+        case "COUNT" => ds.size.toLong
+        case _ if ds.isEmpty => null
+        case "SUM" =>
+          ds.toSeq.sortWith(cmpNum(_, _) < 0).foldLeft(null: Any)(addVals)
+        case "AVG" =>
+          toD(ds.toSeq.sortWith(cmpNum(_, _) < 0)
+            .foldLeft(null: Any)(addVals)) / ds.size
+        case other => sys.error(s"unreachable distinct agg $other")
+      } else fn match {
+        case "COUNT" => if (colOpt.isEmpty) rows else a.n
+        case _ if a.n == 0 => null
+        case "SUM" => a.sum
+        case "AVG" => toD(a.sum) / a.n
+        case "MIN" => a.min
+        case "MAX" => a.max
+      }
+    }
+
   /** Output fields per agg: COUNT long; decimal inputs keep exact
     * decimal arithmetic (SUM widens to the max precision, the same
     * no-overflow guarantee as Spark's own sum; MIN/MAX keep the input
     * type); everything else double. AVG over decimal derives as double
     * FROM THE EXACT DECIMAL SUM, so it is deterministic under any
     * partitioning even though the final division is floating. */
-  private def outFields(aggs: Seq[Agg], aggIn: Seq[AggIn]): Seq[StructField] =
+  private[streaming] def outFields(aggs: Seq[Agg], aggIn: Seq[AggIn]): Seq[StructField] =
     aggs.zip(aggIn).map {
       case (Agg("COUNT", _, alias, _), _) =>
         StructField(alias, LongType, nullable = false)
@@ -515,7 +566,7 @@ object OverAggregates extends Serializable {
 
   /** Per-row agg inputs; COUNT(*) entries mark presence (never null);
     * decimal aggs keep java.math.BigDecimal for exact folds. */
-  private def entryOfVals(vals: Seq[Any], aggIn: Seq[AggIn]): Seq[Any] =
+  private[streaming] def entryOfVals(vals: Seq[Any], aggIn: Seq[AggIn]): Seq[Any] =
     aggIn.map {
       case AggIn(-1, _) => java.lang.Double.valueOf(1.0)
       case AggIn(i, Some(_)) => vals(i) match {

@@ -220,9 +220,13 @@ object StreamingOverSql {
       "every OVER item must share one window spec (one operator pass); " +
         s"found ${specs.distinct.size} distinct specs")
     val spec = specs.head
-    val aggs = measures.map(m => OverAggregates.Agg(m.fn,
-      if (m.arg == "*" || m.arg == "1") None else Some(m.arg), m.alias,
-      m.distinct)).toSeq
+    // MIN/MAX(DISTINCT) normalize to the plain aggregates up front
+    // (extrema are dedup-invariant), so they also take the native batch
+    // route below — only COUNT/SUM/AVG(DISTINCT) must decline it
+    val aggs = OverAggregates.normalizeAggs(measures.map(m =>
+      OverAggregates.Agg(m.fn,
+        if (m.arg == "*" || m.arg == "1") None else Some(m.arg), m.alias,
+        m.distinct)).toSeq)
     val parts = spec.partCol.split(',').toSeq.filter(_.nonEmpty)
     nativeBatch(df, spec, aggs, parts, batchNative).foreach { ranked =>
       val cols2 = items.map {

@@ -529,6 +529,87 @@ class OverAggregatesSpec extends SparkSpec {
       Seq((1, 10.0), (2, 10.0), (3, 10.0), (4, 10.0), (5, 10.0)))
   }
 
+  test("MIN/MAX(DISTINCT) over UNBOUNDED frames: normalized to the plain " +
+    "aggregates at entry (extrema are dedup-invariant), so the running " +
+    "accumulators serve them — streaming, batch collapse and native route") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def sTs(s: Long) = new Timestamp(s * 1000L)
+    val data = Seq(
+      OverT1(1, 3, "x", sTs(1)), OverT1(1, 1, "x", sTs(2)),
+      OverT1(1, 3, "x", sTs(3)), OverT1(1, 2, "x", sTs(4)))
+    val rowsSql =
+      """SELECT b, MIN(DISTINCT b) OVER w AS mn, MAX(DISTINCT b) OVER w AS mx
+        |FROM T
+        |WINDOW w AS (PARTITION BY a ORDER BY rowtime
+        |  ROWS UNBOUNDED PRECEDING)""".stripMargin
+    val want = Seq((3, 3.0, 3.0), (1, 1.0, 3.0), (3, 1.0, 3.0), (2, 1.0, 3.0))
+    // streaming across two micro-batches (the formerly-crashing path:
+    // unboundedOut hit sys.error on a distinct MIN/MAX)
+    val input = MemoryStream[OverT1]
+    val q = StreamingOverSql.sqlDf(input.toDF(), rowsSql)
+      .writeStream.format("memory").queryName("distunb")
+      .outputMode("append").start()
+    input.addData(data.take(2): _*); q.processAllAvailable()
+    input.addData(data.drop(2): _*); q.processAllAvailable()
+    input.addData(OverT1(0, 0, "ZZZ", sTs(100))); q.processAllAvailable()
+    input.addData(OverT1(0, 0, "ZZZ", sTs(200))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("distunb").filter($"b" =!= 0)
+      .as[(Int, Double, Double)].collect().toSeq
+    assert(got.sorted == want.sorted, s"got $got")
+    // batch: executor collapse and the native WindowExec route agree
+    // (normalization makes MIN/MAX(DISTINCT) native-eligible)
+    for (native <- Seq(false, true)) {
+      val b = StreamingOverSql.sqlDf(data.toDF(), rowsSql,
+        batchNative = native).as[(Int, Double, Double)].collect().toSeq
+      assert(b.sorted == want.sorted, s"native=$native got $b")
+    }
+    // RANGE UNBOUNDED (peer semantics) takes the same normalized path
+    val r = StreamingOverSql.sqlDf(data.toDF(),
+      """SELECT b, MAX(DISTINCT b) OVER (PARTITION BY a ORDER BY rowtime
+        |  RANGE UNBOUNDED PRECEDING) AS mx
+        |FROM T""".stripMargin, batchNative = false)
+    assert(r.as[(Int, Double)].collect().toSeq.sorted ==
+      Seq((1, 3.0), (2, 3.0), (3, 3.0), (3, 3.0)).sorted)
+  }
+
+  test("cross-batch tied peers: RANGE peer-frame integrity holds under " +
+    "micro-batching — peers pending together flush in one invocation " +
+    "with one shared frame, and a tied peer arriving after the watermark " +
+    "reached its timestamp is dropped by Spark's late filter BEFORE the " +
+    "operator (the reference's late-row discipline), so no emitted peer " +
+    "ever sees a smaller frame than its twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def sTs(s: Long) = new Timestamp(s * 1000L)
+    // (1) peers arriving in DIFFERENT batches while both still ahead of
+    // the watermark (5s delay keeps wm at 5s after the first peer) share
+    // one frame when they flush together
+    val input = MemoryStream[OverT1]
+    val q = OverAggregates.overAggregates(input.toDF(), Seq("a"),
+      Seq("rowtime"), OverAggregates.RangeUnbounded,
+      Seq(OverAggregates.Agg("COUNT", None, "n")), delay = "5 seconds")
+      .select("b", "n")
+      .writeStream.format("memory").queryName("peersplit")
+      .outputMode("append").start()
+    input.addData(OverT1(1, 1, "x", sTs(10))); q.processAllAvailable()
+    input.addData(OverT1(1, 2, "x", sTs(10))); q.processAllAvailable()
+    // watermark passes 10s: both peers flush in one invocation
+    input.addData(OverT1(0, 0, "Z", sTs(100))); q.processAllAvailable()
+    // (2) a tied peer arriving AFTER the watermark passed 10s is late:
+    // Spark drops it before the operator, so it cannot retro-split the
+    // already-emitted peer frame (same as the reference's late-row drop)
+    input.addData(OverT1(1, 3, "x", sTs(10))); q.processAllAvailable()
+    input.addData(OverT1(0, 0, "Z", sTs(200))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("peersplit").filter($"b" =!= 0)
+      .as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, 2L), (2, 2L)),
+      s"got $got — tied peers must share one frame; the late third " +
+        "peer must be dropped, not emitted with a bigger frame")
+  }
+
   test("reference testProcTimeDistinctBoundedPartitionedRowsOver: " +
     "SUM/MIN(DISTINCT e) over an arrival-order ROWS frame " +
     "(OverWindowITCase.scala:944-981, minus its COLLECT column)") {
