@@ -25,13 +25,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the session catalog (temp views or tables), exactly as in the
   * reference's registered-table model.
   *
-  * Streaming tables take the same door: a statement whose FROM names a
-  * streaming temp view routes rank/dedup (`ROW_NUMBER()` filter) and
-  * OVER-frame shapes to the stateful executors ([[routeStreaming]]) —
-  * Spark SQL cannot plan either on a stream — and leaves natively
-  * streamable statements (projections, filters, group/window
-  * aggregates, stream-static joins) with Spark. The df-parameterized
-  * per-family entries remain for sources not registered in the catalog.
+  * Streaming tables take the same door: a statement whose window
+  * expressions compute OVER streaming data routes rank/dedup
+  * (`ROW_NUMBER()` filter) and OVER-frame shapes to the stateful
+  * executors ([[routeStreaming]]) — Spark SQL cannot plan either on a
+  * stream — and leaves natively streamable statements (projections,
+  * filters, group/window aggregates, stream-static joins, windows on
+  * the STATIC side of a stream-static join, CTEs over any of those)
+  * with Spark. The routing decision reads the parsed plan, never the
+  * raw text. The df-parameterized per-family entries remain for
+  * sources not registered in the catalog.
   *
   * DML parity: the reference's `sqlUpdate` accepts exactly INSERT /
   * CREATE TABLE / DROP TABLE (TableEnvironmentImpl.java:339-384); all
@@ -52,53 +55,127 @@ object Sql {
     * (StreamExecDeduplicateRule / StreamExecRank) and OVER frame
     * aggregates (StreamExecOverAggregate) — route to the stateful
     * executors, so one `sql(text)` call serves them by table NAME just
-    * like everything else. Detection is conservative: only when a
-    * referenced table is a streaming temp view AND the statement carries
-    * the defining keyword does the router step in; Spark itself could
-    * never run those statements (UnsupportedOperationChecker rejects
-    * rank/OVER on streams at query start), so there is nothing the
-    * rerouting can shadow — a statement that deviates from the executor
-    * grammar fails loudly in its parser instead of obscurely at
-    * writeStream start. Everything else (streaming or batch) stays with
-    * Spark SQL. */
+    * like everything else. Detection reads the PARSED plan, not the raw
+    * text (r13): the router steps in only when a window expression's own
+    * subtree reads streaming data, so a window that sits entirely on the
+    * static side of a stream-static statement — which Spark plans
+    * natively — falls through, and OVER/ROW_NUMBER inside a string
+    * literal or comment never trips it. CTE-defined names resolve through
+    * their bodies (a rank over `WITH e AS (SELECT ... FROM stream)` is a
+    * rank over the stream): the router registers each CTE body through
+    * this same front door as a temp view — NOTE: that name becomes a
+    * session temp view, shadowing any previous view of the same name —
+    * and re-routes the stripped statement, so the executor grammar sees
+    * the flat form. Spark itself could never run the routed statements
+    * (UnsupportedOperationChecker rejects rank/OVER on streams at query
+    * start), so there is nothing the rerouting can shadow — a statement
+    * that deviates from the executor grammar fails loudly in its parser
+    * instead of obscurely at writeStream start. Everything else
+    * (streaming or batch) stays with Spark SQL. */
   private def routeStreaming(spark: SparkSession,
       text: String): Option[DataFrame] = {
-    val rank = indexOfWord(text, "ROW_NUMBER", 0) >= 0
-    val over = indexOfWord(text, "OVER", 0) >= 0
-    if (!rank && !over) return None
-    val rels = referencedTables(spark, text)
-    val streamingRels = rels.filter { n =>
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, UnresolvedWindowExpression, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    // parse only — no analysis, so rank/OVER-on-stream shapes Spark
+    // cannot plan still parse; an unparsable statement falls through to
+    // spark.sql for its real error
+    val plan = scala.util.Try(spark.sessionState.sqlParser.parsePlan(text))
+      .getOrElse(return None)
+    val cteDefs: Map[String, LogicalPlan] = plan.collect {
+      case w: UnresolvedWith =>
+        w.cteRelations.map(r => r._1.toLowerCase -> (r._2: LogicalPlan))
+    }.flatten.toMap
+    def relNames(p: LogicalPlan): Seq[String] = p.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+    }.distinct
+    def isStreamingTable(n: String): Boolean =
       scala.util.Try(spark.table(n).isStreaming).getOrElse(false)
+    def subtreeStreaming(p: LogicalPlan, seen: Set[String]): Boolean =
+      relNames(p).exists { n =>
+        val ln = n.toLowerCase
+        cteDefs.get(ln) match {
+          case Some(body) => !seen(ln) && subtreeStreaming(body, seen + ln)
+          case None => isStreamingTable(n)
+        }
+      }
+    def winFns(e: Expression): Seq[String] = e.collect {
+      case WindowExpression(f: UnresolvedFunction, _) =>
+        f.nameParts.last.toUpperCase
+      case UnresolvedWindowExpression(f: UnresolvedFunction, _) =>
+        f.nameParts.last.toUpperCase
     }
-    if (streamingRels.isEmpty) return None
+    // window functions computed OVER streaming data: the plan node
+    // carrying the window expression must read a streaming relation
+    // below it
+    val streamingWinFns = plan.collect {
+      case p if p.expressions.exists(winFns(_).nonEmpty) &&
+          subtreeStreaming(p, Set.empty) =>
+        p.expressions.flatMap(winFns)
+    }.flatten
+    if (streamingWinFns.isEmpty) return None
     // reference parity: StreamExecRank supports only ROW_NUMBER on a
     // stream and throws on the other rank types (StreamExecRank.scala:
     // 139-143) — reject them with the same message instead of a
     // confusing OVER-parser error
     Seq("RANK", "DENSE_RANK").foreach { fn =>
-      require(indexOfWord(text, fn, 0) < 0 || rank,
+      require(!streamingWinFns.contains(fn),
         s"$fn() on streaming table is not supported currently " +
           "(reference parity: only ROW_NUMBER ranks a stream)")
     }
+    if (cteDefs.nonEmpty) return Some(sql(spark, stripCtes(spark, text)))
+    val rels = relNames(plan)
     require(rels.size == 1,
       "a streaming rank/OVER statement must read exactly one table " +
         s"(the stateful executor's input); found ${rels.mkString(", ")} — " +
         "compose joins in a view over the executor result instead")
-    val df = spark.table(streamingRels.head)
-    if (rank) Some(graft.streaming.RankSql.sqlDf(df, text))
+    val df = spark.table(rels.head)
+    if (streamingWinFns.contains("ROW_NUMBER"))
+      Some(graft.streaming.RankSql.sqlDf(df, text))
     else Some(graft.streaming.StreamingOverSql.sqlDf(df, text))
   }
 
-  /** Table/view names referenced by the statement (parse only — no
-    * analysis, so rank-on-stream shapes Spark cannot plan still parse). */
-  private def referencedTables(spark: SparkSession,
-      text: String): Seq[String] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    scala.util.Try(spark.sessionState.sqlParser.parsePlan(text))
-      .map(_.collect {
-        case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
-      }.distinct)
-      .getOrElse(Seq.empty)
+  /** Register each `WITH name AS (body)` through the front door as a
+    * temp view (streaming bodies yield streaming views) and return the
+    * main statement with the WITH prefix stripped — the streaming-route
+    * rendering of CTEs, used only when the statement routes to a
+    * stateful executor (Spark SQL serves its own CTEs everywhere else).
+    * Column-alias CTE lists (`WITH e (a, b) AS ...`) and RECURSIVE are
+    * not in the route's grammar and fail loudly. */
+  private def stripCtes(spark: SparkSession, text: String): String = {
+    var i = 0
+    while (i < text.length && text.charAt(i).isWhitespace) i += 1
+    require(text.regionMatches(true, i, "WITH", 0, 4) &&
+        (i + 4 >= text.length || !isIdentChar(text.charAt(i + 4))),
+      "streaming rank/OVER with CTEs: the WITH clause must lead the " +
+        "statement (CTEs nested in subqueries or DML are not in the " +
+        "streaming route's grammar)")
+    i += 4
+    var done = false
+    while (!done) {
+      while (i < text.length && text.charAt(i).isWhitespace) i += 1
+      val ns = i
+      while (i < text.length && isIdentChar(text.charAt(i))) i += 1
+      val name = text.substring(ns, i)
+      require(name.nonEmpty && !name.equalsIgnoreCase("RECURSIVE"),
+        "streaming rank/OVER route: RECURSIVE CTEs are not supported")
+      while (i < text.length && text.charAt(i).isWhitespace) i += 1
+      require(text.regionMatches(true, i, "AS", 0, 2),
+        s"CTE '$name': expected AS (column-alias lists are not in the " +
+          "streaming route's grammar)")
+      i += 2
+      while (i < text.length && text.charAt(i).isWhitespace) i += 1
+      require(i < text.length && text.charAt(i) == '(',
+        s"CTE '$name': expected '(' after AS")
+      val close = balancedClose(text, i)
+      val body = text.substring(i + 1, close).trim
+      require(body.nonEmpty, s"CTE '$name': empty body")
+      sql(spark, body).createOrReplaceTempView(name)
+      i = close + 1
+      while (i < text.length && text.charAt(i).isWhitespace) i += 1
+      if (i < text.length && text.charAt(i) == ',') i += 1 else done = true
+    }
+    text.substring(i)
   }
 
   /** Replace every `<table> MATCH_RECOGNIZE (...)` reference with a temp

@@ -84,7 +84,10 @@ object Sketches {
     * the filter rejects MAP-SIDE, and only survivors (true matches plus
     * the fpp sliver) reach the exact equi-join that confirms. Bloom has
     * no false negatives, so the join sees every true match; the join
-    * discards the false positives — the result is exact. */
+    * discards the Bloom false positives. Exactness is relative to the
+    * 64-bit shingle hash, same as [[Corpus.decontaminate]]: the confirm
+    * join keys on `xxhash64(shingle)`, so a 64-bit collision can claim
+    * one spurious shared n-gram — vanishing at benchmark-set scale. */
   def bloomDecontaminate(training: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 6,
       fpp: Double = 0.01): DataFrame = {

@@ -273,6 +273,72 @@ class SqlSpec extends SparkSpec {
       ("k2", 7L, 7.0)))
   }
 
+  test("a window entirely on the STATIC side of a stream-static join " +
+    "stays with Spark SQL (plannable natively); keywords in string " +
+    "literals/comments never trip the router") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RankT3]
+    input.toDF().createOrReplaceTempView("sql_stream_ss")
+    Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0))
+      .toDF("id", "score").createOrReplaceTempView("sql_static_dim")
+    // ROW_NUMBER over the static dim only — Spark plans the stream-static
+    // join natively; the old raw-text router rejected this with the
+    // 'exactly one table' error
+    val stmt =
+      """SELECT t.a, t.b, d.score, d.rk, 'OVER ROW_NUMBER() RANK()' AS note
+        |FROM sql_stream_ss t
+        |JOIN (SELECT id, score,
+        |        ROW_NUMBER() OVER (ORDER BY score DESC) AS rk
+        |      FROM sql_static_dim) d
+        |  ON t.a = d.id  -- comment mentioning OVER and DENSE_RANK()
+        |""".stripMargin
+    val routed = graft.Sql.sql(spark, stmt)
+    assert(routed.isStreaming)
+    val q = routed.writeStream.format("memory").queryName("sqlssnative")
+      .outputMode("append").start()
+    input.addData(RankT3(1, 1L, "x"), RankT3(4, 2L, "y"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sqlssnative")
+      .select("a", "score", "rk").as[(Int, Double, Int)].collect().toSet
+    // rk is descending by score: id 5 -> 1 ... id 1 -> 5
+    assert(got == Set((1, 10.0, 5), (4, 40.0, 2)), s"got $got")
+  }
+
+  test("a CTE over the stream routes through to the rank executor " +
+    "(CTE names are not base tables; bodies register as views)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RankT3]
+    input.toDF().createOrReplaceTempView("sql_stream_cte")
+    val routed = graft.Sql.sql(spark,
+      """WITH e AS (SELECT a, b FROM sql_stream_cte WHERE a > 0)
+        |SELECT b, a, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a DESC) AS rn
+        |  FROM e)
+        |WHERE rn = 1""".stripMargin)
+    assert(routed.isStreaming)
+    val q = routed.writeStream.format("memory").queryName("sqlcteroute")
+      .outputMode("append").start()
+    input.addData(RankT3(1, 1L, "x"), RankT3(5, 1L, "y"), RankT3(-7, 1L, "n"),
+      RankT3(3, 2L, "z"))
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("sqlcteroute").groupBy("b").agg(max("a").as("a"))
+      .as[(Long, Int)].collect().toSet
+    assert(fin == Set((1L, 5), (2L, 3)), s"got $fin")
+    // the same CTE statement on a batch view stays native end-to-end
+    Seq(RankT3(1, 1L, "x"), RankT3(5, 1L, "y"), RankT3(3, 2L, "z"))
+      .toDF().createOrReplaceTempView("sql_batch_cte")
+    val batch = graft.Sql.sql(spark,
+      """WITH e AS (SELECT a, b FROM sql_batch_cte)
+        |SELECT b, a, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a DESC) AS rn
+        |  FROM e)
+        |WHERE rn = 1 ORDER BY b""".stripMargin)
+    assert(!batch.isStreaming)
+    assert(rows(batch) == Seq(Seq(1L, 5, 1), Seq(2L, 3, 1)))
+  }
+
   test("a streaming rank statement over several tables is rejected with " +
     "the composition pointer") {
     implicit val sq = spark.sqlContext
