@@ -25,7 +25,101 @@ object StatefulBatch {
       q90CountTumble, q91CountSlide, q94RowsFrame, q95RangeFrame,
       q97EarlyFire, q110LateFire, q104UpsertSink, q105RetractApply,
       q120ProcRowsFrame, q121ProcRangeFrame, q124StreamReservoir,
-      q150StreamSortAny)
+      q150StreamSortAny, q158WindowEarlyAny, q159WindowLateAny,
+      q160TemporalJoinAny)
+
+  /** GENERAL-SCHEMA streaming temporal join (r13; reference
+    * TemporalRowTimeJoinOperator.java joins any two keyed row streams)
+    * collapsed to batch: purchases enriched with the latest click per
+    * user, carrying payload the Event-typed operator cannot express —
+    * the fact's event_type string and the DIM ROW'S TIMESTAMP in the
+    * output. The oracle is DuckDB's own ASOF LEFT JOIN (tie-free on the
+    * fixture: no same-user same-ts clicks). */
+  val q160TemporalJoinAny: QueryDef = QueryDef("q160_temporal_join_any",
+    """SELECT p.event_id, p.user_id, p.event_type,
+      |  CAST(p.value AS DOUBLE) AS value,
+      |  c.event_id AS dim_event_id, c.ts AS dim_ts, c.value AS dim_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    val ev = graft.core.Catalog.load(spark, dir, "events")
+    TemporalJoinAny.temporalJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      keyCols = Seq("user_id"), tsCol = "ts",
+      dimVerCols = Seq("event_id"), factTieBreak = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("dim_event_id"), col("dim_ts"), col("dim_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** GENERAL-SCHEMA early-fire windowed aggregation (r13 — the last
+    * streaming operator family that was Event-typed; reference
+    * WindowEmitStrategy early fires on any registered table) collapsed to
+    * batch: a 1-hour tumble keyed by the STRING event_type with MIN and
+    * COUNT(DISTINCT) measures — none expressible on the Event-typed
+    * [[EarlyFire]]. With no watermark every emission is the final one,
+    * i.e. the plain tumbling aggregate the oracle hash-checks; the
+    * partial-then-final sequence is pinned by `WindowAggAnySpec`. */
+  val q158WindowEarlyAny: QueryDef = QueryDef("q158_window_early_any",
+    """WITH e AS (
+      |  SELECT event_type, user_id, value, epoch_us(ts) AS us FROM events)
+      |SELECT event_type,
+      |  us - (us % 3600000000) AS w_start_us,
+      |  COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value,
+      |  MIN(value) AS min_value, COUNT(DISTINCT user_id) AS n_users,
+      |  1 AS is_final
+      |FROM e
+      |GROUP BY 1, 2
+      |ORDER BY event_type, w_start_us""".stripMargin) { (spark, dir) =>
+    import graft.streaming.OverAggregates.Agg
+    WindowAggAny.earlyLateFireWindowAgg(
+      graft.core.Catalog.load(spark, dir, "events"),
+      Seq("event_type"), "ts", Seq("event_id"),
+      java.time.Duration.ofHours(1),
+      Seq(Agg("COUNT", None, "n_events"), Agg("SUM", Some("value"), "sum_value"),
+        Agg("MIN", Some("value"), "min_value"),
+        Agg("COUNT", Some("user_id"), "n_users", distinct = true)))
+      .select(col("event_type"), col("w_start_us"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"), col("min_value"),
+        col("n_users"), col("is_final"))
+      .orderBy(col("event_type"), col("w_start_us"))
+  }
+
+  /** GENERAL-SCHEMA allowed-lateness windowed aggregation (reference
+    * late fires / `AfterEndOfWindow#withLateFirings` on any table)
+    * collapsed to batch: composite (user_id, event_type) key with an AVG
+    * measure. Every row folds before the single batch emission — the
+    * plain tumbling aggregate the oracle hash-checks; the partial →
+    * final → late-final sequence and the beyond-horizon drop are pinned
+    * by `WindowAggAnySpec`. */
+  val q159WindowLateAny: QueryDef = QueryDef("q159_window_late_any",
+    """WITH e AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events)
+      |SELECT user_id, event_type,
+      |  us - (us % 3600000000) AS w_start_us,
+      |  COUNT(*) AS n_events, round(AVG(value), 4) AS avg_value,
+      |  MAX(value) AS max_value,
+      |  1 AS is_final
+      |FROM e
+      |GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, w_start_us""".stripMargin) { (spark, dir) =>
+    import graft.streaming.OverAggregates.Agg
+    WindowAggAny.earlyLateFireWindowAgg(
+      graft.core.Catalog.load(spark, dir, "events"),
+      Seq("user_id", "event_type"), "ts", Seq("event_id"),
+      java.time.Duration.ofHours(1),
+      Seq(Agg("COUNT", None, "n_events"), Agg("AVG", Some("value"), "avg_value"),
+        Agg("MAX", Some("value"), "max_value")),
+      delay = java.time.Duration.ZERO,
+      allowedLateness = java.time.Duration.ofMinutes(10))
+      .select(col("user_id"), col("event_type"), col("w_start_us"),
+        col("n_events"), round(col("avg_value"), 4).as("avg_value"),
+        col("max_value"), col("is_final"))
+      .orderBy(col("user_id"), col("event_type"), col("w_start_us"))
+  }
 
   /** GENERAL-SCHEMA streaming event-time sort (r12 — the last stateful
     * operator that was Event-typed; reference RowTimeSortOperator via

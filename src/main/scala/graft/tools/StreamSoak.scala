@@ -322,7 +322,56 @@ object StreamSoak {
       ("gen_sort", eventsDir,
         (ds: Dataset[Event]) => graft.streaming.RowSort.sortByEventTime(
           ds.toDF(), Seq("ts", "event_id"), "60 seconds"),
-        reconstructed(real), true))
+        reconstructed(real), true),
+      // round-13: the GENERAL-SCHEMA early/late-fire windowed aggregate
+      // (WindowAggAny) on the straggler replay — composite key, MIN +
+      // COUNT(DISTINCT) measures (arrival-order-INVARIANT drift probes)
+      // + the double sum at 1e-6 (stragglers legally reassociate it);
+      // late finals must fire (extras below), beyond-horizon drops must
+      // not happen (lateness covers the straggler skew — drift would
+      // show them)
+      ("gen_window", straggDir,
+        (ds: Dataset[Event]) =>
+          graft.streaming.WindowAggAny.earlyLateFireWindowAgg(
+            ds.toDF(), Seq("user_id", "event_type"), "ts", Seq("event_id"),
+            dayWin,
+            Seq(graft.streaming.OverAggregates.Agg("COUNT", None, "n_events"),
+              graft.streaming.OverAggregates.Agg("MIN", Some("value"), "min_v"),
+              graft.streaming.OverAggregates.Agg("COUNT", Some("value"), "nd_v",
+                distinct = true),
+              graft.streaming.OverAggregates.Agg("SUM", Some("value"), "sum_v")),
+            earlyFire = "100 milliseconds",
+            delay = java.time.Duration.ofSeconds(60),
+            allowedLateness = lateness),
+        (s, b) => {
+          def fin(log: DataFrame): DataFrame = {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy("user_id", "event_type", "w_start_us")
+              .orderBy(col("n_events").desc, col("is_final").desc)
+            realWin(log).withColumn("rxx", row_number().over(w))
+              .filter(col("rxx") === 1)
+              .select("user_id", "event_type", "w_start_us",
+                "n_events", "min_v", "nd_v", "sum_v")
+          }
+          val sf = fin(s).withColumnRenamed("n_events", "sn")
+            .withColumnRenamed("min_v", "smin")
+            .withColumnRenamed("nd_v", "snd")
+            .withColumnRenamed("sum_v", "ssum").cache()
+          val bf = fin(b).withColumnRenamed("n_events", "bn")
+            .withColumnRenamed("min_v", "bmin")
+            .withColumnRenamed("nd_v", "bnd")
+            .withColumnRenamed("sum_v", "bsum")
+          val j = sf.join(bf,
+            Seq("user_id", "event_type", "w_start_us"), "full_outer").cache()
+          val mismatch = j.filter(col("sn").isNull || col("bn").isNull ||
+            col("sn") =!= col("bn") || col("smin") =!= col("bmin") ||
+            col("snd") =!= col("bnd") ||
+            abs(col("ssum") - col("bsum")) > 1e-6).count()
+          val onlyB = j.filter(col("sn").isNull).count()
+          val rows = sf.count()
+          sf.unpersist(); j.unpersist()
+          (mismatch, onlyB, rows)
+        }, false))
 
     // The early/late-fire ops keep a PROC-TIME timer per open window, and
     // the sentinel windows (far-future ts) never close — so they re-register
@@ -351,7 +400,7 @@ object StreamSoak {
       if (q.isActive) q.stop()
       q.awaitTermination()
     }
-    val procTimerOps = Set("early_fire", "late_fire")
+    val procTimerOps = Set("early_fire", "late_fire", "gen_window")
 
     ops.filter(_._1.startsWith(opPrefix)).foreach {
       case (name, dir, op, check, exactMultiset) =>
@@ -387,7 +436,7 @@ object StreamSoak {
         val extra = name match {
           case "early_fire" =>
             s""","early_fires":${streamLog.filter(col("is_final") === 0).count()}"""
-          case "late_fire" =>
+          case "late_fire" | "gen_window" =>
             s""","early_fires":${streamLog.filter(col("is_final") === 0).count()},""" +
               s""""late_finals":${streamLog.filter(col("is_final") === 2).count()}"""
           case "sort" | "gen_sort" =>

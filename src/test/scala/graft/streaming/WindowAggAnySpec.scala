@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.OverAggregates.Agg
+
+/** Emission-sequence and collapse spec for the GENERAL-SCHEMA early/late
+  * fire windowed aggregate: the [[EarlyFire]] contract (partials on the
+  * proc-time interval, one final on watermark close, late finals inside
+  * allowed lateness) on an arbitrary row shape the Event-typed operator
+  * cannot express — string partition key, MIN/AVG/COUNT(DISTINCT)
+  * aggregates — plus the close guarantee the Event op does not make:
+  * the final fires even when one micro-batch jumps the watermark past
+  * close AND retention horizon. */
+class WindowAggAnySpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def await(cond: => Boolean, timeoutMs: Long = 20000): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    cond
+  }
+
+  private val aggs = Seq(
+    Agg("COUNT", None, "n"),
+    Agg("MIN", Some("v"), "mn"),
+    Agg("COUNT", Some("u"), "du", distinct = true))
+
+  test("general early-fire: changed partials on the interval, one final " +
+    "on close, on a string-keyed schema with MIN and COUNT(DISTINCT)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double, Long)]
+    val out = WindowAggAny.earlyLateFireWindowAgg(
+      input.toDF().toDF("k", "t", "v", "u"), Seq("k"), "t", Seq("u"),
+      java.time.Duration.ofMinutes(5), aggs, earlyFire = "100 milliseconds")
+    val q = out.writeStream.format("memory").queryName("wany")
+      .outputMode("append").start()
+    def fires(): Seq[(String, Long, Double, Long, Int)] =
+      spark.table("wany").filter($"k" === "a")
+        .select($"k", $"n", $"mn", $"du", $"is_final")
+        .as[(String, Long, Double, Long, Int)].collect().toSeq
+    // two rows, same user twice + one other: COUNT 3, MIN 2.0, DISTINCT u 2
+    input.addData(("a", ts(0), 5.0, 7L), ("a", ts(1), 2.0, 7L),
+      ("a", ts(2), 9.0, 8L))
+    assert(await(fires().nonEmpty), "no early fire within the timeout")
+    assert(fires().forall(_._5 == 0), s"window still open: ${fires()}")
+    assert(fires().last == ("a", 3L, 2.0, 2L, 0), s"got ${fires()}")
+    // unchanged aggregate: the timer must not re-emit
+    val before = fires().size
+    Thread.sleep(500)
+    assert(fires().size == before, "re-emitted an unchanged partial")
+    // advance the watermark past the window end -> exactly one final
+    input.addData(("z", ts(30), 0.0, 0L))
+    assert(await(fires().exists(_._5 == 1)), "no final on close")
+    q.stop()
+    val finals = fires().filter(_._5 == 1)
+    assert(finals == Seq(("a", 3L, 2.0, 2L, 1)), s"got ${fires()}")
+    assert(fires().last._5 == 1, s"emissions after the final: ${fires()}")
+  }
+
+  test("allowed lateness: a row after the close re-emits an updated " +
+    "final (is_final = 2); beyond the horizon it is discarded") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double, Long)]
+    val out = WindowAggAny.earlyLateFireWindowAgg(
+      input.toDF().toDF("k", "t", "v", "u"), Seq("k"), "t", Seq("u"),
+      java.time.Duration.ofMinutes(5), aggs, earlyFire = "100 milliseconds",
+      allowedLateness = java.time.Duration.ofMinutes(20))
+    val q = out.writeStream.format("memory").queryName("wlate")
+      .outputMode("append").start()
+    def fires(): Seq[(Long, Double, Long, Int)] =
+      spark.table("wlate").filter($"k" === "a")
+        .select($"n", $"mn", $"du", $"is_final")
+        .as[(Long, Double, Long, Int)].collect().toSeq
+    input.addData(("a", ts(1), 5.0, 7L))
+    // true watermark (sparkWm + lateness) passes the 10:05 close once
+    // maxTs reaches 10:15; sparkWm (= maxTs - 20min = 9:55) stays BELOW
+    // the close, so rows in [9:55, 10:05) are late-but-inside-horizon
+    input.addData(("z", ts(15), 0.0, 0L))
+    assert(await(fires().exists(_._4 == 1)), "no first final")
+    // a late row inside the horizon updates the final
+    input.addData(("a", ts(4), 1.0, 9L))
+    assert(await(fires().exists(_._4 == 2)), "no late final")
+    assert(fires().filter(_._4 == 2) == Seq((2L, 1.0, 2L, 2)),
+      s"got ${fires()}")
+    // push sparkWm past the horizon (10:05): state drops; a later row
+    // for the window is discarded, not re-emitted
+    input.addData(("z", ts(59), 0.0, 0L))
+    Thread.sleep(600) // let the horizon poll drop the state
+    val nBefore = fires().size
+    input.addData(("a", ts(3), 0.5, 10L))
+    Thread.sleep(800)
+    assert(fires().size == nBefore,
+      s"beyond-horizon row must be discarded: ${fires()}")
+    q.stop()
+  }
+
+  test("watermark jump past close AND horizon still fires the final " +
+    "(the guarantee the Event-typed operator does not make)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double, Long)]
+    val out = WindowAggAny.earlyLateFireWindowAgg(
+      input.toDF().toDF("k", "t", "v", "u"), Seq("k"), "t", Seq("u"),
+      java.time.Duration.ofMinutes(5), aggs, earlyFire = "100 milliseconds",
+      allowedLateness = java.time.Duration.ofMinutes(1))
+    val q = out.writeStream.format("memory").queryName("wjump")
+      .outputMode("append").start()
+    def finals(): Seq[(Long, Double, Long, Int)] =
+      spark.table("wjump").filter($"k" === "a" && $"is_final" === 1)
+        .select($"n", $"mn", $"du", $"is_final")
+        .as[(Long, Double, Long, Int)].collect().toSeq
+    input.addData(("a", ts(1), 5.0, 7L))
+    // one sentinel jumps the watermark from 0 straight past
+    // close (10:05) + lateness (1 min): the discard branch must still
+    // fire the pending final exactly once
+    input.addData(("z", ts(59), 0.0, 0L))
+    assert(await(finals().nonEmpty), "final lost in the watermark jump")
+    q.stop()
+    assert(finals() == Seq((1L, 5.0, 1L, 1)), s"got ${finals()}")
+  }
+
+  test("batch collapse emits exactly the plain tumbling aggregate, " +
+    "composite key, decimal-exact SUM") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, ts(0), BigDecimal("1.10")),
+      ("a", 1L, ts(1), BigDecimal("2.20")),
+      ("a", 1L, ts(7), BigDecimal("4.40")),
+      ("b", 2L, ts(1), BigDecimal("8.80")))
+      .toDF("k", "g", "t", "m")
+      .withColumn("m", col("m").cast("decimal(18,2)"))
+    val got = WindowAggAny.earlyLateFireWindowAgg(df, Seq("k", "g"), "t",
+      Seq("m"), java.time.Duration.ofMinutes(5),
+      Seq(Agg("COUNT", None, "n"), Agg("SUM", Some("m"), "s")))
+      .select($"k", $"g", $"w_start_us", $"n", $"s".cast("string"))
+      .as[(String, Long, Long, Long, String)].collect().toSeq.sorted
+    val base = ts(0).getTime * 1000L
+    val w5 = 5L * 60 * 1000000
+    assert(got == Seq(
+      ("a", 1L, base, 2L, "3.30"),
+      ("a", 1L, base + w5, 1L, "4.40"),
+      ("b", 2L, base, 1L, "8.80")).sorted, s"got $got")
+    // agrees with Spark's own windowed aggregate
+    val native = df.groupBy(window($"t", "5 minutes"), $"k", $"g")
+      .agg(count(lit(1)).as("n"), sum($"m").as("s"))
+      .select($"k", $"g", unix_micros($"window.start"), $"n",
+        $"s".cast("decimal(38,2)").cast("string"))
+      .as[(String, Long, Long, Long, String)].collect().toSeq.sorted
+    assert(got == native, s"executor $got vs native $native")
+  }
+}
