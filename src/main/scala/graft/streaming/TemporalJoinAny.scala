@@ -42,10 +42,52 @@ object TemporalJoinAny {
     * pending fact envelopes + retained dim envelopes. */
   final case class TjState(facts: Seq[Seq[Any]], dims: Seq[Seq[Any]])
 
-  def temporalJoin(facts: DataFrame, dims: DataFrame, keyCols: Seq[String],
+  /** PROCESSING-time temporal join over arbitrary DataFrames — the
+    * general-schema twin of [[TemporalJoin.temporalJoinProcTime]]
+    * (reference TemporalProcessTimeJoinOperator.java:126): each fact
+    * enriches with the latest dimension version SEEN so far — no
+    * watermark, no buffering, facts emit immediately; within one
+    * micro-batch the dimension rows apply before the fact rows. Per-key
+    * state is exactly one dim envelope (the current version). Batch
+    * collapse: the whole input is one arrival — every fact sees the
+    * newest version overall, which is what the operator's spec checks. */
+  def temporalJoinProcTime(facts: DataFrame, dims: DataFrame,
+      keyCols: Seq[String], tsCol: String, dimVerCols: Seq[String],
+      factTieBreak: Seq[String], dimPrefix: String = "dim_"): DataFrame =
+    build(facts, dims, keyCols, tsCol, dimVerCols, factTieBreak,
+      dimPrefix) { ctx =>
+      import ctx._
+      implicit val stEnc: Encoder[TjState] =
+        Encoders.javaSerialization[TjState]
+      def process(key: Row, rows: Iterator[Row], state: GroupState[TjState])
+          : Iterator[Row] = {
+        val (dimRows, factRows) = rows.map(_.toSeq).toSeq
+          .partition(_(nKeys) == 0)
+        // newest version wins: later (event ts, verCols) replaces current
+        var cur = state.getOption.flatMap(_.dims.headOption)
+        dimRows.sorted(dimOrd).foreach { d =>
+          if (cur.forall(c => dimOrd.compare(d, c) >= 0)) cur = Some(d)
+        }
+        cur.foreach(c => state.update(TjState(Nil, Seq(c))))
+        factRows.sorted(factOrd).iterator.map(f => emit(f, cur))
+      }
+      env.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(process)(stEnc, outEnc)
+    }
+
+  /** Shared envelope construction for the row-time and proc-time joins:
+    * validated inputs, the tagged union, key/out encoders, the two
+    * orderings and the output emitter. */
+  private final case class Ctx(env: DataFrame, nKeys: Int,
+      keyIdx: Range, keyEnc: Encoder[Row], outEnc: Encoder[Row],
+      dimOrd: Ordering[Seq[Any]], factOrd: Ordering[Seq[Any]],
+      tsUs: Seq[Any] => Long, emit: (Seq[Any], Option[Seq[Any]]) => Row,
+      isStreaming: Boolean)
+
+  private def build(facts: DataFrame, dims: DataFrame, keyCols: Seq[String],
       tsCol: String, dimVerCols: Seq[String], factTieBreak: Seq[String],
-      delay: String = "0 seconds", dimPrefix: String = "dim_",
-      idleRetentionMs: Option[Long] = None): DataFrame = {
+      dimPrefix: String)(body: Ctx => DataFrame): DataFrame = {
     require(keyCols.nonEmpty, "the temporal join needs at least one key column")
     val fSchema = facts.schema
     val dSchema = dims.schema
@@ -68,9 +110,9 @@ object TemporalJoinAny {
     factTieBreak.foreach(c => fieldOf(fSchema, c, "fact"))
     val isStreaming = facts.isStreaming || dims.isStreaming
 
-    // envelope: keys, __side (dims first on ties in no ordering sense —
-    // sides are partitioned in the operator), __ts, generated-name fact
-    // payload, generated-name dim payload (all non-key dim columns)
+    // envelope: keys, __side, __ts, generated-name fact payload,
+    // generated-name dim payload (all non-key dim columns) — generated
+    // names keep same-named payload columns on the two sides distinct
     val factFields = fSchema.fields.toSeq
     val dimFields = dSchema.fields.toSeq.filterNot(f => keyCols.contains(f.name))
     val keyFields = keyCols.map(k => fSchema.fields(fSchema.fieldIndex(k)))
@@ -98,16 +140,13 @@ object TemporalJoinAny {
       dimFields.map(f => StructField(dimPrefix + f.name, f.dataType,
         nullable = true)))
     val outEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stEnc: Encoder[TjState] = Encoders.javaSerialization[TjState]
     val keySchema = StructType(keyFields)
     val keyEnc: Encoder[Row] = Encoders.row(keySchema)
 
     // dim version order: (ts, dimVerCols) ascending — the LAST at-or-
     // before a fact wins, so higher verCols win ties on ts
-    val dimOrd: Ordering[Seq[Any]] = {
-      val verIdx = dimVerCols.map(c =>
-        dOff + dimFields.indexWhere(_.name == c))
-      val inner = OverAggregates.seqOrdering(verIdx)
+    def tsThen(idx: Seq[Int]): Ordering[Seq[Any]] = {
+      val inner = OverAggregates.seqOrdering(idx)
       new Ordering[Seq[Any]] {
         override def compare(a: Seq[Any], b: Seq[Any]): Int = {
           val c = java.lang.Long.compare(tsUs(a), tsUs(b))
@@ -115,22 +154,27 @@ object TemporalJoinAny {
         }
       }
     }
-    val factOrd: Ordering[Seq[Any]] = {
-      val tieIdx = factTieBreak.map(c =>
-        fOff + factFields.indexWhere(_.name == c))
-      val inner = OverAggregates.seqOrdering(tieIdx)
-      new Ordering[Seq[Any]] {
-        override def compare(a: Seq[Any], b: Seq[Any]): Int = {
-          val c = java.lang.Long.compare(tsUs(a), tsUs(b))
-          if (c != 0) c else inner.compare(a, b)
-        }
-      }
-    }
+    val dimOrd = tsThen(dimVerCols.map(c =>
+      dOff + dimFields.indexWhere(_.name == c)))
+    val factOrd = tsThen(factTieBreak.map(c =>
+      fOff + factFields.indexWhere(_.name == c)))
     val nDim = dimFields.size
     def emit(f: Seq[Any], d: Option[Seq[Any]]): Row = Row.fromSeq(
       f.slice(fOff, fOff + factFields.size) ++
         d.map(_.slice(dOff, dOff + nDim)).getOrElse(Seq.fill(nDim)(null)))
 
+    body(Ctx(env, nKeys, keyCols.indices, keyEnc, outEnc, dimOrd, factOrd,
+      tsUs, emit, isStreaming))
+  }
+
+  def temporalJoin(facts: DataFrame, dims: DataFrame, keyCols: Seq[String],
+      tsCol: String, dimVerCols: Seq[String], factTieBreak: Seq[String],
+      delay: String = "0 seconds", dimPrefix: String = "dim_",
+      idleRetentionMs: Option[Long] = None): DataFrame =
+    build(facts, dims, keyCols, tsCol, dimVerCols, factTieBreak,
+      dimPrefix) { ctx =>
+    import ctx._
+    implicit val stEnc: Encoder[TjState] = Encoders.javaSerialization[TjState]
     def process(key: Row, rows: Iterator[Row], state: GroupState[TjState])
         : Iterator[Row] = {
       val prev = state.getOption.getOrElse(TjState(Nil, Nil))
@@ -177,11 +221,10 @@ object TemporalJoinAny {
       out.iterator
     }
 
-    val keyIdx = keyCols.indices
     // withWatermark is a no-op on batch inputs; applying it always keeps
     // one code path (same as the Event-typed operator)
-    val wm = env.withWatermark("__ts", delay)
-    wm.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
+    env.withWatermark("__ts", delay)
+      .groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(process)(stEnc, outEnc)
   }

@@ -132,6 +132,42 @@ class TemporalJoinAnySpec extends SparkSpec {
       s"expired version must not enrich a later fact, got $got")
   }
 
+  test("proc-time general temporal join: latest version SEEN enriches, " +
+    "dims apply before facts within a trigger, event time ignored") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val facts = MemoryStream[(String, Timestamp, Long, Double, String)]
+    val dims = MemoryStream[(String, Timestamp, Long, Double, String)]
+    val out = TemporalJoinAny.temporalJoinProcTime(
+      facts.toDF().toDF("k", "ts", "fid", "amount", "tag"),
+      dims.toDF().toDF("k", "ts", "ver", "rate", "label"),
+      keyCols = Seq("k"), tsCol = "ts", dimVerCols = Seq("ver"),
+      factTieBreak = Seq("fid"))
+    val q = out.writeStream.format("memory").queryName("tjanyproc")
+      .outputMode("append").start()
+    // fact before any version: emits immediately with NULL dims
+    facts.addData(("a", ts(9, 0), 400L, 1.0, "t"))
+    q.processAllAvailable()
+    dims.addData(("a", ts(9, 30), 1L, 100.0, "v1"))
+    q.processAllAvailable()
+    // same-trigger version+fact: the fact sees the new version
+    dims.addData(("a", ts(10, 0), 2L, 200.0, "v2"))
+    facts.addData(("a", ts(10, 0), 401L, 2.0, "t"))
+    q.processAllAvailable()
+    // an OLDER-event-time fact still gets the latest version — proc-time
+    // semantics ignore event time
+    facts.addData(("a", ts(9, 10), 402L, 3.0, "t"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tjanyproc")
+      .select($"fid", $"dim_ver", $"dim_label")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(400L -> ((None, None)),
+      401L -> ((Some(2L), Some("v2"))), 402L -> ((Some(2L), Some("v2")))),
+      s"got $got")
+  }
+
   test("batch collapse matches the Event-typed operator and the q63 " +
     "ASOF oracle on the events fixture") {
     import spark.implicits._
