@@ -399,6 +399,71 @@ object OverAggregates extends Serializable {
       else GroupStateTimeout.NoTimeout)
   }
 
+  /** PROC-TIME streaming OVER with a bounded RANGE frame over an
+    * ARBITRARY DataFrame — the general-schema twin of
+    * [[StatefulOps.procRangeBoundedAggregates]] (reference:
+    * ProcTimeRangeBoundedPrecedingFunction.java — rows buffer under
+    * their arrival instant, expired entries retire, and every same-
+    * instant peer emits the SAME aggregate over the full peer set).
+    * Micro-batch rendering: the processing-time instant is the batch,
+    * so all of a key's rows in one micro-batch are peers sharing one
+    * aggregate over the retained buffer plus the peer group; entries
+    * older than `horizon` of processing time retire first. No watermark;
+    * event time plays no role — the batch collapse is the whole-
+    * partition aggregate (a single batch is one instant), the oracle
+    * shape. `procClock` injects a logical clock for deterministic tests;
+    * `idleTtl` is the reference's processing-time cleanup timer. State
+    * is O(rows inside one horizon) per key. */
+  def procRangeAggregates(df: DataFrame, partCols: Seq[String],
+      tieBreak: Seq[String], horizon: java.time.Duration, aggs0: Seq[Agg],
+      procClock: () => Long = () => System.currentTimeMillis(),
+      idleTtl: Option[String] = None): DataFrame = {
+    val aggs = normalizeAggs(aggs0)
+    val horizonMs = horizon.toMillis
+    require(horizonMs >= 0, s"RANGE frame horizon must be >= 0, got $horizon")
+    require(aggs.nonEmpty, "at least one OVER aggregate is required")
+    val schema = df.schema
+    (partCols ++ tieBreak).foreach(c => require(schema.fieldNames.contains(c),
+      s"column '$c' not in input schema ${schema.fieldNames.mkString(", ")}"))
+    tieBreak.foreach(c => requireOrderable(schema, c))
+    val aggIdx = checkAggs(schema, aggs)
+    val outSchema = StructType(schema.fields.toSeq ++ outFields(aggs, aggIdx))
+    val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stEnc: Encoder[GenState] = Encoders.javaSerialization[GenState]
+    val isStreaming = df.isStreaming
+    val tieIdx = tieBreak.map(schema.fieldIndex)
+    val ord: Ordering[Seq[Any]] = seqOrdering(tieIdx)
+    def process(rows: Iterator[Row], state: GroupState[GenState])
+        : Iterator[Row] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      idleTtl.foreach(state.setTimeoutDuration)
+      val now = procClock()
+      val bufMs = scala.collection.mutable.ArrayDeque.empty[Long]
+      val bufVals = scala.collection.mutable.ArrayDeque.empty[Seq[Any]]
+      state.getOption.foreach { s =>
+        bufMs.addAll(s.frameUs); bufVals.addAll(s.frameVals)
+      }
+      // arrival-ordered appends make stamps monotone: head eviction
+      // retires everything expired
+      while (bufMs.nonEmpty && bufMs.head < now - horizonMs) {
+        bufMs.removeHead(); bufVals.removeHead()
+      }
+      val batch = rows.map(_.toSeq).toSeq
+      val peers = if (tieIdx.isEmpty) batch else batch.sorted(ord)
+      peers.foreach { vals =>
+        bufMs.append(now); bufVals.append(entryOfVals(vals, aggIdx))
+      }
+      // one aggregate over the full frame, shared by every peer
+      val shared = foldEntries(bufVals, aggs)
+      if (isStreaming)
+        state.update(GenState(Nil, bufMs.toSeq, bufVals.toSeq, 0L, Nil))
+      peers.iterator.map(vals => Row.fromSeq(vals ++ shared))
+    }
+    runKeyed(df, partCols, schema, stEnc, outEnc, identity, process,
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout)
+  }
+
   // shared: keyed dispatch over (possibly empty) partition columns
   private def runKeyed(df: DataFrame, partCols: Seq[String],
       schema: StructType, stEnc: Encoder[GenState], outEnc: Encoder[Row],

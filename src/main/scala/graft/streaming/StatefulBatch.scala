@@ -26,7 +26,34 @@ object StatefulBatch {
       q97EarlyFire, q110LateFire, q104UpsertSink, q105RetractApply,
       q120ProcRowsFrame, q121ProcRangeFrame, q124StreamReservoir,
       q150StreamSortAny, q158WindowEarlyAny, q159WindowLateAny,
-      q160TemporalJoinAny)
+      q160TemporalJoinAny, q161ProcRangeAny)
+
+  /** GENERAL-SCHEMA proc-time bounded-RANGE OVER (r13 — the last OVER
+    * shape that was Event-typed; reference
+    * ProcTimeRangeBoundedPrecedingFunction.java) collapsed to batch: a
+    * single batch is ONE processing-time instant, so every row of a key
+    * is every other row's peer and the frame is the whole partition —
+    * here keyed by the STRING event_type with a MIN measure, neither
+    * expressible on the Event-typed operator. Horizon eviction across
+    * micro-batches is spec'd with an injected clock in
+    * OverAggregatesSpec. */
+  val q161ProcRangeAny: QueryDef = QueryDef("q161_proc_range_any",
+    """SELECT event_type, event_id,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n_in_frame,
+      |  round(SUM(value) OVER (PARTITION BY event_type), 4) AS frame_sum,
+      |  MIN(value) OVER (PARTITION BY event_type) AS frame_min
+      |FROM events
+      |ORDER BY event_type, event_id""".stripMargin) { (spark, dir) =>
+    StreamingOverSql.sqlDf(graft.core.Catalog.load(spark, dir, "events"),
+      """SELECT event_type, event_id,
+        |  COUNT(*) OVER w AS n_in_frame,
+        |  ROUND(SUM(value) OVER w, 4) AS frame_sum,
+        |  MIN(value) OVER w AS frame_min
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY proctime, ts, event_id
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin)
+      .orderBy(col("event_type"), col("event_id"))
+  }
 
   /** GENERAL-SCHEMA streaming temporal join (r13; reference
     * TemporalRowTimeJoinOperator.java joins any two keyed row streams)

@@ -240,15 +240,18 @@ object StreamingOverSql {
     }
     val out =
       if (spec.procTime) spec.frame match {
-        // proc-time ROWS: arrival-order frames on any schema; the
+        // proc-time ROWS/RANGE: arrival-order frames on any schema; the
         // trailing ORDER BY columns are the intra-batch determinism key
         // (micro-batch rendering of the reference's arrival order)
         case RowsPreceding(n) => OverAggregates.procRowsAggregates(df,
           parts, spec.orderCols.filterNot(_ == "proctime"), n, aggs)
+        case RangePreceding(us) => OverAggregates.procRangeAggregates(df,
+          parts, spec.orderCols.filterNot(_ == "proctime"),
+          java.time.Duration.ofNanos(us * 1000L), aggs)
         case other => sys.error(
           s"proc-time $other OVER is the Event-model operator contract " +
             "(StreamingOverSql.sql / the StatefulOps proc-time twins); " +
-            "the general executor covers proc-time ROWS frames")
+            "the general executor covers proc-time ROWS and RANGE frames")
       } else {
         val frame = spec.frame match {
           case Unbounded => OverAggregates.UnboundedPreceding

@@ -253,13 +253,15 @@ class OverAggregatesSpec extends SparkSpec {
     assert(batchGot.sorted == expected.sorted)
   }
 
-  test("contracts fail loudly: proctime RANGE, non-numeric SUM, " +
-    "unknown column") {
+  test("contracts fail loudly: proctime RANGE UNBOUNDED, non-numeric " +
+    "SUM, unknown column") {
     import spark.implicits._
     val df = boundedRowsData.toDF()
+    // bounded proc-time RANGE routes to procRangeAggregates (r13); the
+    // UNBOUNDED peer form remains outside the proc-time contract
     val e1 = intercept[RuntimeException](StreamingOverSql.sqlDf(df,
       """SELECT c, COUNT(1) OVER (PARTITION BY c ORDER BY proctime
-        |RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS cnt
+        |RANGE UNBOUNDED PRECEDING) AS cnt
         |FROM T1""".stripMargin))
     assert(e1.getMessage.contains("proc-time"))
     val e2 = intercept[Exception](StreamingOverSql.sqlDf(df,
@@ -572,6 +574,52 @@ class OverAggregatesSpec extends SparkSpec {
         |FROM T""".stripMargin, batchNative = false)
     assert(r.as[(Int, Double)].collect().toSeq.sorted ==
       Seq((1, 3.0), (2, 3.0), (3, 3.0), (3, 3.0)).sorted)
+  }
+
+  test("general proc-time RANGE frames: same-batch rows are peers " +
+    "sharing one aggregate; entries older than the horizon retire " +
+    "(injected clock)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def sTs(s: Long) = new Timestamp(s * 1000L)
+    // JVM-static logical clock (ProcClockProbe): the closure must resolve
+    // to the SAME object after task deserialization for set() to be seen
+    val clock = ProcClockProbe.now
+    val input = MemoryStream[OverT1]
+    val out = OverAggregates.procRangeAggregates(input.toDF(), Seq("c"),
+      Seq("b"), java.time.Duration.ofSeconds(15),
+      Seq(OverAggregates.Agg("COUNT", None, "n"),
+        OverAggregates.Agg("MIN", Some("b"), "mn")),
+      procClock = () => ProcClockProbe.now.get())
+      .select($"b", $"n", $"mn")
+    val q = out.writeStream.format("memory").queryName("procrange")
+      .outputMode("append").start()
+    // batch 1 at t=0: two peers share one frame {1,2}
+    clock.set(0L)
+    input.addData(OverT1(1, 1, "k", sTs(1)), OverT1(1, 2, "k", sTs(2)))
+    q.processAllAvailable()
+    // batch 2 at t=10s (inside the 15s horizon): frame {1,2,3}
+    clock.set(10000L)
+    input.addData(OverT1(1, 3, "k", sTs(3)))
+    q.processAllAvailable()
+    // batch 3 at t=20s: the t=0 entries retired (20s-ago > 15s horizon),
+    // the t=10s entry survives — frame {3,4}
+    clock.set(20000L)
+    input.addData(OverT1(1, 4, "k", sTs(4)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("procrange")
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, 2L, 1.0), (2, 2L, 1.0), (3, 3L, 1.0),
+      (4, 2L, 3.0)), s"got $got")
+    // batch collapse: one batch is one instant — whole-partition peers
+    val batch = OverAggregates.procRangeAggregates(
+      Seq(OverT1(1, 1, "k", sTs(1)), OverT1(1, 2, "k", sTs(2)),
+        OverT1(2, 9, "j", sTs(3))).toDF(), Seq("c"), Seq("b"),
+      java.time.Duration.ofHours(1),
+      Seq(OverAggregates.Agg("COUNT", None, "n")))
+      .select($"b", $"n").as[(Int, Long)].collect().toSeq.sorted
+    assert(batch == Seq((1, 2L), (2, 2L), (9, 1L)), s"got $batch")
   }
 
   test("cross-batch tied peers: RANGE peer-frame integrity holds under " +
