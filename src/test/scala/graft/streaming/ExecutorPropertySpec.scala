@@ -98,4 +98,34 @@ class ExecutorPropertySpec extends SparkSpec {
       df.unpersist()
     }
   }
+
+  test("window-agg executor (batch collapse) vs native windowed hash " +
+    "aggregate agree on random data: counts/extrema/distinct exact, " +
+    "decimal sums bit-identical") {
+    import graft.streaming.OverAggregates.Agg
+    for (seed <- 1 to 6) {
+      val df = gen(seed + 300).cache()
+      val mins = 2 + seed % 7
+      val win = java.time.Duration.ofMinutes(mins)
+      val exec = WindowAggAny.earlyLateFireWindowAgg(df, Seq("grp"), "ts",
+        Seq("id"), win,
+        Seq(Agg("COUNT", None, "n"), Agg("COUNT", Some("v"), "nv"),
+          Agg("MIN", Some("v"), "mn"), Agg("MAX", Some("v"), "mx"),
+          Agg("SUM", Some("d"), "sd"),
+          Agg("COUNT", Some("v"), "dv", distinct = true)))
+        .select(col("grp"), col("w_start_us"), col("n"), col("nv"),
+          col("mn"), col("mx"), col("sd").cast("string").as("sd"),
+          col("dv"))
+      val native = df.groupBy(window(col("ts"), s"$mins minutes"), col("grp"))
+        .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"),
+          sum(col("d")).cast(DecimalType(38, 2)).as("sd"),
+          countDistinct(col("v")).as("dv"))
+        .select(col("grp"), unix_micros(col("window.start")).as("w_start_us"),
+          col("n"), col("nv"), col("mn"), col("mx"),
+          col("sd").cast("string").as("sd"), col("dv"))
+      assert(multisetEqual(exec, native), s"seed=$seed window=${mins}m")
+      df.unpersist()
+    }
+  }
 }
