@@ -128,4 +128,31 @@ class ExecutorPropertySpec extends SparkSpec {
       df.unpersist()
     }
   }
+
+  test("general temporal join (batch collapse) vs the independent " +
+    "AsOfJoin rewrite agree on random data with heavy timestamp ties") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed + 400)
+      val nKeys = 1 + rnd.nextInt(5)
+      def rows(n: Int) = (0 until n).map { i =>
+        (s"k${rnd.nextInt(nKeys)}",
+          new Timestamp(60000L * rnd.nextInt(30)), // heavy ts ties
+          i.toLong, (rnd.nextInt(2000) - 1000) / 100.0)
+      }
+      val facts = rows(80).toDF("k", "ts", "fid", "amount").cache()
+      val dims = rows(40).toDF("k", "ts", "ver", "rate").cache()
+      val exec = TemporalJoinAny.temporalJoin(facts, dims,
+        keyCols = Seq("k"), tsCol = "ts", dimVerCols = Seq("ver"),
+        factTieBreak = Seq("fid"))
+        .select(col("fid"), col("dim_ver"), col("dim_rate"))
+      val native = graft.operators.AsOfJoin.asOfJoin(facts, dims,
+        key = "k", leftTs = "ts", rightTs = "ts", rightTieBreak = "ver",
+        valueCols = Seq("ver", "rate"))
+        .select(col("fid"), col("ver").as("dim_ver"),
+          col("rate").as("dim_rate"))
+      assert(multisetEqual(exec, native), s"seed=$seed temporal join")
+      facts.unpersist(); dims.unpersist()
+    }
+  }
 }
