@@ -13,7 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Division of labor: Spark SQL already evaluates OVER windows,
   * ROW_NUMBER filters, joins, subqueries and unions natively in batch —
-  * the ONE clause it cannot parse at all is MATCH_RECOGNIZE. So the
+  * the forms it cannot parse are MATCH_RECOGNIZE and the reference's
+  * group-window spelling (TUMBLE/HOP/SESSION + auxiliaries, which
+  * Spark spells `window()`/`session_window()` — rewritten by
+  * [[graft.streaming.GroupWindowSql]] in front of everything else,
+  * batch and streaming alike). For pattern matching the
   * router extracts each `<table> MATCH_RECOGNIZE ( ... )` or
   * `(subquery) MATCH_RECOGNIZE ( ... )` source from the statement,
   * executes it through the existing general-schema executor (the
@@ -46,7 +50,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Sql {
 
   def sql(spark: SparkSession, text: String): DataFrame = {
-    val spliced = spliceMatchRecognize(spark, text)
+    // group-window SQL (TUMBLE/HOP/SESSION + auxiliaries) becomes
+    // Spark's native window()/session_window() grouping — a pure text
+    // rewrite, so the clause composes anywhere in the statement
+    // (including inside a MATCH_RECOGNIZE source subquery)
+    val gw = graft.streaming.GroupWindowSql.rewrite(text)
+    val spliced = spliceMatchRecognize(spark, gw)
     routeStreaming(spark, spliced).getOrElse(spark.sql(spliced))
   }
 

@@ -20,7 +20,8 @@ object Windows {
 
   def defs: Seq[QueryDef] =
     Seq(q60Tumble, q61Hop, q62Session, q108DynamicSession,
-      q145CountTumbleAny, q146CountSlideAny, q149CountTumbleNative)
+      q145CountTumbleAny, q146CountSlideAny, q149CountTumbleNative,
+      q162SqlTumble, q163SqlHop, q164SqlSession)
 
   /** The BATCH-NATIVE route of the count-tumble shape (r12): ROW_NUMBER
     * chunking + a native hash aggregate with map-side combine — the
@@ -233,5 +234,114 @@ object Windows {
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
       .select(col("user_id"), col("session_start"), col("n"), col("total"))
       .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** The reference's group-window SQL SPELLING through the single front
+    * door (r13 — reference batch `WindowAggregateITCase.scala:59-64` for
+    * the shape, auxiliaries incl. `TUMBLE_ROWTIME` = end − 1 ms):
+    * `GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)` rewrites to Spark's
+    * native `window()` grouping ([[graft.streaming.GroupWindowSql]]),
+    * so the plan is the same two-phase hash aggregate q60 gets from the
+    * DataFrame API — this entry pins the TEXT path end-to-end. */
+  val q162SqlTumble: QueryDef = QueryDef("q162_sql_tumble",
+    """WITH b AS (
+      |  SELECT event_type,
+      |    time_bucket(INTERVAL 1 HOUR, make_timestamp(epoch_us(ts))) AS w_start,
+      |    value
+      |  FROM events)
+      |SELECT event_type, w_start,
+      |  w_start + INTERVAL 1 HOUR AS w_end,
+      |  w_start + INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND AS w_rowtime,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM b
+      |GROUP BY event_type, w_start
+      |ORDER BY w_start, event_type""".stripMargin) { (spark, dir) =>
+    graft.core.Catalog.load(spark, dir, "events")
+      .createOrReplaceTempView("events")
+    graft.Sql.sql(spark,
+      """SELECT event_type,
+        |  TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start,
+        |  TUMBLE_END(ts, INTERVAL '1' HOUR) AS w_end,
+        |  TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS w_rowtime,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY event_type, TUMBLE(ts, INTERVAL '1' HOUR)
+        |ORDER BY w_start, event_type""".stripMargin)
+  }
+
+  /** `HOP(ts, slide, size)` — the reference's slide-first argument order
+    * (stream `WindowAggregateITCase.scala:71-84`) rewritten to Spark's
+    * size-first `window(ts, size, slide)`; a row lands in size/slide
+    * windows, here 2. */
+  val q163SqlHop: QueryDef = QueryDef("q163_sql_hop",
+    """WITH placed AS (
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, make_timestamp(epoch_us(ts))) AS w_start, value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, make_timestamp(epoch_us(ts))) - INTERVAL 30 MINUTE, value
+      |  FROM events)
+      |SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM placed
+      |GROUP BY 1
+      |ORDER BY w_start""".stripMargin) { (spark, dir) =>
+    graft.core.Catalog.load(spark, dir, "events")
+      .createOrReplaceTempView("events")
+    graft.Sql.sql(spark,
+      """SELECT
+        |  HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS w_start,
+        |  HOP_END(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS w_end,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)
+        |ORDER BY w_start""".stripMargin)
+  }
+
+  /** `SESSION(ts, gap)` per user (reference stream
+    * `WindowAggregateITCase.scala:122-135` — keyed SESSION with
+    * SESSION_START/_ROWTIME auxiliaries; its batch planner REJECTS
+    * session group windows, `batch/sql/agg/WindowAggregateITCase.scala:
+    * 727-744` expects RuntimeException — graft serves the same SQL in
+    * both modes): rewrites to Spark's `session_window`, whose
+    * merged-session semantics (start = first event, end = last event +
+    * gap) are the reference's `SessionWindowAssigner` +
+    * `MergingWindowSet`. */
+  val q164SqlSession: QueryDef = QueryDef("q164_sql_session",
+    """WITH e AS (
+      |  SELECT user_id, make_timestamp(epoch_us(ts)) AS t, value FROM events),
+      |marked AS (
+      |  SELECT user_id, t, value,
+      |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      |              >= INTERVAL 30 MINUTE
+      |         OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, t, value,
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY t
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(t) AS s_start,
+      |  max(t) + INTERVAL 30 MINUTE AS s_end,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin) { (spark, dir) =>
+    graft.core.Catalog.load(spark, dir, "events")
+      .createOrReplaceTempView("events")
+    graft.Sql.sql(spark,
+      """SELECT user_id,
+        |  SESSION_START(ts, INTERVAL '30' MINUTE) AS s_start,
+        |  SESSION_END(ts, INTERVAL '30' MINUTE) AS s_end,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)
+        |ORDER BY user_id, s_start""".stripMargin)
   }
 }
