@@ -217,6 +217,32 @@ class GroupWindowSqlSpec extends SparkSpec {
       Seq[Any]("Hello", 3L, new Timestamp(15))))
   }
 
+  test("reference stream SqlITCase.testHopStartEndWithHaving:708-755 " +
+    "(old planner): auxiliaries inside HAVING rewrite too") {
+    import spark.implicits._
+    Seq((14000005L, 1, 1L, "Hi"), (14000000L, 2, 1L, "Hello"),
+      (14000002L, 3, 1L, "Hello"), (8640000000L, 4, 1L, "Hello"),
+      (8640000001L, 4, 1L, "Hello"))
+      .map { case (t, a, b, c) => (new Timestamp(t), a, b, c) }
+      .toDF("rowtime", "a", "b", "c").createOrReplaceTempView("T1")
+    val got = graft.Sql.sql(spark,
+      """SELECT
+        |  c AS k,
+        |  COUNT(a) AS v,
+        |  HOP_START(rowtime, INTERVAL '1' MINUTE, INTERVAL '1' MINUTE) AS windowStart,
+        |  HOP_END(rowtime, INTERVAL '1' MINUTE, INTERVAL '1' MINUTE) AS windowEnd
+        |FROM T1
+        |GROUP BY HOP(rowtime, INTERVAL '1' MINUTE, INTERVAL '1' MINUTE), c
+        |HAVING
+        |  SUM(b) > 1 AND
+        |    QUARTER(HOP_START(rowtime, INTERVAL '1' MINUTE, INTERVAL '1' MINUTE)) = 1""".stripMargin)
+    // the ITCase's one expected row (:753): the Q2 rows and the
+    // SUM(b) = 1 "Hi" window are both filtered by HAVING
+    assert(rows(got) == Seq(Seq[Any]("Hello", 2L,
+      new Timestamp(14000000L / 60000 * 60000),
+      new Timestamp(14000000L / 60000 * 60000 + 60000))))
+  }
+
   test("composition: a TUMBLE subquery feeds an embedded MATCH_RECOGNIZE " +
     "in one statement (group-window rewrite runs before the MR splice)") {
     import spark.implicits._

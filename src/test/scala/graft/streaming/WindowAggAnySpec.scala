@@ -157,4 +157,63 @@ class WindowAggAnySpec extends SparkSpec {
       .as[(String, Long, Long, Long, String)].collect().toSeq.sorted
     assert(got == native, s"executor $got vs native $native")
   }
+
+  test("reference stream WindowAggregateITCase." +
+    "testEventTimeTumblingWindowWithAllowLateness:149-213 (minus the " +
+    "custom weightAvg UDAF): late row inside the 10ms retention updates " +
+    "the final; the too-late row drops; upsert state matches verbatim") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Int, String)]
+    val out = WindowAggAny.earlyLateFireWindowAgg(
+      input.toDF().toDF("t", "long", "int", "string"),
+      Seq("string"), "t", Seq("long", "int"),
+      java.time.Duration.ofMillis(5),
+      Seq(Agg("COUNT", Some("long"), "du", distinct = true),
+        Agg("COUNT", Some("int"), "n"), Agg("AVG", Some("int"), "av"),
+        Agg("MIN", Some("int"), "mn"), Agg("MAX", Some("int"), "mx"),
+        Agg("SUM", Some("int"), "sm")),
+      earlyFire = "100 milliseconds",
+      allowedLateness = java.time.Duration.ofMillis(10))
+    val q = out.writeStream.format("memory").queryName("wlateit")
+      .outputMode("append").start()
+    def ms(m: Long) = new Timestamp(m)
+    def upsert(): Set[(String, Long, Long, Long, Int, Int, Int, Long)] = {
+      val all = spark.table("wlateit").filter($"string" =!= "zz")
+        .select($"string", $"w_start_us", $"du", $"n", $"av", $"mn",
+          $"mx", $"sm", $"is_final")
+        .as[(String, Long, Long, Long, Double, Double, Double, Double, Int)]
+        .collect().toSeq
+      // TestingUpsertTableSink keyed on (string, w_start): keep the
+      // latest fired value per key = the emission with the largest count
+      all.filter(_._9 > 0).groupBy(r => (r._1, r._2)).values
+        .map(_.maxBy(_._4))
+        .map(r => (r._1, r._2, r._3, r._4, r._5.toInt, r._6.toInt,
+          r._7.toInt, r._8.toLong)).toSet
+    }
+    // the ITCase's arrival order up to the out-of-order tail; watermark
+    // offset 0 -> after this batch sparkWm = 16ms - 10ms lateness.
+    // (processAllAvailable never quiesces under the early-fire timers —
+    // await the finals the batch itself must fire, as this suite's
+    // other tests do.)
+    input.addData((ms(1), 1L, 1, "Hi"), (ms(2), 2L, 2, "Hello"),
+      (ms(4), 2L, 2, "Hello"), (ms(8), 3L, 3, "Hello world"),
+      (ms(4), 3L, 3, "Hello"), (ms(16), 3L, 3, "Hello world"))
+    assert(await(upsert().size == 3), s"batch1 finals: ${upsert()}")
+    // (9L, 4, Hello world): late for the closed [5,10) but inside its
+    // 20ms horizon -> is_final=2 re-emit; (3L, 1, Hi): [0,5)'s horizon
+    // (15ms) already passed -> dropped before the operator
+    input.addData((ms(9), 4L, 4, "Hello world"), (ms(3), 1L, 1, "Hi"))
+    assert(await(upsert().exists(r => r._1 == "Hello world" &&
+      r._2 == 5000L && r._4 == 2L)), s"late final: ${upsert()}")
+    input.addData((ms(40), 0L, 0, "zz")) // close [15,20)
+    assert(await(upsert().size == 4), s"got ${upsert()}")
+    q.stop()
+    // the ITCase's expected upsert rows (:208-212), CAST(AVG AS INT)
+    assert(upsert() == Set(
+      ("Hi", 0L, 1L, 1L, 1, 1, 1, 1L),
+      ("Hello", 0L, 2L, 3L, 2, 2, 3, 7L),
+      ("Hello world", 5000L, 2L, 2L, 3, 3, 4, 7L),
+      ("Hello world", 15000L, 1L, 1L, 3, 3, 3, 3L)), s"got ${upsert()}")
+  }
 }
