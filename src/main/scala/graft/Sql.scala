@@ -13,11 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Division of labor: Spark SQL already evaluates OVER windows,
   * ROW_NUMBER filters, joins, subqueries and unions natively in batch —
-  * the forms it cannot parse are MATCH_RECOGNIZE and the reference's
-  * group-window spelling (TUMBLE/HOP/SESSION + auxiliaries, which
-  * Spark spells `window()`/`session_window()` — rewritten by
-  * [[graft.streaming.GroupWindowSql]] in front of everything else,
-  * batch and streaming alike). For pattern matching the
+  * the forms it cannot parse are MATCH_RECOGNIZE and two reference
+  * spellings rewritten in front of everything else, batch and
+  * streaming alike: group windows (TUMBLE/HOP/SESSION + auxiliaries →
+  * `window()`/`session_window()`, [[graft.streaming.GroupWindowSql]])
+  * and `UNNEST` (→ `LATERAL explode`/`inline`,
+  * [[graft.streaming.UnnestSql]]). For pattern matching the
   * router extracts each `<table> MATCH_RECOGNIZE ( ... )` or
   * `(subquery) MATCH_RECOGNIZE ( ... )` source from the statement,
   * executes it through the existing general-schema executor (the
@@ -54,7 +55,8 @@ object Sql {
     // Spark's native window()/session_window() grouping — a pure text
     // rewrite, so the clause composes anywhere in the statement
     // (including inside a MATCH_RECOGNIZE source subquery)
-    val gw = graft.streaming.GroupWindowSql.rewrite(text)
+    val gw = graft.streaming.UnnestSql.rewrite(
+      graft.streaming.GroupWindowSql.rewrite(text))
     val spliced = spliceMatchRecognize(spark, gw)
     routeStreaming(spark, spliced).getOrElse(spark.sql(spliced))
   }

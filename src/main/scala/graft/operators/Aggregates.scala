@@ -19,7 +19,8 @@ object Aggregates {
 
   def defs: Seq[QueryDef] = Seq(
     q37LateralExplode, q38CollectAgg, q39WeightedAvgUdaf, q64ApproxDistinct,
-    q80FilterClause, q79OrdinalUnnest, q84ApproxPercentile, q112SplitDistinct)
+    q80FilterClause, q79OrdinalUnnest, q84ApproxPercentile,
+    q112SplitDistinct, q165SqlUnnest)
 
   /** Split-distinct-agg skew rewrite (reference
     * SplitAggregateRule.scala:108, flag
@@ -236,6 +237,23 @@ object Aggregates {
       .select(col("vec_id"), (col("i0") + 1).cast(LongType).as("i"), col("v"))
       .filter(col("i") <= 8)
       .orderBy(col("vec_id"), col("i"))
+  }
+
+  /** The reference's `UNNEST` SQL spelling through the single front door
+    * (r13 — reference SqlITCase.scala:551-705 forms; rewritten to
+    * Spark's `LATERAL explode` by [[graft.streaming.UnnestSql]]); q79
+    * pins the DataFrame/posexplode path, this pins the TEXT path. */
+  val q165SqlUnnest: QueryDef = QueryDef("q165_sql_unnest",
+    """SELECT vec_id, unnest(embedding) AS v
+      |FROM embeddings
+      |WHERE vec_id < 50
+      |ORDER BY vec_id, v""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).embeddings.createOrReplaceTempView("embeddings")
+    graft.Sql.sql(spark,
+      """SELECT vec_id, v
+        |FROM embeddings, UNNEST(embeddings.embedding) AS A (v)
+        |WHERE vec_id < 50
+        |ORDER BY vec_id, v""".stripMargin)
   }
 
   /** Approximate percentile sketch (Spark's percentile_approx; the
