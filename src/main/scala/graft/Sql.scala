@@ -13,13 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Division of labor: Spark SQL already evaluates OVER windows,
   * ROW_NUMBER filters, joins, subqueries and unions natively in batch —
-  * the forms it cannot parse are MATCH_RECOGNIZE and two reference
+  * the forms it cannot parse are MATCH_RECOGNIZE and three reference
   * spellings rewritten in front of everything else, batch and
   * streaming alike: group windows (TUMBLE/HOP/SESSION + auxiliaries →
-  * `window()`/`session_window()`, [[graft.streaming.GroupWindowSql]])
-  * and `UNNEST` (→ `LATERAL explode`/`inline`,
-  * [[graft.streaming.UnnestSql]]). For pattern matching the
-  * router extracts each `<table> MATCH_RECOGNIZE ( ... )` or
+  * `window()`/`session_window()`, [[graft.streaming.GroupWindowSql]]),
+  * `UNNEST` (→ `LATERAL explode`/`inline`,
+  * [[graft.streaming.UnnestSql]]), and the temporal-join spellings
+  * (`LATERAL TABLE (fn(ts))` / `FOR SYSTEM_TIME AS OF` → versioned
+  * equi-joins, [[graft.streaming.TemporalSql]]). For pattern matching
+  * the router extracts each `<table> MATCH_RECOGNIZE ( ... )` or
   * `(subquery) MATCH_RECOGNIZE ( ... )` source from the statement,
   * executes it through the existing general-schema executor (the
   * subquery form runs through `spark.sql` first — a windowed aggregate
@@ -55,8 +57,9 @@ object Sql {
     // Spark's native window()/session_window() grouping — a pure text
     // rewrite, so the clause composes anywhere in the statement
     // (including inside a MATCH_RECOGNIZE source subquery)
-    val gw = graft.streaming.UnnestSql.rewrite(
-      graft.streaming.GroupWindowSql.rewrite(text))
+    val gw = graft.streaming.TemporalSql.rewrite(
+      graft.streaming.UnnestSql.rewrite(
+        graft.streaming.GroupWindowSql.rewrite(text)))
     val spliced = spliceMatchRecognize(spark, gw)
     routeStreaming(spark, spliced).getOrElse(spark.sql(spliced))
   }
@@ -124,7 +127,7 @@ object Sql {
           subtreeStreaming(p, Set.empty) =>
         p.expressions.flatMap(winFns)
     }.flatten
-    if (streamingWinFns.isEmpty) return None
+    if (streamingWinFns.isEmpty) return routeStreamingSort(spark, plan)
     // reference parity: StreamExecRank supports only ROW_NUMBER on a
     // stream and throws on the other rank types (StreamExecRank.scala:
     // 139-143) — reject them with the same message instead of a
@@ -144,6 +147,85 @@ object Sql {
     if (streamingWinFns.contains("ROW_NUMBER"))
       Some(graft.streaming.RankSql.sqlDf(df, text))
     else Some(graft.streaming.StreamingOverSql.sqlDf(df, text))
+  }
+
+  /** Streaming sort / limit shapes Spark cannot plan on a stream,
+    * routed to the stateful executors (grammar = a plain projection over
+    * ONE streaming table; everything else falls through untouched):
+    *
+    *  - `ORDER BY <rowtime>[, ties]` (no LIMIT) — the reference's
+    *    temporal sort (TemporalSortITCase; StreamExecSortRule admits
+    *    only a leading ascending time attribute) → [[
+    *    graft.streaming.RowSort.sortByEventTime]]; the executor itself
+    *    rejects a non-timestamp leading column.
+    *  - `ORDER BY <any>[ DESC][, …] LIMIT n` — the reference's
+    *    streaming sort-limit (SortLimitITCase, a global retract top-n,
+    *    StreamExecSortLimit) → [[graft.streaming.RankOps.rankRows]]
+    *    with no partition key; each change re-emits the full top-n
+    *    prefix (the append-log rendering of the retract stream).
+    *  - `LIMIT n` (no ORDER BY) — the reference keeps the first n rows
+    *    in arrival order (LimitITCase, StreamExecLimit) → the same
+    *    executor ordered on the arrival pseudo-column. OFFSET is not
+    *    routed (Spark then rejects the stream loudly). */
+  private def routeStreamingSort(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, Literal, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+
+    // a plain projection chain over one streaming relation, or nothing
+    def source(p: LogicalPlan): Option[(Option[Project], DataFrame)] = {
+      val (proj, rel) = p match {
+        case pr @ Project(_, r: UnresolvedRelation) => (Some(pr), r)
+        case r: UnresolvedRelation => (None, r)
+        case _ => return None
+      }
+      val name = rel.multipartIdentifier.mkString(".")
+      if (!scala.util.Try(spark.table(name).isStreaming).getOrElse(false))
+        None
+      else Some((proj, spark.table(name)))
+    }
+    def project(proj: Option[Project], df: DataFrame): DataFrame =
+      proj.map(p => df.selectExpr(p.projectList.map {
+        case s: org.apache.spark.sql.catalyst.analysis.UnresolvedStar =>
+          s.target.map(_.mkString(".") + ".*").getOrElse("*")
+        case e => e.sql
+      }: _*)).getOrElse(df)
+    def orderKeys(order: Seq[SortOrder], requireAsc: Boolean)
+        : Seq[(String, Boolean)] =
+      order.map {
+        case SortOrder(a: UnresolvedAttribute, dir, _, _)
+            if dir == Ascending || (!requireAsc && dir == Descending) =>
+          (a.name, dir == Ascending)
+        case o => sys.error("streaming ORDER BY supports only plain " +
+          (if (requireAsc) "ascending columns with the time attribute " +
+            "leading (reference StreamExecSortRule), got: "
+           else "columns, got: ") + o.sql)
+      }
+
+    plan match {
+      // ORDER BY ... LIMIT n -> global streaming top-n (retract rank)
+      case GlobalLimit(Literal(n: Int, _),
+          LocalLimit(_, Sort(order, true, child, _))) =>
+        source(child).map { case (proj, df) =>
+          project(proj, graft.streaming.RankOps.rankRows(
+            df, Seq.empty, orderKeys(order, requireAsc = false), n))
+        }
+      // LIMIT n -> first n rows in arrival order
+      case GlobalLimit(Literal(n: Int, _), LocalLimit(_, child)) =>
+        source(child).map { case (proj, df) =>
+          project(proj, graft.streaming.RankOps.rankRows(
+            df, Seq.empty, Seq(("proctime", true)), n))
+        }
+      // bare ORDER BY -> event-time (temporal) sort
+      case Sort(order, true, child, _) =>
+        source(child).map { case (proj, df) =>
+          project(proj, graft.streaming.RowSort.sortByEventTime(
+            df, orderKeys(order, requireAsc = true).map(_._1)))
+        }
+      case _ => None
+    }
   }
 
   /** Register each `WITH name AS (body)` through the front door as a

@@ -22,7 +22,80 @@ import graft.core.{Catalog, QueryDef, Tables}
   */
 object AsOfJoin {
 
-  def defs: Seq[QueryDef] = Seq(q63AsOfJoin, q69IntervalJoin)
+  def defs: Seq[QueryDef] =
+    Seq(q63AsOfJoin, q69IntervalJoin, q166SqlTemporalFn, q167SqlSystemTime)
+
+  /** Register the purchases/view-history pair the temporal-SQL queries
+    * share: a deduped (user_id, ts)-unique view history (the reference's
+    * `createTemporalTableFunction` assumes unique version times per
+    * key), exposed both as the function name `ViewHist` and as the
+    * versioned table `graft_viewhist` for the FOR SYSTEM_TIME form. */
+  private def registerTemporalFixtures(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val t = Tables(spark, dir)
+    t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_purch")
+    t.events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("viewed_event"),
+        max_by(col("value"), col("event_id")).as("viewed_value"))
+      .createOrReplaceTempView("graft_viewhist")
+    graft.streaming.TemporalSql.registerTemporalFunction(
+      "ViewHist", "graft_viewhist", "ts", "user_id")
+    graft.streaming.TemporalSql.registerTemporalFunction(
+      "graft_viewhist", "graft_viewhist", "ts", "user_id")
+  }
+
+  /** The reference's temporal-table-FUNCTION SQL spelling through the
+    * single front door (r13 — stream `TemporalJoinITCase.scala:106-111`:
+    * `Orders AS o, LATERAL TABLE (Rates(o.rowtime)) AS r WHERE r.k =
+    * o.k`), rewritten by [[graft.streaming.TemporalSql]] to a versioned
+    * equi-join; the oracle is DuckDB's own ASOF (inner) JOIN. */
+  val q166SqlTemporalFn: QueryDef = QueryDef("q166_sql_temporal_fn",
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, ts, max(event_id) AS viewed_event,
+      |    max_by(value, event_id) AS viewed_value
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      |SELECT p.purchase_id, p.user_id, v.viewed_event, v.viewed_value
+      |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.purchase_id""".stripMargin) { (spark, dir) =>
+    registerTemporalFixtures(spark, dir)
+    graft.Sql.sql(spark,
+      """SELECT p.purchase_id, p.user_id, r.viewed_event, r.viewed_value
+        |FROM graft_purch AS p,
+        |  LATERAL TABLE (ViewHist(p.ts)) AS r
+        |WHERE r.user_id = p.user_id
+        |ORDER BY p.purchase_id""".stripMargin)
+  }
+
+  /** The `FOR SYSTEM_TIME AS OF` spelling over the same versioned
+    * history (reference `TableSourceITCase.scala:366` syntax, here with
+    * an event-time AS OF), aggregated by the enclosing SQL. */
+  val q167SqlSystemTime: QueryDef = QueryDef("q167_sql_system_time",
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, ts, max(event_id) AS viewed_event,
+      |    max_by(value, event_id) AS viewed_value
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      |SELECT v.viewed_event, count(*) AS n_purchases
+      |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |GROUP BY v.viewed_event
+      |ORDER BY viewed_event""".stripMargin) { (spark, dir) =>
+    registerTemporalFixtures(spark, dir)
+    graft.Sql.sql(spark,
+      """SELECT r.viewed_event AS viewed_event, COUNT(*) AS n_purchases
+        |FROM graft_purch p
+        |JOIN graft_viewhist FOR SYSTEM_TIME AS OF p.ts AS r
+        |  ON r.user_id = p.user_id
+        |GROUP BY r.viewed_event
+        |ORDER BY viewed_event""".stripMargin)
+  }
 
   /** Batch interval (time-bounded) join — reference
     * TimeBoundedStreamJoin.java / StreamExecWindowJoin.scala:51 semantics

@@ -361,4 +361,99 @@ class SqlSpec extends SparkSpec {
     assert(e2.getMessage.contains(
       "RANK() on streaming table is not supported"))
   }
+
+  test("streaming table by name: ORDER BY rowtime routes to the " +
+    "event-time sort executor (reference TemporalSortITCase." +
+    "testEventTimeAndOtherFieldOrderBy:81-122 verbatim); the batch " +
+    "twin stays native") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(m)
+    val data = Seq(
+      (ts(3), 2L, "Hello world", 3), (ts(2), 2L, "Hello", 2),
+      (ts(6), 3L, "Luke Skywalker", 6), (ts(5), 3L, "I am fine.", 5),
+      (ts(7), 4L, "Comment#1", 7), (ts(9), 4L, "Comment#3", 9),
+      (ts(10), 4L, "Comment#4", 10), (ts(8), 4L, "Comment#2", 8),
+      (ts(1), 1L, "Hi", 2), (ts(1), 1L, "Hi", 1),
+      (ts(4), 3L, "Helloworld, how are you?", 4))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Int)]
+    input.toDF().toDF("rowtime", "key", "str", "int")
+      .createOrReplaceTempView("sql_stream_sort")
+    val stmt = "SELECT key, str, `int` FROM sql_stream_sort " +
+      "ORDER BY rowtime, `int`"
+    val routed = graft.Sql.sql(spark, stmt)
+    assert(routed.isStreaming) // Spark cannot sort a stream
+    val q = routed.writeStream.format("memory").queryName("sqlsortroute")
+      .outputMode("append").start()
+    input.addData(data: _*); q.processAllAvailable()
+    input.addData((ts(30), 900L, "z", 900)); q.processAllAvailable()
+    input.addData((ts(40), 901L, "z", 901)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sqlsortroute")
+      .as[(Long, String, Int)].collect().toSeq.filter(_._3 < 100)
+    // the ITCase's expected emission order (:107-119)
+    assert(got == Seq((1L, "Hi", 1), (1L, "Hi", 2), (2L, "Hello", 2),
+      (2L, "Hello world", 3), (3L, "Helloworld, how are you?", 4),
+      (3L, "I am fine.", 5), (3L, "Luke Skywalker", 6),
+      (4L, "Comment#1", 7), (4L, "Comment#2", 8), (4L, "Comment#3", 9),
+      (4L, "Comment#4", 10)), got.toString)
+    // the same statement on a BATCH view bypasses the router
+    data.toDF("rowtime", "key", "str", "int")
+      .createOrReplaceTempView("sql_batch_sort")
+    val batch = graft.Sql.sql(spark,
+      stmt.replace("sql_stream_sort", "sql_batch_sort"))
+    assert(!batch.isStreaming)
+    assert(rows(batch) == got.map(t => Seq[Any](t._1, t._2, t._3)))
+  }
+
+  test("streaming table by name: ORDER BY ... LIMIT routes to the global " +
+    "top-n executor (reference SortLimitITCase.test:40-60 verbatim) and " +
+    "bare LIMIT keeps the first arrivals (LimitITCase.testLimit:37-62)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(("book", 1, 12), ("book", 2, 19), ("book", 4, 11),
+      ("fruit", 4, 33), ("fruit", 3, 44), ("fruit", 5, 22))
+    val input = MemoryStream[(String, Int, Int)]
+    input.toDF().toDF("category", "shopId", "num")
+      .createOrReplaceTempView("sql_stream_limit")
+    val topn = graft.Sql.sql(spark,
+      "SELECT * FROM sql_stream_limit ORDER BY num DESC LIMIT 2")
+    assert(topn.isStreaming)
+    val q = topn.writeStream.format("memory").queryName("sqlsortlimit")
+      .outputMode("append").start()
+    input.addData(data.take(3): _*); q.processAllAvailable()
+    input.addData(data.drop(3): _*); q.processAllAvailable()
+    q.stop()
+    // each change re-emits the full top-2 prefix; the final snapshot is
+    // the ITCase's retract result (:57-59)
+    val log = spark.table("sqlsortlimit")
+      .as[(String, Int, Int)].collect().toSeq
+    assert(log.takeRight(2).toSet ==
+      Set(("fruit", 3, 44), ("fruit", 4, 33)), log.toString)
+    // bare LIMIT: the first n rows in arrival order
+    val input2 = MemoryStream[(String, Int, Int)]
+    input2.toDF().toDF("category", "shopId", "num")
+      .createOrReplaceTempView("sql_stream_limit2")
+    val lim = graft.Sql.sql(spark,
+      "SELECT * FROM sql_stream_limit2 LIMIT 4")
+    assert(lim.isStreaming)
+    val q2 = lim.writeStream.format("memory").queryName("sqllimit")
+      .outputMode("append").start()
+    input2.addData(data.take(3): _*); q2.processAllAvailable()
+    input2.addData(data.drop(3): _*); q2.processAllAvailable()
+    q2.stop()
+    // the ITCase's expected rows (:56-60): the first four arrivals
+    val log2 = spark.table("sqllimit").as[(String, Int, Int)]
+      .collect().toSeq
+    assert(log2.takeRight(4).toSet == Set(("book", 1, 12), ("book", 2, 19),
+      ("book", 4, 11), ("fruit", 4, 33)), log2.toString)
+    // batch LIMIT stays native
+    data.toDF("category", "shopId", "num")
+      .createOrReplaceTempView("sql_batch_limit")
+    val batch = graft.Sql.sql(spark,
+      "SELECT * FROM sql_batch_limit ORDER BY num DESC LIMIT 2")
+    assert(!batch.isStreaming)
+    assert(rows(batch).toSet ==
+      Set(Seq[Any]("fruit", 3, 44), Seq[Any]("fruit", 4, 33)))
+  }
 }
