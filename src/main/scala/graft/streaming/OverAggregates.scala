@@ -35,11 +35,12 @@ import org.apache.spark.sql.types._
   * RANGE — plus the not-yet-closed buffer, bounded by the watermark
   * delay. Empty `partCols` is accepted (the reference IT cases use
   * non-partitioned OVER) but is inherently one sequential group on any
-  * engine — partition when the data is large. The frame fold is
-  * recomputed per row rather than incrementally maintained: MIN/MAX are
-  * not invertible under eviction (the reference re-scans when the
-  * extremum retires) and the left-to-right double sum is
-  * bit-deterministic regardless of eviction history.
+  * engine — partition when the data is large. Bounded frames fold
+  * INCREMENTALLY (r13, [[FrameAcc]] — the reference's
+  * accumulate/retract contract): O(log frame) per row instead of an
+  * O(frame) refold, with MIN/MAX surviving evictions in an ordered
+  * count-multiset and floating-point sums still recomputed per emission
+  * so the left-to-right double fold stays bit-deterministic.
   */
 object OverAggregates extends Serializable {
 
@@ -167,8 +168,6 @@ object OverAggregates extends Serializable {
     def leadUs(vals: Seq[Any]): Long =
       StatefulOps.eventMicros(vals(leadIdx).asInstanceOf[java.sql.Timestamp])
     val ord = seqOrdering(orderCols.map(schema.fieldIndex))
-    def foldFrame(entries: collection.Seq[Seq[Any]]): Seq[Any] =
-      foldEntries(entries, aggs)
     def unboundedOut(rows: Long, accs: Seq[Acc],
         dsets: Seq[Set[Any]]): Seq[Any] = accOutputs(aggs, rows, accs, dsets)
     val emptyDsets: Seq[Set[Any]] = OverAggregates.emptyDsets(aggs)
@@ -266,33 +265,46 @@ object OverAggregates extends Serializable {
         case RowsPreceding(n) =>
           val cap = n + 1
           val ring = scala.collection.mutable.ArrayDeque.empty[Seq[Any]]
-          ring.addAll(st.frameVals)
+          val faccs = frameAccs(aggs, aggIdx)
+          def ringAdd(e: Seq[Any]): Unit = {
+            ring.append(e); faccs.foreach(_.add(e))
+          }
+          st.frameVals.foreach(ringAdd)
           ripe.foreach { vals =>
-            gapReset(vals)(ring.clear())
-            ring.append(entryOf(vals))
-            if (ring.length > cap) ring.removeHead()
-            out += Row.fromSeq(vals ++ foldFrame(ring))
+            gapReset(vals) { ring.clear(); faccs.foreach(_.reset()) }
+            ringAdd(entryOf(vals))
+            if (ring.length > cap) {
+              val h = ring.removeHead(); faccs.foreach(_.evict(h))
+            }
+            out += Row.fromSeq(vals ++ faccs.map(_.output(ring)))
           }
           newSt = GenState(pending, Nil, ring.toSeq, 0L, Nil)
         case RangePreceding(_) =>
           val bufUs = scala.collection.mutable.ArrayDeque.empty[Long]
           val bufVals = scala.collection.mutable.ArrayDeque.empty[Seq[Any]]
-          bufUs.addAll(st.frameUs); bufVals.addAll(st.frameVals)
+          val faccs = frameAccs(aggs, aggIdx)
+          def bufAdd(us: Long, e: Seq[Any]): Unit = {
+            bufUs.append(us); bufVals.append(e); faccs.foreach(_.add(e))
+          }
+          st.frameUs.zip(st.frameVals).foreach { case (us, e) =>
+            bufAdd(us, e)
+          }
           val sorted = ripe.toIndexedSeq
           var i = 0
           while (i < sorted.length) {
             val us = leadUs(sorted(i))
             var j = i
             while (j < sorted.length && leadUs(sorted(j)) == us) j += 1
-            gapReset(sorted(i)) { bufUs.clear(); bufVals.clear() }
+            gapReset(sorted(i)) {
+              bufUs.clear(); bufVals.clear(); faccs.foreach(_.reset())
+            }
             // SQL RANGE peers: same-time rows share one frame incl. all
-            (i until j).foreach { k =>
-              bufUs.append(us); bufVals.append(entryOf(sorted(k)))
-            }
+            (i until j).foreach(k => bufAdd(us, entryOf(sorted(k))))
             while (bufUs.nonEmpty && bufUs.head < us - horizonUs) {
-              bufUs.removeHead(); bufVals.removeHead()
+              bufUs.removeHead()
+              val h = bufVals.removeHead(); faccs.foreach(_.evict(h))
             }
-            val agg = foldFrame(bufVals)
+            val agg = faccs.map(_.output(bufVals))
             (i until j).foreach(k => out += Row.fromSeq(sorted(k) ++ agg))
             i = j
           }
@@ -382,13 +394,19 @@ object OverAggregates extends Serializable {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       idleTtl.foreach(state.setTimeoutDuration)
       val ring = scala.collection.mutable.ArrayDeque.empty[Seq[Any]]
-      state.getOption.foreach(s => ring.addAll(s.frameVals))
+      val faccs = frameAccs(aggs, aggIdx)
+      def ringAdd(e: Seq[Any]): Unit = {
+        ring.append(e); faccs.foreach(_.add(e))
+      }
+      state.getOption.foreach(_.frameVals.foreach(ringAdd))
       val batch = rows.map(_.toSeq).toSeq
       val arrived = if (tieIdx.isEmpty) batch else batch.sorted(ord)
       val out = arrived.map { vals =>
-        ring.append(entryOfVals(vals, aggIdx))
-        if (ring.length > cap) ring.removeHead()
-        Row.fromSeq(vals ++ foldEntries(ring, aggs))
+        ringAdd(entryOfVals(vals, aggIdx))
+        if (ring.length > cap) {
+          val h = ring.removeHead(); faccs.foreach(_.evict(h))
+        }
+        Row.fromSeq(vals ++ faccs.map(_.output(ring)))
       }
       if (isStreaming) state.update(GenState(Nil, Nil, ring.toSeq, 0L, Nil))
       out.iterator
@@ -651,42 +669,146 @@ object OverAggregates extends Serializable {
 
   /** One fold over the retained frame entries -> the agg output values.
     * DISTINCT aggs (COUNT/SUM/AVG) fold over the frame's distinct
-    * non-null values — the frames that evict (ROWS/RANGE bounded)
-    * recompute from retained raw entries, so no multiset bookkeeping is
-    * needed (the reference's DistinctView does the equivalent over its
-    * state). */
+    * non-null values. Since r13 the bounded-frame executors maintain
+    * [[FrameAcc]] incrementally and only delegate here for FP sums; this
+    * full refold remains the per-batch path for proc-time RANGE's
+    * shared emission and the semantic reference the randomized sweep
+    * pins the incremental path against. */
   private def foldEntries(entries: collection.Seq[Seq[Any]],
       aggs: Seq[Agg]): Seq[Any] =
-    aggs.zipWithIndex.map { case (agg @ Agg(fn, colOpt, _, _), ai) =>
-      if (fn == "COUNT" && colOpt.isEmpty) entries.length.toLong
-      else {
-        val seen = if (agg.distinct)
-          new java.util.HashSet[Any]() else null
-        var n = 0L
-        var sum: Any = null
-        var min: Any = null
-        var max: Any = null
-        entries.foreach { e =>
-          val v = e(ai)
-          if (v != null && (seen == null || seen.add(v))) {
-            n += 1
-            if (fn != "COUNT") {
-              sum = addVals(sum, v)
-              if (min == null || cmpNum(v, min) < 0) min = v
-              if (max == null || cmpNum(v, max) > 0) max = v
-            }
+    aggs.zipWithIndex.map { case (agg, ai) => foldOne(entries, agg, ai) }
+
+  /** One aggregate's value over the frame entries (the recompute path:
+    * the per-emission reference for the incremental [[FrameAcc]], and
+    * still the execution path for floating-point SUM/AVG — see there). */
+  private def foldOne(entries: collection.Seq[Seq[Any]],
+      agg: Agg, ai: Int): Any = {
+    val Agg(fn, colOpt, _, _) = agg
+    if (fn == "COUNT" && colOpt.isEmpty) entries.length.toLong
+    else {
+      val seen = if (agg.distinct)
+        new java.util.HashSet[Any]() else null
+      var n = 0L
+      var sum: Any = null
+      var min: Any = null
+      var max: Any = null
+      entries.foreach { e =>
+        val v = e(ai)
+        if (v != null && (seen == null || seen.add(v))) {
+          n += 1
+          if (fn != "COUNT") {
+            sum = addVals(sum, v)
+            if (min == null || cmpNum(v, min) < 0) min = v
+            if (max == null || cmpNum(v, max) > 0) max = v
           }
         }
-        fn match {
-          case "COUNT" => n
-          case _ if n == 0 => null
-          case "SUM" => sum
-          case "AVG" => toD(sum) / n
-          case "MIN" => min
-          case "MAX" => max
-        }
+      }
+      fn match {
+        case "COUNT" => n
+        case _ if n == 0 => null
+        case "SUM" => sum
+        case "AVG" => toD(sum) / n
+        case "MIN" => min
+        case "MAX" => max
       }
     }
+  }
+
+  /** Incremental bounded-frame accumulator — the reference's
+    * accumulate/retract contract (blink `AggsHandleFunction.retract`,
+    * maintained by Rows/RangeBoundedPrecedingFunction) instead of an
+    * O(frame) refold per emission:
+    *
+    *  - COUNT / exact (decimal) SUM / AVG retract arithmetically —
+    *    decimal subtraction is exact, so add-then-evict is
+    *    bit-identical to the refold;
+    *  - MIN/MAX keep an ordered count-multiset (TreeMap) — extrema
+    *    survive evictions in O(log frame);
+    *  - DISTINCT keeps a hash count-multiset (the reference's
+    *    DistinctView state shape): distinct count = map size, exact
+    *    distinct sums maintained on 0↔1 count transitions;
+    *  - floating-point SUM/AVG do NOT retract — FP subtraction is not
+    *    exact and the accumulated error would drift from the oracle's
+    *    per-frame recompute; [[output]] refolds just that aggregate in
+    *    buffer order, bit-identical to the old path.
+    *
+    * Rebuilt per micro-batch from the persisted frame buffer (the
+    * serialized state shape is unchanged), then maintained in O(log
+    * frame) per row instead of O(frame). */
+  private final class FrameAcc(agg: Agg, ai: Int, exactSum: Boolean) {
+    private val sumNeeded = agg.fn == "SUM" || agg.fn == "AVG"
+    private val fpSum = sumNeeded && !exactSum
+    private val counts: java.util.Map[Any, Integer] =
+      if (agg.fn == "MIN" || agg.fn == "MAX")
+        // normalizeAggs strips DISTINCT from MIN/MAX, so an ordered map
+        // here never sees non-Comparable COUNT-only raw values
+        new java.util.TreeMap[Any, Integer](
+          new java.util.Comparator[Any] {
+            override def compare(a: Any, b: Any): Int = cmpNum(a, b)
+          })
+      else if (agg.distinct) new java.util.HashMap[Any, Integer]()
+      else null
+    private var n = 0L
+    private var sum: Any = null
+
+    def reset(): Unit = { if (counts != null) counts.clear(); n = 0L; sum = null }
+
+    def add(e: Seq[Any]): Unit = {
+      val v = e(ai)
+      if (v == null) return
+      if (counts != null) {
+        val c = counts.merge(v, Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a + b))
+        if (agg.distinct && c != 1) return // duplicate: fold first copy only
+      }
+      n += 1
+      if (sumNeeded && !fpSum) sum = addVals(sum, v)
+    }
+
+    def evict(e: Seq[Any]): Unit = {
+      val v = e(ai)
+      if (v == null) return
+      if (counts != null) {
+        val c = counts.merge(v, Integer.valueOf(-1),
+          (a: Integer, b: Integer) => Integer.valueOf(a + b))
+        if (c == 0) counts.remove(v)
+        if (agg.distinct && c != 0) return // copies remain: still distinct
+      }
+      n -= 1
+      if (sumNeeded && !fpSum) sum = subVals(sum, v)
+    }
+
+    /** The aggregate's value for the current frame; `entries` is read
+      * only by the COUNT(*) length and the FP-sum recompute. */
+    def output(entries: collection.Seq[Seq[Any]]): Any = agg.fn match {
+      case "COUNT" if agg.valueCol.isEmpty => entries.length.toLong
+      case "COUNT" => n
+      case _ if n == 0 => null
+      case _ if fpSum => foldOne(entries, agg, ai)
+      case "SUM" => sum
+      case "AVG" => toD(sum) / n
+      case "MIN" =>
+        counts.asInstanceOf[java.util.TreeMap[Any, Integer]].firstKey()
+      case "MAX" =>
+        counts.asInstanceOf[java.util.TreeMap[Any, Integer]].lastKey()
+    }
+  }
+
+  /** One [[FrameAcc]] per aggregate; `aggIn` supplies the exact-sum
+    * (decimal) flag. */
+  private def frameAccs(aggs: Seq[Agg], aggIn: Seq[AggIn]): Seq[FrameAcc] =
+    aggs.zipWithIndex.map { case (a, i) =>
+      new FrameAcc(a, i, aggIn(i).dec.isDefined)
+    }
+
+  /** Exact subtraction on the accumulator domain — decimal only; FP
+    * sums never retract ([[FrameAcc]] recomputes them). A null
+    * accumulator cannot be retracted from (n > 0 whenever evict runs on
+    * a value that was added). */
+  private def subVals(a: Any, v: Any): Any = (a, v) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.subtract(y)
+    case other => sys.error(s"non-retractable accumulator types $other")
+  }
 
   /** The ORDER BY / tie-break comparators cast external values to
     * `Comparable[Any]`; an array/map/struct column (rendered Seq/Map/Row)

@@ -274,7 +274,9 @@ object TemporalSql {
         if (depth == 0) return i
         depth -= 1; i += 1
       } else if (!inStr && depth == 0 && c.isLetter &&
-          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+          // a '.'-qualified identifier (t.left, t.cross) is a column
+          // reference, never a clause keyword
+          (i == 0 || (!isIdentChar(s.charAt(i - 1)) && s.charAt(i - 1) != '.')) &&
           stops.exists(w => u.startsWith(w, i) &&
             (i + w.length >= s.length || !isIdentChar(s.charAt(i + w.length)))))
         return i

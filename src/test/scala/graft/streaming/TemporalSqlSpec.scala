@@ -50,6 +50,16 @@ class TemporalSqlSpec extends SparkSpec {
       "SELECT * FROM t JOIN rates FOR SYSTEM_TIME AS OF t.proc AS r " +
         "ON r.k = t.k")
     assert(lookup == "SELECT * FROM t JOIN rates AS r ON r.k = t.k", lookup)
+    // a '.'-qualified column named like a clause keyword must not
+    // truncate the ON condition
+    TemporalSql.registerTemporalFunction("dimw", "dimw", "rt", "k")
+    try {
+      val dotted = TemporalSql.rewrite(
+        "FROM t JOIN dimw FOR SYSTEM_TIME AS OF t.ts AS r " +
+          "ON r.k = t.left WHERE t.a > 0")
+      assert(dotted.contains("ON (r.k = t.left) AND"), dotted)
+      assert(dotted.contains("WHERE t.a > 0"), dotted)
+    } finally TemporalSql.dropTemporalFunction("dimw")
     intercept[IllegalArgumentException](TemporalSql.rewrite(
       "FROM t JOIN rates FOR SYSTEM_TIME AS OF t.rowtime AS r ON r.k = t.k"))
   }
