@@ -41,10 +41,12 @@ package graft.streaming
   * "null columns are dropped"; Spark's time-window rewrite filters
   * `isnotnull(ts)`), so the rewrite preserves that semantic for free.
   *
-  * Statement-global contract, enforced fail-loud: every group-window
-  * call in one statement must be textually identical (the reference's
-  * planner likewise admits exactly one group window per GROUP BY), and
-  * an auxiliary must repeat the grouping call's family and arguments.
+  * Contract, enforced fail-loud: an auxiliary must repeat the family
+  * and arguments of a grouping call present in the statement (the
+  * reference's planner requires an auxiliary to repeat its block's
+  * GROUP BY window). Distinct group windows may coexist across query
+  * blocks — each block carries its own `window` struct and the
+  * analyzer resolves auxiliaries within their block.
   */
 object GroupWindowSql {
 
@@ -120,16 +122,22 @@ object GroupWindowSql {
       }
     }
 
+    // Auxiliary/grouping agreement is validated statement-wide: every
+    // auxiliary must repeat the family and arguments of SOME group-window
+    // call in the statement. Distinct group windows may coexist — each
+    // lives in its own query block (the reference admits one group window
+    // per GROUP BY, and the analyzer resolves each block's `window`
+    // struct within that block), so the per-block discipline the
+    // reference enforces is: write each auxiliary in the block whose
+    // GROUP BY it repeats.
     val distinctGroups = groupCalls.distinct
-    require(distinctGroups.size <= 1,
-      "a statement may use only one group window; found: " +
-        distinctGroups.map { case (f, a) => s"$f($a)" }.mkString("; "))
     auxCalls.distinct.foreach { case (f, a) =>
       require(distinctGroups.contains((f, a)),
         s"group-window auxiliary ${f}_START/_END/_ROWTIME($a) must repeat " +
-          s"the GROUP BY window's family and arguments; the statement " +
+          s"a GROUP BY window's family and arguments; the statement " +
           (if (distinctGroups.isEmpty) "has no group window in GROUP BY"
-           else s"groups by ${distinctGroups.head._1}(${distinctGroups.head._2})"))
+           else "groups by " + distinctGroups
+             .map { case (gf, ga) => s"$gf($ga)" }.mkString("; ")))
     }
     out.result()
   }

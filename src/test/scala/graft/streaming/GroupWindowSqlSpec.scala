@@ -62,8 +62,27 @@ class GroupWindowSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](rw(
       "SELECT HOP_START(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR) FROM T " +
         "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"))
-    intercept[IllegalArgumentException](rw(
-      "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), TUMBLE(ts, INTERVAL '2' HOUR)"))
+  }
+
+  test("distinct group windows coexist across query blocks (each block " +
+    "keeps its own window struct); their auxiliaries match per call") {
+    import spark.implicits._
+    Seq((new Timestamp(0L), 1), (new Timestamp(4000L), 2),
+      (new Timestamp(11000L), 3))
+      .toDF("ts", "v").createOrReplaceTempView("GB")
+    val got = graft.Sql.sql(spark,
+      """SELECT 'w10' AS win, TUMBLE_START(ts, INTERVAL '10' SECOND) AS ws,
+        |  COUNT(*) AS n
+        |FROM GB GROUP BY TUMBLE(ts, INTERVAL '10' SECOND)
+        |UNION ALL
+        |SELECT 'w5' AS win, TUMBLE_START(ts, INTERVAL '5' SECOND) AS ws,
+        |  COUNT(*) AS n
+        |FROM GB GROUP BY TUMBLE(ts, INTERVAL '5' SECOND)""".stripMargin)
+    assert(rows(got).toSet == Set(
+      Seq[Any]("w10", new Timestamp(0L), 2L),
+      Seq[Any]("w10", new Timestamp(10000L), 1L),
+      Seq[Any]("w5", new Timestamp(0L), 2L),
+      Seq[Any]("w5", new Timestamp(10000L), 1L)))
   }
 
   test("inert text passes through: no keywords (same instance), keywords " +
