@@ -83,9 +83,11 @@ object TemporalSql {
   def rewrite(text: String): String =
     rewriteSystemTime(rewriteLateralTable(text))
 
-  /** `, LATERAL TABLE ( fn(arg) ) [AS] alias` → versioned-subquery JOIN.
-    * Only fires for registered `fn`s; an unregistered LATERAL TABLE
-    * falls through to Spark's parser for its real error. */
+  /** `, LATERAL TABLE ( fn(arg) ) [AS] alias` → versioned-subquery JOIN
+    * for registered temporal `fn`s; any OTHER `LATERAL TABLE (call)` is
+    * the reference's UDTF correlate and rewrites to
+    * `LATERAL explode/inline(call)` over an array-returning scalar UDF
+    * (see the branch comment). */
   private def rewriteLateralTable(text: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -110,9 +112,20 @@ object TemporalSql {
         val fnName = if (paren < 0) "" else call.substring(0, paren).trim
         registry.get(fnName.toLowerCase) match {
           case None =>
-            // not a registered temporal function — leave the clause to
-            // Spark (fails with its own unsupported-syntax error)
-            out.append(text.substring(i, outerClose + 1))
+            // not a temporal function: the reference's UDTF correlate
+            // (`FROM T1, LATERAL TABLE(str_split(c, ',')) AS T2(s)`,
+            // stream CorrelateITCase.scala:90-163 incl. the constant
+            // no-left-side form). A Scala UDTF's graft twin is an
+            // ARRAY-RETURNING scalar UDF (spark.udf.register), so the
+            // spelling rewrites to Spark's lateral generators exactly
+            // like UNNEST: explode for a one-column alias, inline for a
+            // multi-column row type. An unknown function then fails in
+            // the analyzer under its own name.
+            val fn = if (aliasColumns(text, outerClose + 1) >= 2)
+              "inline" else "explode"
+            out.append(text.substring(i, hit))
+              .append("LATERAL ").append(fn)
+              .append(text.substring(j, outerClose + 1))
             i = outerClose + 1
           case Some(v) =>
             val argClose = balancedClose(call, paren)
@@ -253,6 +266,23 @@ object TemporalSql {
     val e = expr.trim.toLowerCase
     val last = e.substring(e.lastIndexOf('.') + 1)
     e == "proctime()" || last.startsWith("proctime") || last == "proc"
+  }
+
+  /** Number of columns in the optional `[AS] alias (c1, c2, ...)`
+    * following the call at `from`; 1 when there is no column list
+    * (mirrors [[UnnestSql]]'s rule). */
+  private def aliasColumns(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (s.regionMatches(true, i, "AS", 0, 2) &&
+        (i + 2 >= s.length || !isIdentChar(s.charAt(i + 2)))) i += 2
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    val idStart = i
+    while (i < s.length && isIdentChar(s.charAt(i))) i += 1
+    if (i == idStart) return 1
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length || s.charAt(i) != '(') return 1
+    1 + s.substring(i + 1, balancedClose(s, i)).count(_ == ',')
   }
 
   /** End index (exclusive) of a join's ON condition starting at `from`:

@@ -27,9 +27,10 @@ class TemporalSqlSpec extends SparkSpec {
         "FROM Orders AS o, LATERAL TABLE (RatesT(o.proctime)) AS r")
       assert(proc.contains("r.graft_vend IS NULL") &&
         !proc.contains(">="), proc)
-      // an unregistered function is left for Spark's own error
-      val other = "FROM T, LATERAL TABLE (SomeUdtf(x)) AS r"
-      assert(TemporalSql.rewrite(other) == other)
+      // an unregistered function is the UDTF correlate: routes to the
+      // generators and fails in the analyzer under its own name
+      assert(TemporalSql.rewrite("FROM T, LATERAL TABLE (SomeUdtf(x)) AS r")
+        == "FROM T, LATERAL explode(SomeUdtf(x)) AS r")
     } finally TemporalSql.dropTemporalFunction("RatesT")
   }
 
@@ -62,6 +63,36 @@ class TemporalSqlSpec extends SparkSpec {
     } finally TemporalSql.dropTemporalFunction("dimw")
     intercept[IllegalArgumentException](TemporalSql.rewrite(
       "FROM t JOIN rates FOR SYSTEM_TIME AS OF t.rowtime AS r ON r.k = t.k"))
+  }
+
+  test("reference stream CorrelateITCase:90-163: LATERAL TABLE over an " +
+    "array-returning UDF — constant form, correlated form, and the " +
+    "rewrite contract") {
+    import spark.implicits._
+    // the UDTF's graft twin: an array-returning scalar UDF
+    spark.udf.register("str_split",
+      (s: String, d: String) => s.split(java.util.regex.Pattern.quote(d)))
+    // rewrite contract: unregistered LATERAL TABLE routes to the
+    // generators (explode / inline by alias column count)
+    assert(TemporalSql.rewrite(
+      "FROM T1, LATERAL TABLE(str_split(c, ',')) as T2(s)") ==
+      "FROM T1, LATERAL explode(str_split(c, ',')) as T2(s)")
+    assert(TemporalSql.rewrite(
+      "FROM T1, LATERAL TABLE(pairs(c)) as T2(x, y)") ==
+      "FROM T1, LATERAL inline(pairs(c)) as T2(x, y)")
+    // testConstantTableFunc2 (:100-109) verbatim
+    val const = graft.Sql.sql(spark,
+      "SELECT * FROM LATERAL TABLE(str_split('Jack,John', ',')) as T0(d)")
+    assert(rows(const).map(_.head).toSet == Set("Jack", "John"))
+    // testUdfIsOpenedAfterUdtf's correlate shape (:150-156)
+    Seq((1, 2, "abc-bcd"), (1, 2, "hhh"), (1, 3, "xyz"))
+      .toDF("a", "b", "c").createOrReplaceTempView("T1")
+    val corr = graft.Sql.sql(spark,
+      """SELECT a, b, s
+        |FROM T1, LATERAL TABLE(str_split(c, '-')) as T2(s)""".stripMargin)
+    assert(rows(corr).toSet == Set(
+      Seq[Any](1, 2, "abc"), Seq[Any](1, 2, "bcd"),
+      Seq[Any](1, 2, "hhh"), Seq[Any](1, 3, "xyz")))
   }
 
   test("reference stream TemporalJoinITCase.testEventTimeInnerJoin" +
