@@ -20,7 +20,7 @@ object Aggregates {
   def defs: Seq[QueryDef] = Seq(
     q37LateralExplode, q38CollectAgg, q39WeightedAvgUdaf, q64ApproxDistinct,
     q80FilterClause, q79OrdinalUnnest, q84ApproxPercentile,
-    q112SplitDistinct, q165SqlUnnest)
+    q112SplitDistinct, q165SqlUnnest, q168SqlLateralUdtf)
 
   /** Split-distinct-agg skew rewrite (reference
     * SplitAggregateRule.scala:108, flag
@@ -254,6 +254,24 @@ object Aggregates {
         |FROM embeddings, UNNEST(embeddings.embedding) AS A (v)
         |WHERE vec_id < 50
         |ORDER BY vec_id, v""".stripMargin)
+  }
+
+  /** The reference's UDTF `LATERAL TABLE(fn(x))` spelling through the
+    * front door (r13 — stream CorrelateITCase.scala:150-163; rewritten
+    * to `LATERAL explode` over an array-returning scalar UDF by
+    * [[graft.streaming.TemporalSql]]'s generic lateral branch). */
+  val q168SqlLateralUdtf: QueryDef = QueryDef("q168_sql_lateral_udtf",
+    """SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |FROM documents
+      |WHERE doc_id < 200
+      |ORDER BY doc_id, tok""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).documents.createOrReplaceTempView("documents")
+    spark.udf.register("tok_split", (s: String) => s.split(" ", -1))
+    graft.Sql.sql(spark,
+      """SELECT doc_id, tok
+        |FROM documents, LATERAL TABLE(tok_split(text)) AS A (tok)
+        |WHERE doc_id < 200
+        |ORDER BY doc_id, tok""".stripMargin)
   }
 
   /** Approximate percentile sketch (Spark's percentile_approx; the
