@@ -133,6 +133,16 @@ object StreamSoak {
     // general-schema rank/dedup logs: entries only ever enter the
     // prefix through the log, so final = the log's rows re-ranked the
     // operator's way (the same argument as finalTopN/finalKeepLast)
+    def genSortLimitFinal(log: DataFrame): DataFrame = {
+      // global prefix: entries only ever enter through the log; final =
+      // the log's global top-10, ranked the statement's way
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+        .orderBy(col("value").desc, col("event_id").asc)
+      real(log).distinct()
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .drop("rk")
+    }
     def genTopNFinal(log: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("event_type")
@@ -292,6 +302,16 @@ object StreamSoak {
             |  FROM events)
             |WHERE rn <= 5""".stripMargin),
         reconstructed(genTopNFinal), false),
+      // round-13: the streaming ORDER BY ... LIMIT route (StreamExecSortLimit
+      // parity) — a GLOBAL retract top-n, the executor's worst case (one
+      // key, O(k) state regardless of stream length)
+      ("gen_sortlimit", eventsDir,
+        (ds: Dataset[Event]) => {
+          ds.toDF().createOrReplaceTempView("soak_sortlimit")
+          graft.Sql.sql(ds.sparkSession,
+            "SELECT * FROM soak_sortlimit ORDER BY value DESC, event_id LIMIT 10")
+        },
+        reconstructed(genSortLimitFinal), false),
       ("gen_keeplast", eventsDir,
         (ds: Dataset[Event]) => graft.streaming.RankSql.sqlDf(ds.toDF(),
           """SELECT user_id, event_type, event_id, ts, value FROM (
