@@ -93,13 +93,19 @@ object TemporalSql {
     var i = 0
     while (i < text.length) {
       val k = indexOfWord(text, "LATERAL", i)
-      val hit = if (k < 0) -1 else {
+      val isTable = k >= 0 && {
         var j = k + "LATERAL".length
         while (j < text.length && text.charAt(j).isWhitespace) j += 1
-        if (text.regionMatches(true, j, "TABLE", 0, 5)) k else -1
+        text.regionMatches(true, j, "TABLE", 0, 5)
       }
-      if (hit < 0) { out.append(text.substring(i)); i = text.length }
-      else {
+      if (k < 0) { out.append(text.substring(i)); i = text.length }
+      else if (!isTable) {
+        // a plain LATERAL (e.g. from the UNNEST rewrite) — copy it and
+        // keep scanning for a later LATERAL TABLE
+        out.append(text.substring(i, k + "LATERAL".length))
+        i = k + "LATERAL".length
+      } else {
+        val hit = k
         var j = hit + "LATERAL".length
         while (j < text.length && text.charAt(j).isWhitespace) j += 1
         j += "TABLE".length
@@ -171,14 +177,15 @@ object TemporalSql {
     var i = 0
     while (i < text.length) {
       val k = indexOfWord(text, "FOR", i)
-      val hit = if (k < 0) -1 else {
-        val rest = text.substring(k).toUpperCase
-        if (rest.replaceAll("\\s+", " ").startsWith("FOR SYSTEM_TIME AS OF "))
-          k
-        else -1
-      }
-      if (hit < 0) { out.append(text.substring(i)); i = text.length }
-      else {
+      val isSysTime = k >= 0 && text.substring(k).toUpperCase
+        .replaceAll("\\s+", " ").startsWith("FOR SYSTEM_TIME AS OF ")
+      if (k < 0) { out.append(text.substring(i)); i = text.length }
+      else if (!isSysTime) {
+        // some other FOR — copy it and keep scanning
+        out.append(text.substring(i, k + "FOR".length))
+        i = k + "FOR".length
+      } else {
+        val hit = k
         // the dim name just before FOR
         var e = hit - 1
         while (e >= i && text.charAt(e).isWhitespace) e -= 1

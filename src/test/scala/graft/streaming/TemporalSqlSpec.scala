@@ -84,6 +84,20 @@ class TemporalSqlSpec extends SparkSpec {
     val const = graft.Sql.sql(spark,
       "SELECT * FROM LATERAL TABLE(str_split('Jack,John', ',')) as T0(d)")
     assert(rows(const).map(_.head).toSet == Set("Jack", "John"))
+    // a plain LATERAL earlier in the text (e.g. the UNNEST rewrite's
+    // output) must not stop the scan before a later LATERAL TABLE
+    assert(TemporalSql.rewrite(
+      "FROM t, LATERAL explode(arr) AS a(s), LATERAL TABLE(f(y)) AS b(r)") ==
+      "FROM t, LATERAL explode(arr) AS a(s), LATERAL explode(f(y)) AS b(r)")
+    // likewise a stray FOR word before a FOR SYSTEM_TIME (a comment is
+    // raw text to the rewriter, so it exercises the continue branch)
+    TemporalSql.registerTemporalFunction("dimx", "dimx", "rt", "k")
+    try {
+      val s = TemporalSql.rewrite("/* FOR */ SELECT * FROM t " +
+        "JOIN dimx FOR SYSTEM_TIME AS OF t.ts AS r ON r.k = t.k")
+      assert(s.contains("t.ts >= r.rt"), s)
+      assert(s.startsWith("/* FOR */"), s)
+    } finally TemporalSql.dropTemporalFunction("dimx")
     // testUdfIsOpenedAfterUdtf's correlate shape (:150-156)
     Seq((1, 2, "abc-bcd"), (1, 2, "hhh"), (1, 3, "xyz"))
       .toDF("a", "b", "c").createOrReplaceTempView("T1")
