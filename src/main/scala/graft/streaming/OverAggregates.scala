@@ -101,8 +101,9 @@ object OverAggregates extends Serializable {
       accs: Seq[Acc],
       lastUs: Long = Long.MinValue,
       // per-agg distinct value sets — unbounded frames only (the
-      // reference's DistinctView state; bounded frames recompute from
-      // their retained entries instead). Non-distinct aggs keep empty
+      // reference's DistinctView state; bounded frames rebuild their
+      // incremental count-maps from the retained entries per
+      // micro-batch — FrameAcc). Non-distinct aggs keep empty
       // sets. State grows with the key's distinct values, exactly the
       // reference's cost.
       distinctVals: Seq[Set[Any]] = Nil)

@@ -155,4 +155,35 @@ class ExecutorPropertySpec extends SparkSpec {
       facts.unpersist(); dims.unpersist()
     }
   }
+
+  test("DISTINCT aggregates in bounded OVER frames (the r13 incremental " +
+    "count-map) vs an independent lateral-join recompute on random data") {
+    // WindowExec rejects distinct windows, so the independent plan is a
+    // per-row lateral re-aggregation over the same ROWS frame
+    for (seed <- 1 to 6) {
+      val df = gen(seed + 500).cache()
+      val w = 1 + (seed + 1) % 5
+      val sql =
+        s"""SELECT grp, id,
+           |  COUNT(DISTINCT v) OVER w AS dv,
+           |  SUM(DISTINCT d) OVER w AS sdd
+           |FROM t
+           |WINDOW w AS (PARTITION BY grp ORDER BY ts, id
+           |             ROWS BETWEEN $w PRECEDING AND CURRENT ROW)""".stripMargin
+      val exec = StreamingOverSql.sqlDf(df, sql)
+        .withColumn("sdd", col("sdd").cast("string"))
+      df.createOrReplaceTempView("ep_distinct")
+      val native = spark.sql(
+        s"""WITH s AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ts, id) AS rn
+           |  FROM ep_distinct)
+           |SELECT a.grp, a.id, f.dv, CAST(f.sdd AS STRING) AS sdd
+           |FROM s a, LATERAL (
+           |  SELECT COUNT(DISTINCT b.v) AS dv, SUM(DISTINCT b.d) AS sdd
+           |  FROM s b
+           |  WHERE b.grp = a.grp AND b.rn BETWEEN a.rn - $w AND a.rn) f""".stripMargin)
+      assert(multisetEqual(exec, native), s"seed=$seed width=$w distinct")
+      df.unpersist()
+    }
+  }
 }
