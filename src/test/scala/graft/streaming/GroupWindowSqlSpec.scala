@@ -64,6 +64,25 @@ class GroupWindowSqlSpec extends SparkSpec {
         "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"))
   }
 
+  test("the rewrite composes inside DML: INSERT ... SELECT with a group " +
+    "window runs through the front door (sqlUpdate parity)") {
+    import spark.implicits._
+    Seq((new Timestamp(1000L), 1), (new Timestamp(2000L), 2),
+      (new Timestamp(11000L), 3))
+      .toDF("ts", "v").createOrReplaceTempView("gw_dml_src")
+    spark.sql("DROP TABLE IF EXISTS gw_dml_out")
+    spark.sql("CREATE TABLE gw_dml_out (ws TIMESTAMP, n BIGINT) USING parquet")
+    try {
+      graft.Sql.sql(spark,
+        """INSERT INTO gw_dml_out
+          |SELECT TUMBLE_START(ts, INTERVAL '10' SECOND) AS ws, COUNT(*) AS n
+          |FROM gw_dml_src GROUP BY TUMBLE(ts, INTERVAL '10' SECOND)""".stripMargin)
+      assert(rows(spark.table("gw_dml_out")).toSet == Set(
+        Seq[Any](new Timestamp(0L), 2L),
+        Seq[Any](new Timestamp(10000L), 1L)))
+    } finally spark.sql("DROP TABLE IF EXISTS gw_dml_out")
+  }
+
   test("distinct group windows coexist across query blocks (each block " +
     "keeps its own window struct); their auxiliaries match per call") {
     import spark.implicits._
