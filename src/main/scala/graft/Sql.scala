@@ -139,14 +139,75 @@ object Sql {
     }
     if (cteDefs.nonEmpty) return Some(sql(spark, stripCtes(spark, text)))
     val rels = relNames(plan)
-    require(rels.size == 1,
-      "a streaming rank/OVER statement must read exactly one table " +
-        s"(the stateful executor's input); found ${rels.mkString(", ")} — " +
-        "compose joins in a view over the executor result instead")
+    if (rels.size != 1) {
+      // r14: a rank/OVER over a COMPOSED streaming input (the reference
+      // plans rank over an arbitrary stream subtree —
+      // FlinkStreamRuleSets' full logical pipeline): run the source
+      // join natively (Spark plans stream-static joins; a stream-stream
+      // combination is adjudicated by Spark's own checker at start),
+      // register it as a temp view, splice the view name over the
+      // join's text span, and re-route — the executor then sees the
+      // one-table form. Statement columns must be unqualified (the
+      // executor grammar reads the join's flat output schema).
+      return Some(sql(spark, spliceSourceJoin(spark, text, plan)))
+    }
     val df = spark.table(rels.head)
     if (streamingWinFns.contains("ROW_NUMBER"))
       Some(graft.streaming.RankSql.sqlDf(df, text))
     else Some(graft.streaming.StreamingOverSql.sqlDf(df, text))
+  }
+
+  private val srcJoinViews = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Rebuild the topmost FROM-clause join of a routed streaming
+    * rank/OVER statement as a native DataFrame join, register it as a
+    * temp view, and return the statement with the join's text span
+    * replaced by the view name (parser Origin offsets locate the span:
+    * leftmost source start .. join stop). Fails loudly on source shapes
+    * beyond relation/alias/join — compose those in a view first. */
+  private def spliceSourceJoin(spark: SparkSession, text: String,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.functions.expr
+    val joins = plan.collect { case j: Join => j }
+    require(joins.nonEmpty,
+      "a streaming rank/OVER statement must read one table or a join " +
+        "of tables in its FROM clause; compose other shapes in a view " +
+        "over this front door first")
+    val top = joins.head // collect is pre-order: the topmost join
+    def build(p: LogicalPlan): DataFrame = p match {
+      case SubqueryAlias(id, child) => build(child).as(id.name)
+      case r: UnresolvedRelation =>
+        spark.table(r.multipartIdentifier.mkString("."))
+      case Join(l, r, jt, cond, _) =>
+        val ld = build(l); val rd = build(r)
+        cond match {
+          case Some(c) =>
+            ld.join(rd, expr(c.sql), jt.sql.toLowerCase.replace(" ", ""))
+          case None => ld.crossJoin(rd)
+        }
+      case other => sys.error(
+        "streaming rank/OVER join source supports relations, aliases " +
+          s"and joins; found ${other.nodeName} — compose it in a view " +
+          "over this front door first")
+    }
+    require(top.origin.sqlText.contains(text),
+      "internal: join origin text does not match the routed statement")
+    val starts = top.collect {
+      case n: LogicalPlan if n.origin.startIndex.isDefined =>
+        n.origin.startIndex.get
+    }
+    val stops = top.collect {
+      case n: LogicalPlan if n.origin.stopIndex.isDefined =>
+        n.origin.stopIndex.get
+    }
+    require(starts.nonEmpty && stops.nonEmpty,
+      "internal: parser origin offsets unavailable for the join span")
+    val view = s"graft_srcjoin_${srcJoinViews.getAndIncrement()}"
+    build(top).createOrReplaceTempView(view)
+    text.substring(0, starts.min) + view + text.substring(stops.max + 1)
   }
 
   /** Streaming sort / limit shapes Spark cannot plan on a stream,
@@ -190,6 +251,12 @@ object Sql {
       proj.map(p => df.selectExpr(p.projectList.map {
         case s: org.apache.spark.sql.catalyst.analysis.UnresolvedStar =>
           s.target.map(_.mkString(".") + ".*").getOrElse("*")
+        // the parser wraps an un-aliased computed item (`value + 1`) in
+        // UnresolvedAlias, whose .sql renders as `unresolvedalias(...)`
+        // — selectExpr on the CHILD's sql instead (Spark then derives
+        // the output name exactly as it would have natively)
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAlias =>
+          ua.child.sql
         case e => e.sql
       }: _*)).getOrElse(df)
     def orderKeys(order: Seq[SortOrder], requireAsc: Boolean)

@@ -42,11 +42,15 @@ package graft.streaming
   * `isnotnull(ts)`), so the rewrite preserves that semantic for free.
   *
   * Contract, enforced fail-loud: an auxiliary must repeat the family
-  * and arguments of a grouping call present in the statement (the
-  * reference's planner requires an auxiliary to repeat its block's
-  * GROUP BY window). Distinct group windows may coexist across query
-  * blocks — each block carries its own `window` struct and the
-  * analyzer resolves auxiliaries within their block.
+  * and arguments of the grouping call of ITS OWN query block (the
+  * reference's planner resolves an auxiliary against its block's
+  * GROUP BY window and rejects a mismatch). Distinct group windows may
+  * coexist across query blocks — each block carries its own `window`
+  * struct — and the validation is per block: a scan pass assigns every
+  * character a block id (a new block opens at each `SELECT` keyword and
+  * closes when paren depth drops below the depth it opened at), so an
+  * auxiliary in block A that repeats block B's window arguments fails
+  * loudly instead of silently emitting block A's bounds.
   */
 object GroupWindowSql {
 
@@ -67,10 +71,11 @@ object GroupWindowSql {
 
     val out = new StringBuilder
     var i = 0
-    // every group-window (non-aux) call, normalized, for the one-window
-    // contract; aux calls recorded as (family, normalized args)
-    var groupCalls = List.empty[(String, String)]
-    var auxCalls = List.empty[(String, String)]
+    val bid = blockIds(text)
+    // every group-window (non-aux) call, normalized and tagged with its
+    // query block; aux calls recorded as (block, family, normalized args)
+    var groupCalls = List.empty[(Int, String, String)]
+    var auxCalls = List.empty[(Int, String, String)]
 
     while (i < text.length) {
       // earliest keyword occurrence at or after i (word-boundary,
@@ -99,7 +104,7 @@ object GroupWindowSql {
             out.append(text.substring(i, k))
             suffix match {
               case "" =>
-                groupCalls ::= (family, norm)
+                groupCalls ::= (bid(k), family, norm)
                 out.append(groupExpr(family, args))
               case "_PROCTIME" =>
                 sys.error(s"$family$suffix is not supported: proc-time " +
@@ -107,7 +112,7 @@ object GroupWindowSql {
                   "meaning — use the proc-time DataFrame executors " +
                   "(graft.streaming) for proc-time composition")
               case _ =>
-                auxCalls ::= (family, norm)
+                auxCalls ::= (bid(k), family, norm)
                 val struct =
                   if (family == "SESSION") "session_window" else "window"
                 out.append(suffix match {
@@ -122,24 +127,65 @@ object GroupWindowSql {
       }
     }
 
-    // Auxiliary/grouping agreement is validated statement-wide: every
-    // auxiliary must repeat the family and arguments of SOME group-window
-    // call in the statement. Distinct group windows may coexist — each
-    // lives in its own query block (the reference admits one group window
-    // per GROUP BY, and the analyzer resolves each block's `window`
-    // struct within that block), so the per-block discipline the
-    // reference enforces is: write each auxiliary in the block whose
-    // GROUP BY it repeats.
+    // Auxiliary/grouping agreement is validated PER QUERY BLOCK: an
+    // auxiliary must repeat the family and arguments of the group-window
+    // call of its own block — the reference's analyzer resolves the
+    // auxiliary against its block's GROUP BY window, and an auxiliary
+    // that repeats a DIFFERENT block's window args would otherwise
+    // silently resolve to its own block's `window` struct (wrong bounds).
     val distinctGroups = groupCalls.distinct
-    auxCalls.distinct.foreach { case (f, a) =>
-      require(distinctGroups.contains((f, a)),
+    auxCalls.distinct.foreach { case (b, f, a) =>
+      val inBlock = distinctGroups.collect { case (`b`, gf, ga) => (gf, ga) }
+      require(inBlock.contains((f, a)),
         s"group-window auxiliary ${f}_START/_END/_ROWTIME($a) must repeat " +
-          s"a GROUP BY window's family and arguments; the statement " +
-          (if (distinctGroups.isEmpty) "has no group window in GROUP BY"
-           else "groups by " + distinctGroups
-             .map { case (gf, ga) => s"$gf($ga)" }.mkString("; ")))
+          s"its own query block's GROUP BY window; this block " +
+          (if (inBlock.isEmpty) "has no group window in GROUP BY"
+           else "groups by " + inBlock
+             .map { case (gf, ga) => s"$gf($ga)" }.mkString("; ")) +
+          (if (distinctGroups.exists { case (gb, gf, ga) =>
+              gb != b && (gf, ga) == (f, a) })
+            " (a DIFFERENT block groups by that window — write the " +
+              "auxiliary in the block whose GROUP BY it repeats)"
+           else ""))
     }
     out.result()
+  }
+
+  /** Per-character query-block ids: block 0 is the statement root; each
+    * `SELECT` keyword (word-boundary, outside string literals) opens a
+    * new block at the current paren depth, and a block closes when the
+    * depth drops below the depth it opened at. Sibling SELECTs at one
+    * depth (UNION branches) shadow left-to-right, which is exact for a
+    * linear scan — a branch's text ends where the next branch's SELECT
+    * begins. */
+  private def blockIds(text: String): Array[Int] = {
+    val ids = new Array[Int](text.length)
+    val u = text.toUpperCase
+    var depth = 0
+    var inStr = false
+    var nextId = 0
+    // (blockId, paren depth at its SELECT); root block never pops
+    var stack = List((0, -1))
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'') { inStr = !inStr; ids(i) = stack.head._1; i += 1 }
+      else if (!inStr && c == '(') { depth += 1; ids(i) = stack.head._1; i += 1 }
+      else if (!inStr && c == ')') {
+        depth -= 1
+        while (stack.head._2 > depth) stack = stack.tail
+        ids(i) = stack.head._1; i += 1
+      } else if (!inStr && u.startsWith("SELECT", i) &&
+          (i == 0 || !isIdentChar(text.charAt(i - 1))) &&
+          (i + 6 >= text.length || !isIdentChar(text.charAt(i + 6)))) {
+        nextId += 1
+        stack = (nextId, depth) :: stack
+        var j = i
+        while (j < i + 6) { ids(j) = nextId; j += 1 }
+        i += 6
+      } else { ids(i) = stack.head._1; i += 1 }
+    }
+    ids
   }
 
   /** The Spark grouping expression for one reference group-window call. */

@@ -26,7 +26,7 @@ object StatefulBatch {
       q97EarlyFire, q110LateFire, q104UpsertSink, q105RetractApply,
       q120ProcRowsFrame, q121ProcRangeFrame, q124StreamReservoir,
       q150StreamSortAny, q158WindowEarlyAny, q159WindowLateAny,
-      q160TemporalJoinAny, q161ProcRangeAny)
+      q160TemporalJoinAny, q161ProcRangeAny, q169SqlRankJoinStream)
 
   /** GENERAL-SCHEMA proc-time bounded-RANGE OVER (r13 — the last OVER
     * shape that was Event-typed; reference
@@ -194,6 +194,51 @@ object StatefulBatch {
     * maintaining latest-row-per-key through the foreachBatch merge must
     * equal keep-last dedup over the whole input — the upsert analogue of
     * the batch-collapse contract above. */
+  /** r14: the front door's streaming rank over a STREAM-STATIC JOIN
+    * (reference: rank over a joined stream is plain FlinkStreamRuleSets
+    * composition — no one-table restriction). The events fixture replays
+    * as a bounded stream, joins a static cohort dim inside the routed
+    * statement (Sql.spliceSourceJoin runs the join natively and feeds
+    * the rank executor its flat output), and the append changelog
+    * collapses through the upsert sink: for a keep-1 rank the emissions
+    * per key improve monotonically, so latest-by-(value, event_id) IS
+    * the final top-1 — the same answer DuckDB computes directly. */
+  val q169SqlRankJoinStream: QueryDef = QueryDef("q169_sql_rank_join_stream",
+    """WITH d AS (SELECT DISTINCT user_id AS uid, user_id % 5 AS cohort
+      |           FROM events)
+      |SELECT cohort, user_id, event_id, value FROM (
+      |  SELECT d.cohort, e.user_id, e.event_id, e.value,
+      |    ROW_NUMBER() OVER (PARTITION BY d.cohort
+      |                       ORDER BY e.value DESC, e.event_id DESC) AS rn
+      |  FROM events e JOIN d ON e.user_id = d.uid)
+      |WHERE rn = 1
+      |ORDER BY cohort""".stripMargin) { (spark, dir) =>
+    eventsStream(spark, dir).createOrReplaceTempView("graft_sql_stream")
+    graft.core.Catalog.load(spark, dir, "events")
+      .select(col("user_id").as("uid"), (col("user_id") % 5).as("cohort"))
+      .distinct()
+      .createOrReplaceTempView("graft_sql_dim")
+    val routed = graft.Sql.sql(spark,
+      """SELECT cohort, user_id, event_id, value FROM (
+        |  SELECT cohort, user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY cohort
+        |                       ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM graft_sql_stream s JOIN graft_sql_dim d
+        |    ON s.user_id = d.uid)
+        |WHERE rn = 1""".stripMargin)
+    require(routed.isStreaming, "the routed rank-over-join must stream")
+    val sinkDir =
+      java.nio.file.Files.createTempDirectory("graft-sqljoin").toString
+    val q = UpsertSink
+      .upsertWriter(routed, Seq("cohort"), Seq("value", "event_id"), sinkDir,
+        outputMode = "append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    UpsertSink.currentState(spark, sinkDir)
+      .select(col("cohort"), col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("cohort"))
+  }
+
   val q104UpsertSink: QueryDef = QueryDef("q104_upsert_sink",
     """SELECT user_id, event_id, event_type, value FROM (
       |  SELECT user_id, event_id, event_type, value,

@@ -38,9 +38,15 @@ import scala.collection.concurrent.TrieMap
   * `graft_vend` column (visible to `SELECT r.*`; select columns
   * explicitly, as every reference IT case does).
   *
-  * A proc-time attribute argument (`fn(o.proctime)` / `AS OF o.proc` /
-  * `PROCTIME()`) means "the latest version" (the reference's lookup
-  * join): the interval condition degenerates to `graft_vend IS NULL`.
+  * A proc-time attribute argument (the literal `PROCTIME()`, or a
+  * column registered via [[registerProcTimeAttribute]] — `proctime` is
+  * pre-registered as the reference IT cases' canonical name) means
+  * "the latest version" (the reference's lookup join): the interval
+  * condition degenerates to `graft_vend IS NULL`. Proc-time is opt-in,
+  * never inferred from a name prefix — the reference types its
+  * proc-time attributes at declaration (`'proc.proctime`), and an
+  * event-time column that merely resembles the name must not silently
+  * become a lookup join.
   * `FOR SYSTEM_TIME AS OF <proctime>` over a table with NO registered
   * version metadata joins the table as-is — the reference's
   * LookupableTableSource reads current contents the same way. An
@@ -65,6 +71,30 @@ object TemporalSql {
       keyCol: String)
 
   private val registry = TrieMap.empty[String, Versioned]
+
+  /** Column names (last dotted segment, lower-cased) declared to be
+    * processing-time attributes. Proc-time is OPT-IN: only the literal
+    * `PROCTIME()` and exactly-matching registered names select the
+    * latest-version (lookup) semantics — an event-time column that
+    * merely RESEMBLES a proc-time name (`proc`, `proctime_ts`) must not
+    * silently degenerate the temporal join to latest-version-only. The
+    * default entry is `proctime`, the reference IT cases' canonical
+    * proc-time attribute name; register others explicitly. */
+  private val procTimeNames = {
+    val m = TrieMap.empty[String, Unit]
+    m.put("proctime", ())
+    m
+  }
+
+  /** Declare `name` a processing-time attribute (the reference's
+    * `'proc.proctime` field declaration — there, proc-time is a typed
+    * attribute, never a naming convention; this registry is the rewrite
+    * layer's equivalent of that declaration). */
+  def registerProcTimeAttribute(name: String): Unit =
+    procTimeNames.put(name.trim.toLowerCase, ())
+
+  def dropProcTimeAttribute(name: String): Unit =
+    procTimeNames.remove(name.trim.toLowerCase)
 
   /** Register `name` as a temporal table function over the catalog
     * view/table `view` (the reference's
@@ -266,13 +296,16 @@ object TemporalSql {
     else s"$asOf >= $alias.${v.timeCol} AND " +
       s"($alias.graft_vend IS NULL OR $asOf < $alias.graft_vend)"
 
-  /** The reference's proc-time attributes: `PROCTIME()` or a column
-    * whose (dotted-last) name contains "proctime" or equals "proc" —
-    * the IT-case naming convention (`o.proctime`, `o.proc`). */
+  /** A processing-time AS OF expression: the literal `PROCTIME()` or a
+    * column whose last dotted segment EXACTLY matches a registered
+    * proc-time attribute name (see [[registerProcTimeAttribute]]).
+    * Exact match only — prefix/substring inference would silently turn
+    * an event-time join over a column named `proctime_ts` into a
+    * latest-version lookup. */
   private def isProcTime(expr: String): Boolean = {
     val e = expr.trim.toLowerCase
     val last = e.substring(e.lastIndexOf('.') + 1)
-    e == "proctime()" || last.startsWith("proctime") || last == "proc"
+    e == "proctime()" || procTimeNames.contains(last)
   }
 
   /** Number of columns in the optional `[AS] alias (c1, c2, ...)`
@@ -294,12 +327,50 @@ object TemporalSql {
 
   /** End index (exclusive) of a join's ON condition starting at `from`:
     * the next clause keyword, another join, or a closing paren at depth
-    * 0 — whichever comes first — outside string literals. */
+    * 0 — whichever comes first — outside string literals.
+    *
+    * Two-word clause heads only stop the scan when their second word
+    * follows (`GROUP BY`, `LEFT [OUTER|SEMI|ANTI] JOIN`, `WINDOW w AS`):
+    * a bare column literally named `left`, `cross`, `group` or `window`
+    * referenced unqualified at depth 0 (`ON r.k = left`) is an ordinary
+    * identifier there and must not truncate the condition mid-expression. */
   private def endOfCondition(s: String, from: Int): Int = {
-    val stops = Seq("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
-      "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
-      "CROSS", "WINDOW", "MATCH_RECOGNIZE")
+    // standalone clause heads: reserved words that cannot appear as a
+    // bare unqualified identifier inside an expression
+    val bare = Seq("WHERE", "HAVING", "LIMIT", "UNION", "INTERSECT",
+      "EXCEPT", "JOIN", "MATCH_RECOGNIZE")
+    // clause heads that are only a boundary when their continuation
+    // token follows (otherwise they are a plain column name)
+    val twoWord: Map[String, Set[String]] = Map(
+      "GROUP" -> Set("BY"), "ORDER" -> Set("BY"),
+      "LEFT" -> Set("JOIN", "OUTER", "SEMI", "ANTI"),
+      "RIGHT" -> Set("JOIN", "OUTER", "SEMI", "ANTI"),
+      "FULL" -> Set("JOIN", "OUTER"),
+      "CROSS" -> Set("JOIN"), "INNER" -> Set("JOIN"))
     val u = s.toUpperCase
+    def wordAfter(pos: Int): String = {
+      var j = pos
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      val st = j
+      while (j < s.length && isIdentChar(s.charAt(j))) j += 1
+      u.substring(st, j)
+    }
+    def stopsHere(i: Int): Boolean = {
+      def hit(w: String) = u.startsWith(w, i) &&
+        (i + w.length >= s.length || !isIdentChar(s.charAt(i + w.length)))
+      bare.exists(hit) ||
+        twoWord.exists { case (w, nexts) =>
+          hit(w) && nexts.contains(wordAfter(i + w.length)) } ||
+        // WINDOW clause: `WINDOW <name> AS (` — require the shape, a
+        // column named `window` is never followed by `<ident> AS`
+        (hit("WINDOW") && {
+          var j = i + "WINDOW".length
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          val st = j
+          while (j < s.length && isIdentChar(s.charAt(j))) j += 1
+          j > st && wordAfter(j) == "AS"
+        })
+    }
     var i = from
     var depth = 0
     var inStr = false
@@ -314,8 +385,7 @@ object TemporalSql {
           // a '.'-qualified identifier (t.left, t.cross) is a column
           // reference, never a clause keyword
           (i == 0 || (!isIdentChar(s.charAt(i - 1)) && s.charAt(i - 1) != '.')) &&
-          stops.exists(w => u.startsWith(w, i) &&
-            (i + w.length >= s.length || !isIdentChar(s.charAt(i + w.length)))))
+          stopsHere(i))
         return i
       else i += 1
     }

@@ -225,9 +225,13 @@ object UpsertSink {
 
   /** Streaming writer maintaining the latest-row-per-key state under `dir`. */
   def upsertWriter(stream: DataFrame, keys: Seq[String],
-      orderCols: Seq[String], dir: String, nBuckets: Int = 1): DataStreamWriter[Row] =
+      orderCols: Seq[String], dir: String, nBuckets: Int = 1,
+      outputMode: String = "update"): DataStreamWriter[Row] =
     stream.writeStream
-      .outputMode("update")
+      // "append" when the upstream carries an Append-mode stateful
+      // operator (Spark rejects update mode there); the merge reads the
+      // micro-batch rows either way
+      .outputMode(outputMode)
       .foreachBatch((batch: DataFrame, _: Long) =>
         mergeBatch(batch, keys, orderCols, dir, nBuckets))
 

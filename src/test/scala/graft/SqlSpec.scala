@@ -339,19 +339,32 @@ class SqlSpec extends SparkSpec {
     assert(rows(batch) == Seq(Seq(1L, 5, 1), Seq(2L, 3, 1)))
   }
 
-  test("a streaming rank statement over several tables is rejected with " +
-    "the composition pointer") {
+  test("r14: a streaming rank over a stream-static join routes through " +
+    "the front door — the join runs natively (spliced as a view), the " +
+    "executor ranks its flat output (reference: rank over a joined " +
+    "stream is plain FlinkStreamRuleSets composition)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[RankT3]
     input.toDF().createOrReplaceTempView("sql_stream_rank2")
-    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("sql_batch_dim")
-    val e = intercept[IllegalArgumentException](graft.Sql.sql(spark,
-      """SELECT * FROM (
-        |  SELECT t.*, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn
+    Seq((1, "x"), (3, "y"), (5, "z")).toDF("id", "tag")
+      .createOrReplaceTempView("sql_batch_dim")
+    val routed = graft.Sql.sql(spark,
+      """SELECT b, a, tag, rn FROM (
+        |  SELECT b, a, tag,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY a DESC) AS rn
         |  FROM sql_stream_rank2 t JOIN sql_batch_dim d ON t.a = d.id)
-        |WHERE rn = 1""".stripMargin))
-    assert(e.getMessage.contains("exactly one table"))
+        |WHERE rn = 1""".stripMargin)
+    assert(routed.isStreaming)
+    val q = routed.writeStream.format("memory").queryName("sqljoinrank")
+      .outputMode("append").start()
+    input.addData(RankT3(1, 1L, "x"), RankT3(5, 1L, "y"), RankT3(3, 2L, "z"),
+      RankT3(2, 2L, "u")) // a=2 has no dim row: dropped by the inner join
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("sqljoinrank").groupBy("b")
+      .agg(max("a").as("a"), max_by(col("tag"), col("a")).as("tag"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(fin == Set((1L, 5, "z"), (2L, 3, "y")), s"got $fin")
     // reference parity: StreamExecRank.scala:141 throws the same message
     val e2 = intercept[IllegalArgumentException](graft.Sql.sql(spark,
       """SELECT * FROM (

@@ -47,10 +47,32 @@ class TemporalSqlSpec extends SparkSpec {
       assert(got.contains("t.ts >= r.rt"), got)
       assert(got.contains("WHERE t.a > 0"), got)
     } finally TemporalSql.dropTemporalFunction("dimv")
+    // the canonical `proctime` attribute is pre-registered; `proc` is
+    // opt-in — unregistered it is an event-time column and fails loudly
+    // over an unversioned table instead of silently degenerating
     val lookup = TemporalSql.rewrite(
-      "SELECT * FROM t JOIN rates FOR SYSTEM_TIME AS OF t.proc AS r " +
+      "SELECT * FROM t JOIN rates FOR SYSTEM_TIME AS OF t.proctime AS r " +
         "ON r.k = t.k")
     assert(lookup == "SELECT * FROM t JOIN rates AS r ON r.k = t.k", lookup)
+    intercept[IllegalArgumentException](TemporalSql.rewrite(
+      "SELECT * FROM t JOIN rates FOR SYSTEM_TIME AS OF t.proc AS r " +
+        "ON r.k = t.k"))
+    TemporalSql.registerProcTimeAttribute("proc")
+    try {
+      val optIn = TemporalSql.rewrite(
+        "SELECT * FROM t JOIN rates FOR SYSTEM_TIME AS OF t.proc AS r " +
+          "ON r.k = t.k")
+      assert(optIn == "SELECT * FROM t JOIN rates AS r ON r.k = t.k", optIn)
+    } finally TemporalSql.dropProcTimeAttribute("proc")
+    // exact match only: an event-time column that merely RESEMBLES a
+    // proc-time name keeps event-time (interval) semantics
+    TemporalSql.registerTemporalFunction("dimz", "dimz", "rt", "k")
+    try {
+      val resemble = TemporalSql.rewrite(
+        "FROM t JOIN dimz FOR SYSTEM_TIME AS OF t.proctime_ts AS r " +
+          "ON r.k = t.k")
+      assert(resemble.contains("t.proctime_ts >= r.rt"), resemble)
+    } finally TemporalSql.dropTemporalFunction("dimz")
     // a '.'-qualified column named like a clause keyword must not
     // truncate the ON condition
     TemporalSql.registerTemporalFunction("dimw", "dimw", "rt", "k")
@@ -60,6 +82,25 @@ class TemporalSqlSpec extends SparkSpec {
           "ON r.k = t.left WHERE t.a > 0")
       assert(dotted.contains("ON (r.k = t.left) AND"), dotted)
       assert(dotted.contains("WHERE t.a > 0"), dotted)
+      // a BARE column named like a two-word clause head is an ordinary
+      // identifier unless its continuation token follows: `= left` and
+      // `= window` must not truncate the condition, while a real
+      // `LEFT JOIN` / `GROUP BY` / `WINDOW w AS` after it still stops
+      val bare = TemporalSql.rewrite(
+        "FROM t JOIN dimw FOR SYSTEM_TIME AS OF t.ts AS r " +
+          "ON r.k = left AND r.j = window WHERE t.a > 0")
+      assert(bare.contains("ON (r.k = left AND r.j = window) AND"), bare)
+      assert(bare.contains("WHERE t.a > 0"), bare)
+      val stillStops = TemporalSql.rewrite(
+        "FROM t JOIN dimw FOR SYSTEM_TIME AS OF t.ts AS r " +
+          "ON r.k = t.k LEFT JOIN u ON u.k = t.k")
+      assert(stillStops.contains("ON (r.k = t.k) AND"), stillStops)
+      assert(stillStops.contains("LEFT JOIN u ON u.k = t.k"), stillStops)
+      val groupStops = TemporalSql.rewrite(
+        "FROM t JOIN dimw FOR SYSTEM_TIME AS OF t.ts AS r " +
+          "ON r.k = t.k GROUP BY t.k")
+      assert(groupStops.contains("ON (r.k = t.k) AND"), groupStops)
+      assert(groupStops.contains("GROUP BY t.k"), groupStops)
     } finally TemporalSql.dropTemporalFunction("dimw")
     intercept[IllegalArgumentException](TemporalSql.rewrite(
       "FROM t JOIN rates FOR SYSTEM_TIME AS OF t.rowtime AS r ON r.k = t.k"))
