@@ -76,26 +76,124 @@ object AsyncLookup {
     }
   }
 
+  /** A per-partition store connection — the reference's
+    * AsyncLookupFunction lifecycle (RichAsyncFunction.open/close around
+    * per-row `asyncInvoke`, AsyncLookupJoinRunner.java:53): opened
+    * lazily INSIDE the partition on first pull, point-fetched under the
+    * in-flight cap, closed with the task. Nothing touches the driver. */
+  trait StoreClient[K, V] extends java.io.Closeable {
+    def fetch(key: K): V
+  }
+
+  /** Async lookup join against a per-partition store connection: each
+    * partition opens its own client (no driver materialization of the
+    * dimension — the reference's runner holds a connection, not a
+    * collected table), runs at most `capacity` fetches concurrently, and
+    * emits in input order. `openClient` must be a serializable closure;
+    * it runs once per partition. */
+  def asyncLookupJoinStore[L, K, V, O: Encoder](ds: Dataset[L],
+      openClient: () => StoreClient[K, V], key: L => K, capacity: Int,
+      emit: (L, V) => O, timeout: Duration = Duration.Inf): Dataset[O] = {
+    require(capacity > 0, s"lookup capacity must be positive, got $capacity")
+    ds.mapPartitions { it =>
+      // both the client and the pool open lazily on first pull — a
+      // downstream limit that never consumes must neither connect nor
+      // issue fetches
+      var client: StoreClient[K, V] = null
+      var pool: java.util.concurrent.ExecutorService = null
+      var ec: ExecutionContext = null
+      Option(TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          if (pool != null) pool.shutdownNow()
+          if (client != null) client.close()
+        })
+      new Iterator[O] {
+        private val inflight =
+          scala.collection.mutable.Queue.empty[(L, Future[V])]
+        private var started = false
+        private def ensure(): Unit =
+          if (!started) {
+            started = true
+            client = openClient()
+            pool = Executors.newFixedThreadPool(capacity)
+            ec = ExecutionContext.fromExecutor(pool)
+            refill()
+          }
+        private def refill(): Unit = {
+          while (inflight.size < capacity && it.hasNext) {
+            val l = it.next()
+            inflight.enqueue((l, Future(client.fetch(key(l)))(ec)))
+          }
+          if (inflight.isEmpty) { pool.shutdown(); client.close() }
+        }
+        def hasNext: Boolean = { ensure(); inflight.nonEmpty }
+        def next(): O = {
+          ensure()
+          val (l, f) = inflight.dequeue()
+          val v = Await.result(f, timeout)
+          refill()
+          emit(l, v)
+        }
+      }
+    }
+  }
+
+  /** A [[StoreClient]] over a parquet key/value table read DIRECTLY from
+    * storage by the partition that opens it (parquet-hadoop reader — no
+    * SparkSession, no driver collect): the executor-side analogue of a
+    * dimension-store connection whose open() loads/caches its working
+    * set. A real deployment swaps this class for its RPC client; the
+    * async pipeline above is unchanged. */
+  final class ParquetKvStoreClient(path: String, keyCol: String,
+      valCol: String) extends StoreClient[Int, String] {
+    private val kv: Map[Int, String] = {
+      import org.apache.hadoop.fs.Path
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).toSeq
+        else Seq(p)
+      val b = Map.newBuilder[Int, String]
+      files.foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+          .withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            b += g.getInteger(keyCol, 0) -> g.getString(valCol, 0)
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      b.result()
+    }
+    override def fetch(k: Int): String = kv(k)
+    override def close(): Unit = ()
+  }
+
   case class Supp(s_suppkey: Long, s_name: String, s_nationkey: Int)
   case class SuppNation(s_suppkey: Long, s_name: String, n_name: String)
 
   /** Async lookup join collapsed under the oracle: suppliers enriched
-    * with their nation name through a point-lookup function (a captured
-    * dim map standing in for the external service); the oracle is the
-    * equivalent plain join. */
+    * with their nation name through per-partition point lookups into a
+    * store client that each partition OPENS ITSELF (r14 — previously a
+    * driver-collected map); the oracle is the equivalent plain join. */
   val q92AsyncLookup: QueryDef = QueryDef("q92_async_lookup",
     """SELECT s_suppkey, s_name, n_name
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
-    val dim: Map[Int, String] = t.nation
-      .select(col("n_nationkey"), col("n_name")).collect()
-      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val dimPath = s"$dir/nation.parquet"
     val supp = t.supplier
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey")).as[Supp]
-    asyncLookupJoin[Supp, String, SuppNation](
-      supp, s => dim(s.s_nationkey), capacity = 8,
+    asyncLookupJoinStore[Supp, Int, String, SuppNation](
+      supp, () => new ParquetKvStoreClient(dimPath, "n_nationkey", "n_name"),
+      s => s.s_nationkey, capacity = 8,
       (s, n) => SuppNation(s.s_suppkey, s.s_name, n))
       .toDF()
       .select(col("s_suppkey"), col("s_name"),

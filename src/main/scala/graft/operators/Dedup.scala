@@ -415,10 +415,10 @@ object Dedup {
     * O(max component diameter) rounds, each round one equi-join + one
     * aggregate — all shuffle-on-key, nothing driver-sized. Near-dup
     * components are short-diameter chains/cliques, so rounds stay single
-    * digits; a pathological long-chain graph would call for the
-    * large-star/small-star variant (Kiveris et al., "Connected Components
-    * in MapReduce"), which swaps neighbor-min for star-contraction in the
-    * same join algebra. Intermediates persist per round and unpersist as
+    * digits; a pathological long-chain graph takes the
+    * large-star/small-star variant [[dupClustersStar]] (r14), which swaps
+    * neighbor-min for star-contraction in the same join algebra and
+    * converges in O(log n) rounds. Intermediates persist per round and unpersist as
     * soon as superseded; the result is local-checkpointed so the returned
     * frame reads materialized blocks instead of an N-round lineage.
     *
@@ -459,11 +459,16 @@ object Dedup {
           .join(labels.select(col("node").as("dst"), col("cluster")), Seq("dst"))
           .groupBy(col("src").as("node")).agg(min(col("cluster")).as("nmin"))
         // the previous label rides along in the persisted round frame, so
-        // convergence is a filter over cached blocks, not another join
+        // convergence is a filter over cached blocks, not another join.
+        // localCheckpoint (eager) rather than persist: `labels` feeds two
+        // places in each round's plan, so lineage would DOUBLE per round
+        // — a caching-only iteration re-optimizes an exponentially
+        // growing logical plan and OOMs the driver near round ~15 (r14);
+        // checkpointing truncates the plan to the materialized blocks
         val next = labels.join(neighborMin, Seq("node"), "left")
           .select(col("node"), col("cluster").as("prev"),
             least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-          .persist()
+          .localCheckpoint(true)
         changed = !next.filter(col("cluster") =!= col("prev")).isEmpty
         cached.unpersist()
         cached = next
@@ -474,6 +479,91 @@ object Dedup {
       cached.unpersist()
       edges.unpersist()
     }
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION — the
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): O(log n) rounds on
+    * ANY graph shape, where [[dupClusters]]' min-label propagation pays
+    * O(component diameter) rounds. Same contract, same oracle: returns
+    * (node, cluster) with cluster = the component's minimum node id;
+    * nodes in no pair are absent.
+    *
+    * One round = two phases over the oriented edge set (src > dst),
+    * each an aggregate + equi-join, all shuffle-on-key:
+    *
+    *  - LARGE-STAR: every node u connects its strictly LARGER neighbors
+    *    to min(N(u) ∪ {u}) — each edge re-emits exactly once, from its
+    *    smaller endpoint's neighborhood;
+    *  - SMALL-STAR: every node u connects its smaller-or-equal
+    *    neighbors AND ITSELF to its minimum neighbor.
+    *
+    * Both preserve connectivity; alternating them strictly contracts
+    * chains, and at convergence (stable edge set — both frames are
+    * distinct, so stability is one anti-join + a count) every component
+    * is a star around its minimum node, which IS the label relation.
+    * Long skewed chains that would exhaust the propagation bound
+    * converge here in a handful of rounds (`ApiSpec` pins a
+    * 512-node chain at ≤ 12 rounds). */
+  def dupClustersStar(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxRounds: Int = 32): DataFrame =
+    dupClustersStarCounted(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[dupClustersStar]] + the round count, for the convergence spec. */
+  private[operators] def dupClustersStarCounted(pairs: DataFrame,
+      aCol: String, bCol: String, maxRounds: Int): (DataFrame, Int) = {
+    // each round's frame is localCheckpoint'ed (eager), not persisted:
+    // the edge relation feeds ~4 places per phase, so lineage would grow
+    // exponentially across rounds — checkpointing truncates the plan to
+    // the materialized blocks (freed by the context cleaner as the old
+    // frames go out of scope), keeping round r's optimizer input O(1)
+    var edges = pairs
+      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .distinct().localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"star contraction did not converge in $maxRounds rounds — " +
+          "not expected on any finite graph (O(log n) bound); raise " +
+          "maxRounds if the component count is astronomically large")
+      // large-star: for every u, m(u) = min(N(u) ∪ {u}); emit
+      // (v, m(u)) for v ∈ N(u), v > u. Orientation (big, small) is
+      // preserved: m(u) <= u < v.
+      val nbrs = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbrs.groupBy(col("src"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("src"), least(col("src"), col("nmin")).as("m"))
+      val ls = nbrs.join(mins, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star: per u (src of the oriented edges), m = min
+      // neighbor; emit (v, m) for its smaller neighbors plus (u, m)
+      val mins2 = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val withM = ls.join(mins2, Seq("src"))
+      val next = withM
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .union(withM.select(col("src"), col("m").as("dst")))
+        .distinct().localCheckpoint(true)
+      // stability: both sides are distinct sets, so equal counts plus
+      // an empty one-sided difference prove set equality
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+    }
+    // stars: every edge points a node at its component min; the roots
+    // label themselves
+    edges.select(col("src").as("node"), col("dst").as("cluster"))
+      .union(edges.select(col("dst").as("node"), col("dst").as("cluster")))
+      .distinct()
+      .localCheckpoint(true) -> rounds
   }
 
   /** Incremental near-dup screen: which documents of a NEW batch are
@@ -591,7 +681,9 @@ object Dedup {
        |SELECT a AS node, LEAST(a, MIN(b)) AS cluster
        |FROM reach GROUP BY a
        |ORDER BY node""".stripMargin) { (spark, dir) =>
-    dupClusters(ngramJaccardPairs(Tables(spark, dir).documents,
+    // r14: the star-contraction path (O(log n) rounds); DedupSpec pins
+    // it row-identical to the propagation operator on the same pairs
+    dupClustersStar(ngramJaccardPairs(Tables(spark, dir).documents,
       shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy(col("node"))
   }

@@ -16,7 +16,8 @@ object Funnel {
 
   def defs: Seq[QueryDef] =
     Seq(q76Funnel, q83PatternRuns, q89MatchRecognize, q96PrevDefine,
-      q98ReluctantMatch, q99NextDefine, q111SkipToNextRow, q113AllRows)
+      q98ReluctantMatch, q99NextDefine, q111SkipToNextRow, q113AllRows,
+      q172ReluctantTimes)
 
   /** Count view→click→purchase funnels per user (consecutive events,
     * event-time order). */
@@ -360,5 +361,50 @@ object Funnel {
       delay = "0 seconds")
       .toDF()
       .orderBy(col("user_id"), col("match_no"), col("pos"))
+  }
+
+  /** r14: RELUCTANT bounded quantifier `{n,m}?` (Flink CEP's
+    * times(n, m) + reluctant — the last fail-loud NFA grammar gap).
+    * `PATTERN (A{2,4}?)` with a trailing reluctant range always binds
+    * its MINIMUM, so each per-user island of consecutive high-value rows
+    * chunks into disjoint PAIRS in scan order — which is exactly how the
+    * gaps-and-islands oracle states it (island position p pairs with
+    * p+1 when p is odd). The extension-under-continuation and streaming
+    * commit-at-min behaviors are pinned by `MatchRecognizeAnySpec`. */
+  val q172ReluctantTimes: QueryDef = QueryDef("q172_reluctant_times",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |m AS (SELECT user_id, event_id, rn,
+      |  CASE WHEN value > 40 THEN 1 ELSE 0 END AS a FROM seq),
+      |isl AS (
+      |  SELECT user_id, event_id, rn,
+      |    rn - SUM(a) OVER (PARTITION BY user_id ORDER BY rn
+      |                      ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM m WHERE a = 1),
+      |pos AS (
+      |  SELECT user_id, grp, event_id,
+      |    row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) AS p
+      |  FROM isl)
+      |SELECT user_id, arg_min(event_id, p) AS first_id,
+      |  arg_max(event_id, p) AS last_id, CAST(2 AS BIGINT) AS n_bound
+      |FROM pos GROUP BY user_id, grp, (p - 1) // 2
+      |HAVING COUNT(*) = 2
+      |ORDER BY user_id, first_id""".stripMargin) { (spark, dir) =>
+    graft.streaming.MatchRecognizeSql.sqlDf(
+      graft.core.Catalog.load(spark, dir, "events"),
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(A.event_id) AS first_id,
+        |           LAST(A.event_id) AS last_id,
+        |           COUNT(A.*) AS n_bound
+        |  ONE ROW PER MATCH
+        |  PATTERN (A{2,4}?)
+        |  DEFINE A AS value > 40
+        |)""".stripMargin)
+      .orderBy(col("user_id"), col("first_id"))
   }
 }

@@ -264,7 +264,7 @@ object Similarity {
   }
 
   /** Embedding-space duplicate clusters: the q51 cosine pairs closed
-    * under transitivity with [[Dedup.dupClusters]] — the same
+    * under transitivity with [[Dedup.dupClustersStar]] — the same
     * pairs→components composition as the text-side q49, here over the
     * semantic (embedding) notion of duplication. One generic components
     * operator serves every pair source. */
@@ -281,7 +281,9 @@ object Similarity {
        |SELECT a AS node, LEAST(a, MIN(b)) AS cluster
        |FROM reach GROUP BY a
        |ORDER BY node""".stripMargin) { (spark, dir) =>
-    Dedup.dupClusters(
+    // r14: the star-contraction path (O(log n) rounds; see
+    // Dedup.dupClustersStar)
+    Dedup.dupClustersStar(
       cosineNearDupPairs(spark, Tables(spark, dir).embeddings, 0.46))
       .orderBy(col("node"))
   }

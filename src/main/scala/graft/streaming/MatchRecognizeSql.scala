@@ -53,9 +53,10 @@ import graft.streaming.StatefulOps.Event
   * evaluation counts as bound, so `LAST(DOWN.price, 1)` is the
   * previous DOWN row and `LAST(A.name, 2) IS NULL` holds when A bound
   * fewer than 3 rows; MatchRecognizeITCase.scala:178-182,404-409),
-  * input navigation `PREV(expr[, n])` / `NEXT(expr[, n])` (offsets > 1
-  * batch-only — the streaming executor retains a single predecessor
-  * marker across consumption), aggregates `COUNT(*)`, `COUNT(V.*)`,
+  * input navigation `PREV(expr[, n])` / `NEXT(expr[, n])` at arbitrary
+  * offsets in both modes (r14 — the streaming executors retain the last
+  * k consumed rows as the predecessor marker, k = the deepest PREV
+  * offset declared), aggregates `COUNT(*)`, `COUNT(V.*)`,
   * `COUNT/SUM/MIN/MAX/AVG(expr)` (COUNT(expr) skips null evaluations,
   * per SQL), `CLASSIFIER()` / `MATCH_NUMBER()`, and `MATCH_ROWTIME()`
   * (the last matched row's primary order value, the reference's
@@ -505,18 +506,16 @@ object MatchRecognizeSql {
     }
     b.result()
   }
-  private def maxInputOffset(e: Ex): Int = {
+  /** Deepest PREV offset in a DEFINE — the streaming executors size
+    * their O(k) predecessor marker by it (r14: arbitrary physical
+    * offsets on streams, matching the reference CEP). */
+  private def maxPrevOffset(e: Ex): Int = {
     var m = 0
     walk(e) {
-      case InputNav(_, _, off) => m = math.max(m, off)
+      case InputNav(d, _, off) if d < 0 => m = math.max(m, off)
       case _ => ()
     }
     m
-  }
-  private def usesInputPrev(e: Ex): Boolean = {
-    var b = false
-    walk(e) { case InputNav(d, _, _) if d < 0 => b = true; case _ => () }
-    b
   }
   private def usesInputNav(e: Ex): Boolean = {
     var b = false
@@ -661,18 +660,19 @@ object MatchRecognizeSql {
         else if (p.accept("?")) { if (p.accept("?")) OptReluctant else Opt }
         else if (p.accept("{")) {
           val min = p.intLit()
-          val t =
+          val (mn, mx) =
             if (p.accept(",")) {
-              if (p.peekIs("}")) Times(min, None)
-              else Times(min, Some(p.intLit()))
-            } else Times(min, Some(min)) // {n} = exactly n
+              if (p.peekIs("}")) (min, None)
+              else (min, Some(p.intLit()))
+            } else (min, Some(min)) // {n} = exactly n
           p.expect("}")
-          require(!p.peekIs("?"),
-            "reluctant bounded quantifiers ({n,m}?) are unsupported — the " +
-              "reference's bounded quantifiers are possessive-greedy")
-          t.max.foreach(m => require(m >= t.min && m > 0,
-            s"invalid bounded quantifier {${t.min},$m}"))
-          t
+          mx.foreach(m => require(m >= mn && m > 0,
+            s"invalid bounded quantifier {$mn,$m}"))
+          // `{n,m}?` (r14): the reluctant combination — shortest
+          // in-range binding first, Flink CEP's times(n,m).reluctant;
+          // the bare form keeps the reference's possessive-greedy
+          // semantics (see PatternMatch.Times)
+          if (p.accept("?")) TimesReluctant(mn, mx) else Times(mn, mx)
         }
         else One
       pat += ((v, q))
@@ -963,9 +963,10 @@ object MatchRecognizeSql {
     * PER MATCH returns every input column + RUNNING measures. A
     * STREAMING input runs the same NFA through
     * [[PatternMatch.matchRowsStream]] (r11) under the Event path's
-    * watermark protocol: leading ORDER BY column must be an ascending
-    * timestamp, and physical PREV/NEXT offsets stay <= 1 (the retained
-    * predecessor marker); `delay` is the watermark. */
+    * watermark protocol: the leading ORDER BY column must be an
+    * ascending timestamp; physical PREV/NEXT offsets are arbitrary
+    * (r14 — the retained predecessor marker holds the deepest declared
+    * PREV depth); `delay` is the watermark. */
   def sqlDf(df: DataFrame, text: String, delay: String = "0 seconds")
       : DataFrame = {
     val q = parse(text)
@@ -974,13 +975,6 @@ object MatchRecognizeSql {
     val partCols = q.partCols.map(c => acc.canonical(fieldIdx(acc, c)))
     val orderKeys = q.orderKeys.map { case (c, asc) =>
       (acc.canonical(fieldIdx(acc, c)), asc)
-    }
-    if (df.isStreaming) {
-      val worst = q.defines.values.map(maxInputOffset).foldLeft(0)(math.max)
-      require(worst <= 1,
-        s"streaming PREV/NEXT offsets beyond 1 are unsupported (got " +
-          s"$worst): the NFA retains a single predecessor marker across " +
-          "consumption — run in batch for deeper physical offsets")
     }
     val steps = compileSteps(q, acc)
     val measureFields = q.measures.map { case (alias, ex) =>
@@ -1037,13 +1031,6 @@ object MatchRecognizeSql {
         s"order), got '${q.orderKeys.map(_._1).mkString(", ")}'")
     require(q.orderKeys.tail.forall(k => k._1.toLowerCase == "event_id" && k._2),
       "the only supported ORDER BY tie-break is event_id ascending")
-    if (events.isStreaming) {
-      val worst = q.defines.values.map(maxInputOffset).foldLeft(0)(math.max)
-      require(worst <= 1,
-        s"streaming PREV/NEXT offsets beyond 1 are unsupported (got " +
-          s"$worst): the NFA retains a single predecessor marker across " +
-          "consumption — run in batch for deeper physical offsets")
-    }
     val steps = compileSteps(q, acc)
     val measureEvals = q.measures.map { case (_, ex) => compile(ex, acc) }
 
@@ -1109,7 +1096,7 @@ object MatchRecognizeSql {
       case None => GStep[R](v, quant, _ => Sat) // SQL default: any row
       case Some(ex) =>
         GStep[R](v, quant, compilePred(ex, acc),
-          needsPrev = usesInputPrev(ex))
+          prevDepth = maxPrevOffset(ex))
     }
   }
 }

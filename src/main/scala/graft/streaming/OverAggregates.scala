@@ -564,6 +564,21 @@ object OverAggregates extends Serializable {
         if (a.max == null || cmpNum(v, a.max) > 0) v else a.max)
     }
 
+  /** Merge two accumulator sets — the session-window merge (reference:
+    * the merging assigner's accumulator merge, SessionWindowAssigner +
+    * the blink agg handlers' `merge`): counts add, sums add exactly on
+    * their domain, extrema compare; null = empty side. Deterministic
+    * because session merges happen in event-time order. */
+  private[streaming] def mergeAccs(a: Seq[Acc], b: Seq[Acc]): Seq[Acc] =
+    a.zip(b).map { case (x, y) =>
+      Acc(x.n + y.n,
+        if (y.sum == null) x.sum else addVals(x.sum, y.sum),
+        if (x.min == null) y.min else if (y.min == null) x.min
+        else if (cmpNum(x.min, y.min) <= 0) x.min else y.min,
+        if (x.max == null) y.max else if (y.max == null) x.max
+        else if (cmpNum(x.max, y.max) >= 0) x.max else y.max)
+    }
+
   /** Fold one entry into the per-agg distinct-value sets (distinct aggs
     * only; others keep their empty set). */
   private[streaming] def updateDsets(aggs: Seq[Agg], dsets: Seq[Set[Any]],

@@ -45,10 +45,12 @@ import graft.streaming.StatefulOps.Event
   * attempt is adjudicated as soon as the watermark passes
   * `start + within` (no later row can extend it), so pending state is
   * bounded by the window — WITHIN is the reference's pruning mechanism
-  * for exactly this leak, reproduced here. The O(1) predecessor marker a
-  * PREV-using pattern keeps after full consumption is pruned by the same
-  * WITHIN horizon (watermark past `prev + within`), so idle keys clear;
-  * without WITHIN the marker is load-bearing and retained.
+  * for exactly this leak, reproduced here. The O(prevDepth) predecessor
+  * marker a PREV-using pattern keeps after full consumption (the last k
+  * consumed rows, k = the deepest PREV offset any DEFINE asks for) is
+  * pruned by the same WITHIN horizon (watermark past the marker's newest
+  * row + within), so idle keys clear; without WITHIN the marker is
+  * load-bearing and retained.
   */
 object PatternMatch extends Serializable {
 
@@ -92,6 +94,12 @@ object PatternMatch extends Serializable {
     * shorter DOWN run and accept 13 as UP. `A+`/`A*` here retain the
     * SQL-standard backtracking-greedy semantics they shipped with. */
   final case class Times(min: Int, max: Option[Int]) extends Quant
+  /** Reluctant bounded quantifier `{n,m}?` / `{n,}?` (r14): shortest
+    * in-range binding first — the Flink CEP `times(n, m)` + reluctant
+    * combination. Like the other reluctant forms it commits as soon as
+    * the continuation matches, so a streaming tail finalizes without a
+    * WITHIN bound once `min` rows bound. */
+  final case class TimesReluctant(min: Int, max: Option[Int]) extends Quant
 
   /** One PATTERN step: a named predicate with a quantifier. `prevPred`
     * (`nextPred`), when present, is ANDed in against (current,
@@ -134,17 +142,19 @@ object PatternMatch extends Serializable {
     * `FIRST(A.price)` navigate rows already bound, reference
     * MatchRecognizeITCase.scala:169-183,390-410). */
   final class MatchCtx[R](val rows: IndexedSeq[R], val idx: Int,
-      bufPrev: Option[R], val finalInput: Boolean,
+      bufPrev: IndexedSeq[R], val finalInput: Boolean,
       stepName: Int => String, acc: List[(Int, Int)]) {
     def row: R = rows(idx)
 
-    /** Input row at relative offset (−1 = SQL PREV, +1 = NEXT). None when
-      * outside the available buffer; offset −1 falls back to the retained
-      * predecessor marker so PREV survives consumption across triggers. */
+    /** Input row at relative offset (−k = SQL PREV(x, k), +k = NEXT).
+      * None when outside the available buffer; negative offsets fall
+      * back to the retained predecessor marker (the last `prevDepth`
+      * consumed rows, r14 — previously a single row) so PREV survives
+      * consumption across triggers at any declared depth. */
     def inputAt(off: Int): Option[R] = {
       val j = idx + off
       if (j >= 0 && j < rows.length) Some(rows(j))
-      else if (j == -1) bufPrev
+      else if (j < 0 && bufPrev.length + j >= 0) Some(bufPrev(bufPrev.length + j))
       else None
     }
 
@@ -171,10 +181,13 @@ object PatternMatch extends Serializable {
     * this; the SQL front-end compiles DEFINE clauses to it directly. */
   final case class GStep[R](name: String, quant: Quant,
       pred: MatchCtx[R] => PredRes,
-      /** True when `pred` may call `ctx.inputAt(-1)` — the streaming
-        * executor then retains the O(1) predecessor marker across full
-        * consumption so PREV stays exact across triggers. */
-      needsPrev: Boolean = false)
+      /** Deepest negative input offset `pred` may ask for
+        * (`ctx.inputAt(-k)` → prevDepth >= k; 0 = none) — the streaming
+        * executors then retain the last `prevDepth` consumed rows as an
+        * O(k) predecessor marker so PREV stays exact across triggers at
+        * any declared depth (r14; reference CEP allows arbitrary
+        * physical offsets, MatchCodeGenerator.scala:82 region). */
+      prevDepth: Int = 0)
 
   /** Adapt the Event-typed Step (row predicate + optional PREV/NEXT
     * cross-row predicates) onto the generic tri-state form, preserving
@@ -191,14 +204,15 @@ object PatternMatch extends Serializable {
         case None => if (ctx.finalInput) Unsat else Undecided
       }
     }
-  }, needsPrev = s.prevPred.isDefined)
+  }, prevDepth = if (s.prevPred.isDefined) 1 else 0)
 
-  /** `prev` carries the input row immediately before `rows.head` (dropped
-    * from the buffer by consumption) so PREV predicates stay exact across
-    * triggers and match boundaries; `nMatches` is the per-key
-    * MATCH_NUMBER high-water mark (exact in batch; in streaming it
-    * survives as long as the key holds any state). */
-  case class BufState(rows: Seq[Event], prev: Option[Event],
+  /** `prev` carries the last `prevDepth` input rows immediately before
+    * `rows.head` (dropped from the buffer by consumption, oldest first)
+    * so PREV predicates stay exact across triggers and match boundaries
+    * at any declared depth; `nMatches` is the per-key MATCH_NUMBER
+    * high-water mark (exact in batch; in streaming it survives as long
+    * as the key holds any state). */
+  case class BufState(rows: Seq[Event], prev: Seq[Event],
       nMatches: Long = 0L)
 
   /** Result of attempting a match at a fixed start offset. `binds` is in
@@ -225,7 +239,7 @@ object PatternMatch extends Serializable {
     * cross-variable DEFINE references. */
   private def tryMatch[R](steps: IndexedSeq[GStep[R]], rows: IndexedSeq[R],
       start: Int, end: Int, finalAtEnd: Boolean, finalInput: Boolean,
-      bufPrev: Option[R]): Attempt = {
+      bufPrev: IndexedSeq[R]): Attempt = {
     val names: Int => String = si => steps(si).name
     def ok(st: GStep[R], si: Int, ri: Int, acc: List[(Int, Int)]): PredRes =
       st.pred(new MatchCtx(rows, ri, bufPrev, finalInput, names,
@@ -332,6 +346,33 @@ object PatternMatch extends Serializable {
             else if (j == end && !finalAtEnd && maxOpt.forall(len < _)) NeedMore
             else if (len < min) NoMatch
             else go(si + 1, j, states(len))
+          case TimesReluctant(min, maxOpt) =>
+            // shortest in-range binding first (r14 — Flink CEP's
+            // times(n,m).reluctant): like the other reluctant forms, the
+            // first Matched is safe to commit even when the run touches a
+            // non-final buffer end — future rows only ever extend the
+            // run, they cannot produce a SHORTER match
+            val cap = maxOpt.map(m => math.min(end, ri + m)).getOrElse(end)
+            val (j, undecided, states) = runExtent(st, si, ri, acc, cap)
+            val len = j - ri
+            if (len < min) {
+              // the run cannot reach min yet: wait if it could still grow
+              if (undecided || (j == end && !finalAtEnd)) NeedMore
+              else NoMatch
+            } else {
+              var k = ri + min
+              while (k <= j) {
+                go(si + 1, k, states(k - ri)) match {
+                  case m: Matched => return m
+                  case NeedMore => return NeedMore
+                  case NoMatch => k += 1
+                }
+              }
+              if (undecided ||
+                  (j == end && !finalAtEnd && maxOpt.forall(len < _)))
+                NeedMore
+              else NoMatch
+            }
         }
       }
     go(0, start, Nil)
@@ -347,7 +388,7 @@ object PatternMatch extends Serializable {
     * becomes final once the watermark (`wmUs`) passes that window. */
   private def scan[R](steps: IndexedSeq[GStep[R]], rows: IndexedSeq[R],
       finalInput: Boolean, wmUs: Long, withinUs: Long,
-      bufPrev: Option[R], skip: SkipStrategy, microsOf: R => Long)
+      bufPrev: IndexedSeq[R], skip: SkipStrategy, microsOf: R => Long)
       : (List[List[Bound[R]]], Int) = {
     def boundIdx(variable: String, binds: List[(Int, Int)], first: Boolean,
         start: Int): Int = {
@@ -475,7 +516,8 @@ object PatternMatch extends Serializable {
         s"or carry a WITHIN bound: a trailing greedy '${steps.last.name}' " +
         s"(${steps.last.quant}) can always be extended by future rows and " +
         "would never finalize")
-    val usesPrev = steps.exists(_.needsPrev)
+    val maxPrev = steps.map(_.prevDepth).foldLeft(0)(math.max)
+    val usesPrev = maxPrev > 0
     implicit val stateEnc: Encoder[BufState] = Encoders.product[BufState]
     events
       .withWatermark("ts", delay)
@@ -492,33 +534,33 @@ object PatternMatch extends Serializable {
             else state.getCurrentWatermarkMs() * 1000L
           val sorted = buf.sortBy(e => (eventMicros(e.ts), e.event_id)).toIndexedSeq
           val closedN = sorted.segmentLength(e => eventMicros(e.ts) <= wmUs)
-          val bufPrev = st.flatMap(_.prev)
+          val bufPrev = st.map(_.prev.toIndexedSeq).getOrElse(IndexedSeq.empty)
           val (matches, retainFrom) =
             scan(stepsArr, sorted.take(closedN), isBatch, wmUs, withinUs,
               bufPrev, skip, (e: Event) => eventMicros(e.ts))
           val baseNo = st.map(_.nMatches).getOrElse(0L)
           val newCount = baseNo + matches.size
           val kept = sorted.slice(retainFrom, closedN) ++ sorted.drop(closedN)
-          // the input row preceding the retained buffer, for PREV across
-          // triggers; with everything consumed it is the last closed row
+          // the last maxPrev input rows preceding the retained buffer,
+          // for PREV across triggers at any declared depth (consumed
+          // rows append to the old marker; the window keeps O(maxPrev))
           val newPrev =
-            if (!usesPrev) None
-            else if (retainFrom > 0) Some(sorted(retainFrom - 1))
-            else bufPrev
+            if (!usesPrev) IndexedSeq.empty[Event]
+            else (bufPrev ++ sorted.take(retainFrom)).takeRight(maxPrev)
           if (kept.isEmpty) {
-            // PREV-using patterns keep an O(1) tail marker so the next
-            // arrival still sees its predecessor; others clear fully.
-            // With a WITHIN bound the marker itself expires once the
-            // watermark is `within` past the predecessor — the same
+            // PREV-using patterns keep an O(prevDepth) tail marker so
+            // the next arrival still sees its predecessors; others clear
+            // fully. With a WITHIN bound the marker expires once the
+            // watermark is `within` past its NEWEST row — the same
             // pruning the reference NFA applies to its shared buffer —
             // so idle keys do not accumulate state forever (a row
             // arriving after that horizon sees no predecessor, the
             // documented WITHIN trade). Without WITHIN the marker is
             // load-bearing indefinitely and is retained.
-            val markerDeadUs = newPrev.map(p => eventMicros(p.ts))
+            val markerDeadUs = newPrev.lastOption.map(p => eventMicros(p.ts))
               .map(us => if (withinUs == Long.MaxValue) Long.MaxValue
                          else us + withinUs)
-            if (usesPrev && newPrev.isDefined &&
+            if (usesPrev && newPrev.nonEmpty &&
                 (isBatch || markerDeadUs.exists(_ > wmUs))) {
               state.update(BufState(Nil, newPrev, newCount))
               if (!isBatch && markerDeadUs.get != Long.MaxValue)
@@ -594,7 +636,7 @@ object PatternMatch extends Serializable {
     def run(key: Row, it: Iterator[Row]): Iterator[Row] = {
       val sorted = it.toIndexedSeq.sorted(ord)
       val (matches, _) = scan(stepsArr, sorted, finalInput = true,
-        Long.MaxValue, withinUs, None, skip, microsOf)
+        Long.MaxValue, withinUs, IndexedSeq.empty, skip, microsOf)
       matches.iterator.zipWithIndex.flatMap { case (m, i) =>
         emit(key, i + 1L, m)
       }
@@ -616,7 +658,7 @@ object PatternMatch extends Serializable {
     * executor — the [[BufState]] shape with raw row values
     * (java-serialized: see OverAggregates.GenState note; public because
     * the serialized-state encoder requires a public class). */
-  final case class GenBufState(rows: Seq[Seq[Any]], prev: Option[Seq[Any]],
+  final case class GenBufState(rows: Seq[Seq[Any]], prev: Seq[Seq[Any]],
       nMatches: Long = 0L)
 
   /** STREAMING MATCH_RECOGNIZE over an ARBITRARY DataFrame — the
@@ -628,9 +670,9 @@ object PatternMatch extends Serializable {
     * (leading key must be an ascending timestamp — the event-time axis),
     * unadjudicated partial matches retain their rows, an event-time
     * timer re-fires when the watermark reaches the earliest retained
-    * row, and a PREV-using pattern keeps the O(1) predecessor marker
-    * across full consumption (expiring with WITHIN, the same pruning the
-    * reference NFA applies to its shared buffer).
+    * row, and a PREV-using pattern keeps the O(prevDepth) predecessor
+    * marker across full consumption (expiring with WITHIN, the same
+    * pruning the reference NFA applies to its shared buffer).
     *
     * Scale: one shuffle on the partition columns; per-key state is the
     * unadjudicated buffer — bounded by WITHIN + the watermark delay,
@@ -666,7 +708,8 @@ object PatternMatch extends Serializable {
         s"or carry a WITHIN bound: a trailing greedy '${steps.last.name}' " +
         s"(${steps.last.quant}) can always be extended by future rows and " +
         "would never finalize")
-    val usesPrev = steps.exists(_.needsPrev)
+    val maxPrev = steps.map(_.prevDepth).foldLeft(0)(math.max)
+    val usesPrev = maxPrev > 0
     val stepsArr = steps.toIndexedSeq
     val ordKeys = orderKeys.map { case (c, asc) =>
       OverAggregates.requireOrderable(schema, c) // fail loudly, not mid-query
@@ -685,29 +728,31 @@ object PatternMatch extends Serializable {
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val sorted = buf.sorted(ord).toIndexedSeq
       val closedN = sorted.segmentLength(r => microsOf(r) <= wmUs)
-      val bufPrev = st.flatMap(_.prev).map(Row.fromSeq)
+      val bufPrev = st.map(_.prev.map(Row.fromSeq).toIndexedSeq)
+        .getOrElse(IndexedSeq.empty)
       val (matches, retainFrom) = scan(stepsArr, sorted.take(closedN),
         finalInput = false, wmUs, withinUs, bufPrev, skip, microsOf)
       val baseNo = st.map(_.nMatches).getOrElse(0L)
       val newCount = baseNo + matches.size
       val kept = sorted.slice(retainFrom, closedN) ++ sorted.drop(closedN)
-      val newPrev: Option[Row] =
-        if (!usesPrev) None
-        else if (retainFrom > 0) Some(sorted(retainFrom - 1))
-        else bufPrev
+      // the last maxPrev input rows preceding the retained buffer (r14:
+      // arbitrary PREV depth — consumed rows append to the old marker)
+      val newPrev: IndexedSeq[Row] =
+        if (!usesPrev) IndexedSeq.empty
+        else (bufPrev ++ sorted.take(retainFrom)).takeRight(maxPrev)
       if (kept.isEmpty) {
-        // the buffer is fully adjudicated; only the O(1) PREV marker may
-        // remain. Without WITHIN it is semantically needed forever — the
-        // opt-in idleTtl (the reference's idle-state retention) bounds it:
-        // the marker drops `idleTtl` of event time after its row, and a
-        // later row sees no predecessor (PREV -> null), the documented
-        // retention trade.
+        // the buffer is fully adjudicated; only the O(prevDepth) PREV
+        // marker may remain. Without WITHIN it is semantically needed
+        // forever — the opt-in idleTtl (the reference's idle-state
+        // retention) bounds it: the marker drops `idleTtl` of event time
+        // after its NEWEST row, and a later row sees no predecessor
+        // (PREV -> null), the documented retention trade.
         val markerLifeUs = math.min(withinUs,
           idleTtl.map(_.toNanos / 1000).getOrElse(Long.MaxValue))
-        val markerDeadUs = newPrev.map(microsOf)
+        val markerDeadUs = newPrev.lastOption.map(microsOf)
           .map(us => if (markerLifeUs == Long.MaxValue) Long.MaxValue
                      else us + markerLifeUs)
-        if (usesPrev && newPrev.isDefined && markerDeadUs.exists(_ > wmUs)) {
+        if (usesPrev && newPrev.nonEmpty && markerDeadUs.exists(_ > wmUs)) {
           state.update(GenBufState(Nil, newPrev.map(_.toSeq), newCount))
           if (markerDeadUs.get != Long.MaxValue)
             state.setTimeoutTimestamp(

@@ -26,7 +26,8 @@ object StatefulBatch {
       q97EarlyFire, q110LateFire, q104UpsertSink, q105RetractApply,
       q120ProcRowsFrame, q121ProcRangeFrame, q124StreamReservoir,
       q150StreamSortAny, q158WindowEarlyAny, q159WindowLateAny,
-      q160TemporalJoinAny, q161ProcRangeAny, q169SqlRankJoinStream)
+      q160TemporalJoinAny, q161ProcRangeAny, q169SqlRankJoinStream,
+      q170HopWindowAny, q171SessionWindowAny)
 
   /** GENERAL-SCHEMA proc-time bounded-RANGE OVER (r13 — the last OVER
     * shape that was Event-typed; reference
@@ -194,6 +195,81 @@ object StatefulBatch {
     * maintaining latest-row-per-key through the foreachBatch merge must
     * equal keep-last dedup over the whole input — the upsert analogue of
     * the batch-collapse contract above. */
+  /** r14: GENERAL-SCHEMA early/late-fire over HOP (sliding) windows —
+    * the emit strategy composed with the reference's SlidingWindowAssigner
+    * (WindowEmitStrategy applies to any assigner;
+    * SlidingWindowAssigner.java:40) — collapsed to batch: a 1-hour
+    * window sliding by 30 minutes keyed by event_type, so every row
+    * lands in exactly two windows; with no watermark every emission is
+    * the final one, i.e. the plain sliding aggregate the oracle
+    * hash-checks (the oracle unrolls the two slide offsets). The
+    * partial → final sequence and per-window independent closing are
+    * pinned by `WindowAggAnySpec`. */
+  val q170HopWindowAny: QueryDef = QueryDef("q170_hop_window_any",
+    """WITH e AS (
+      |  SELECT event_type, user_id, value, epoch_us(ts) AS us FROM events)
+      |SELECT event_type,
+      |  us - (us % 1800000000) - k * 1800000000 AS w_start_us,
+      |  COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value,
+      |  MAX(value) AS max_value, COUNT(DISTINCT user_id) AS n_users,
+      |  1 AS is_final
+      |FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+      |GROUP BY 1, 2
+      |ORDER BY event_type, w_start_us""".stripMargin) { (spark, dir) =>
+    import graft.streaming.OverAggregates.Agg
+    WindowAggAny.earlyLateFireHopAgg(
+      graft.core.Catalog.load(spark, dir, "events"),
+      Seq("event_type"), "ts", Seq("event_id"),
+      size = java.time.Duration.ofHours(1),
+      slide = java.time.Duration.ofMinutes(30),
+      Seq(Agg("COUNT", None, "n_events"), Agg("SUM", Some("value"), "sum_value"),
+        Agg("MAX", Some("value"), "max_value"),
+        Agg("COUNT", Some("user_id"), "n_users", distinct = true)))
+      .select(col("event_type"), col("w_start_us"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"), col("max_value"),
+        col("n_users"), col("is_final"))
+      .orderBy(col("event_type"), col("w_start_us"))
+  }
+
+  /** r14: GENERAL-SCHEMA early/late-fire over SESSION windows — the
+    * emit strategy composed with the reference's merging
+    * SessionWindowAssigner (SessionWindowAssigner.java:37) — collapsed
+    * to batch: 30-minute-gap sessions per user_id; one invocation per
+    * key sees every row, so the emitted finals are exactly the
+    * gaps-and-islands session aggregate the oracle computes (ordered
+    * deterministically by (us, event_id) so tied timestamps island
+    * identically). Merging, early fires, lateness extension and the
+    * beyond-horizon drop are pinned by `WindowAggAnySpec`. */
+  val q171SessionWindowAny: QueryDef = QueryDef("q171_session_window_any",
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT user_id, event_id, value, us,
+      |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+      |                               ORDER BY us, event_id) >= 1800000000
+      |       THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |g AS (SELECT user_id, value, us,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, MIN(us) AS w_start_us, COUNT(*) AS n_events,
+      |  round(SUM(value), 4) AS sum_value, MIN(value) AS min_value,
+      |  1 AS is_final
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, w_start_us""".stripMargin) { (spark, dir) =>
+    import graft.streaming.OverAggregates.Agg
+    WindowAggAny.earlyLateFireSessionAgg(
+      graft.core.Catalog.load(spark, dir, "events"),
+      Seq("user_id"), "ts", Seq("event_id"),
+      gap = java.time.Duration.ofMinutes(30),
+      Seq(Agg("COUNT", None, "n_events"), Agg("SUM", Some("value"), "sum_value"),
+        Agg("MIN", Some("value"), "min_value")))
+      .select(col("user_id"), col("w_start_us"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"), col("min_value"),
+        col("is_final"))
+      .orderBy(col("user_id"), col("w_start_us"))
+  }
+
   /** r14: the front door's streaming rank over a STREAM-STATIC JOIN
     * (reference: rank over a joined stream is plain FlinkStreamRuleSets
     * composition — no one-table restriction). The events fixture replays

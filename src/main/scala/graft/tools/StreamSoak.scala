@@ -391,6 +391,105 @@ object StreamSoak {
           val rows = sf.count()
           sf.unpersist(); j.unpersist()
           (mismatch, onlyB, rows)
+        }, false),
+      // round-14: HOP (sliding) windows through the same straggler
+      // replay — 1-day size / 12-hour slide, so every row enters two
+      // windows via the pre-shuffle expansion; the per-window state
+      // machine is shared with gen_window, so the same drift probes
+      // apply per (key, w_start_us), now across overlapping windows
+      // closing independently
+      ("gen_hop", straggDir,
+        (ds: Dataset[Event]) =>
+          graft.streaming.WindowAggAny.earlyLateFireHopAgg(
+            ds.toDF(), Seq("user_id", "event_type"), "ts", Seq("event_id"),
+            size = dayWin, slide = java.time.Duration.ofHours(12),
+            Seq(graft.streaming.OverAggregates.Agg("COUNT", None, "n_events"),
+              graft.streaming.OverAggregates.Agg("MIN", Some("value"), "min_v"),
+              graft.streaming.OverAggregates.Agg("COUNT", Some("value"), "nd_v",
+                distinct = true),
+              graft.streaming.OverAggregates.Agg("SUM", Some("value"), "sum_v")),
+            earlyFire = "100 milliseconds",
+            delay = java.time.Duration.ofSeconds(60),
+            allowedLateness = lateness),
+        (s, b) => {
+          def fin(log: DataFrame): DataFrame = {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy("user_id", "event_type", "w_start_us")
+              .orderBy(col("n_events").desc, col("is_final").desc)
+            realWin(log).withColumn("rxx", row_number().over(w))
+              .filter(col("rxx") === 1)
+              .select("user_id", "event_type", "w_start_us",
+                "n_events", "min_v", "nd_v", "sum_v")
+          }
+          val sf = fin(s).withColumnRenamed("n_events", "sn")
+            .withColumnRenamed("min_v", "smin")
+            .withColumnRenamed("nd_v", "snd")
+            .withColumnRenamed("sum_v", "ssum").cache()
+          val bf = fin(b).withColumnRenamed("n_events", "bn")
+            .withColumnRenamed("min_v", "bmin")
+            .withColumnRenamed("nd_v", "bnd")
+            .withColumnRenamed("sum_v", "bsum")
+          val j = sf.join(bf,
+            Seq("user_id", "event_type", "w_start_us"), "full_outer").cache()
+          val mismatch = j.filter(col("sn").isNull || col("bn").isNull ||
+            col("sn") =!= col("bn") || col("smin") =!= col("bmin") ||
+            col("snd") =!= col("bnd") ||
+            abs(col("ssum") - col("bsum")) > 1e-6).count()
+          val onlyB = j.filter(col("sn").isNull).count()
+          val rows = sf.count()
+          sf.unpersist(); j.unpersist()
+          (mismatch, onlyB, rows)
+        }, false),
+      // round-14: SESSION windows (merging assigner) through the ordered
+      // replay — 1-hour gap per user_id. On the ordered tiles the 60 s
+      // delay covers the disorder, so sessions only merge while OPEN and
+      // each final session fires exactly once: the log's is_final >= 1
+      // rows ARE the final session partition, compared per (user_id,
+      // w_start_us) against the batch collapse. The sum tolerance is
+      // relative — a session can fold arbitrarily many doubles, and the
+      // stream's cross-batch fold legally reassociates
+      ("gen_session", eventsDir,
+        (ds: Dataset[Event]) =>
+          graft.streaming.WindowAggAny.earlyLateFireSessionAgg(
+            ds.toDF(), Seq("user_id"), "ts", Seq("event_id"),
+            gap = java.time.Duration.ofHours(1),
+            Seq(graft.streaming.OverAggregates.Agg("COUNT", None, "n_events"),
+              graft.streaming.OverAggregates.Agg("MIN", Some("value"), "min_v"),
+              graft.streaming.OverAggregates.Agg("COUNT", Some("value"), "nd_v",
+                distinct = true),
+              graft.streaming.OverAggregates.Agg("SUM", Some("value"), "sum_v")),
+            earlyFire = "100 milliseconds",
+            delay = java.time.Duration.ofSeconds(60)),
+        (s, b) => {
+          def fin(log: DataFrame): DataFrame = {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy("user_id", "w_start_us")
+              .orderBy(col("n_events").desc, col("is_final").desc)
+            realWin(log).filter(col("is_final") >= 1)
+              .withColumn("rxx", row_number().over(w))
+              .filter(col("rxx") === 1)
+              .select("user_id", "w_start_us",
+                "n_events", "min_v", "nd_v", "sum_v")
+          }
+          val sf = fin(s).withColumnRenamed("n_events", "sn")
+            .withColumnRenamed("min_v", "smin")
+            .withColumnRenamed("nd_v", "snd")
+            .withColumnRenamed("sum_v", "ssum").cache()
+          val bf = fin(b).withColumnRenamed("n_events", "bn")
+            .withColumnRenamed("min_v", "bmin")
+            .withColumnRenamed("nd_v", "bnd")
+            .withColumnRenamed("sum_v", "bsum")
+          val j = sf.join(bf,
+            Seq("user_id", "w_start_us"), "full_outer").cache()
+          val mismatch = j.filter(col("sn").isNull || col("bn").isNull ||
+            col("sn") =!= col("bn") || col("smin") =!= col("bmin") ||
+            col("snd") =!= col("bnd") ||
+            abs(col("ssum") - col("bsum")) >
+              abs(col("bsum")) * 1e-9 + 1e-6).count()
+          val onlyB = j.filter(col("sn").isNull).count()
+          val rows = sf.count()
+          sf.unpersist(); j.unpersist()
+          (mismatch, onlyB, rows)
         }, false))
 
     // The early/late-fire ops keep a PROC-TIME timer per open window, and
@@ -420,7 +519,8 @@ object StreamSoak {
       if (q.isActive) q.stop()
       q.awaitTermination()
     }
-    val procTimerOps = Set("early_fire", "late_fire", "gen_window")
+    val procTimerOps = Set("early_fire", "late_fire", "gen_window",
+      "gen_hop", "gen_session")
 
     ops.filter(_._1.startsWith(opPrefix)).foreach {
       case (name, dir, op, check, exactMultiset) =>
@@ -456,7 +556,7 @@ object StreamSoak {
         val extra = name match {
           case "early_fire" =>
             s""","early_fires":${streamLog.filter(col("is_final") === 0).count()}"""
-          case "late_fire" | "gen_window" =>
+          case "late_fire" | "gen_window" | "gen_hop" | "gen_session" =>
             s""","early_fires":${streamLog.filter(col("is_final") === 0).count()},""" +
               s""""late_finals":${streamLog.filter(col("is_final") === 2).count()}"""
           case "sort" | "gen_sort" =>

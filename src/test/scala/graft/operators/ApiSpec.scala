@@ -187,5 +187,30 @@ class ApiSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L),
       s"components must be labeled by their minimum node, got $got")
+    // r14: the star-contraction variant returns the identical labels
+    val star = Dedup.dupClustersStar(pairs, "left_doc", "right_doc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == got, s"star contraction disagrees: $star")
+  }
+
+  test("r14 dupClustersStar converges in O(log n) rounds on a skewed " +
+    "chain where min-label propagation needs O(diameter)") {
+    import spark.implicits._
+    // a 512-node path graph: diameter 511 — propagation's worst case
+    val n = 512
+    val chain = (0 until n - 1).map(i => (i.toLong, i + 1L))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Dedup.dupClustersStarCounted(chain, "id_a", "id_b", maxRounds = 32)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.forall(_._2 == 0L),
+      s"one component labeled 0 expected, got ${got.take(5)}...")
+    assert(rounds <= 12, s"star contraction took $rounds rounds on a " +
+      s"$n-chain — expected O(log n)")
+    // the propagation operator on the same chain would need ~diameter
+    // rounds: its own bound check proves that without paying them
+    val e = intercept[IllegalArgumentException](
+      Dedup.dupClusters(chain, "id_a", "id_b", maxRounds = 16).collect())
+    assert(e.getMessage.contains("did not converge"))
   }
 }

@@ -149,6 +149,52 @@ class MatchRecognizeAnySpec extends SparkSpec {
         |PATTERN (A{2,4}) DEFINE A AS id > 0)""".stripMargin)
     assert(rows(ranged).toSet ==
       Set(Seq[Any](1, 4, 4L), Seq[Any](5, 6, 2L)))
+    // {2,4}? (r14): reluctant — shortest in-range binding, so a
+    // trailing reluctant range chunks the run into pairs
+    val rel = MatchRecognizeSql.sqlDf(t,
+      """MATCH_RECOGNIZE (ORDER BY id
+        |MEASURES FIRST(A.id) AS a, LAST(A.id) AS b, COUNT(A.*) AS n
+        |PATTERN (A{2,4}?) DEFINE A AS id > 0)""".stripMargin)
+    assert(rows(rel).toSet ==
+      Set(Seq[Any](1, 2, 2L), Seq[Any](3, 4, 2L), Seq[Any](5, 6, 2L)),
+      rows(rel).toString)
+    // reluctant range EXTENDS only when the continuation demands it:
+    // B requires id = 5, so A{2,4}? stretches past its minimum to 4 rows
+    val relExt = MatchRecognizeSql.sqlDf(t,
+      """MATCH_RECOGNIZE (ORDER BY id
+        |MEASURES FIRST(A.id) AS a, LAST(A.id) AS b, B.id AS bid
+        |PATTERN (A{2,4}? B) DEFINE A AS id > 0, B AS id = 5)""".stripMargin)
+    assert(rows(relExt) == Seq(Seq[Any](1, 4, 5)), rows(relExt).toString)
+  }
+
+  test("r14 STREAMING reluctant bounded tail {2,3}? commits at the " +
+      "minimum as soon as its rows arrive — no WITHIN needed") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val rows6 = (1 to 6).map(i => MrTick("ACME", i * 10, i.toLong, ts(i)))
+    val q = """SELECT * FROM t MATCH_RECOGNIZE (
+              |  PARTITION BY sym
+              |  ORDER BY rowtime
+              |  MEASURES FIRST(A.id) AS a, LAST(A.id) AS b
+              |  ONE ROW PER MATCH
+              |  PATTERN (A{2,3}?)
+              |  DEFINE A AS price > 0
+              |)""".stripMargin
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MrTick]
+    val query = MatchRecognizeSql.sqlDf(input.toDF(), q)
+      .writeStream.format("memory").queryName("mrreltimes")
+      .outputMode("append").start()
+    rows6.foreach { r => input.addData(r); query.processAllAvailable() }
+    query.stop()
+    val got = spark.table("mrreltimes").select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 4L), (5L, 6L)), s"got $got")
+    // batch collapse agrees
+    val batchGot = MatchRecognizeSql.sqlDf(rows6.toDF(), q)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(batchGot == got, s"batch twin disagrees: $batchGot")
   }
 
   test("aggregates in MEASURES: SUM/AVG/MIN/MAX and null-skipping COUNT") {
@@ -210,6 +256,98 @@ class MatchRecognizeAnySpec extends SparkSpec {
     val batchGot = MatchRecognizeSql
       .sqlDf((batch1 ++ batch2).toDF(), q)
       .as[(String, Int, Int, Int)].collect().toSet
+    assert(batchGot == want, s"batch twin disagrees: $batchGot")
+  }
+
+  test("r14 STREAMING PREV/NEXT offsets beyond 1: the depth-k " +
+      "predecessor marker survives consumption across micro-batches and " +
+      "streaming equals the batch collapse") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    // one row per batch, so every PREV(price, 2) reference after the
+    // first two crosses consumed rows held only by the marker
+    val rows = Seq(5, 3, 6, 4, 7, 2, 8).zipWithIndex.map { case (p, i) =>
+      MrTick("ACME", p, i + 1L, ts(i + 1L))
+    }
+    val qPrev = """SELECT * FROM t MATCH_RECOGNIZE (
+                  |  PARTITION BY sym
+                  |  ORDER BY rowtime
+                  |  MEASURES A.price AS p
+                  |  ONE ROW PER MATCH
+                  |  PATTERN (A)
+                  |  DEFINE A AS price > PREV(price, 2)
+                  |)""".stripMargin
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MrTick]
+    val query = MatchRecognizeSql.sqlDf(input.toDF(), qPrev)
+      .writeStream.format("memory").queryName("mrprev2")
+      .outputMode("append").start()
+    rows.foreach { r => input.addData(r); query.processAllAvailable() }
+    query.stop()
+    val got = spark.table("mrprev2").select("p")
+      .as[Int].collect().toSet
+    // row i matches iff price(i) > price(i-2): 6>5, 4>3, 7>6, 8>7
+    val want = Set(6, 4, 7, 8)
+    assert(got == want, s"got $got")
+    val batchGot = MatchRecognizeSql.sqlDf(rows.toDF(), qPrev)
+      .select("p").as[Int].collect().toSet
+    assert(batchGot == want, s"batch twin disagrees: $batchGot")
+    // NEXT at depth 2: a row is held undecided until its second
+    // successor arrives, then adjudicates exactly as in batch
+    val qNext = """SELECT * FROM t MATCH_RECOGNIZE (
+                  |  PARTITION BY sym
+                  |  ORDER BY rowtime
+                  |  MEASURES B.price AS p
+                  |  ONE ROW PER MATCH
+                  |  PATTERN (B)
+                  |  DEFINE B AS price < NEXT(price, 2)
+                  |)""".stripMargin
+    val input2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MrTick]
+    val query2 = MatchRecognizeSql.sqlDf(input2.toDF(), qNext)
+      .writeStream.format("memory").queryName("mrnext2")
+      .outputMode("append").start()
+    rows.foreach { r => input2.addData(r); query2.processAllAvailable() }
+    query2.stop()
+    val gotN = spark.table("mrnext2").select("p").as[Int].collect().toSet
+    // price(i) < price(i+2): 5<6, 3<4, 6<7, 7<8; the tail two rows stay
+    // unadjudicated on the open stream (their successors never arrive)
+    assert(gotN == Set(5, 3, 6, 7), s"got $gotN")
+  }
+
+  test("r14 STREAMING deep PREV on the Event-model entry: offset 3 " +
+      "across single-row batches equals the batch collapse") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StatefulOps.Event
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val vals = Seq(5.0, 3.0, 6.0, 4.0, 7.0, 2.0, 8.0, 1.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Event(1L, i + 1L, ts(i + 1L), "click", v)
+    }
+    val text = """SELECT * FROM t MATCH_RECOGNIZE (
+                 |  PARTITION BY user_id
+                 |  ORDER BY ts
+                 |  MEASURES A.event_id AS eid
+                 |  ONE ROW PER MATCH
+                 |  PATTERN (A)
+                 |  DEFINE A AS value > PREV(value, 3)
+                 |)""".stripMargin
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event]
+    val query = MatchRecognizeSql.sql(input.toDS(), text)
+      .writeStream.format("memory").queryName("mrprev3ev")
+      .outputMode("append").start()
+    evs.foreach { e => input.addData(e); query.processAllAvailable() }
+    query.stop()
+    val got = spark.table("mrprev3ev").select("eid").as[Long].collect().toSet
+    // value(i) > value(i-3): i4 4<5 no; i5 7>3 yes; i6 2<6 no; i7 8>4
+    // yes; i8 1<7 no
+    val want = Set(5L, 7L)
+    assert(got == want, s"got $got")
+    val batchGot = MatchRecognizeSql.sql(evs.toDS(), text)
+      .select("eid").as[Long].collect().toSet
     assert(batchGot == want, s"batch twin disagrees: $batchGot")
   }
 

@@ -90,10 +90,11 @@ class MatchRecognizeSqlSpec extends SparkSpec {
     bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
           |MEASURES Z.event_id AS x PATTERN (A))""".stripMargin,
       "not a PATTERN variable")
-    // reluctant bounded quantifier (the reference's are possessive)
+    // malformed bounded quantifier still fails loudly (the reluctant
+    // {n,m}? form itself parses since r14 — MatchRecognizeAnySpec)
     bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
-          |PATTERN (A{2,3}? B))""".stripMargin,
-      "possessive")
+          |PATTERN (A{3,2} B))""".stripMargin,
+      "invalid bounded quantifier")
     // navigation nesting
     bad("""MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
           |MEASURES FIRST(LAST(A.value)) AS x PATTERN (A))""".stripMargin,

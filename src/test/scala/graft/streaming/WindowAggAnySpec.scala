@@ -216,4 +216,171 @@ class WindowAggAnySpec extends SparkSpec {
       ("Hello world", 5000L, 2L, 2L, 3, 3, 4, 7L),
       ("Hello world", 15000L, 1L, 1L, 3, 3, 3, 3L)), s"got ${upsert()}")
   }
+
+  // ------------------------------------------------ HOP / SESSION (r14)
+
+  test("hop early/late fire: a row enters size/slide windows, each " +
+    "closing independently as the watermark passes its end") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double, Long)]
+    val out = WindowAggAny.earlyLateFireHopAgg(
+      input.toDF().toDF("k", "t", "v", "u"), Seq("k"), "t", Seq("u"),
+      size = java.time.Duration.ofMinutes(10),
+      slide = java.time.Duration.ofMinutes(5), aggs,
+      earlyFire = "100 milliseconds")
+    val q = out.writeStream.format("memory").queryName("whop")
+      .outputMode("append").start()
+    def fires(): Seq[(Long, Long, Double, Long, Int)] =
+      spark.table("whop").filter($"k" === "a")
+        .select($"w_start_us", $"n", $"mn", $"du", $"is_final")
+        .as[(Long, Long, Double, Long, Int)].collect().toSeq
+    val base = ts(0).getTime * 1000L
+    val m5 = 5L * 60 * 1000000
+    // 10:01 lives in [09:55, 10:05) and [10:00, 10:10)
+    input.addData(("a", ts(1), 5.0, 7L))
+    assert(await(fires().map(_._1).toSet == Set(base - m5, base)),
+      s"partials in both windows expected: ${fires()}")
+    assert(fires().forall(_._5 == 0), s"still open: ${fires()}")
+    // watermark to 10:06: closes [09:55, 10:05) only
+    input.addData(("z", ts(6), 0.0, 0L))
+    assert(await(fires().exists(_._5 == 1)), "no final on close")
+    assert(fires().filter(_._5 == 1) == Seq((base - m5, 1L, 5.0, 1L, 1)),
+      s"got ${fires()}")
+    // second row at 10:07 joins [10:00, 10:10) and [10:05, 10:15) but
+    // NOT the closed window
+    input.addData(("a", ts(7), 2.0, 8L))
+    assert(await(fires().exists(f => f._1 == base && f._2 == 2L)),
+      s"merged partial expected: ${fires()}")
+    // watermark to 10:16 closes both remaining windows
+    input.addData(("z", ts(16), 0.0, 0L))
+    assert(await(fires().count(_._5 == 1) == 3), s"got ${fires()}")
+    q.stop()
+    assert(fires().filter(_._5 == 1).sorted == Seq(
+      (base - m5, 1L, 5.0, 1L, 1),
+      (base, 2L, 2.0, 2L, 1),
+      (base + m5, 1L, 2.0, 1L, 1)).sorted, s"got ${fires()}")
+  }
+
+  test("hop batch collapse equals Spark's own sliding-window aggregate " +
+    "(size not a multiple of slide)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", ts(0), 1.0, 1L), ("a", ts(4), 2.0, 2L), ("a", ts(11), 4.0, 2L),
+      ("b", ts(7), 8.0, 3L))
+      .toDF("k", "t", "v", "u")
+    val got = WindowAggAny.earlyLateFireHopAgg(df, Seq("k"), "t", Seq("u"),
+      size = java.time.Duration.ofMinutes(7),
+      slide = java.time.Duration.ofMinutes(3),
+      Seq(Agg("COUNT", None, "n"), Agg("SUM", Some("v"), "s")))
+      .select($"k", $"w_start_us", $"n", $"s")
+      .as[(String, Long, Long, Double)].collect().toSeq.sorted
+    val native = df.groupBy(window($"t", "7 minutes", "3 minutes"), $"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .select($"k", unix_micros($"window.start"), $"n", $"s")
+      .as[(String, Long, Long, Double)].collect().toSeq.sorted
+    assert(got == native && got.nonEmpty, s"executor $got vs native $native")
+  }
+
+  test("session early fire + merge: a bridging row merges two open " +
+    "sessions (accumulators and distinct sets merge), the merged " +
+    "session closes once") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double, Long)]
+    val out = WindowAggAny.earlyLateFireSessionAgg(
+      input.toDF().toDF("k", "t", "v", "u"), Seq("k"), "t", Seq("u"),
+      gap = java.time.Duration.ofMinutes(5), aggs,
+      earlyFire = "100 milliseconds",
+      // a watermark delay keeps BOTH sessions open across the batches
+      // below (with delay 0 the second row's own timestamp would close
+      // the first session before the bridge arrives)
+      delay = java.time.Duration.ofMinutes(10))
+    val q = out.writeStream.format("memory").queryName("wsess")
+      .outputMode("append").start()
+    def fires(): Seq[(Long, Long, Double, Long, Int)] =
+      spark.table("wsess").filter($"k" === "a")
+        .select($"w_start_us", $"n", $"mn", $"du", $"is_final")
+        .as[(Long, Long, Double, Long, Int)].collect().toSeq
+    val base = ts(0).getTime * 1000L
+    val m1 = 60L * 1000000
+    // two sessions: 10:00 and 10:08 (gap 5m, 10:05 < 10:08)
+    input.addData(("a", ts(0), 5.0, 7L), ("a", ts(8), 2.0, 8L))
+    assert(await(fires().map(_._1).toSet == Set(base, base + 8 * m1)),
+      s"two open sessions expected: ${fires()}")
+    // bridging row at 10:04 merges them: one session [10:00 .. 10:08]
+    input.addData(("a", ts(4), 1.0, 7L))
+    assert(await(fires().exists(f => f._1 == base && f._2 == 3L)),
+      s"merged partial expected: ${fires()}")
+    assert(fires().last == (base, 3L, 1.0, 2L, 0), s"got ${fires()}")
+    // close: watermark (maxTs - 10m delay) past the merged end 10:13
+    input.addData(("z", ts(40), 0.0, 0L))
+    assert(await(fires().exists(_._5 == 1)), "no final on close")
+    q.stop()
+    assert(fires().filter(_._5 == 1) == Seq((base, 3L, 1.0, 2L, 1)),
+      s"got ${fires()}")
+  }
+
+  test("session allowed lateness: a late row inside the horizon " +
+    "EXTENDS the closed session and re-emits updated finals; beyond " +
+    "the horizon it is discarded") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double, Long)]
+    val out = WindowAggAny.earlyLateFireSessionAgg(
+      input.toDF().toDF("k", "t", "v", "u"), Seq("k"), "t", Seq("u"),
+      gap = java.time.Duration.ofMinutes(5), aggs,
+      earlyFire = "100 milliseconds",
+      allowedLateness = java.time.Duration.ofMinutes(20))
+    val q = out.writeStream.format("memory").queryName("wsesslate")
+      .outputMode("append").start()
+    def fires(): Seq[(Long, Long, Double, Long, Int)] =
+      spark.table("wsesslate").filter($"k" === "a")
+        .select($"w_start_us", $"n", $"mn", $"du", $"is_final")
+        .as[(Long, Long, Double, Long, Int)].collect().toSeq
+    val base = ts(0).getTime * 1000L
+    input.addData(("a", ts(1), 5.0, 7L))
+    // true watermark = sparkWm + 20m; maxTs 10:15 -> trueWm 10:15
+    // passes the session end 10:06, sparkWm 9:55 stays below it (the
+    // session state is RETAINED for the lateness horizon)
+    input.addData(("z", ts(15), 0.0, 0L))
+    assert(await(fires().exists(_._5 == 1)), s"no first final: ${fires()}")
+    // late row at 10:03 inside the horizon: merges into the closed
+    // session (extends lastUs 10:01 -> 10:03) and updates the final
+    input.addData(("a", ts(3), 1.0, 9L))
+    assert(await(fires().exists(_._5 == 2)), s"no late final: ${fires()}")
+    assert(fires().filter(_._5 == 2) == Seq((base + 60L * 1000000, 2L,
+      1.0, 2L, 2)), s"got ${fires()}")
+    // sparkWm past the extended horizon (10:08): state drops; a later
+    // row for the session is discarded
+    input.addData(("z", Timestamp.valueOf("2024-01-01 11:30:00"), 0.0, 0L))
+    Thread.sleep(600)
+    val nBefore = fires().size
+    input.addData(("a", ts(2), 0.5, 10L))
+    Thread.sleep(800)
+    assert(fires().size == nBefore,
+      s"beyond-horizon row must be discarded: ${fires()}")
+    q.stop()
+  }
+
+  test("session batch collapse equals the gaps-and-islands session " +
+    "aggregate (Spark session_window), composite key") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, ts(0), 1.0, 1L), ("a", 1L, ts(3), 2.0, 2L),
+      ("a", 1L, ts(11), 4.0, 2L), ("a", 2L, ts(1), 16.0, 5L),
+      ("b", 1L, ts(7), 8.0, 3L))
+      .toDF("k", "g", "t", "v", "u")
+    val got = WindowAggAny.earlyLateFireSessionAgg(df, Seq("k", "g"), "t",
+      Seq("u"), gap = java.time.Duration.ofMinutes(5),
+      Seq(Agg("COUNT", None, "n"), Agg("SUM", Some("v"), "s")))
+      .select($"k", $"g", $"w_start_us", $"n", $"s")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sorted
+    val native = df
+      .groupBy(session_window($"t", "5 minutes"), $"k", $"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .select($"k", $"g", unix_micros($"session_window.start"), $"n", $"s")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(got == native && got.nonEmpty, s"executor $got vs native $native")
+  }
 }
