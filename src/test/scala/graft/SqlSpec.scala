@@ -273,6 +273,37 @@ class SqlSpec extends SparkSpec {
       ("k2", 7L, 7.0)))
   }
 
+  test("r14: a streaming OVER frame over a stream-static join routes — " +
+    "the join splices as a view, the OVER executor runs on its flat " +
+    "output") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val input = MemoryStream[OverT1]
+    input.toDF().createOrReplaceTempView("sql_stream_overj")
+    Seq(("k1", 10L), ("k2", 20L)).toDF("ck", "boost")
+      .createOrReplaceTempView("sql_static_boost")
+    val routed = graft.Sql.sql(spark,
+      """SELECT c, a, boost, SUM(a) OVER (PARTITION BY c ORDER BY rowtime
+        |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS sum_a
+        |FROM sql_stream_overj s JOIN sql_static_boost d ON s.c = d.ck""".stripMargin)
+    assert(routed.isStreaming)
+    val q = routed.writeStream.format("memory").queryName("sqloverjoin")
+      .outputMode("append").start()
+    input.addData(OverT1(1, 1, "k1", ts(1)), OverT1(2, 2, "k1", ts(2)),
+      OverT1(7, 7, "k2", ts(1)))
+    q.processAllAvailable()
+    // sentinels close the frames (k1 so the join passes them through)
+    input.addData(OverT1(0, 0, "k1", ts(100))); q.processAllAvailable()
+    input.addData(OverT1(0, 0, "k1", ts(200))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sqloverjoin").filter($"a" > 0)
+      .select($"c", $"a", $"boost", $"sum_a")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == Set(("k1", 1L, 10L, 1.0), ("k1", 2L, 10L, 3.0),
+      ("k2", 7L, 20L, 7.0)), s"got $got")
+  }
+
   test("a window entirely on the STATIC side of a stream-static join " +
     "stays with Spark SQL (plannable natively); keywords in string " +
     "literals/comments never trip the router") {
