@@ -22,8 +22,9 @@ import graft.streaming.StatefulOps.Event
   *    composite or empty `PARTITION BY`, arbitrary `ORDER BY` columns
   *    with ASC/DESC (reference MatchRecognizeITCase.scala:169-183
   *    partitions a 4-column table by two keys; :230 orders by three).
-  *    Batch-only: the per-key NFA state machinery is typed, so the
-  *    streaming path stays on the event model.
+  *    Batch AND streaming (r11: [[PatternMatch.matchRowsStream]] is the
+  *    general-schema streaming executor under the Event path's
+  *    watermark protocol).
   *  - [[sql]] — the event-model entry (`PARTITION BY user_id`,
   *    `ORDER BY ts[, event_id]`), streaming AND batch through the keyed
   *    RocksDB-compatible NFA executor.

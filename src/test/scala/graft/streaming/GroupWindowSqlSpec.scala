@@ -104,6 +104,29 @@ class GroupWindowSqlSpec extends SparkSpec {
       Seq[Any]("w5", new Timestamp(10000L), 1L)))
   }
 
+  test("r14: an auxiliary repeating a DIFFERENT query block's window " +
+    "arguments fails loudly (it would silently emit its own block's " +
+    "bounds) — same-block auxiliaries keep working") {
+    // block 1 groups by the 10s window, block 2 by the 5s window; the
+    // second block's auxiliary repeats BLOCK 1's arguments
+    val e = intercept[IllegalArgumentException](GroupWindowSql.rewrite(
+      """SELECT TUMBLE_START(ts, INTERVAL '10' SECOND) AS ws, COUNT(*)
+        |FROM t GROUP BY TUMBLE(ts, INTERVAL '10' SECOND)
+        |UNION ALL
+        |SELECT TUMBLE_START(ts, INTERVAL '10' SECOND) AS ws, COUNT(*)
+        |FROM t GROUP BY TUMBLE(ts, INTERVAL '5' SECOND)""".stripMargin))
+    assert(e.getMessage.contains("its own query block") &&
+      e.getMessage.contains("DIFFERENT block"), e.getMessage)
+    // a subquery block's auxiliary must not leak into the outer block:
+    // outer aux with no outer group window fails even though the inner
+    // block groups by those exact arguments
+    val e2 = intercept[IllegalArgumentException](GroupWindowSql.rewrite(
+      """SELECT TUMBLE_END(ts, INTERVAL '10' SECOND) FROM (
+        |  SELECT window.start AS ts2, COUNT(*)
+        |  FROM t GROUP BY TUMBLE(ts, INTERVAL '10' SECOND)) x""".stripMargin))
+    assert(e2.getMessage.contains("has no group window"), e2.getMessage)
+  }
+
   test("inert text passes through: no keywords (same instance), keywords " +
     "in string literals, a bare column named hop") {
     val plain = "SELECT a FROM t GROUP BY a"
