@@ -21,7 +21,9 @@ class WindowAggAnySpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
-  private def await(cond: => Boolean, timeoutMs: Long = 20000): Boolean = {
+  // 60 s: generous against degraded shared-host sessions — a full-suite
+  // run at 2x normal wall time flaked a 20 s await once (r14)
+  private def await(cond: => Boolean, timeoutMs: Long = 60000): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
     cond
