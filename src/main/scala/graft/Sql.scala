@@ -138,19 +138,38 @@ object Sql {
           "(reference parity: only ROW_NUMBER ranks a stream)")
     }
     if (cteDefs.nonEmpty) return Some(sql(spark, stripCtes(spark, text)))
-    val rels = relNames(plan)
-    if (rels.size != 1) {
-      // r14: a rank/OVER over a COMPOSED streaming input (the reference
-      // plans rank over an arbitrary stream subtree —
-      // FlinkStreamRuleSets' full logical pipeline): run the source
-      // join natively (Spark plans stream-static joins; a stream-stream
-      // combination is adjudicated by Spark's own checker at start),
-      // register it as a temp view, splice the view name over the
-      // join's text span, and re-route — the executor then sees the
-      // one-table form. Statement columns must be unqualified (the
-      // executor grammar reads the join's flat output schema).
-      return Some(sql(spark, spliceSourceJoin(spark, text, plan)))
+    // r14/r15: a rank/OVER over a COMPOSED streaming input — a
+    // FROM-clause join or a derived table (the reference plans rank over
+    // an arbitrary stream subtree: FlinkStreamRuleSets' full logical
+    // pipeline feeding StreamExecRank). Run the topmost composed source
+    // natively (Spark plans stream-static joins and derived-table
+    // subtrees itself; a stream-stream combination is adjudicated by
+    // Spark's own checker at start), register it as a temp view, splice
+    // the view name over the source's text span (parser Origin offsets),
+    // and re-route — the executor then sees the one-table form.
+    // Statement columns must be unqualified for joins (the executor
+    // grammar reads the join's flat output schema). A derived table
+    // carrying the window expression itself (the rank idiom's own
+    // `FROM (SELECT …, ROW_NUMBER() …)` wrapper) is never lifted — it IS
+    // the executor grammar.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, SubqueryAlias}
+    val composed: Seq[LogicalPlan] = plan.collect {
+      case j: Join => j: LogicalPlan
+      case sa: SubqueryAlias if !sa.child.isInstanceOf[UnresolvedRelation]
+          && !containsWindowExpr(sa) => sa: LogicalPlan
     }
+    composed.headOption match { // collect is pre-order: topmost source
+      case Some(j: Join) =>
+        return Some(sql(spark, spliceSourceJoin(spark, text, j)))
+      case Some(sa: SubqueryAlias) =>
+        return Some(sql(spark, spliceDerivedTable(spark, text, sa)))
+      case _ =>
+    }
+    val rels = relNames(plan)
+    require(rels.size == 1,
+      "a streaming rank/OVER statement must read one table, a join of " +
+        "sources, or a derived table in its FROM clause; compose other " +
+        "shapes in a view over this front door first")
     val df = spark.table(rels.head)
     if (streamingWinFns.contains("ROW_NUMBER"))
       Some(graft.streaming.RankSql.sqlDf(df, text))
@@ -159,55 +178,164 @@ object Sql {
 
   private val srcJoinViews = new java.util.concurrent.atomic.AtomicInteger
 
+  /** True when any expression in the subtree is a window expression —
+    * used to keep the rank idiom's own `FROM (SELECT …, ROW_NUMBER() …)`
+    * wrapper out of the derived-table lift. */
+  private def containsWindowExpr(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{UnresolvedWindowExpression, WindowExpression}
+    p.collect {
+      case q if q.expressions.exists(_.exists {
+        case _: WindowExpression => true
+        case _: UnresolvedWindowExpression => true
+        case _ => false
+      }) => q
+    }.nonEmpty
+  }
+
+  /** Smallest text span [start, stop] covering a parsed subtree, from
+    * the parser Origin offsets recorded on its nodes. */
+  private def originSpan(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : (Int, Int) = {
+    val starts = p.collect {
+      case n if n.origin.startIndex.isDefined => n.origin.startIndex.get
+    }
+    val stops = p.collect {
+      case n if n.origin.stopIndex.isDefined => n.origin.stopIndex.get
+    }
+    require(starts.nonEmpty && stops.nonEmpty,
+      "internal: parser origin offsets unavailable for the source span")
+    (starts.min, stops.max)
+  }
+
   /** Rebuild the topmost FROM-clause join of a routed streaming
     * rank/OVER statement as a native DataFrame join, register it as a
     * temp view, and return the statement with the join's text span
     * replaced by the view name (parser Origin offsets locate the span:
-    * leftmost source start .. join stop). Fails loudly on source shapes
-    * beyond relation/alias/join — compose those in a view first. */
+    * leftmost source start .. join stop). Join inputs may be relations,
+    * aliases, nested joins, or window-free derived tables (planned back
+    * through the front door, r15); anything else — including a derived
+    * table computing its own window — fails loudly: compose it in a
+    * view first. USING joins keep their coalesced-key semantics;
+    * NATURAL joins are rejected loudly (r15 — a missing joinType match
+    * previously cross-joined them). */
   private def spliceSourceJoin(spark: SparkSession, text: String,
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : String = {
+      top: org.apache.spark.sql.catalyst.plans.logical.Join): String = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner, NaturalJoin, UsingJoin}
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, SubqueryAlias}
     import org.apache.spark.sql.functions.expr
-    val joins = plan.collect { case j: Join => j }
-    require(joins.nonEmpty,
-      "a streaming rank/OVER statement must read one table or a join " +
-        "of tables in its FROM clause; compose other shapes in a view " +
-        "over this front door first")
-    val top = joins.head // collect is pre-order: the topmost join
     def build(p: LogicalPlan): DataFrame = p match {
-      case SubqueryAlias(id, child) => build(child).as(id.name)
+      case SubqueryAlias(id, child) => child match {
+        case _: UnresolvedRelation | _: Join | _: SubqueryAlias =>
+          build(child).as(id.name)
+        case other =>
+          // a derived table under the join: run its inner statement back
+          // through the front door (nested group windows, UNNEST, …
+          // compose); one computing its own window needs its own route
+          require(!containsWindowExpr(other),
+            "a derived table computing a window expression cannot feed " +
+              "a streaming rank/OVER join directly; compose it in a " +
+              "view over this front door first")
+          val (s0, s1) = originSpan(other)
+          sql(spark, text.substring(s0, s1 + 1)).as(id.name)
+      }
       case r: UnresolvedRelation =>
         spark.table(r.multipartIdentifier.mkString("."))
       case Join(l, r, jt, cond, _) =>
         val ld = build(l); val rd = build(r)
-        cond match {
-          case Some(c) =>
-            ld.join(rd, expr(c.sql), jt.sql.toLowerCase.replace(" ", ""))
-          case None => ld.crossJoin(rd)
+        jt match {
+          // USING/NATURAL carry their keys in the joinType, not the
+          // condition — falling through to cond=None would CROSS join
+          case UsingJoin(tpe, cols) =>
+            ld.join(rd, cols, tpe.sql.toLowerCase.replace(" ", ""))
+          case _: NaturalJoin => sys.error(
+            "NATURAL JOIN is not supported on the streaming rank/OVER " +
+              "route; spell the join keys with ON or USING")
+          case _ => cond match {
+            case Some(c) =>
+              ld.join(rd, expr(c.sql), jt.sql.toLowerCase.replace(" ", ""))
+            case None if jt == Inner || jt == Cross => ld.crossJoin(rd)
+            case None => sys.error(
+              s"${jt.sql} JOIN with no ON condition cannot be planned " +
+                "on the streaming rank/OVER route")
+          }
         }
       case other => sys.error(
-        "streaming rank/OVER join source supports relations, aliases " +
-          s"and joins; found ${other.nodeName} — compose it in a view " +
-          "over this front door first")
+        "streaming rank/OVER join source supports relations, aliases, " +
+          s"joins and derived tables; found ${other.nodeName} — compose " +
+          "it in a view over this front door first")
     }
     require(top.origin.sqlText.contains(text),
       "internal: join origin text does not match the routed statement")
-    val starts = top.collect {
-      case n: LogicalPlan if n.origin.startIndex.isDefined =>
-        n.origin.startIndex.get
-    }
-    val stops = top.collect {
-      case n: LogicalPlan if n.origin.stopIndex.isDefined =>
-        n.origin.stopIndex.get
-    }
-    require(starts.nonEmpty && stops.nonEmpty,
-      "internal: parser origin offsets unavailable for the join span")
+    val (start, stop) = originSpan(top)
     val view = s"graft_srcjoin_${srcJoinViews.getAndIncrement()}"
     build(top).createOrReplaceTempView(view)
-    text.substring(0, starts.min) + view + text.substring(stops.max + 1)
+    text.substring(0, start) + view + text.substring(stop + 1)
+  }
+
+  /** Lift a FROM-clause derived table of a routed streaming rank/OVER
+    * statement (r15; reference: rank over any stream subtree is plain
+    * FlinkStreamRuleSets composition): run the inner statement back
+    * through the front door — so nested joins, group windows, UNNEST and
+    * streaming sources all compose — register the result as a temp view
+    * under the derived table's ALIAS (qualified references keep
+    * resolving; same name-shadowing contract as the CTE route), and
+    * return the statement with the `(subquery) [AS] alias` span replaced
+    * by the view name. */
+  private def spliceDerivedTable(spark: SparkSession, text: String,
+      sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias)
+      : String = {
+    require(sa.origin.sqlText.contains(text),
+      "internal: derived-table origin text does not match the statement")
+    require(!sa.child.isInstanceOf[
+        org.apache.spark.sql.catalyst.analysis.UnresolvedSubqueryColumnAliases],
+      "derived-table column-alias lists are not supported on the " +
+        "streaming rank/OVER route; alias the columns in the subquery")
+    val (s0, s1) = originSpan(sa.child)
+    val inner = text.substring(s0, s1 + 1)
+    var open = s0 - 1
+    while (open >= 0 && text.charAt(open).isWhitespace) open -= 1
+    require(open >= 0 && text.charAt(open) == '(',
+      "internal: derived table not parenthesized in the routed statement")
+    var close = s1 + 1
+    while (close < text.length && text.charAt(close).isWhitespace) close += 1
+    require(close < text.length && text.charAt(close) == ')',
+      "internal: derived table close paren not found")
+    // locate the trailing `[AS] alias` (if the next word is neither AS
+    // nor the parsed alias, the parser auto-generated the alias name —
+    // splice ends at the paren and a generated view name is used)
+    def word(at: Int): (Int, Int) = {
+      var a = at
+      while (a < text.length && text.charAt(a).isWhitespace) a += 1
+      var e = a
+      while (e < text.length && isIdentChar(text.charAt(e))) e += 1
+      (a, e)
+    }
+    val alias = sa.identifier.name
+    val (w0, w1) = word(close + 1)
+    val aliasEnd =
+      if (w1 > w0 && text.substring(w0, w1).equalsIgnoreCase("AS")) {
+        val (a0, a1) = word(w1)
+        require(a1 > a0 && text.substring(a0, a1).equalsIgnoreCase(alias),
+          s"internal: expected derived-table alias '$alias' after AS")
+        a1
+      } else if (w1 > w0 && text.substring(w0, w1).equalsIgnoreCase(alias))
+        w1
+      else -1
+    if (aliasEnd >= 0) {
+      var a = aliasEnd
+      while (a < text.length && text.charAt(a).isWhitespace) a += 1
+      require(a >= text.length || text.charAt(a) != '(',
+        "derived-table column-alias lists are not supported on the " +
+          "streaming rank/OVER route; alias the columns in the subquery")
+    }
+    val view = if (aliasEnd >= 0) alias
+      else s"graft_srcsub_${srcJoinViews.getAndIncrement()}"
+    sql(spark, inner).createOrReplaceTempView(view)
+    text.substring(0, open) + view +
+      text.substring(if (aliasEnd >= 0) aliasEnd else close + 1)
   }
 
   /** Streaming sort / limit shapes Spark cannot plan on a stream,

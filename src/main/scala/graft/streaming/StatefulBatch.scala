@@ -27,7 +27,8 @@ object StatefulBatch {
       q120ProcRowsFrame, q121ProcRangeFrame, q124StreamReservoir,
       q150StreamSortAny, q158WindowEarlyAny, q159WindowLateAny,
       q160TemporalJoinAny, q161ProcRangeAny, q169SqlRankJoinStream,
-      q170HopWindowAny, q171SessionWindowAny)
+      q170HopWindowAny, q171SessionWindowAny, q173SqlRankDerivedStream,
+      q174SqlRankSubqueryJoinStream)
 
   /** GENERAL-SCHEMA proc-time bounded-RANGE OVER (r13 — the last OVER
     * shape that was Event-typed; reference
@@ -305,6 +306,92 @@ object StatefulBatch {
     require(routed.isStreaming, "the routed rank-over-join must stream")
     val sinkDir =
       java.nio.file.Files.createTempDirectory("graft-sqljoin").toString
+    val q = UpsertSink
+      .upsertWriter(routed, Seq("cohort"), Seq("value", "event_id"), sinkDir,
+        outputMode = "append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    UpsertSink.currentState(spark, sinkDir)
+      .select(col("cohort"), col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("cohort"))
+  }
+
+  /** r15: the front door's streaming rank over a DERIVED TABLE — the
+    * most common SQL idiom after a plain table (reference: rank over any
+    * stream subtree is plain FlinkStreamRuleSets composition feeding
+    * StreamExecRank.scala). `Sql.spliceDerivedTable` runs the inner
+    * filtered/projected subquery natively (it stays a stream), registers
+    * it under its own alias, and re-routes the one-table form to the
+    * rank executor. Collapse contract as q169: keep-1 emissions improve
+    * monotonically, so the upsert sink's latest-by-(value, event_id) IS
+    * the final top-1 per key. */
+  val q173SqlRankDerivedStream: QueryDef = QueryDef(
+    "q173_sql_rank_derived_stream",
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY value DESC, event_id DESC) AS rn
+      |  FROM (SELECT user_id, event_id, value * 2 AS value
+      |        FROM events WHERE event_type = 'click') t) z
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    eventsStream(spark, dir).createOrReplaceTempView("graft_sql_stream")
+    val routed = graft.Sql.sql(spark,
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM (SELECT user_id, event_id, value * 2 AS value
+        |        FROM graft_sql_stream WHERE event_type = 'click') t)
+        |WHERE rn = 1""".stripMargin)
+    require(routed.isStreaming, "the routed rank-over-derived-table must stream")
+    val sinkDir =
+      java.nio.file.Files.createTempDirectory("graft-sqlsub").toString
+    val q = UpsertSink
+      .upsertWriter(routed, Seq("user_id"), Seq("value", "event_id"), sinkDir,
+        outputMode = "append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    UpsertSink.currentState(spark, sinkDir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** r15: streaming rank over a SUBQUERY-UNDER-JOIN — a window-free
+    * derived table feeding a stream-static join feeding the rank
+    * executor (`Sql.spliceSourceJoin` plans the derived table back
+    * through the front door inside its native join build). Same
+    * collapse contract as q169. */
+  val q174SqlRankSubqueryJoinStream: QueryDef = QueryDef(
+    "q174_sql_rank_subquery_join_stream",
+    """WITH d AS (SELECT DISTINCT user_id AS uid, user_id % 5 AS cohort
+      |           FROM events)
+      |SELECT cohort, user_id, event_id, value FROM (
+      |  SELECT d.cohort, s.user_id, s.event_id, s.value,
+      |    ROW_NUMBER() OVER (PARTITION BY d.cohort
+      |                       ORDER BY s.value DESC, s.event_id DESC) AS rn
+      |  FROM (SELECT user_id, event_id, value FROM events
+      |        WHERE event_type = 'purchase') s
+      |  JOIN d ON s.user_id = d.uid)
+      |WHERE rn = 1
+      |ORDER BY cohort""".stripMargin) { (spark, dir) =>
+    eventsStream(spark, dir).createOrReplaceTempView("graft_sql_stream")
+    graft.core.Catalog.load(spark, dir, "events")
+      .select(col("user_id").as("uid"), (col("user_id") % 5).as("cohort"))
+      .distinct()
+      .createOrReplaceTempView("graft_sql_dim")
+    val routed = graft.Sql.sql(spark,
+      """SELECT cohort, user_id, event_id, value FROM (
+        |  SELECT cohort, user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY cohort
+        |                       ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM (SELECT user_id, event_id, value FROM graft_sql_stream
+        |        WHERE event_type = 'purchase') s
+        |  JOIN graft_sql_dim d ON s.user_id = d.uid)
+        |WHERE rn = 1""".stripMargin)
+    require(routed.isStreaming, "the routed rank-over-subquery-join must stream")
+    val sinkDir =
+      java.nio.file.Files.createTempDirectory("graft-sqlsubjoin").toString
     val q = UpsertSink
       .upsertWriter(routed, Seq("cohort"), Seq("value", "event_id"), sinkDir,
         outputMode = "append")

@@ -500,4 +500,88 @@ class SqlSpec extends SparkSpec {
     assert(rows(batch).toSet ==
       Set(Seq[Any]("fruit", 3, 44), Seq[Any]("fruit", 4, 33)))
   }
+
+  test("r15: a streaming rank over a DERIVED TABLE routes — the subquery " +
+    "runs natively as a view under its own alias, the executor ranks " +
+    "its output (reference: rank over any stream subtree is plain " +
+    "FlinkStreamRuleSets composition)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RankT3]
+    input.toDF().createOrReplaceTempView("sql_stream_rank3")
+    val routed = graft.Sql.sql(spark,
+      """SELECT b, a2, rn FROM (
+        |  SELECT b, a2,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY a2 DESC) AS rn
+        |  FROM (SELECT b, a * 10 AS a2 FROM sql_stream_rank3
+        |        WHERE a <> 4) t)
+        |WHERE rn = 1""".stripMargin)
+    assert(routed.isStreaming)
+    val q = routed.writeStream.format("memory").queryName("sqlsubrank")
+      .outputMode("append").start()
+    input.addData(RankT3(1, 1L, "x"), RankT3(5, 1L, "y"), RankT3(3, 2L, "z"),
+      RankT3(4, 2L, "w")) // a=4 is filtered out by the derived table
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("sqlsubrank").groupBy("b").agg(max("a2").as("a2"))
+      .as[(Long, Int)].collect().toSet
+    assert(fin == Set((1L, 50), (2L, 30)), s"got $fin")
+  }
+
+  test("r15: JOIN ... USING under the streaming rank route keeps its " +
+    "keys (regression: the joinType-blind build cross-joined USING); " +
+    "NATURAL JOIN is rejected loudly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RankT3]
+    input.toDF().createOrReplaceTempView("sql_stream_rank4")
+    Seq((1, "x"), (5, "z")).toDF("a", "tag")
+      .createOrReplaceTempView("sql_using_dim")
+    val routed = graft.Sql.sql(spark,
+      """SELECT b, a, tag, rn FROM (
+        |  SELECT b, a, tag,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY a DESC) AS rn
+        |  FROM sql_stream_rank4 JOIN sql_using_dim USING (a))
+        |WHERE rn = 1""".stripMargin)
+    assert(routed.isStreaming)
+    val q = routed.writeStream.format("memory").queryName("sqlusingrank")
+      .outputMode("append").start()
+    input.addData(RankT3(1, 1L, "x"), RankT3(5, 1L, "y"), RankT3(3, 2L, "z"))
+    q.processAllAvailable(); q.stop()
+    // USING keeps only a∈{1,5}; a cross join would keep b=2 (and fan out)
+    val fin = spark.table("sqlusingrank").groupBy("b")
+      .agg(max("a").as("a"), max_by(col("tag"), col("a")).as("tag"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(fin == Set((1L, 5, "z")), s"got $fin")
+    val e = intercept[RuntimeException](graft.Sql.sql(spark,
+      """SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn
+        |  FROM sql_stream_rank4 NATURAL JOIN sql_using_dim)
+        |WHERE rn = 1""".stripMargin))
+    assert(e.getMessage.contains("NATURAL JOIN"), e.getMessage)
+  }
+
+  test("r15: composed-source fail-loud negatives — a window inside a " +
+    "join's derived table, and derived-table column-alias lists") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RankT3]
+    input.toDF().createOrReplaceTempView("sql_stream_rank5")
+    Seq((1, "x")).toDF("id", "tag").createOrReplaceTempView("sql_dim5")
+    val e1 = intercept[IllegalArgumentException](graft.Sql.sql(spark,
+      """SELECT * FROM (
+        |  SELECT b, a, tag,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn
+        |  FROM (SELECT b, a, MAX(a) OVER (PARTITION BY b) AS m
+        |        FROM sql_stream_rank5) t
+        |  JOIN sql_dim5 d ON t.a = d.id)
+        |WHERE rn = 1""".stripMargin))
+    assert(e1.getMessage.contains("derived table computing a window"),
+      e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](graft.Sql.sql(spark,
+      """SELECT * FROM (
+        |  SELECT x, y, ROW_NUMBER() OVER (PARTITION BY y ORDER BY x) AS rn
+        |  FROM (SELECT a, b FROM sql_stream_rank5) t(x, y))
+        |WHERE rn = 1""".stripMargin))
+    assert(e2.getMessage.contains("column-alias lists"), e2.getMessage)
+  }
 }
