@@ -18,7 +18,53 @@ object MatchSql {
   def defs: Seq[QueryDef] =
     Seq(q125SqlFunnel, q126SqlPrev, q127SqlReluctant, q128SqlNext,
       q129SqlSkipNext, q130SqlAllRows, q131SqlCompositeKey,
-      q132SqlLogicalOffsets, q143FrontDoor)
+      q132SqlLogicalOffsets, q143FrontDoor, q175MeasureNav)
+
+  /** r15: physical PREV/NEXT navigation in MEASURES (the reference's
+    * measure codegen routes navigation calls through the same visitCall
+    * as DEFINE, MatchCodeGenerator.scala:333; graft extends it to
+    * arbitrary offsets as it already does DEFINE-side). FINAL semantics
+    * anchor at the match's LAST row: `PREV(value)` is the row before it
+    * (here inside the match — V's value), `PREV(value, 2)` reaches
+    * BEFORE the match's first row (the captured predecessor context),
+    * and `NEXT(event_id)` reads the row after the match (batch-only —
+    * the streaming executor rejects NEXT in MEASURES loudly). The
+    * oracle states the same navigation with lag/lead over the
+    * (ts, event_id) sequence. */
+  val q175MeasureNav: QueryDef = QueryDef("q175_sql_measure_nav",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER win AS rn,
+      |    lag(value) OVER win AS pv1,
+      |    lag(value, 2) OVER win AS pv2,
+      |    lead(event_id) OVER win AS nid
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT p.user_id, p.event_id AS purchase_id, p.pv1 AS prev_value,
+      |       p.pv2 AS before_view, p.nid AS next_id
+      |FROM seq p JOIN seq v
+      |  ON v.user_id = p.user_id AND v.rn = p.rn - 1
+      |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      |ORDER BY p.user_id, purchase_id""".stripMargin) { (spark, dir) =>
+    graft.core.Catalog.load(spark, dir, "events")
+      .createOrReplaceTempView("events")
+    graft.Sql.sql(spark,
+      """SELECT user_id, purchase_id, prev_value, before_view, next_id
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES P.event_id AS purchase_id,
+        |           PREV(value) AS prev_value,
+        |           PREV(value, 2) AS before_view,
+        |           NEXT(event_id) AS next_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V P)
+        |  DEFINE V AS event_type = 'view',
+        |         P AS event_type = 'purchase'
+        |)
+        |ORDER BY user_id, purchase_id""".stripMargin)
+  }
 
   /** The SINGLE SQL front door ([[graft.Sql.sql]], r12): a
     * MATCH_RECOGNIZE clause EMBEDDED in a larger statement — the clause

@@ -57,7 +57,11 @@ import graft.streaming.StatefulOps.Event
   * input navigation `PREV(expr[, n])` / `NEXT(expr[, n])` at arbitrary
   * offsets in both modes (r14 — the streaming executors retain the last
   * k consumed rows as the predecessor marker, k = the deepest PREV
-  * offset declared), aggregates `COUNT(*)`, `COUNT(V.*)`,
+  * offset declared; r15 — also in MEASURES, anchored at the match's
+  * LAST row under FINAL semantics and at each output row under ALL
+  * ROWS, navigating the contiguous input window captured with the
+  * match; NEXT in MEASURES is batch-only — a streaming match is
+  * emitted before its successors exist), aggregates `COUNT(*)`, `COUNT(V.*)`,
   * `COUNT/SUM/MIN/MAX/AVG(expr)` (COUNT(expr) skips null evaluations,
   * per SQL), `CLASSIFIER()` / `MATCH_NUMBER()`, and `MATCH_ROWTIME()`
   * (the last matched row's primary order value, the reference's
@@ -523,6 +527,18 @@ object MatchRecognizeSql {
     walk(e) { case _: InputNav => b = true; case _ => () }
     b
   }
+  /** Deepest physical (PREV, NEXT) offsets across a set of expressions —
+    * sizes the per-match navigation context MEASURES-side PREV/NEXT
+    * reads (r15). */
+  private def navDepths(es: Iterable[Ex]): (Int, Int) = {
+    var (p, n) = (0, 0)
+    es.foreach(walk(_) {
+      case InputNav(d, _, off) if d < 0 => p = math.max(p, off)
+      case InputNav(d, _, off) if d > 0 => n = math.max(n, off)
+      case _ => ()
+    })
+    (p, n)
+  }
 
   // =====================================================================
   // Tokenizer (unchanged model: words, numbers, 'strings', operators)
@@ -723,12 +739,6 @@ object MatchRecognizeSql {
         s"expression references '$v' which is not a PATTERN variable " +
           s"($knownVars)"))
     }
-    measures.foreach { case (alias, ex) =>
-      require(!usesInputNav(ex),
-        s"PREV/NEXT in MEASURES is unsupported (measure '$alias') — " +
-          "physical navigation is a DEFINE-side construct here")
-    }
-
     // MATCH_ROWTIME() sugar: the last matched row's primary order value
     val orderCol = orderKeys.headOption.map(_._1).getOrElse("")
     def deRowtime(ex: Ex): Ex = ex match {
@@ -928,29 +938,44 @@ object MatchRecognizeSql {
   // =====================================================================
   // Shared emission
   // =====================================================================
-  /** FINAL-semantics measure environment over a complete match. */
+  /** FINAL-semantics measure environment over a complete match.
+    * Physical PREV/NEXT in MEASURES (r15) anchors at the LAST matched
+    * row (SQL:2016 FINAL semantics) and navigates the contiguous input
+    * window `preCtx ++ matched ++ postCtx` the scan captured with the
+    * match. */
   private def finalEnv[R](acc: FieldAccess[R], bound: Seq[Bound[R]],
-      matchNo: Long): Env[R] = {
+      matchNo: Long, preCtx: IndexedSeq[R] = IndexedSeq.empty,
+      postCtx: IndexedSeq[R] = IndexedSeq.empty): Env[R] = {
     val byVar = bound.map(b => b.name -> b.rows.toIndexedSeq).toMap
     val all = bound.flatMap(_.rows).toIndexedSeq
     val lastCls = bound.reverse.find(_.rows.nonEmpty).map(_.name).getOrElse("")
+    val phys = preCtx ++ all ++ postCtx
+    val anchor = preCtx.length + all.length - 1
     new Env[R](acc, None,
       v => v.map(byVar.getOrElse(_, Vector.empty[R])).getOrElse(all),
-      _ => None, _ => false, lastCls, matchNo)
+      off => { val j = anchor + off
+        if (j >= 0 && j < phys.length) Some(phys(j)) else None },
+      _ => false, lastCls, matchNo)
   }
 
   /** RUNNING-semantics rows of a match: for each matched row in order,
     * (row, classifier, env truncated to the rows seen so far) — SQL's
-    * ALL ROWS PER MATCH measure semantics. */
+    * ALL ROWS PER MATCH measure semantics. Physical PREV/NEXT anchors
+    * at the current output row. */
   private def runningEnvs[R](acc: FieldAccess[R], bound: Seq[Bound[R]],
-      matchNo: Long): Iterator[(R, Env[R])] = {
+      matchNo: Long, preCtx: IndexedSeq[R] = IndexedSeq.empty,
+      postCtx: IndexedSeq[R] = IndexedSeq.empty): Iterator[(R, Env[R])] = {
     val seq = bound.flatMap(b => b.rows.map(r => (b.name, r))).toIndexedSeq
+    val phys = preCtx ++ seq.map(_._2) ++ postCtx
     seq.indices.iterator.map { p =>
       val sofar = seq.take(p + 1)
       val (cls, row) = seq(p)
+      val anchor = preCtx.length + p
       val env = new Env[R](acc, Some(row),
         v => sofar.collect { case (n, r) if v.forall(_ == n) => r },
-        _ => None, _ => false, cls, matchNo)
+        off => { val j = anchor + off
+          if (j >= 0 && j < phys.length) Some(phys(j)) else None },
+        _ => false, cls, matchNo)
       (row, env)
     }
   }
@@ -982,32 +1007,40 @@ object MatchRecognizeSql {
       StructField(alias, typeOf(ex, acc))
     }
     val measureEvals = q.measures.map { case (_, ex) => compile(ex, acc) }
+    // physical PREV/NEXT in MEASURES (r15): size the per-match input
+    // context the scan captures; the streaming executor rejects NEXT
+    // (successor rows may not exist at emission) with a loud message
+    val (measPrev, measNext) = navDepths(q.measures.map(_._2))
 
     if (q.allRows) {
       val outSchema = StructType(df.schema.fields.toSeq ++ measureFields)
-      val emitAll = (key: Row, matchNo: Long, bound: Seq[Bound[Row]]) =>
-        runningEnvs(acc, bound, matchNo).map { case (row, env) =>
+      val emitAll = (key: Row, matchNo: Long, bound: Seq[Bound[Row]],
+          pre: IndexedSeq[Row], post: IndexedSeq[Row]) =>
+        runningEnvs(acc, bound, matchNo, pre, post).map { case (row, env) =>
           Row.fromSeq(row.toSeq ++ measureEvals.map(_(env)))
         }
       if (df.isStreaming)
         PatternMatch.matchRowsStream(df, partCols, orderKeys, steps, q.skip,
-          q.within, emitAll, outSchema, delay)
+          q.within, emitAll, outSchema, delay,
+          measPrev = measPrev, measNext = measNext)
       else
         PatternMatch.matchRowsBatch(df, partCols, orderKeys, steps, q.skip,
-          q.within, emitAll, outSchema)
+          q.within, emitAll, outSchema, measPrev, measNext)
     } else {
       val keyFields = partCols.map(c => df.schema(df.schema.fieldIndex(c)))
       val outSchema = StructType(keyFields ++ measureFields)
-      val emitOne = (key: Row, matchNo: Long, bound: Seq[Bound[Row]]) => {
-        val env = finalEnv(acc, bound, matchNo)
+      val emitOne = (key: Row, matchNo: Long, bound: Seq[Bound[Row]],
+          pre: IndexedSeq[Row], post: IndexedSeq[Row]) => {
+        val env = finalEnv(acc, bound, matchNo, pre, post)
         Iterator.single(Row.fromSeq(key.toSeq ++ measureEvals.map(_(env))))
       }
       if (df.isStreaming)
         PatternMatch.matchRowsStream(df, partCols, orderKeys, steps, q.skip,
-          q.within, emitOne, outSchema, delay)
+          q.within, emitOne, outSchema, delay,
+          measPrev = measPrev, measNext = measNext)
       else
         PatternMatch.matchRowsBatch(df, partCols, orderKeys, steps, q.skip,
-          q.within, emitOne, outSchema)
+          q.within, emitOne, outSchema, measPrev, measNext)
     }
   }
 
@@ -1034,6 +1067,7 @@ object MatchRecognizeSql {
       "the only supported ORDER BY tie-break is event_id ascending")
     val steps = compileSteps(q, acc)
     val measureEvals = q.measures.map { case (_, ex) => compile(ex, acc) }
+    val (measPrev, measNext) = navDepths(q.measures.map(_._2))
 
     if (q.allRows && q.measures.isEmpty) {
       // the engine's canonical ALL ROWS projection (CLASSIFIER /
@@ -1049,11 +1083,12 @@ object MatchRecognizeSql {
         })
       implicit val enc = Encoders.row(schema)
       PatternMatch.matchPatternNumbered(events, steps, delay,
-        (key: Long, matchNo: Long, bound: Seq[Bound[Event]]) =>
-          runningEnvs(acc, bound, matchNo).map { case (e, env) =>
+        (key: Long, matchNo: Long, bound: Seq[Bound[Event]],
+            pre: IndexedSeq[Event], post: IndexedSeq[Event]) =>
+          runningEnvs(acc, bound, matchNo, pre, post).map { case (e, env) =>
             Row.fromSeq(Seq(e.user_id, e.event_id, e.ts, e.event_type,
               e.value) ++ measureEvals.map(_(env)))
-          }, q.within, q.skip).toDF()
+          }, q.within, q.skip, measPrev, measNext).toDF()
     } else {
       val schema = StructType(
         StructField("user_id", LongType, nullable = false) +:
@@ -1062,10 +1097,11 @@ object MatchRecognizeSql {
           })
       implicit val enc = Encoders.row(schema)
       PatternMatch.matchPatternNumbered(events, steps, delay,
-        (key: Long, matchNo: Long, bound: Seq[Bound[Event]]) => {
-          val env = finalEnv(acc, bound, matchNo)
+        (key: Long, matchNo: Long, bound: Seq[Bound[Event]],
+            pre: IndexedSeq[Event], post: IndexedSeq[Event]) => {
+          val env = finalEnv(acc, bound, matchNo, pre, post)
           Iterator.single(Row.fromSeq(key +: measureEvals.map(_(env))))
-        }, q.within, q.skip).toDF()
+        }, q.within, q.skip, measPrev, measNext).toDF()
     }
   }
 
@@ -1077,7 +1113,8 @@ object MatchRecognizeSql {
       : Dataset[ClassifiedRow] = {
     implicit val enc = Encoders.product[ClassifiedRow]
     PatternMatch.matchPatternNumbered(events, steps, delay,
-      (key: Long, matchNo: Long, bound: Seq[Bound[Event]]) => {
+      (key: Long, matchNo: Long, bound: Seq[Bound[Event]],
+          _: IndexedSeq[Event], _: IndexedSeq[Event]) => {
         val finals = bound.map(b => b.name -> b.rows.size.toLong).toMap
         val running = scala.collection.mutable.Map.empty[String, Long]
         var pos = 0L

@@ -385,11 +385,19 @@ object PatternMatch extends Serializable {
     * precede already-emitted matches' rows, which stay buffered).
     * `withinUs == Long.MaxValue` means no WITHIN bound; otherwise each
     * attempt is confined to rows within `withinUs` of its start row and
-    * becomes final once the watermark (`wmUs`) passes that window. */
+    * becomes final once the watermark (`wmUs`) passes that window.
+    *
+    * `measPrev`/`measNext` (r15): physical context each match carries
+    * for MEASURES-side PREV/NEXT — up to `measPrev` input rows
+    * immediately before the match's first row (falling back to the
+    * retained predecessor marker) and up to `measNext` rows after its
+    * last row. A match consumes a contiguous input run, so this context
+    * plus the bound rows is the complete navigation window. */
   private def scan[R](steps: IndexedSeq[GStep[R]], rows: IndexedSeq[R],
       finalInput: Boolean, wmUs: Long, withinUs: Long,
-      bufPrev: IndexedSeq[R], skip: SkipStrategy, microsOf: R => Long)
-      : (List[List[Bound[R]]], Int) = {
+      bufPrev: IndexedSeq[R], skip: SkipStrategy, microsOf: R => Long,
+      measPrev: Int = 0, measNext: Int = 0)
+      : (List[(List[Bound[R]], IndexedSeq[R], IndexedSeq[R])], Int) = {
     def boundIdx(variable: String, binds: List[(Int, Int)], first: Boolean,
         start: Int): Int = {
       val si = steps.indexWhere(_.name == variable)
@@ -403,7 +411,7 @@ object PatternMatch extends Serializable {
           "same row — an infinite loop; the reference rejects this strategy too")
       t
     }
-    val out = List.newBuilder[List[Bound[R]]]
+    val out = List.newBuilder[(List[Bound[R]], IndexedSeq[R], IndexedSeq[R])]
     var i = 0
     var retain = rows.length
     var open = true
@@ -419,8 +427,14 @@ object PatternMatch extends Serializable {
       tryMatch(steps, rows, i, end, finalAtEnd, finalInput, bufPrev) match {
         case Matched(e, binds) =>
           val byStep = binds.groupBy(_._1)
-          out += steps.indices.map(si =>
-            Bound(steps(si).name, byStep.getOrElse(si, Nil).map(p => rows(p._2)))).toList
+          val preCtx = if (measPrev == 0) IndexedSeq.empty[R]
+            else (bufPrev ++ rows.take(i)).takeRight(measPrev)
+          val postCtx = if (measNext == 0) IndexedSeq.empty[R]
+            else rows.slice(e, e + measNext)
+          out += ((steps.indices.map(si =>
+            Bound(steps(si).name,
+              byStep.getOrElse(si, Nil).map(p => rows(p._2)))).toList,
+            preCtx, postCtx))
           val resume = skip match {
             case SkipPastLastRow => e
             case SkipToNextRow => i + 1
@@ -445,7 +459,8 @@ object PatternMatch extends Serializable {
       within: Option[java.time.Duration] = None,
       skip: SkipStrategy = SkipPastLastRow): Dataset[O] =
     matchPatternNumbered(events, steps.map(adapt), delay,
-      (key, _: Long, bound: Seq[Bound[Event]]) => Iterator.single(emit(key, bound)),
+      (key, _: Long, bound: Seq[Bound[Event]], _, _) =>
+        Iterator.single(emit(key, bound)),
       within, skip)
 
   /** One output row per MATCHED ROW — SQL's `ALL ROWS PER MATCH` with
@@ -462,7 +477,7 @@ object PatternMatch extends Serializable {
       skip: SkipStrategy = SkipPastLastRow): Dataset[ClassifiedRow] = {
     implicit val enc: Encoder[ClassifiedRow] = Encoders.product[ClassifiedRow]
     matchPatternNumbered(events, steps.map(adapt), delay,
-      (key, matchNo: Long, bound: Seq[Bound[Event]]) => {
+      (key, matchNo: Long, bound: Seq[Bound[Event]], _, _) => {
         val finals = bound.map(b => b.name -> b.rows.size.toLong).toMap
         val running = scala.collection.mutable.Map.empty[String, Long]
         var pos = 0L
@@ -486,9 +501,11 @@ object PatternMatch extends Serializable {
     * arrives via [[adapt]]. */
   def matchPatternNumbered[O: Encoder](events: Dataset[Event],
       steps: Seq[GStep[Event]], delay: String,
-      emitAll: (Long, Long, Seq[Bound[Event]]) => Iterator[O],
+      emitAll: (Long, Long, Seq[Bound[Event]], IndexedSeq[Event],
+        IndexedSeq[Event]) => Iterator[O],
       within: Option[java.time.Duration],
-      skip: SkipStrategy): Dataset[O] = {
+      skip: SkipStrategy,
+      measPrev: Int = 0, measNext: Int = 0): Dataset[O] = {
     require(steps.nonEmpty, "PATTERN must have at least one step")
     val stepsArr = steps.toIndexedSeq
     val isBatch = !events.isStreaming
@@ -516,7 +533,13 @@ object PatternMatch extends Serializable {
         s"or carry a WITHIN bound: a trailing greedy '${steps.last.name}' " +
         s"(${steps.last.quant}) can always be extended by future rows and " +
         "would never finalize")
-    val maxPrev = steps.map(_.prevDepth).foldLeft(0)(math.max)
+    // NEXT in MEASURES needs rows after the match's last row, which a
+    // stream cannot promise at emission time — batch-only (r15)
+    require(isBatch || measNext == 0,
+      "NEXT in MEASURES is batch-only: a streaming match is emitted when " +
+        "adjudicated, before its successor rows exist — navigate in " +
+        "DEFINE (where the NFA holds the decision) instead")
+    val maxPrev = steps.map(_.prevDepth).foldLeft(measPrev)(math.max)
     val usesPrev = maxPrev > 0
     implicit val stateEnc: Encoder[BufState] = Encoders.product[BufState]
     events
@@ -537,7 +560,8 @@ object PatternMatch extends Serializable {
           val bufPrev = st.map(_.prev.toIndexedSeq).getOrElse(IndexedSeq.empty)
           val (matches, retainFrom) =
             scan(stepsArr, sorted.take(closedN), isBatch, wmUs, withinUs,
-              bufPrev, skip, (e: Event) => eventMicros(e.ts))
+              bufPrev, skip, (e: Event) => eventMicros(e.ts),
+              measPrev, measNext)
           val baseNo = st.map(_.nMatches).getOrElse(0L)
           val newCount = baseNo + matches.size
           val kept = sorted.slice(retainFrom, closedN) ++ sorted.drop(closedN)
@@ -579,8 +603,8 @@ object PatternMatch extends Serializable {
                 math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
             }
           }
-          matches.iterator.zipWithIndex.flatMap { case (m, i) =>
-            emitAll(key, baseNo + i + 1, m)
+          matches.iterator.zipWithIndex.flatMap { case ((m, pre, post), i) =>
+            emitAll(key, baseNo + i + 1, m, pre, post)
           }
         })
   }
@@ -606,8 +630,10 @@ object PatternMatch extends Serializable {
   def matchRowsBatch(df: DataFrame, partCols: Seq[String],
       orderKeys: Seq[(String, Boolean)], steps: Seq[GStep[Row]],
       skip: SkipStrategy, within: Option[java.time.Duration],
-      emit: (Row, Long, Seq[Bound[Row]]) => Iterator[Row],
-      outSchema: StructType): DataFrame = {
+      emit: (Row, Long, Seq[Bound[Row]], IndexedSeq[Row], IndexedSeq[Row])
+        => Iterator[Row],
+      outSchema: StructType,
+      measPrev: Int = 0, measNext: Int = 0): DataFrame = {
     require(!df.isStreaming,
       "the general-schema MATCH_RECOGNIZE path is batch-only; streaming " +
         "pattern match runs on the event model (MatchRecognizeSql.sql)")
@@ -636,9 +662,10 @@ object PatternMatch extends Serializable {
     def run(key: Row, it: Iterator[Row]): Iterator[Row] = {
       val sorted = it.toIndexedSeq.sorted(ord)
       val (matches, _) = scan(stepsArr, sorted, finalInput = true,
-        Long.MaxValue, withinUs, IndexedSeq.empty, skip, microsOf)
-      matches.iterator.zipWithIndex.flatMap { case (m, i) =>
-        emit(key, i + 1L, m)
+        Long.MaxValue, withinUs, IndexedSeq.empty, skip, microsOf,
+        measPrev, measNext)
+      matches.iterator.zipWithIndex.flatMap { case ((m, pre, post), i) =>
+        emit(key, i + 1L, m, pre, post)
       }
     }
     if (partIdx.isEmpty) {
@@ -681,11 +708,17 @@ object PatternMatch extends Serializable {
   def matchRowsStream(df: DataFrame, partCols: Seq[String],
       orderKeys: Seq[(String, Boolean)], steps: Seq[GStep[Row]],
       skip: SkipStrategy, within: Option[java.time.Duration],
-      emit: (Row, Long, Seq[Bound[Row]]) => Iterator[Row],
+      emit: (Row, Long, Seq[Bound[Row]], IndexedSeq[Row], IndexedSeq[Row])
+        => Iterator[Row],
       outSchema: StructType, delay: String = "0 seconds",
-      idleTtl: Option[java.time.Duration] = None): DataFrame = {
+      idleTtl: Option[java.time.Duration] = None,
+      measPrev: Int = 0, measNext: Int = 0): DataFrame = {
     require(df.isStreaming, "matchRowsStream is the streaming executor; " +
       "batch inputs take matchRowsBatch")
+    require(measNext == 0,
+      "NEXT in MEASURES is batch-only: a streaming match is emitted when " +
+        "adjudicated, before its successor rows exist — navigate in " +
+        "DEFINE (where the NFA holds the decision) instead")
     require(steps.nonEmpty, "PATTERN must have at least one step")
     require(orderKeys.nonEmpty, "ORDER BY must name at least one column")
     val schema = df.schema
@@ -708,7 +741,7 @@ object PatternMatch extends Serializable {
         s"or carry a WITHIN bound: a trailing greedy '${steps.last.name}' " +
         s"(${steps.last.quant}) can always be extended by future rows and " +
         "would never finalize")
-    val maxPrev = steps.map(_.prevDepth).foldLeft(0)(math.max)
+    val maxPrev = steps.map(_.prevDepth).foldLeft(measPrev)(math.max)
     val usesPrev = maxPrev > 0
     val stepsArr = steps.toIndexedSeq
     val ordKeys = orderKeys.map { case (c, asc) =>
@@ -731,7 +764,8 @@ object PatternMatch extends Serializable {
       val bufPrev = st.map(_.prev.map(Row.fromSeq).toIndexedSeq)
         .getOrElse(IndexedSeq.empty)
       val (matches, retainFrom) = scan(stepsArr, sorted.take(closedN),
-        finalInput = false, wmUs, withinUs, bufPrev, skip, microsOf)
+        finalInput = false, wmUs, withinUs, bufPrev, skip, microsOf,
+        measPrev, measNext)
       val baseNo = st.map(_.nMatches).getOrElse(0L)
       val newCount = baseNo + matches.size
       val kept = sorted.slice(retainFrom, closedN) ++ sorted.drop(closedN)
@@ -766,8 +800,8 @@ object PatternMatch extends Serializable {
         state.setTimeoutTimestamp(
           math.max(headMs - 1, state.getCurrentWatermarkMs() + 1))
       }
-      matches.iterator.zipWithIndex.flatMap { case (m, i) =>
-        emit(key, baseNo + i + 1, m)
+      matches.iterator.zipWithIndex.flatMap { case ((m, pre, post), i) =>
+        emit(key, baseNo + i + 1, m, pre, post)
       }
     }
 

@@ -351,6 +351,93 @@ class MatchRecognizeAnySpec extends SparkSpec {
     assert(batchGot == want, s"batch twin disagrees: $batchGot")
   }
 
+  test("r15 PREV in MEASURES (FINAL anchor = the match's LAST row): " +
+      "navigation reaches inside the match and past its start into the " +
+      "predecessor context; streaming across single-row batches equals " +
+      "the batch collapse") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val rows = Seq(5, 3, 6, 4, 7, 2, 8).zipWithIndex.map { case (p, i) =>
+      MrTick("ACME", p, i + 1L, ts(i + 1L))
+    }
+    // undefined variables match any row: SKIP PAST LAST ROW pairs the
+    // stream (1,2)(3,4)(5,6); PREV(price) = A's row, PREV(price, 2) =
+    // the row BEFORE the match (null at the partition head)
+    val q = """SELECT * FROM t MATCH_RECOGNIZE (
+              |  PARTITION BY sym
+              |  ORDER BY rowtime
+              |  MEASURES B.price AS bp,
+              |           PREV(price) AS pv,
+              |           PREV(price, 2) AS pv2
+              |  ONE ROW PER MATCH
+              |  AFTER MATCH SKIP PAST LAST ROW
+              |  PATTERN (A B)
+              |  DEFINE A AS price < 100, B AS price < 100
+              |)""".stripMargin
+    val want = Set((3, Option(5), Option.empty[Int]),
+      (4, Option(6), Option(3)), (2, Option(7), Option(4)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MrTick]
+    val query = MatchRecognizeSql.sqlDf(input.toDF(), q)
+      .writeStream.format("memory").queryName("mrmeasprev")
+      .outputMode("append").start()
+    rows.foreach { r => input.addData(r); query.processAllAvailable() }
+    query.stop()
+    val got = spark.table("mrmeasprev").select("bp", "pv", "pv2")
+      .as[(Int, Option[Int], Option[Int])].collect().toSet
+    assert(got == want, s"got $got")
+    val batchGot = MatchRecognizeSql.sqlDf(rows.toDF(), q)
+      .select("bp", "pv", "pv2")
+      .as[(Int, Option[Int], Option[Int])].collect().toSet
+    assert(batchGot == want, s"batch twin disagrees: $batchGot")
+  }
+
+  test("r15 NEXT in MEASURES navigates past the match's end in batch; " +
+      "the streaming executor rejects it loudly (successor rows may not " +
+      "exist at emission); ALL ROWS PER MATCH anchors at each output row") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val rows = Seq(5, 3, 6, 4, 7, 2, 8).zipWithIndex.map { case (p, i) =>
+      MrTick("ACME", p, i + 1L, ts(i + 1L))
+    }
+    val qNext = """SELECT * FROM t MATCH_RECOGNIZE (
+                  |  PARTITION BY sym
+                  |  ORDER BY rowtime
+                  |  MEASURES B.price AS bp, NEXT(price) AS np
+                  |  ONE ROW PER MATCH
+                  |  AFTER MATCH SKIP PAST LAST ROW
+                  |  PATTERN (A B)
+                  |  DEFINE A AS price < 100, B AS price < 100
+                  |)""".stripMargin
+    val batchGot = MatchRecognizeSql.sqlDf(rows.toDF(), qNext)
+      .select("bp", "np").as[(Int, Option[Int])].collect().toSet
+    assert(batchGot == Set((3, Option(6)), (4, Option(7)), (2, Option(8))),
+      s"got $batchGot")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MrTick]
+    val e = intercept[IllegalArgumentException](
+      MatchRecognizeSql.sqlDf(input.toDF(), qNext))
+    assert(e.getMessage.contains("NEXT in MEASURES is batch-only"),
+      e.getMessage)
+    // RUNNING anchor: every output row navigates from ITSELF
+    val qAll = """SELECT * FROM t MATCH_RECOGNIZE (
+                 |  PARTITION BY sym
+                 |  ORDER BY rowtime
+                 |  MEASURES PREV(price) AS pv
+                 |  ALL ROWS PER MATCH
+                 |  AFTER MATCH SKIP PAST LAST ROW
+                 |  PATTERN (A B)
+                 |  DEFINE A AS price < 100, B AS price < 100
+                 |)""".stripMargin
+    val gotAll = MatchRecognizeSql.sqlDf(rows.toDF(), qAll)
+      .select("id", "pv").as[(Long, Option[Int])].collect().toSet
+    // rows 1..6 each carry the value of the row physically before them
+    assert(gotAll == Set((1L, None), (2L, Option(5)), (3L, Option(3)),
+      (4L, Option(6)), (5L, Option(4)), (6L, Option(7))), s"got $gotAll")
+  }
+
   test("reference testEventsAreProperlyOrdered: three-key ORDER BY with " +
       "mixed directions — each prefix order alone would admit a bogus " +
       "match (MatchRecognizeITCase.scala:197-252)") {
