@@ -528,7 +528,8 @@ object Sql {
     var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') { inStr = !inStr; i += 1 }
+      if (inStr && c == '\\') i += 2 // skip the escaped char (ADVICE r14)
+      else if (c == '\'') { inStr = !inStr; i += 1 }
       else if (!inStr && u.startsWith(word, i) &&
           (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
           (i + word.length >= s.length || !isIdentChar(s.charAt(i + word.length))))
@@ -552,7 +553,8 @@ object Sql {
     var i = 0
     while (i <= close) {
       val c = s.charAt(i)
-      if (c == '\'') inStr = !inStr
+      if (inStr && c == '\\') i += 1 // skip the escaped char
+      else if (c == '\'') inStr = !inStr
       else if (!inStr && c == '(') { opens.push(i); depth += 1 }
       else if (!inStr && c == ')') {
         if (i == close) return if (opens.isEmpty) -1 else opens.pop()
@@ -572,7 +574,8 @@ object Sql {
     var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inStr = !inStr
+      if (inStr && c == '\\') i += 1 // skip the escaped char
+      else if (c == '\'') inStr = !inStr
       else if (!inStr && c == '(') depth += 1
       else if (!inStr && c == ')') {
         depth -= 1

@@ -124,7 +124,13 @@ object AsyncLookup {
             val l = it.next()
             inflight.enqueue((l, Future(client.fetch(key(l)))(ec)))
           }
-          if (inflight.isEmpty) { pool.shutdown(); client.close() }
+          if (inflight.isEmpty && pool != null) {
+            // null out after closing so the task-completion listener
+            // (and a re-entrant refill) never double-closes — a real RPC
+            // client's close() need not be idempotent (ADVICE r14)
+            pool.shutdown(); client.close()
+            pool = null; client = null
+          }
         }
         def hasNext: Boolean = { ensure(); inflight.nonEmpty }
         def next(): O = {

@@ -20,11 +20,14 @@ import graft.core.{QueryDef, Tables}
   * arithmetic is double and left-assoc, bit-identical to the oracle's
   * unrolled SQL.
   *
-  * Scale design: the corpus side is broadcast (a few MB of vectors);
-  * pair generation distributes over the probe side's partitions, so a
-  * 1000-executor cluster splits the O(|Q|·n) / O(n²/2) work evenly. When
-  * the corpus outgrows broadcast, the LSH path buckets vectors by
-  * sign-pattern so candidates come from bucket joins, never cross joins.
+  * Scale design: corpora within [[MaxBroadcastCorpusRows]] broadcast
+  * (a few hundred MB of vectors, zero shuffle) with pair generation
+  * distributed over the probe side; past that the exact entries
+  * AUTO-ROUTE to the block-grid kernels (r15 — [[cosineKnnGrid]] /
+  * [[cosineNearDupPairsGrid]]: the corpus splits into id blocks, block
+  * pairs become cells, one n·B-row shuffle, no driver materialization
+  * at any size). The LSH/IVF paths remain the sub-quadratic route when
+  * approximate recall suffices.
   */
 object Similarity {
 
@@ -71,13 +74,19 @@ object Similarity {
        |  FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
        |  WHERE q.vec_id < 20)""".stripMargin
 
-  /** Hard cap on the corpus rows the exact kernels will materialize on
-    * the driver: 64-dim doubles ≈ 600 B/row, so 1M rows ≈ 600 MB of
-    * broadcast — the practical ceiling for a driver-assembled broadcast.
-    * Beyond this, exact all-pairs is the wrong algorithm at any driver
-    * size; [[annLsh]] is the scale path (distributed bucket joins, no
-    * driver materialization). */
+  /** FAST-PATH heuristic (r15 — was a hard cap): corpora at or under
+    * this many rows run the broadcast kernels (64-dim doubles ≈ 600 B/row
+    * → ≤ 600 MB broadcast, zero shuffle); past it the exact entries
+    * auto-route to the block-grid kernels ([[cosineKnnGrid]] /
+    * [[cosineNearDupPairsGrid]] — distributed, no driver
+    * materialization at any size). [[annLsh]]/[[annIvfFlat]] remain the
+    * sub-quadratic scale path when approximate recall suffices. */
   val MaxBroadcastCorpusRows: Int = 1000000
+
+  /** Corpus row count, probed no further than `cap + 1` (the limit
+    * travels into the scan, so the fast-path check stays cheap). */
+  private def corpusAtMost(emb: DataFrame, idCol: String, cap: Int): Boolean =
+    emb.select(col(idCol)).limit(cap + 1).count() <= cap
 
   /** Normalized corpus as primitive double arrays for broadcast into the
     * pair kernels. Arithmetic order matches the oracle: double cast,
@@ -90,9 +99,10 @@ object Similarity {
       vecCol: String, maxRows: Int): Array[(Long, Array[Double])] = {
     val rows = emb.select(col(idCol), col(vecCol)).limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
-      s"exact-cosine corpus exceeds $maxRows rows; the all-pairs baseline " +
-        "broadcasts the corpus from the driver and does not scale past " +
-        "broadcast size - use annLsh (bucketed, fully distributed) instead")
+      s"exact-cosine broadcast side exceeds $maxRows rows; use the " +
+        "block-grid exact kernels (cosineKnnGrid / cosineNearDupPairsGrid " +
+        "- distributed, no driver materialization) or annLsh when " +
+        "approximate recall suffices")
     rows.map(r => (r.getLong(0), normalize(r.getSeq[Float](1))))
       .sortBy(_._1)
   }
@@ -142,6 +152,8 @@ object Similarity {
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
       maxCorpusRows: Int = MaxBroadcastCorpusRows): DataFrame = {
     import spark.implicits._
+    if (!corpusAtMost(emb, idCol, maxCorpusRows))
+      return cosineKnnGrid(spark, emb, queryPred, k, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(
       normalizedCorpus(emb, idCol, vecCol, maxCorpusRows))
     emb.filter(queryPred).select(col(idCol)).as[Long]
@@ -190,6 +202,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxCorpusRows: Int = MaxBroadcastCorpusRows): DataFrame = {
     import spark.implicits._
+    if (!corpusAtMost(emb, idCol, maxCorpusRows))
+      return cosineNearDupPairsGrid(spark, emb, threshold, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(
       normalizedCorpus(emb, idCol, vecCol, maxCorpusRows))
     emb.select(col(idCol)).as[Long]
@@ -206,6 +220,118 @@ object Similarity {
       .toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos_r"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // =====================================================================
+  // Distributed EXACT cosine (r15) — the block-grid form of the broadcast
+  // kernels, for corpora past broadcast size: the corpus splits into
+  // B blocks by id, every unordered block pair (a <= b) is one CELL, each
+  // row replicates to its B cells (one shuffle of n*B rows), and each
+  // cell runs the same primitive kernel — no driver materialization at
+  // any corpus size. Total flops stay O(n^2/2) (exact is exact); the grid
+  // buys that no task holds more than `cellRows` vectors and the
+  // B(B+1)/2 cells spread over the cluster. Arithmetic is bit-identical
+  // to the broadcast kernels (same normalize, same left-assoc dot, same
+  // min-id-first operand order), so results hash-match them.
+  // =====================================================================
+
+  /** Rows per grid cell (two blocks): 64-dim doubles ≈ 600 B/vector, so
+    * 200k rows ≈ 120 MB per task — comfortable executor-memory headroom
+    * while keeping cells coarse enough to amortize scheduling. */
+  val GridCellRows: Int = 200000
+
+  private def blockOf(id: Long, nBlocks: Int): Int =
+    java.lang.Math.floorMod(id, nBlocks.toLong).toInt
+
+  /** Exact all-pairs cosine threshold mining, block-gridded. Equals
+    * [[cosineNearDupPairs]] bit-for-bit (`ApiSpec` pins it); use directly
+    * when the corpus is known-large, or let the broadcast entry auto-route
+    * here past [[MaxBroadcastCorpusRows]]. */
+  def cosineNearDupPairsGrid(spark: SparkSession, emb: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", cellRows: Int = GridCellRows)
+      : DataFrame = {
+    import spark.implicits._
+    require(cellRows >= 2, s"cellRows must be >= 2, got $cellRows")
+    val total = emb.count()
+    val bB = math.max(1, math.ceil(2.0 * total / cellRows).toInt)
+    val n = emb.select(col(idCol).cast(LongType), col(vecCol))
+      .as[(Long, Seq[Float])].map { case (id, v) => (id, normalize(v)) }
+    val pairs = n.flatMap { case (id, v) =>
+      val b = blockOf(id, bB)
+      (0 until bB).iterator.map(o =>
+        (math.min(b, o) * bB + math.max(b, o), id, v))
+    }.groupByKey(_._1).flatMapGroups { (cell, it) =>
+      val rows = it.map(r => (r._2, r._3)).toArray
+      val ca = cell / bB
+      val cb = cell % bB
+      if (ca == cb) {
+        // same-block cell: triangular all-pairs in id order
+        val sorted = rows.sortBy(_._1)
+        sorted.indices.iterator.flatMap { i =>
+          val (ida, va) = sorted(i)
+          (i + 1 until sorted.length).iterator
+            .map { j => val (idb, vb) = sorted(j); (ida, idb, dotArr(va, vb)) }
+            .filter(_._3 >= threshold)
+        }
+      } else {
+        // cross-block cell: full cross of the two blocks, min id first
+        val (as, bs) = rows.partition(r => blockOf(r._1, bB) == ca)
+        as.iterator.flatMap { case (x, vx) =>
+          bs.iterator.map { case (y, vy) =>
+            if (x < y) (x, y, dotArr(vx, vy)) else (y, x, dotArr(vy, vx))
+          }.filter(_._3 >= threshold)
+        }
+      }
+    }
+    pairs.toDF("id_a", "id_b", "cos")
+      .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos_r"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact cosine top-k, block-gridded: corpus rows stay in their own
+    * block, query rows replicate to every block, each cell emits its
+    * local top-k (same (-cos, id) ordering), and a global rank keeps the
+    * true top-k — any global winner is by definition inside its block's
+    * local top-k, so the two-level cut is exact. Queries are assumed
+    * small relative to the corpus (each cell holds one corpus block +
+    * all queries). Equals [[cosineKnn]] bit-for-bit. */
+  def cosineKnnGrid(spark: SparkSession, emb: DataFrame, queryPred: Column,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      cellRows: Int = GridCellRows): DataFrame = {
+    import spark.implicits._
+    require(cellRows >= 1 && k >= 1, s"need cellRows/k >= 1, got $cellRows/$k")
+    val total = emb.count()
+    val bB = math.max(1, math.ceil(total.toDouble / cellRows).toInt)
+    val n = emb
+      .select(col(idCol).cast(LongType), col(vecCol), queryPred)
+      .as[(Long, Seq[Float], Boolean)]
+      .map { case (id, v, q) => (id, normalize(v), q) }
+    val candidates = n.flatMap { case (id, v, q) =>
+      val self = Iterator.single((blockOf(id, bB), id, v, false))
+      val probes =
+        if (q) (0 until bB).iterator.map(o => (o, id, v, true))
+        else Iterator.empty
+      self ++ probes
+    }.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val all = it.toArray
+      val corpus = all.collect { case (_, id, v, false) => (id, v) }
+      val queries = all.collect { case (_, id, v, true) => (id, v) }
+      queries.iterator.flatMap { case (qid, qv) =>
+        corpus.iterator.filter(_._1 != qid)
+          .map { case (nid, nv) => (qid, nid, dotArr(qv, nv)) }
+          .toSeq.sortBy { case (_, nid, cos) => (-cos, nid) }
+          .take(k)
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 9).as("cos_r"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Semantic incremental screen: which NEW batch embeddings are

@@ -169,7 +169,13 @@ object GroupWindowSql {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c == '\'') { inStr = !inStr; ids(i) = stack.head._1; i += 1 }
+      // backslash-escaped chars inside a literal ('it\'s') must not
+      // toggle the string state (ADVICE r14); ''-doubling needs no
+      // special case — two toggles cancel
+      if (inStr && c == '\\' && i + 1 < text.length) {
+        ids(i) = stack.head._1; ids(i + 1) = stack.head._1; i += 2
+      }
+      else if (c == '\'') { inStr = !inStr; ids(i) = stack.head._1; i += 1 }
       else if (!inStr && c == '(') { depth += 1; ids(i) = stack.head._1; i += 1 }
       else if (!inStr && c == ')') {
         depth -= 1
@@ -188,8 +194,21 @@ object GroupWindowSql {
     ids
   }
 
-  /** The Spark grouping expression for one reference group-window call. */
-  private def groupExpr(family: String, args: Seq[String]): String =
+  /** The Spark grouping expression for one reference group-window call.
+    * Proc-time group windows — `TUMBLE/HOP/SESSION(PROCTIME(), …)` or a
+    * registered proc-time attribute as the time argument — are a TESTED
+    * REJECTION (r15): the reference's stream WindowAggregateITCase
+    * accepts them, but wall-clock window bounds cannot be
+    * oracle-checked and have no batch meaning; the capability is served
+    * by the proc-time DataFrame executors
+    * ([[OverAggregates]] proc-time frames, [[CountWindows]]). */
+  private def groupExpr(family: String, args: Seq[String]): String = {
+    require(args.isEmpty || !TemporalSql.isProcTime(args(0)),
+      s"$family(${args.headOption.getOrElse("").trim}, …) groups by a " +
+        "proc-time attribute: proc-time group windows are not supported " +
+        "at the SQL front door (wall-clock bounds cannot be " +
+        "oracle-checked) — use the proc-time DataFrame executors " +
+        "(graft.streaming.OverAggregates / CountWindows)")
     family match {
       case "TUMBLE" =>
         require(args.length == 2,
@@ -205,6 +224,7 @@ object GroupWindowSql {
           s"SESSION takes (time_attr, gap); got ${args.length} arguments")
         s"session_window(${args(0).trim}, ${duration(args(1))})"
     }
+  }
 
   private val IntervalRe =
     """(?is)\s*INTERVAL\s*'([0-9.]+)'\s*(DAY|HOUR|MINUTE|SECOND)\s*(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s*""".r
@@ -234,7 +254,8 @@ object GroupWindowSql {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inStr = !inStr
+      if (inStr && c == '\\') i += 1 // skip the escaped char
+      else if (c == '\'') inStr = !inStr
       else if (!inStr && c == '(') depth += 1
       else if (!inStr && c == ')') depth -= 1
       else if (!inStr && c == ',' && depth == 0) {
@@ -254,7 +275,8 @@ object GroupWindowSql {
     var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') { inStr = !inStr; i += 1 }
+      if (inStr && c == '\\') i += 2 // skip the escaped char
+      else if (c == '\'') { inStr = !inStr; i += 1 }
       else if (!inStr && u.startsWith(word, i) &&
           (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
           (i + word.length >= s.length || !isIdentChar(s.charAt(i + word.length))))
@@ -275,7 +297,8 @@ object GroupWindowSql {
     var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inStr = !inStr
+      if (inStr && c == '\\') i += 1 // skip the escaped char
+      else if (c == '\'') inStr = !inStr
       else if (!inStr && c == '(') depth += 1
       else if (!inStr && c == ')') {
         depth -= 1

@@ -302,7 +302,7 @@ object TemporalSql {
     * Exact match only — prefix/substring inference would silently turn
     * an event-time join over a column named `proctime_ts` into a
     * latest-version lookup. */
-  private def isProcTime(expr: String): Boolean = {
+  private[streaming] def isProcTime(expr: String): Boolean = {
     val e = expr.trim.toLowerCase
     val last = e.substring(e.lastIndexOf('.') + 1)
     e == "proctime()" || procTimeNames.contains(last)
@@ -376,7 +376,8 @@ object TemporalSql {
     var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') { inStr = !inStr; i += 1 }
+      if (inStr && c == '\\') i += 2 // skip the escaped char (ADVICE r14)
+      else if (c == '\'') { inStr = !inStr; i += 1 }
       else if (!inStr && c == '(') { depth += 1; i += 1 }
       else if (!inStr && c == ')') {
         if (depth == 0) return i
@@ -398,7 +399,8 @@ object TemporalSql {
     var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') { inStr = !inStr; i += 1 }
+      if (inStr && c == '\\') i += 2 // skip the escaped char
+      else if (c == '\'') { inStr = !inStr; i += 1 }
       else if (!inStr && u.startsWith(word, i) &&
           (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
           (i + word.length >= s.length || !isIdentChar(s.charAt(i + word.length))))
@@ -417,7 +419,8 @@ object TemporalSql {
     var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inStr = !inStr
+      if (inStr && c == '\\') i += 1 // skip the escaped char
+      else if (c == '\'') inStr = !inStr
       else if (!inStr && c == '(') depth += 1
       else if (!inStr && c == ')') {
         depth -= 1

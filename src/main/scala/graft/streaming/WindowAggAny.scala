@@ -253,7 +253,13 @@ object WindowAggAny {
     * Java-serialized for the same JPMS reason. */
   final case class Sess(startUs: Long, lastUs: Long, rows: Long,
       accs: Seq[Acc], dsets: Seq[Set[Any]], emittedRows: Long,
-      closed: Boolean)
+      closed: Boolean,
+      /** w_start_us under which this session's FINAL first fired
+        * (-1 = not fired): late-fire updates re-emit under this stable
+        * identity even if a late row moved the true start earlier, so a
+        * consumer upserting by (partCols, w_start_us) replaces rather
+        * than double-counts (ADVICE r14). */
+      firedStartUs: Long = -1L)
 
   /** Per-partition-key session-window state: the open/retained sessions,
     * ordered by start. */
@@ -279,10 +285,21 @@ object WindowAggAny {
     *    retention horizon and that touches no retained session is
     *    discarded — the allowed-lateness drop.
     *
-    * Output: partition columns, `w_start_us` (the session's start), one
-    * column per agg, `is_final`. Batch collapse: one invocation per key
-    * sees every row — the emitted finals are exactly the gaps-and-islands
-    * session aggregate the DuckDB oracle hash-checks.
+    * Output: partition columns, `w_start_us`, one column per agg,
+    * `is_final` (0 early, 1 final, 2 late-fire update, 3 retraction).
+    * IDENTITY CONTRACT (r15): `w_start_us` of an `is_final=2` update is
+    * the start under which the session's final FIRST fired — stable even
+    * when a late row extends the session to an earlier true start — so
+    * a consumer upserting by (partition cols, w_start_us) replaces the
+    * stale final instead of keeping both. When a late row BRIDGES two
+    * already-fired sessions, the earliest fired identity survives and
+    * each absorbed identity is explicitly deleted with an `is_final=3`
+    * marker (the reference's WindowOperator re-fires the merged window
+    * under its new bounds and never retracts — a documented
+    * double-count at upsert consumers that graft closes here). Batch
+    * collapse: one invocation per key sees every row — the emitted
+    * finals are exactly the gaps-and-islands session aggregate the
+    * DuckDB oracle hash-checks.
     *
     * Scale: one shuffle on the partition columns (the reference's
     * WindowOperator keys session state the same way); state is
@@ -330,13 +347,24 @@ object WindowAggAny {
     def process(key: Row, rows: Iterator[Row], state: GroupState[SessState])
         : Iterator[Row] = {
       val keyVals = (0 until key.length).map(key.get)
+      // is_final=2 updates emit under the identity the consumer already
+      // holds (the start at first final fire), not the possibly-moved
+      // true start — the identity contract (ADVICE r14; the reference's
+      // WindowOperator re-fires under the merged window and never
+      // retracts, which double-counts at an upsert consumer)
       def emit(s: Sess, isFinal: Int): Row = Row.fromSeq(
-        keyVals ++ Seq(s.startUs) ++
+        keyVals ++ Seq(
+          if (isFinal == 2 && s.firedStartUs >= 0) s.firedStartUs
+          else s.startUs) ++
           OverAggregates.accOutputs(aggs, s.rows, s.accs, s.dsets) :+ isFinal)
       val sparkWmUs =
         if (!isStreaming) Long.MinValue
         else state.getCurrentWatermarkMs() * 1000L
       var sess = state.getOption.map(_.sessions).getOrElse(Nil)
+      // retraction markers (is_final=3): when a late row BRIDGES two
+      // already-fired sessions, one fired identity survives (the
+      // earliest) and each absorbed identity is explicitly deleted
+      val retracts = scala.collection.mutable.ArrayBuffer.empty[Row]
       // fold this batch's rows in event-time order: each row is the
       // singleton session [t, t + gap); overlapping retained sessions
       // merge with it (a bridging row can merge several)
@@ -350,6 +378,14 @@ object WindowAggAny {
           // the row's own session is already past the retention horizon
           // and it extends nothing retained: the allowed-lateness drop
         } else {
+          val firedIds = touch.collect {
+            case s if s.firedStartUs >= 0 => s.firedStartUs }
+          val keepId = if (firedIds.isEmpty) -1L else firedIds.min
+          touch.foreach { s =>
+            if (s.firedStartUs >= 0 && s.firedStartUs != keepId)
+              retracts += Row.fromSeq(keyVals ++ Seq(s.firedStartUs) ++
+                OverAggregates.accOutputs(aggs, s.rows, s.accs, s.dsets) :+ 3)
+          }
           val single = Sess(tUs, tUs, 1L,
             OverAggregates.updateAccs(aggs,
               OverAggregates.emptyAccs(aggs), e),
@@ -363,7 +399,8 @@ object WindowAggAny {
               math.max(a.lastUs, b.lastUs), a.rows + b.rows,
               OverAggregates.mergeAccs(a.accs, b.accs),
               a.dsets.zip(b.dsets).map { case (x, y) => x ++ y },
-              emittedRows = -1L, closed = a.closed || b.closed)
+              emittedRows = -1L, closed = a.closed || b.closed,
+              firedStartUs = keepId)
           }
           sess = (merged :: rest).sortBy(_.startUs)
         }
@@ -383,7 +420,8 @@ object WindowAggAny {
             else if (s.closed && s.rows != s.emittedRows) out += emit(s, 2)
           } else if (!s.closed && trueWmUs >= endUs) {
             out += emit(s, 1)
-            kept += s.copy(emittedRows = s.rows, closed = true)
+            kept += s.copy(emittedRows = s.rows, closed = true,
+              firedStartUs = s.startUs)
           } else if (s.closed && s.rows != s.emittedRows) {
             out += emit(s, 2)
             kept += s.copy(emittedRows = s.rows)
@@ -399,7 +437,7 @@ object WindowAggAny {
           state.update(SessState(k))
           state.setTimeoutDuration(earlyFire)
         }
-        out.iterator
+        retracts.iterator ++ out.iterator
       }
     }
 

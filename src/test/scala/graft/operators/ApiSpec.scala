@@ -12,6 +12,28 @@ object AsyncProbe {
   val max = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
+/** JVM-static open/close ledger for the store-client lifecycle spec. */
+object StoreProbe {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  val doubleCloses = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { opens.set(0); closes.set(0); doubleCloses.set(0) }
+}
+
+/** A store client whose close() is NOT idempotent — the real-RPC
+  * contract the lifecycle must respect (ADVICE r14: refill + the
+  * task-completion listener double-closed). */
+class StrictStoreClient extends AsyncLookup.StoreClient[Long, Long] {
+  StoreProbe.opens.incrementAndGet()
+  private var closed = false
+  def fetch(key: Long): Long = key * 7
+  override def close(): Unit =
+    if (closed) {
+      StoreProbe.doubleCloses.incrementAndGet()
+      throw new IllegalStateException("store client closed twice")
+    } else { closed = true; StoreProbe.closes.incrementAndGet() }
+}
+
 /** The pipeline operators are a library, not a fixture harness: this spec
   * drives the generic entry points on freshly-built DataFrames with
   * non-fixture column names and verifies the operator contracts hold. */
@@ -39,6 +61,52 @@ class ApiSpec extends SparkSpec {
     // concurrency oracle is immune to machine-load timing flake
     assert(AsyncProbe.max.get() > 1,
       s"lookups never overlapped (max in-flight ${AsyncProbe.max.get()})")
+  }
+
+  test("store-client async lookup closes each partition's client " +
+      "exactly once — a non-idempotent close() survives drain + " +
+      "task-completion teardown") {
+    import spark.implicits._
+    StoreProbe.reset()
+    val ds = (1L to 20L).toDF("id").repartition(2).as[Long]
+    val out = AsyncLookup.asyncLookupJoinStore[Long, Long, Long, (Long, Long)](
+      ds, () => new StrictStoreClient, (l: Long) => l, capacity = 4,
+      (l, v) => (l, v)).collect()
+    assert(out.length == 20 && out.forall(p => p._1 * 7 == p._2))
+    assert(StoreProbe.doubleCloses.get() == 0, "client closed twice")
+    assert(StoreProbe.opens.get() >= 1)
+    assert(StoreProbe.opens.get() == StoreProbe.closes.get(),
+      s"opens ${StoreProbe.opens.get()} != closes ${StoreProbe.closes.get()}")
+  }
+
+  test("r15 block-grid exact cosine equals the broadcast kernels " +
+      "bit-for-bit and the broadcast entries auto-route past the cap") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => (math.sin(i * 13.0 + d * 7.0) * 10).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val bPairs = Similarity.cosineNearDupPairs(spark, emb, 0.2)
+      .collect().toSeq
+    // cellRows = 7 forces ceil(120/7) = 18 blocks — deep grid on 60 rows
+    val gPairs = Similarity.cosineNearDupPairsGrid(spark, emb, 0.2,
+      cellRows = 7).collect().toSeq
+    assert(bPairs.nonEmpty && bPairs == gPairs,
+      s"grid pairs diverge: ${bPairs.size} vs ${gPairs.size}")
+    val bKnn = Similarity.cosineKnn(spark, emb, col("vec_id") < 9, k = 4)
+      .collect().toSeq
+    val gKnn = Similarity.cosineKnnGrid(spark, emb, col("vec_id") < 9,
+      k = 4, cellRows = 7).collect().toSeq
+    assert(bKnn.nonEmpty && bKnn == gKnn,
+      s"grid knn diverges: $bKnn vs $gKnn")
+    // a cap below the corpus size routes the broadcast entries onto the
+    // grid path (no driver materialization) with the identical answer
+    val autoKnn = Similarity.cosineKnn(spark, emb, col("vec_id") < 9,
+      k = 4, maxCorpusRows = 10).collect().toSeq
+    assert(autoKnn == bKnn)
+    val autoPairs = Similarity.cosineNearDupPairs(spark, emb, 0.2,
+      maxCorpusRows = 10).collect().toSeq
+    assert(autoPairs == bPairs)
   }
 
   private lazy val corpus = {
@@ -100,14 +168,19 @@ class ApiSpec extends SparkSpec {
     assert(knn == Set((100L, 101L)))
   }
 
-  test("exact-cosine kernels refuse a corpus beyond the broadcast cap") {
+  test("the BROADCAST-side cap still fails fast where no grid twin " +
+      "exists (crossCosineNearDups broadcasts the batch side by contract)") {
     import spark.implicits._
-    val emb = (0L to 9L).map(i => (i, Array.fill(64)(i.toFloat))).toDF("vec_id", "embedding")
+    // cosineKnn/cosineNearDupPairs no longer refuse — they auto-route to
+    // the block-grid kernels (r15, pinned above); the semantic screen's
+    // BATCH side is small by contract and keeps the fail-fast
+    val emb = (0L to 9L).map(i => (i, Array.fill(64)(i.toFloat)))
+      .toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
-      Similarity.cosineKnn(spark, emb, col("vec_id") === 0L, k = 1,
-        maxCorpusRows = 5).collect()
+      Similarity.crossCosineNearDups(spark, emb, emb, 0.5,
+        maxBatchRows = 5).collect()
     }
-    assert(e.getMessage.contains("annLsh"))
+    assert(e.getMessage.contains("annLsh"), e.getMessage)
   }
 
   test("exact-topk audit kernel refuses a corpus beyond the broadcast cap") {

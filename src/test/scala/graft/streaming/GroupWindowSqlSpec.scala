@@ -64,6 +64,44 @@ class GroupWindowSqlSpec extends SparkSpec {
         "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"))
   }
 
+  test("r15 tested contract: TUMBLE/HOP/SESSION over PROCTIME() or a " +
+    "registered proc-time attribute is rejected with the executor " +
+    "pointer (the reference's stream WindowAggregateITCase accepts the " +
+    "spelling; wall-clock bounds cannot be oracle-checked here)") {
+    val e = intercept[IllegalArgumentException](rw(
+      "SELECT COUNT(*) FROM T GROUP BY TUMBLE(PROCTIME(), INTERVAL '1' HOUR)"))
+    assert(e.getMessage.contains("proc-time group windows are not supported"))
+    assert(e.getMessage.contains("OverAggregates"), e.getMessage)
+    // the default registered proc-time attribute name
+    val e2 = intercept[IllegalArgumentException](rw(
+      "SELECT COUNT(*) FROM T GROUP BY HOP(proctime, " +
+        "INTERVAL '30' MINUTE, INTERVAL '1' HOUR)"))
+    assert(e2.getMessage.contains("proc-time group windows"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](rw(
+      "SELECT COUNT(*) FROM T GROUP BY SESSION(t.proctime, " +
+        "INTERVAL '4' SECOND)"))
+    assert(e3.getMessage.contains("proc-time group windows"), e3.getMessage)
+    // an event-time column merely RESEMBLING proc-time stays accepted
+    assert(rw("GROUP BY TUMBLE(proctime_ts, INTERVAL '1' HOUR)") ==
+      "GROUP BY window(proctime_ts, '1 hour')")
+  }
+
+  test("r15: backslash-escaped quotes inside string literals do not " +
+    "desync the block scanner or the argument splitter") {
+    // the literal contains \' and the word SELECT — a desynced scanner
+    // would open a phantom block and misattribute the auxiliary
+    val t = rw("SELECT TUMBLE_START(ts, INTERVAL '1' HOUR), " +
+      "'it\\'s a SELECT literal' AS note " +
+      "FROM T GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+    assert(t.contains("window.start") && t.contains("'it\\'s a SELECT literal'"))
+    // an escaped quote inside a group-window argument string — the
+    // splitter must not split or unbalance inside the literal
+    val u = rw("SELECT COUNT(*) FROM T " +
+      "WHERE tag = 'don\\'t (really)' " +
+      "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+    assert(u.contains("window(ts, '1 hour')"), u)
+  }
+
   test("the rewrite composes inside DML: INSERT ... SELECT with a group " +
     "window runs through the front door (sqlUpdate parity)") {
     import spark.implicits._

@@ -365,6 +365,52 @@ class WindowAggAnySpec extends SparkSpec {
     q.stop()
   }
 
+  test("r15 session identity contract: a late row merging IN FRONT of a " +
+    "closed session re-emits under the FIRED start (not the moved one); " +
+    "a late bridge of two fired sessions retracts the absorbed identity " +
+    "with is_final=3") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double, Long)]
+    val out = WindowAggAny.earlyLateFireSessionAgg(
+      input.toDF().toDF("k", "t", "v", "u"), Seq("k"), "t", Seq("u"),
+      gap = java.time.Duration.ofMinutes(5), aggs,
+      earlyFire = "100 milliseconds",
+      allowedLateness = java.time.Duration.ofMinutes(20))
+    val q = out.writeStream.format("memory").queryName("wsessident")
+      .outputMode("append").start()
+    def fires(k: String): Seq[(Long, Long, Double, Long, Int)] =
+      spark.table("wsessident").filter($"k" === k)
+        .select($"w_start_us", $"n", $"mn", $"du", $"is_final")
+        .as[(Long, Long, Double, Long, Int)].collect().toSeq
+    def us(m: Int): Long = ts(m).getTime * 1000L
+    // ---- front-merge: session fires at start 10:01, then a late row at
+    // 10:00 moves the true start earlier; the update keeps identity 10:01
+    input.addData(("a", ts(1), 5.0, 7L))
+    input.addData(("z", ts(15), 0.0, 0L))
+    assert(await(fires("a").exists(_._5 == 1)), s"no final: ${fires("a")}")
+    input.addData(("a", ts(0), 1.0, 9L))
+    assert(await(fires("a").exists(_._5 == 2)), s"no update: ${fires("a")}")
+    assert(fires("a").filter(_._5 == 2) == Seq((us(1), 2L, 1.0, 2L, 2)),
+      s"update must keep the fired identity: ${fires("a")}")
+    // ---- bridge-merge: both sessions fire, a late row bridges them;
+    // the absorbed fired identity (10:09) is retracted, the merged
+    // update emits under the surviving one (10:01)
+    input.addData(("b", ts(1), 4.0, 1L), ("b", ts(9), 6.0, 2L))
+    input.addData(("z", ts(25), 0.0, 0L))
+    assert(await(fires("b").count(_._5 == 1) == 2),
+      s"both finals must fire: ${fires("b")}")
+    input.addData(("b", ts(5), 2.0, 3L))
+    assert(await(fires("b").exists(_._5 == 3)), s"no retract: ${fires("b")}")
+    val retract = fires("b").filter(_._5 == 3)
+    assert(retract.map(_._1) == Seq(us(9)),
+      s"retract must name the absorbed identity: $retract")
+    val upd = fires("b").filter(_._5 == 2)
+    assert(upd == Seq((us(1), 3L, 2.0, 3L, 2)),
+      s"merged update must keep the surviving identity: ${fires("b")}")
+    q.stop()
+  }
+
   test("session batch collapse equals the gaps-and-islands session " +
     "aggregate (Spark session_window), composite key") {
     import spark.implicits._
