@@ -174,19 +174,46 @@ object Dedup {
           .filter(col("jaccard") >= threshold)
           .orderBy(col("id_a"), col("id_b"))
       case None =>
-        // counts over HASHED rows (one per distinct string shingle, so the
-        // denominators are identical) — keeps all three consumers on the
-        // cacheable relation
+        // EXACT path via PREFIX FILTERING (r15; Chaudhuri et al. ICDE'06 /
+        // Xiao et al. PPJoin): the naive shingle equi-join generates
+        // sum(c_h^2) candidates, and on a saturating vocabulary c_h grows
+        // with the corpus — measured QUADRATIC on the fixtures (docs x10
+        // -> candidates x90, scale/q45_candidate_audit.jsonl). Under a
+        // global shingle order (rarest doc-frequency first, hash
+        // tie-break), two sets with Jaccard >= t MUST share a shingle
+        // inside each one's first (n - ceil(t*n) + 1) shingles — so
+        // candidates come from a prefix-only equi-join whose per-shingle
+        // fanout is bounded by rarity, and each candidate pair is then
+        // verified EXACTLY on the full hash sets. Same answer; measured
+        // candidate reduction 78x at sf0.01 / 4.2x at sf0.1 (the fixture
+        // corpus is template-generated and unusually self-similar — on a
+        // real web corpus rare-prefix fanout is far smaller; the residual
+        // candidates here are dominated by TRUE near-dup pairs no exact
+        // algorithm can skip).
         val cnt = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val a = hashed.select(col("doc_id").as("id_a"), col("h"))
-        val b = hashed.select(col("doc_id").as("id_b"), col("h"))
-        val inter = a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
-          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
-        inter
-          .join(cnt.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-          .join(cnt.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+        val freq = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+        val pref = hashed.join(freq, Seq("h"))
+          .withColumn("pos", row_number().over(w))
+          .join(cnt, Seq("doc_id"))
+          .filter(col("pos") <=
+            col("n") - ceil(lit(threshold) * col("n")) + 1)
+          .select(col("doc_id"), col("h"))
+        val cands = pref.select(col("doc_id").as("id_a"), col("h"))
+          .join(pref.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        val sets = hashed.groupBy(col("doc_id"))
+          .agg(collect_list(col("h")).as("shset"), count(lit(1)).as("n"))
+        cands
+          .join(sets.select(col("doc_id").as("id_a"), col("shset").as("sa"),
+            col("n").as("na")), Seq("id_a"))
+          .join(sets.select(col("doc_id").as("id_b"), col("shset").as("sb"),
+            col("n").as("nb")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
-            jaccard(col("i"), col("na"), col("nb")).as("jaccard"))
+            jaccard(size(array_intersect(col("sa"), col("sb"))).cast(LongType),
+              col("na"), col("nb")).as("jaccard"))
           .filter(col("jaccard") >= threshold)
           .orderBy(col("id_a"), col("id_b"))
     }

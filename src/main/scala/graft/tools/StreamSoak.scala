@@ -202,6 +202,48 @@ object StreamSoak {
       val r = (sf.exceptAll(bf).count(), bf.exceptAll(sf).count(), sf.count())
       sf.unpersist(); bf.unpersist(); r
     }
+    // shared by gen_session and gen_session_skew (r15)
+    val sessionAggs = Seq(
+      graft.streaming.OverAggregates.Agg("COUNT", None, "n_events"),
+      graft.streaming.OverAggregates.Agg("MIN", Some("value"), "min_v"),
+      graft.streaming.OverAggregates.Agg("COUNT", Some("value"), "nd_v",
+        distinct = true),
+      graft.streaming.OverAggregates.Agg("SUM", Some("value"), "sum_v"))
+    def sessionCheck(withDistinct: Boolean)
+        : (DataFrame, DataFrame) => (Long, Long, Long) =
+      (s, b) => {
+        def fin(log: DataFrame): DataFrame = {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("user_id", "w_start_us")
+            .orderBy(col("n_events").desc, col("is_final").desc)
+          val cols = Seq("user_id", "w_start_us", "n_events", "min_v") ++
+            (if (withDistinct) Seq("nd_v") else Nil) :+ "sum_v"
+          realWin(log).filter(col("is_final") >= 1)
+            .withColumn("rxx", row_number().over(w))
+            .filter(col("rxx") === 1)
+            .select(cols.map(col): _*)
+        }
+        val sf = fin(s).withColumnRenamed("n_events", "sn")
+          .withColumnRenamed("min_v", "smin")
+          .withColumnRenamed("nd_v", "snd")
+          .withColumnRenamed("sum_v", "ssum").cache()
+        val bf = fin(b).withColumnRenamed("n_events", "bn")
+          .withColumnRenamed("min_v", "bmin")
+          .withColumnRenamed("nd_v", "bnd")
+          .withColumnRenamed("sum_v", "bsum")
+        val j = sf.join(bf,
+          Seq("user_id", "w_start_us"), "full_outer").cache()
+        val mismatch = j.filter(col("sn").isNull || col("bn").isNull ||
+          col("sn") =!= col("bn") || col("smin") =!= col("bmin") ||
+          (if (withDistinct) col("snd") =!= col("bnd") else lit(false)) ||
+          abs(col("ssum") - col("bsum")) >
+            abs(col("bsum")) * 1e-9 + 1e-6).count()
+        val onlyB = j.filter(col("sn").isNull).count()
+        val rows = sf.count()
+        sf.unpersist(); j.unpersist()
+        (mismatch, onlyB, rows)
+      }
+
     val ops: Seq[(String, String, Op, Check, Boolean)] = Seq(
       ("topn", eventsDir,
         (ds: Dataset[Event]) => StatefulOps.topNPerKey(ds, 3).toDF(),
@@ -452,45 +494,36 @@ object StreamSoak {
         (ds: Dataset[Event]) =>
           graft.streaming.WindowAggAny.earlyLateFireSessionAgg(
             ds.toDF(), Seq("user_id"), "ts", Seq("event_id"),
-            gap = java.time.Duration.ofHours(1),
-            Seq(graft.streaming.OverAggregates.Agg("COUNT", None, "n_events"),
-              graft.streaming.OverAggregates.Agg("MIN", Some("value"), "min_v"),
-              graft.streaming.OverAggregates.Agg("COUNT", Some("value"), "nd_v",
-                distinct = true),
-              graft.streaming.OverAggregates.Agg("SUM", Some("value"), "sum_v")),
+            gap = java.time.Duration.ofHours(1), sessionAggs,
             earlyFire = "100 milliseconds",
             delay = java.time.Duration.ofSeconds(60)),
-        (s, b) => {
-          def fin(log: DataFrame): DataFrame = {
-            import org.apache.spark.sql.expressions.Window
-            val w = Window.partitionBy("user_id", "w_start_us")
-              .orderBy(col("n_events").desc, col("is_final").desc)
-            realWin(log).filter(col("is_final") >= 1)
-              .withColumn("rxx", row_number().over(w))
-              .filter(col("rxx") === 1)
-              .select("user_id", "w_start_us",
-                "n_events", "min_v", "nd_v", "sum_v")
-          }
-          val sf = fin(s).withColumnRenamed("n_events", "sn")
-            .withColumnRenamed("min_v", "smin")
-            .withColumnRenamed("nd_v", "snd")
-            .withColumnRenamed("sum_v", "ssum").cache()
-          val bf = fin(b).withColumnRenamed("n_events", "bn")
-            .withColumnRenamed("min_v", "bmin")
-            .withColumnRenamed("nd_v", "bnd")
-            .withColumnRenamed("sum_v", "bsum")
-          val j = sf.join(bf,
-            Seq("user_id", "w_start_us"), "full_outer").cache()
-          val mismatch = j.filter(col("sn").isNull || col("bn").isNull ||
-            col("sn") =!= col("bn") || col("smin") =!= col("bmin") ||
-            col("snd") =!= col("bnd") ||
-            abs(col("ssum") - col("bsum")) >
-              abs(col("bsum")) * 1e-9 + 1e-6).count()
-          val onlyB = j.filter(col("sn").isNull).count()
-          val rows = sf.count()
-          sf.unpersist(); j.unpersist()
-          (mismatch, onlyB, rows)
-        }, false))
+        sessionCheck(withDistinct = true), false),
+      // round-15 (VERDICT r14 #5): SESSION windows under a HOT KEY —
+      // earlyLateFireSessionAgg keys state on the partition key alone
+      // (reference parity: WindowOperator keys session state the same
+      // way), so one pathological key concentrates one task. Every even
+      // user collapses onto key 0 (~50% of the tiled events), pinning
+      // per-task batch time and state growth under the skew. Sub-key
+      // pre-aggregation is IMPOSSIBLE for merging session windows — two
+      // sub-key shards cannot decide a merge until their rows meet,
+      // which IS the full-key grouping — so the mitigations are the
+      // gap/earlyFire knobs and this measured bound (SCALE.md). The
+      // DISTINCT aggregate is deliberately absent here: its per-session
+      // distinct SET scales with the hot key's distinct values on ANY
+      // engine (the reference accumulates the same set) — that cost is
+      // the aggregate's, not the assigner's, and would mask the
+      // session-state measurement this leg exists for.
+      ("gen_session_skew", eventsDir,
+        (ds: Dataset[Event]) =>
+          graft.streaming.WindowAggAny.earlyLateFireSessionAgg(
+            ds.toDF().withColumn("user_id",
+              when(col("user_id") % 2 === 0, 0L).otherwise(col("user_id"))),
+            Seq("user_id"), "ts", Seq("event_id"),
+            gap = java.time.Duration.ofHours(1),
+            sessionAggs.filterNot(_.distinct),
+            earlyFire = "100 milliseconds",
+            delay = java.time.Duration.ofSeconds(60)),
+        sessionCheck(withDistinct = false), false))
 
     // The early/late-fire ops keep a PROC-TIME timer per open window, and
     // the sentinel windows (far-future ts) never close — so they re-register
@@ -520,7 +553,7 @@ object StreamSoak {
       q.awaitTermination()
     }
     val procTimerOps = Set("early_fire", "late_fire", "gen_window",
-      "gen_hop", "gen_session")
+      "gen_hop", "gen_session", "gen_session_skew")
 
     ops.filter(_._1.startsWith(opPrefix)).foreach {
       case (name, dir, op, check, exactMultiset) =>
@@ -559,6 +592,16 @@ object StreamSoak {
           case "late_fire" | "gen_window" | "gen_hop" | "gen_session" =>
             s""","early_fires":${streamLog.filter(col("is_final") === 0).count()},""" +
               s""""late_finals":${streamLog.filter(col("is_final") === 2).count()}"""
+          case "gen_session_skew" =>
+            // the skew claim: hot-key state and per-batch time, explicit
+            val sr = q.recentProgress.toSeq
+              .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+            val bt = q.recentProgress.toSeq.flatMap(p =>
+              Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+            s""","late_finals":${streamLog.filter(col("is_final") === 2).count()},""" +
+              s""""hot_key_rows":${streamLog.filter(col("user_id") === 0L).count()},""" +
+              (if (sr.isEmpty) "" else s""""state_peak":${sr.max},"state_final":${sr.last},""") +
+              s""""batch_ms_max":${if (bt.isEmpty) -1L else bt.max}"""
           case "sort" | "gen_sort" =>
             s""","order_violations":${sortOrderViolations(spark, sinkDir)}"""
           case "gen_over_ttl" =>
