@@ -58,6 +58,16 @@ object GraftFunctions {
   def topWordRun(s: Column): Column =
     Bridge.column(TopWordRun(Bridge.expression(s)))
 
+  /** SORTED_INTERSECT_SIZE(a, b): count of shared elements between two
+    * SORTED long arrays of distinct values — a linear primitive merge
+    * with zero allocation, the hot verify kernel of the exact-Jaccard
+    * candidate path ([[graft.operators.Dedup]]); `array_intersect` would
+    * build a hash set per invocation. Caller contract: both arrays
+    * ascending and duplicate-free (sort_array over a distinct relation). */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectSize(Bridge.expression(a),
+      Bridge.expression(b)))
+
   /** Register SQL names so `spark.sql` queries can call the gap functions
     * by their reference names. All five resolve to the native codegen'd
     * expressions below — no ScalaUDF boxing anywhere on this surface
@@ -192,6 +202,21 @@ object FnKernels {
       i += 1
     }
     true
+  }
+
+  /** Linear merge-count over two ascending duplicate-free long arrays. */
+  def sortedIntersectSize(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val la = a.numElements(); val lb = b.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < la && j < lb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
   }
 }
 
@@ -346,4 +371,33 @@ case class TopWordRun(child: Expression) extends UnaryExpression
 
   override protected def withNewChildInternal(newChild: Expression): TopWordRun =
     copy(child = newChild)
+}
+
+
+/** Intersection cardinality of two SORTED duplicate-free long arrays as a
+  * codegen'd Catalyst expression — the exact-Jaccard verify kernel
+  * ([[graft.operators.Dedup]] prefix-filter path): a linear primitive
+  * merge, no per-invocation hash set, fused into whole-stage codegen. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(LongType),
+      org.apache.spark.sql.types.ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FnKernels.sortedIntersectSize(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.FnKernels.sortedIntersectSize($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
 }

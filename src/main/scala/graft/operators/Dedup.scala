@@ -162,17 +162,37 @@ object Dedup {
     val hashed =
       if (hashedPersist == org.apache.spark.storage.StorageLevel.NONE) hashed0
       else hashed0.persist(hashedPersist)
+    // Exact per-pair verification shared by the LSH and prefix-filter
+    // candidate paths (r15): each doc's distinct hash set is SORTED once
+    // (sort_array at aggregation), the sets relation joins the candidate
+    // pairs BROADCAST when the corpus is small enough (id -> ~1.6 KB of
+    // hashes; shipping arrays per-pair through a shuffle was measured at
+    // ~90 GB on 29M sf1 candidates), and the intersection count is the
+    // primitive sorted-merge kernel [[graft.functions.SortedIntersectSize]]
+    // — no per-pair hash set, fused into codegen.
+    def verify(c: DataFrame): DataFrame = {
+      val sets = hashed.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("shset"),
+          count(lit(1)).as("n"))
+      val sa = sets.select(col("doc_id").as("id_a"), col("shset").as("sa"),
+        col("n").as("na"))
+      val sb = sets.select(col("doc_id").as("id_b"), col("shset").as("sb"),
+        col("n").as("nb"))
+      val nDocs = hashed.select(col("doc_id")).distinct()
+        .limit(BroadcastSetsMaxDocs + 1).count()
+      val (ja, jb) =
+        if (nDocs <= BroadcastSetsMaxDocs) (broadcast(sa), broadcast(sb))
+        else (sa, sb)
+      c.join(ja, Seq("id_a")).join(jb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          jaccard(graft.functions.GraftFunctions
+              .sortedIntersectSize(col("sa"), col("sb")),
+            col("na"), col("nb")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .orderBy(col("id_a"), col("id_b"))
+    }
     candidates match {
-      case Some(c) =>
-        val sets = hashed.groupBy(col("doc_id"))
-          .agg(collect_list(col("h")).as("shset"), count(lit(1)).as("n"))
-        c.join(sets.select(col("doc_id").as("id_a"), col("shset").as("sa"), col("n").as("na")), Seq("id_a"))
-          .join(sets.select(col("doc_id").as("id_b"), col("shset").as("sb"), col("n").as("nb")), Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-            jaccard(size(array_intersect(col("sa"), col("sb"))).cast(LongType),
-              col("na"), col("nb")).as("jaccard"))
-          .filter(col("jaccard") >= threshold)
-          .orderBy(col("id_a"), col("id_b"))
+      case Some(c) => verify(c)
       case None =>
         // EXACT path via PREFIX FILTERING (r15; Chaudhuri et al. ICDE'06 /
         // Xiao et al. PPJoin): the naive shingle equi-join generates
@@ -204,18 +224,7 @@ object Dedup {
           .join(pref.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b")).distinct()
-        val sets = hashed.groupBy(col("doc_id"))
-          .agg(collect_list(col("h")).as("shset"), count(lit(1)).as("n"))
-        cands
-          .join(sets.select(col("doc_id").as("id_a"), col("shset").as("sa"),
-            col("n").as("na")), Seq("id_a"))
-          .join(sets.select(col("doc_id").as("id_b"), col("shset").as("sb"),
-            col("n").as("nb")), Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-            jaccard(size(array_intersect(col("sa"), col("sb"))).cast(LongType),
-              col("na"), col("nb")).as("jaccard"))
-          .filter(col("jaccard") >= threshold)
-          .orderBy(col("id_a"), col("id_b"))
+        verify(cands)
     }
   }
 
@@ -242,6 +251,11 @@ object Dedup {
 
   private val NumHashes = 96
   private val Bands = 32 // 3 rows per band; P[miss | J=0.9] ≈ 3e-18
+
+  /** Docs at or under this broadcast the sorted hash-set relation into
+    * the exact-Jaccard verify join (~1.6 KB/doc of hashes → ≤ 800 MB);
+    * past it the sets relation shuffles like any other join side. */
+  val BroadcastSetsMaxDocs: Int = 500000
 
   /** Whole-signature MinHash aggregator: one pass over the shingle hashes,
     * a primitive 96-slot min array as the buffer (kept deserialized by

@@ -33,7 +33,8 @@ object Similarity {
 
   def defs: Seq[QueryDef] =
     Seq(q50CosineKnn, q51CosineNearDup, q52AnnLsh, q53EmbeddingClusters,
-      q93AnnIvf, q102QuantizeInt8, q115SemanticScreen, q119SemDeDup)
+      q93AnnIvf, q102QuantizeInt8, q115SemanticScreen, q119SemDeDup,
+      q176CosineGrid)
 
   private val Dim = 64
 
@@ -332,6 +333,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 9).as("cos_r"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** r15: the BLOCK-GRID exact path under the correctness gate — the
+    * q51 all-pairs threshold question over a bounded corpus slice
+    * (vec_id < 1000: constant work at every sf), answered by
+    * [[cosineNearDupPairsGrid]] with a cell size small enough that the
+    * slice splits into many blocks, so every cell kind — diagonal and
+    * cross — executes; hash-checked against the identical DuckDB
+    * all-pairs oracle. Proves the no-driver-cap path end-to-end, not
+    * just spec-to-spec. */
+  val q176CosineGrid: QueryDef = QueryDef("q176_cosine_grid_pairs",
+    s"""WITH norm0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+       |  FROM embeddings WHERE vec_id < 1000),
+       |normed AS (
+       |  SELECT vec_id, list_transform(e0, x -> x / sqrt(${duckDot("e0", "e0")})) AS en
+       |  FROM norm0),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${duckDot("a.en", "b.en")} AS cos
+       |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(cos, 9) AS cos_r
+       |FROM pairs WHERE cos >= 0.46
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    cosineNearDupPairsGrid(spark,
+      Tables(spark, dir).embeddings.filter(col("vec_id") < 1000), 0.46,
+      cellRows = 128)
   }
 
   /** Semantic incremental screen: which NEW batch embeddings are
