@@ -65,6 +65,19 @@ class FnKernelsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("sortedIntersectSize equals Set intersection on arbitrary sorted " +
+    "duplicate-free long arrays (incl. empties and disjoint ranges)") {
+    val setGen: Gen[Array[Long]] = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50L, 50L)))
+      .map(_.distinct.sorted.toArray)
+    check(Prop.forAll(setGen, setGen) { (a, b) =>
+      val got = FnKernels.sortedIntersectSize(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b))
+      got == a.toSet.intersect(b.toSet).size.toLong
+    })
+  }
+
   test("isDigit/isAlpha/isDecimal agree with regex references") {
     val asciiish = Gen.listOf(Gen.oneOf(
       Gen.numChar, Gen.alphaChar, Gen.oneOf('+', '-', '.', ' ', 'é')))
