@@ -213,9 +213,27 @@ object Similarity {
         val byId = corpus.toMap
         part.flatMap { ida =>
           val va = byId(ida)
-          corpus.iterator.collect {
-            case (idb, vb) if ida < idb => (ida, idb, dotArr(va, vb))
-          }.filter(_._3 >= threshold)
+          // allocation-free inner loop (r15): the old collect{} built a
+          // tuple per PAIR before the threshold filter — ~n²/2 boxed
+          // allocations dominated the kernel (q51 at sf1: 71.7 s → the
+          // flops alone are ~2 s). Binary-search the sorted corpus for
+          // the first id > ida, then a primitive while loop appending
+          // only the matches.
+          var lo = 0; var hi = corpus.length
+          while (lo < hi) {
+            val m = (lo + hi) >>> 1
+            if (corpus(m)._1 <= ida) lo = m + 1 else hi = m
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Double)]
+          var i = lo
+          while (i < corpus.length) {
+            val c = corpus(i)
+            val d = dotArr(va, c._2)
+            if (d >= threshold) out += ((ida, c._1, d))
+            i += 1
+          }
+          out
         }
       }
       .toDF("id_a", "id_b", "cos")
@@ -266,24 +284,42 @@ object Similarity {
       val rows = it.map(r => (r._2, r._3)).toArray
       val ca = cell / bB
       val cb = cell % bB
+      // primitive while loops, matches-only allocation (r15; see the
+      // broadcast kernel note)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double)]
       if (ca == cb) {
         // same-block cell: triangular all-pairs in id order
         val sorted = rows.sortBy(_._1)
-        sorted.indices.iterator.flatMap { i =>
+        var i = 0
+        while (i < sorted.length) {
           val (ida, va) = sorted(i)
-          (i + 1 until sorted.length).iterator
-            .map { j => val (idb, vb) = sorted(j); (ida, idb, dotArr(va, vb)) }
-            .filter(_._3 >= threshold)
+          var j = i + 1
+          while (j < sorted.length) {
+            val d = dotArr(va, sorted(j)._2)
+            if (d >= threshold) out += ((ida, sorted(j)._1, d))
+            j += 1
+          }
+          i += 1
         }
       } else {
         // cross-block cell: full cross of the two blocks, min id first
         val (as, bs) = rows.partition(r => blockOf(r._1, bB) == ca)
-        as.iterator.flatMap { case (x, vx) =>
-          bs.iterator.map { case (y, vy) =>
-            if (x < y) (x, y, dotArr(vx, vy)) else (y, x, dotArr(vy, vx))
-          }.filter(_._3 >= threshold)
+        var i = 0
+        while (i < as.length) {
+          val (x, vx) = as(i)
+          var j = 0
+          while (j < bs.length) {
+            val (y, vy) = bs(j)
+            val d = if (x < y) dotArr(vx, vy) else dotArr(vy, vx)
+            if (d >= threshold)
+              out += (if (x < y) (x, y, d) else (y, x, d))
+            j += 1
+          }
+          i += 1
         }
       }
+      out.iterator
     }
     pairs.toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos_r"))
@@ -387,8 +423,17 @@ object Similarity {
         val b = bc.value
         part.flatMap { case (cid, cv) =>
           val e = normalize(cv)
-          b.iterator.map { case (bid, bv) => (bid, cid, dotArr(bv, e)) }
-            .filter(_._3 >= threshold)
+          // allocation-free scan of the broadcast batch (r15; see
+          // cosineNearDupPairs) — only matches allocate
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Double)]
+          var i = 0
+          while (i < b.length) {
+            val d = dotArr(b(i)._2, e)
+            if (d >= threshold) out += ((b(i)._1, cid, d))
+            i += 1
+          }
+          out
         }
       }
       .toDF("batch_id", "corpus_id", "cos")
