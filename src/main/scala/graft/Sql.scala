@@ -153,10 +153,19 @@ object Sql {
     // `FROM (SELECT …, ROW_NUMBER() …)` wrapper) is never lifted — it IS
     // the executor grammar.
     import org.apache.spark.sql.catalyst.plans.logical.{Join, SubqueryAlias}
+    // r16: a derived table that itself computes a window lifts too, as
+    // long as the statement carries window expressions OUTSIDE it — the
+    // outer shape is then a rank/OVER over the derived table and the
+    // recursive sql() call plans the inner one through this same front
+    // door (reference: rank composes over any stream subtree). When ALL
+    // window expressions live inside the derived table it IS the rank
+    // idiom's own `FROM (SELECT …, ROW_NUMBER() …)` executor-grammar
+    // wrapper and must not be lifted.
+    val planWinExprs = countWindowExprs(plan)
     val composed: Seq[LogicalPlan] = plan.collect {
       case j: Join => j: LogicalPlan
       case sa: SubqueryAlias if !sa.child.isInstanceOf[UnresolvedRelation]
-          && !containsWindowExpr(sa) => sa: LogicalPlan
+          && countWindowExprs(sa) < planWinExprs => sa: LogicalPlan
     }
     composed.headOption match { // collect is pre-order: topmost source
       case Some(j: Join) =>
@@ -178,19 +187,50 @@ object Sql {
 
   private val srcJoinViews = new java.util.concurrent.atomic.AtomicInteger
 
-  /** True when any expression in the subtree is a window expression —
-    * used to keep the rank idiom's own `FROM (SELECT …, ROW_NUMBER() …)`
-    * wrapper out of the derived-table lift. */
-  private def containsWindowExpr(
-      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+  /** r16: when a splice composes a stateful executor ATOP another graft
+    * stateful executor (rank over a derived table computing an OVER
+    * aggregate), Spark's UnsupportedOperationChecker conservatively
+    * rejects the chain — `checkStreamingQueryGlobalWatermarkLimit`
+    * refuses ANY stateful operator downstream of a
+    * flatMapGroupsWithState in append mode, because an arbitrary FMGWS
+    * may emit rows older than the global watermark which a downstream
+    * event-time operator would silently drop. The graft chain is safe by
+    * construction: the inner executor emits a row only once the
+    * watermark has passed its event time, the projection drops the
+    * event-time column, and the outer executor (rank/top-n) keys on
+    * ordinary columns with order-insensitive state — no downstream
+    * late-row filter exists to drop anything. Spark's sanctioned escape
+    * is the session conf below (error → logged warning), which this
+    * route sets ONLY when the spliced subtree actually contains a
+    * stateful executor (a window-free splice never touches it). */
+  private def allowChainedStateful(spark: SparkSession,
+      df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState
+    val stateful = df.isStreaming && df.queryExecution.logical.exists {
+      case _: FlatMapGroupsWithState => true
+      case _ => false
+    }
+    if (stateful) spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false")
+  }
+
+  /** Number of window expressions in the subtree (r16) — the
+    * derived-table lift compares the count inside a SubqueryAlias with
+    * the statement total: equal counts mean every window lives inside
+    * the derived table, i.e. it is the rank idiom's own
+    * `FROM (SELECT …, ROW_NUMBER() …)` executor-grammar wrapper and must
+    * not be lifted; a smaller count means the statement windows OVER the
+    * derived table, which then lifts and plans recursively. */
+  private def countWindowExprs(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
     import org.apache.spark.sql.catalyst.expressions.{UnresolvedWindowExpression, WindowExpression}
     p.collect {
-      case q if q.expressions.exists(_.exists {
-        case _: WindowExpression => true
-        case _: UnresolvedWindowExpression => true
-        case _ => false
-      }) => q
-    }.nonEmpty
+      case q => q.expressions.map(_.collect {
+        case _: WindowExpression => 1
+        case _: UnresolvedWindowExpression => 1
+      }.sum).sum
+    }.sum
   }
 
   /** Smallest text span [start, stop] covering a parsed subtree, from
@@ -232,14 +272,15 @@ object Sql {
           build(child).as(id.name)
         case other =>
           // a derived table under the join: run its inner statement back
-          // through the front door (nested group windows, UNNEST, …
-          // compose); one computing its own window needs its own route
-          require(!containsWindowExpr(other),
-            "a derived table computing a window expression cannot feed " +
-              "a streaming rank/OVER join directly; compose it in a " +
-              "view over this front door first")
+          // through the front door — nested group windows, UNNEST, and
+          // (r16) window/agg shapes the front door serves (a rank idiom
+          // or OVER frame inside the derived table routes recursively to
+          // its own executor); genuinely unplannable shapes fail loudly
+          // inside the recursive call
           val (s0, s1) = originSpan(other)
-          sql(spark, text.substring(s0, s1 + 1)).as(id.name)
+          val planned = sql(spark, text.substring(s0, s1 + 1))
+          allowChainedStateful(spark, planned)
+          planned.as(id.name)
       }
       case r: UnresolvedRelation =>
         spark.table(r.multipartIdentifier.mkString("."))
@@ -250,9 +291,18 @@ object Sql {
           // condition — falling through to cond=None would CROSS join
           case UsingJoin(tpe, cols) =>
             ld.join(rd, cols, tpe.sql.toLowerCase.replace(" ", ""))
-          case _: NaturalJoin => sys.error(
-            "NATURAL JOIN is not supported on the streaming rank/OVER " +
-              "route; spell the join keys with ON or USING")
+          case NaturalJoin(tpe) =>
+            // r16 (reference accepts NATURAL JOIN via the Calcite
+            // parser): resolve the common columns — case-insensitive,
+            // left-side order, exactly Spark's own
+            // ResolveNaturalAndUsingJoin — and join USING them
+            val rset = rd.columns.map(_.toLowerCase).toSet
+            val common = ld.columns.filter(c => rset(c.toLowerCase))
+            require(common.nonEmpty,
+              "NATURAL JOIN on the streaming rank/OVER route requires " +
+                "at least one common column between the inputs; found " +
+                "none — spell the join with ON or CROSS JOIN")
+            ld.join(rd, common.toSeq, tpe.sql.toLowerCase.replace(" ", ""))
           case _ => cond match {
             case Some(c) =>
               ld.join(rd, expr(c.sql), jt.sql.toLowerCase.replace(" ", ""))
@@ -279,11 +329,15 @@ object Sql {
     * statement (r15; reference: rank over any stream subtree is plain
     * FlinkStreamRuleSets composition): run the inner statement back
     * through the front door — so nested joins, group windows, UNNEST and
-    * streaming sources all compose — register the result as a temp view
-    * under the derived table's ALIAS (qualified references keep
-    * resolving; same name-shadowing contract as the CTE route), and
-    * return the statement with the `(subquery) [AS] alias` span replaced
-    * by the view name. */
+    * (r16) window/agg shapes the front door itself serves all compose —
+    * register the result as a temp view under a GENERATED unique name
+    * (r16: never the user's alias, which would clobber a same-named
+    * session temp view for the rest of the session — unlike a CTE the
+    * splice would outlive the statement), and return the statement with
+    * the `(subquery) [AS] alias` span replaced by the view name. The
+    * alias is consumed by the splice: the downstream executor grammars
+    * read a single unqualified `FROM <ident>` and unqualified columns
+    * only, so no reference could have resolved through it. */
   private def spliceDerivedTable(spark: SparkSession, text: String,
       sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias)
       : String = {
@@ -331,9 +385,10 @@ object Sql {
         "derived-table column-alias lists are not supported on the " +
           "streaming rank/OVER route; alias the columns in the subquery")
     }
-    val view = if (aliasEnd >= 0) alias
-      else s"graft_srcsub_${srcJoinViews.getAndIncrement()}"
-    sql(spark, inner).createOrReplaceTempView(view)
+    val view = s"graft_srcsub_${srcJoinViews.getAndIncrement()}"
+    val planned = sql(spark, inner)
+    allowChainedStateful(spark, planned)
+    planned.createOrReplaceTempView(view)
     text.substring(0, open) + view +
       text.substring(if (aliasEnd >= 0) aliasEnd else close + 1)
   }

@@ -210,23 +210,70 @@ object Dedup {
         // real web corpus rare-prefix fanout is far smaller; the residual
         // candidates here are dominated by TRUE near-dup pairs no exact
         // algorithm can skip).
-        val cnt = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val freq = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-        val pref = hashed.join(freq, Seq("h"))
-          .withColumn("pos", row_number().over(w))
-          .join(cnt, Seq("doc_id"))
-          .filter(col("pos") <=
-            col("n") - ceil(lit(threshold) * col("n")) + 1)
-          .select(col("doc_id"), col("h"))
-        val cands = pref.select(col("doc_id").as("id_a"), col("h"))
-          .join(pref.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct()
-        verify(cands)
+        verify(prefixCandidates(hashed, threshold))
     }
   }
+
+  /** Prefix-filtered candidate pairs over the hashed shingle relation
+    * (the exact-Jaccard candidate generator). r16 adds the PPJoin SIZE
+    * and POSITIONAL filters (Xiao et al. §3.2) on top of the r15 prefix
+    * join — the r15 sf3 audit left the residual candidate growth
+    * unadjudicated (VERDICT r15 #2), and splitting it requires the
+    * before/after sets this entry exposes (`positional = false`
+    * reproduces the r15 candidate set for `JaccardCandAudit`).
+    *
+    *  - Size filter: J(a,b) >= t forces t·|b| <= |a| <= |b|/t.
+    *  - Positional filter: under the global (df, h) token order every
+    *    shared token is either a prefix-prefix hit (m of them, counted
+    *    by the groupBy) or GREATER than the last hit — so it sits past
+    *    position pam in a and pbm in b, bounding the total overlap by
+    *    m + min(na − pam, nb − pbm); a true pair needs overlap
+    *    >= t/(1+t)·(na+nb).
+    *
+    * Both filters are SOUND (they only discard pairs no exact verify
+    * could pass — the 1e-9 slack keeps a boundary pair when a double
+    * product rounds a hair above its exact value), so the answer is
+    * unchanged; only the verify join shrinks. The groupBy replaces the
+    * r15 distinct(): same shuffle, strictly fewer rows out. */
+  private[graft] def prefixCandidates(hashed: DataFrame, threshold: Double,
+      positional: Boolean = true): DataFrame = {
+    val cnt = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val freq = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val pref = hashed.join(freq, Seq("h"))
+      .withColumn("pos", row_number().over(w))
+      .join(cnt, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("h"), col("pos"), col("n"))
+    val hitsA = pref.select(col("doc_id").as("id_a"), col("h"),
+      col("pos").as("pa"), col("n").as("na"))
+    val hitsB = pref.select(col("doc_id").as("id_b"), col("h"),
+      col("pos").as("pb"), col("n").as("nb"))
+    val hits = hitsA.join(hitsB, Seq("h")).filter(col("id_a") < col("id_b"))
+    if (!positional)
+      hits.select(col("id_a"), col("id_b")).distinct()
+    else hits
+      .filter(col("na") >= lit(threshold) * col("nb") - lit(1e-9) &&
+        col("nb") >= lit(threshold) * col("na") - lit(1e-9))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("m"), max(col("pa")).as("pam"),
+        max(col("pb")).as("pbm"), first(col("na")).as("na"),
+        first(col("nb")).as("nb"))
+      .filter(col("m") +
+        least(col("na") - col("pam"), col("nb") - col("pbm")) >=
+        lit(threshold) / (lit(1.0) + lit(threshold)) *
+          (col("na") + col("nb")) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** The hashed (doc_id, h) shingle relation the exact path runs on —
+    * exposed for `JaccardCandAudit` so the audit counts the kernel's own
+    * relations, not a reimplementation. */
+  private[graft] def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingles(docs, "doc_id", "text", n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
 
   private val duckJaccardSql: String =
     s"""WITH $duckShingleCte,

@@ -18,7 +18,8 @@ object MatchSql {
   def defs: Seq[QueryDef] =
     Seq(q125SqlFunnel, q126SqlPrev, q127SqlReluctant, q128SqlNext,
       q129SqlSkipNext, q130SqlAllRows, q131SqlCompositeKey,
-      q132SqlLogicalOffsets, q143FrontDoor, q175MeasureNav)
+      q132SqlLogicalOffsets, q143FrontDoor, q175MeasureNav,
+      q180StreamingMeasureNext)
 
   /** r15: physical PREV/NEXT navigation in MEASURES (the reference's
     * measure codegen routes navigation calls through the same visitCall
@@ -64,6 +65,71 @@ object MatchSql {
         |         P AS event_type = 'purchase'
         |)
         |ORDER BY user_id, purchase_id""".stripMargin)
+  }
+
+  /** r16: NEXT in MEASURES on a STREAM — the r15 batch-only seam closed
+    * by DELAYED EMISSION ([[graft.streaming.PatternMatch]] scan: an
+    * adjudicated match is held until its `measNext` successor rows
+    * close, then emitted; the reference buffers within CEP and evaluates
+    * the same way, MatchCodeGenerator.scala:82 region). The stream
+    * carries ONE whole-millisecond far-future sentinel row per user
+    * ([[graft.streaming.StatefulBatch.sentinelEventsStream]] perKey) —
+    * the bounded-input MAX_WATERMARK rendering — so each key's tail
+    * match sees a closed successor; the oracle mirrors the sentinels in
+    * SQL (UNION ALL), making both engines navigate the identical
+    * sequence. DEFINE excludes the sentinel type, so the match set is
+    * exactly the real-data match set. */
+  val q180StreamingMeasureNext: QueryDef = QueryDef(
+    "q180_sql_stream_measure_next",
+    """WITH ev AS (
+      |  SELECT event_id, ts, user_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT -1, (SELECT max(ts) FROM events) + INTERVAL 10 YEAR,
+      |         user_id, 'sentinel', 0.0
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |seq AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER win AS rn,
+      |    lead(event_id) OVER win AS nid,
+      |    lead(value) OVER win AS nval
+      |  FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT p.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |       p.nid AS next_id, round(p.nval, 4) AS next_value
+      |FROM seq p JOIN seq v
+      |  ON v.user_id = p.user_id AND v.rn = p.rn - 1
+      |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      |ORDER BY p.user_id, purchase_id""".stripMargin) { (spark, dir) =>
+    graft.streaming.StatefulBatch.sentinelEventsStream(spark, dir,
+        perKey = true)
+      .createOrReplaceTempView("graft_sql_stream_mr")
+    val routed = graft.Sql.sql(spark,
+      """SELECT user_id, view_id, purchase_id, next_id, next_value
+        |FROM graft_sql_stream_mr MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES V.event_id AS view_id, P.event_id AS purchase_id,
+        |           NEXT(event_id) AS next_id, NEXT(value) AS next_value
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V P)
+        |  DEFINE V AS event_type = 'view',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+    require(routed.isStreaming, "the MEASURES-NEXT clause must stream")
+    import org.apache.spark.sql.functions.{col, round}
+    // parquet sink (append finals), never a driver-side memory table —
+    // the match log stays distributed at any corpus size
+    val sinkDir =
+      java.nio.file.Files.createTempDirectory("graft-q180").toString
+    val q = routed.writeStream.format("parquet").option("path", sinkDir)
+      .option("checkpointLocation", s"$sinkDir-ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("next_id"), round(col("next_value"), 4).as("next_value"))
+      .orderBy(col("user_id"), col("purchase_id"))
   }
 
   /** The SINGLE SQL front door ([[graft.Sql.sql]], r12): a

@@ -278,12 +278,15 @@ object Similarity {
       .as[(Long, Seq[Float])].map { case (id, v) => (id, normalize(v)) }
     val pairs = n.flatMap { case (id, v) =>
       val b = blockOf(id, bB)
+      // cell key in Long: min*bB overflows Int once bB passes ~46k
+      // (corpus ~4.6B rows at the default cell size), which would
+      // collide cells and mis-decode ca/cb on exactly the no-cap path
       (0 until bB).iterator.map(o =>
-        (math.min(b, o) * bB + math.max(b, o), id, v))
+        (math.min(b, o).toLong * bB + math.max(b, o), id, v))
     }.groupByKey(_._1).flatMapGroups { (cell, it) =>
       val rows = it.map(r => (r._2, r._3)).toArray
-      val ca = cell / bB
-      val cb = cell % bB
+      val ca = (cell / bB).toInt
+      val cb = (cell % bB).toInt
       // primitive while loops, matches-only allocation (r15; see the
       // broadcast kernel note)
       val out = scala.collection.mutable.ArrayBuffer

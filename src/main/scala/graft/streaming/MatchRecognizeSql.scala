@@ -60,8 +60,9 @@ import graft.streaming.StatefulOps.Event
   * offset declared; r15 — also in MEASURES, anchored at the match's
   * LAST row under FINAL semantics and at each output row under ALL
   * ROWS, navigating the contiguous input window captured with the
-  * match; NEXT in MEASURES is batch-only — a streaming match is
-  * emitted before its successors exist), aggregates `COUNT(*)`, `COUNT(V.*)`,
+  * match; r16 — NEXT in MEASURES streams too, via DELAYED EMISSION:
+  * the executor holds an adjudicated match until its successor rows
+  * close, then emits), aggregates `COUNT(*)`, `COUNT(V.*)`,
   * `COUNT/SUM/MIN/MAX/AVG(expr)` (COUNT(expr) skips null evaluations,
   * per SQL), `CLASSIFIER()` / `MATCH_NUMBER()`, and `MATCH_ROWTIME()`
   * (the last matched row's primary order value, the reference's
@@ -1008,8 +1009,8 @@ object MatchRecognizeSql {
     }
     val measureEvals = q.measures.map { case (_, ex) => compile(ex, acc) }
     // physical PREV/NEXT in MEASURES (r15): size the per-match input
-    // context the scan captures; the streaming executor rejects NEXT
-    // (successor rows may not exist at emission) with a loud message
+    // context the scan captures; streaming NEXT is served by delayed
+    // emission (r16) — the executor holds a match until the context closes
     val (measPrev, measNext) = navDepths(q.measures.map(_._2))
 
     if (q.allRows) {

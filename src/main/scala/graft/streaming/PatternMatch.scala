@@ -425,6 +425,21 @@ object PatternMatch extends Serializable {
           (w, finalInput || w < rows.length || limitUs <= wmUs)
         }
       tryMatch(steps, rows, i, end, finalAtEnd, finalInput, bufPrev) match {
+        case Matched(e, binds) if measNext > 0 && !finalInput &&
+            e + measNext > rows.length =>
+          // r16 DELAYED EMISSION (MEASURES-side NEXT on a stream):
+          // NEXT navigates the key's INPUT successors of the match's
+          // last row, and the closed prefix holds fewer than measNext
+          // of them. Later rows WILL slot exactly in this gap (every
+          // future event time sorts after the closed rows), so the
+          // match — already adjudicated; a rescan with more rows
+          // re-finds it bit-identically — is HELD until its successor
+          // context closes, then emitted. The reference buffers within
+          // CEP and evaluates the same way (MatchCodeGenerator.scala:82
+          // region). A key that never produces another row holds the
+          // match indefinitely — semantically forced: emitting NULL
+          // early would be wrong the moment a successor arrives.
+          retain = i; open = false
         case Matched(e, binds) =>
           val byStep = binds.groupBy(_._1)
           val preCtx = if (measPrev == 0) IndexedSeq.empty[R]
@@ -533,12 +548,10 @@ object PatternMatch extends Serializable {
         s"or carry a WITHIN bound: a trailing greedy '${steps.last.name}' " +
         s"(${steps.last.quant}) can always be extended by future rows and " +
         "would never finalize")
-    // NEXT in MEASURES needs rows after the match's last row, which a
-    // stream cannot promise at emission time — batch-only (r15)
-    require(isBatch || measNext == 0,
-      "NEXT in MEASURES is batch-only: a streaming match is emitted when " +
-        "adjudicated, before its successor rows exist — navigate in " +
-        "DEFINE (where the NFA holds the decision) instead")
+    // NEXT in MEASURES on a stream (r16): served by DELAYED EMISSION —
+    // scan() holds an adjudicated match until its measNext successor
+    // rows close (see the Matched guard there); batch emits immediately
+    // with null past input end, per SQL
     val maxPrev = steps.map(_.prevDepth).foldLeft(measPrev)(math.max)
     val usesPrev = maxPrev > 0
     implicit val stateEnc: Encoder[BufState] = Encoders.product[BufState]
@@ -715,10 +728,7 @@ object PatternMatch extends Serializable {
       measPrev: Int = 0, measNext: Int = 0): DataFrame = {
     require(df.isStreaming, "matchRowsStream is the streaming executor; " +
       "batch inputs take matchRowsBatch")
-    require(measNext == 0,
-      "NEXT in MEASURES is batch-only: a streaming match is emitted when " +
-        "adjudicated, before its successor rows exist — navigate in " +
-        "DEFINE (where the NFA holds the decision) instead")
+    // measNext > 0 (r16): served by delayed emission — see scan()
     require(steps.nonEmpty, "PATTERN must have at least one step")
     require(orderKeys.nonEmpty, "ORDER BY must name at least one column")
     val schema = df.schema

@@ -28,7 +28,8 @@ object StatefulBatch {
       q150StreamSortAny, q158WindowEarlyAny, q159WindowLateAny,
       q160TemporalJoinAny, q161ProcRangeAny, q169SqlRankJoinStream,
       q170HopWindowAny, q171SessionWindowAny, q173SqlRankDerivedStream,
-      q174SqlRankSubqueryJoinStream)
+      q174SqlRankSubqueryJoinStream, q177SqlRankOverWindowedSubquery,
+      q178SqlRankJoinWindowedSubquery, q179SqlRankNaturalJoin)
 
   /** GENERAL-SCHEMA proc-time bounded-RANGE OVER (r13 — the last OVER
     * shape that was Event-typed; reference
@@ -189,6 +190,78 @@ object StatefulBatch {
     if (fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory)
       reader.parquet(p)
     else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
+  /** The events fixture as a bounded stream WITH a watermark sentinel
+    * (r16) — the harness rendering of Flink's end-of-bounded-input
+    * MAX_WATERMARK: event-time executors (the streaming OVER family)
+    * emit a row only once the watermark passes its timestamp, and the
+    * fixture's sub-millisecond timestamps keep the ms-floored watermark
+    * short of the last real row forever. A single far-future sentinel
+    * row (event_id/user_id = -1, ts 10 years past the data, with a
+    * 500 µs sub-ms offset so the sentinel ITSELF never ripens and emits
+    * nothing) pushes the watermark past every real row — the same
+    * contract the 10M-event soaks pin (`StreamSoak`: "sentinel watermark
+    * push as final files"). Real fixture files are hardlinked (copy
+    * fallback) into a temp dir next to the sentinel file.
+    *
+    * `perKey = true` (r16, for MEASURES-side NEXT delayed emission):
+    * ONE sentinel row per user_id, at a WHOLE-millisecond timestamp so
+    * the ms-floored watermark reaches it and the sentinels CLOSE — each
+    * key's held tail match then sees its successor row (the sentinel,
+    * event_id −1 / value 0.0, mirrored by the oracle) and emits. */
+  private[graft] def sentinelEventsStream(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, perKey: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    import java.nio.file.{Files, Path, Paths}
+    val tmp = Files.createTempDirectory("graft-wm-sentinel")
+    def link(from: Path, to: Path): Unit =
+      try { Files.createLink(to, from); () }
+      catch { case _: Exception => Files.copy(from, to); () }
+    val src = Paths.get(dir, "events.parquet")
+    if (Files.isDirectory(src)) {
+      val it = Files.list(src).iterator()
+      var i = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          link(f, tmp.resolve(f"data_$i%05d.parquet")); i += 1
+        }
+      }
+    } else link(src, tmp.resolve("data.parquet"))
+    val events = graft.core.Catalog.load(spark, dir, "events")
+    val maxTs = events
+      .agg(org.apache.spark.sql.functions.max("ts")).head().getTimestamp(0)
+    // single-sentinel mode keeps a 500 µs sub-ms offset (the ms-floored
+    // watermark stays short of it: the sentinel itself never ripens);
+    // per-key mode lands on the whole millisecond (the sentinels CLOSE)
+    val sentinelUs = maxTs.getTime * 1000L +
+      10L * 365 * 24 * 3600 * 1000000L + (if (perKey) 0L else 500L)
+    val staging = tmp.resolve("staging")
+    val sentinelCols = Seq(
+      "CAST(-1 AS BIGINT) AS event_id",
+      s"timestamp_micros(${sentinelUs}L) AS ts",
+      if (perKey) "user_id" else "CAST(-1 AS BIGINT) AS user_id",
+      "'sentinel' AS event_type",
+      "CAST(0.0 AS DOUBLE) AS value",
+      "CAST(NULL AS STRING) AS props")
+    (if (perKey)
+      events.select(org.apache.spark.sql.functions.col("user_id")).distinct()
+        .selectExpr(sentinelCols: _*)
+     else spark.sql(s"SELECT ${sentinelCols.mkString(", ")}"))
+      .coalesce(1).write.parquet(staging.toString)
+    val part = Files.list(staging).iterator()
+    var moved = false
+    while (part.hasNext) {
+      val f = part.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        Files.move(f, tmp.resolve("zz_sentinel.parquet")); moved = true
+      }
+    }
+    require(moved, "internal: sentinel parquet part file not produced")
+    spark.readStream.schema(graft.core.Catalog.schemas("events"))
+      .option("pathGlobFilter", "*.parquet").parquet(tmp.toString)
   }
 
   /** The upsert sink replayed over the events fixture as a bounded
@@ -392,6 +465,155 @@ object StatefulBatch {
     require(routed.isStreaming, "the routed rank-over-subquery-join must stream")
     val sinkDir =
       java.nio.file.Files.createTempDirectory("graft-sqlsubjoin").toString
+    val q = UpsertSink
+      .upsertWriter(routed, Seq("cohort"), Seq("value", "event_id"), sinkDir,
+        outputMode = "append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    UpsertSink.currentState(spark, sinkDir)
+      .select(col("cohort"), col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("cohort"))
+  }
+
+  /** r16: streaming rank over a derived table that ITSELF computes a
+    * streaming OVER aggregate — the round-15 dialect seam closed
+    * (reference: rank composes over any stream subtree,
+    * FlinkStreamRuleSets feeding StreamExecRank.scala:56 region). The
+    * front door lifts the windowed subquery, plans it recursively
+    * through the streaming OVER executor, and ranks its output — two
+    * chained stateful executors in ONE statement. The watermark sentinel
+    * ([[sentinelEventsStream]]) flushes the OVER executor's tail, the
+    * Flink bounded-input MAX_WATERMARK contract; the sentinel's own key
+    * never ripens, so it emits nothing. Collapse contract as q169/q173:
+    * keep-1 rank emissions improve monotonically in (s, event_id), so
+    * the upsert sink's latest-by-(s, event_id) IS the final top-1. */
+  val q177SqlRankOverWindowedSubquery: QueryDef = QueryDef(
+    "q177_sql_rank_over_windowed_subquery",
+    """WITH t AS (
+      |  SELECT user_id, event_id,
+      |    SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM events)
+      |SELECT user_id, event_id, round(s, 4) AS s FROM (
+      |  SELECT user_id, event_id, s,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY s DESC, event_id DESC) AS rn
+      |  FROM t) z
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    sentinelEventsStream(spark, dir)
+      .createOrReplaceTempView("graft_sql_stream_wm")
+    val routed = graft.Sql.sql(spark,
+      """SELECT user_id, event_id, s FROM (
+        |  SELECT user_id, event_id, s,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY s DESC, event_id DESC) AS rn
+        |  FROM (SELECT user_id, event_id,
+        |          SUM(value) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |        FROM graft_sql_stream_wm) t)
+        |WHERE rn = 1""".stripMargin)
+    require(routed.isStreaming,
+      "the routed rank-over-windowed-subquery must stream")
+    val sinkDir =
+      java.nio.file.Files.createTempDirectory("graft-sqlnested").toString
+    val q = UpsertSink
+      .upsertWriter(routed, Seq("user_id"), Seq("s", "event_id"), sinkDir,
+        outputMode = "append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    UpsertSink.currentState(spark, sinkDir)
+      .select(col("user_id"), col("event_id"), round(col("s"), 4).as("s"))
+      .orderBy(col("user_id"))
+  }
+
+  /** r16: streaming rank over a JOIN whose derived table computes a
+    * streaming OVER aggregate — the windowed subquery plans recursively
+    * inside the join build, joins the static cohort dim, and the rank
+    * executor keys on the dim column. Same sentinel + collapse contract
+    * as q177; the sentinel user (-1) is additionally dropped by the
+    * inner join (not in the dim). */
+  val q178SqlRankJoinWindowedSubquery: QueryDef = QueryDef(
+    "q178_sql_rank_join_windowed_subquery",
+    """WITH t AS (
+      |  SELECT user_id, event_id,
+      |    SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM events),
+      |d AS (SELECT DISTINCT user_id AS uid, user_id % 5 AS cohort
+      |      FROM events)
+      |SELECT cohort, user_id, event_id, round(s, 4) AS s FROM (
+      |  SELECT d.cohort, t.user_id, t.event_id, t.s,
+      |    ROW_NUMBER() OVER (PARTITION BY d.cohort
+      |                       ORDER BY t.s DESC, t.event_id DESC) AS rn
+      |  FROM t JOIN d ON t.user_id = d.uid) z
+      |WHERE rn = 1
+      |ORDER BY cohort""".stripMargin) { (spark, dir) =>
+    sentinelEventsStream(spark, dir)
+      .createOrReplaceTempView("graft_sql_stream_wm2")
+    graft.core.Catalog.load(spark, dir, "events")
+      .select(col("user_id").as("uid"), (col("user_id") % 5).as("cohort"))
+      .distinct()
+      .createOrReplaceTempView("graft_sql_dim_wm")
+    val routed = graft.Sql.sql(spark,
+      """SELECT cohort, user_id, event_id, s FROM (
+        |  SELECT cohort, user_id, event_id, s,
+        |    ROW_NUMBER() OVER (PARTITION BY cohort
+        |                       ORDER BY s DESC, event_id DESC) AS rn
+        |  FROM (SELECT user_id, event_id,
+        |          SUM(value) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |        FROM graft_sql_stream_wm2) t
+        |  JOIN graft_sql_dim_wm d ON t.user_id = d.uid)
+        |WHERE rn = 1""".stripMargin)
+    require(routed.isStreaming,
+      "the routed rank-over-joined-windowed-subquery must stream")
+    val sinkDir =
+      java.nio.file.Files.createTempDirectory("graft-sqlnestedj").toString
+    val q = UpsertSink
+      .upsertWriter(routed, Seq("cohort"), Seq("s", "event_id"), sinkDir,
+        outputMode = "append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    UpsertSink.currentState(spark, sinkDir)
+      .select(col("cohort"), col("user_id"), col("event_id"),
+        round(col("s"), 4).as("s"))
+      .orderBy(col("cohort"))
+  }
+
+  /** r16: NATURAL JOIN on the streaming rank route — the r15 loud
+    * rejection replaced by resolving the common columns (here exactly
+    * `user_id`) to a USING join, the same resolution as Spark's own
+    * ResolveNaturalAndUsingJoin and the reference's Calcite parser.
+    * Collapse contract as q169. */
+  val q179SqlRankNaturalJoin: QueryDef = QueryDef(
+    "q179_sql_rank_natural_join",
+    """WITH d AS (SELECT DISTINCT user_id, user_id % 5 AS cohort
+      |           FROM events)
+      |SELECT cohort, user_id, event_id, value FROM (
+      |  SELECT cohort, user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY cohort
+      |                       ORDER BY value DESC, event_id DESC) AS rn
+      |  FROM events NATURAL JOIN d)
+      |WHERE rn = 1
+      |ORDER BY cohort""".stripMargin) { (spark, dir) =>
+    eventsStream(spark, dir).createOrReplaceTempView("graft_sql_stream_nat")
+    graft.core.Catalog.load(spark, dir, "events")
+      .select(col("user_id"), (col("user_id") % 5).as("cohort"))
+      .distinct()
+      .createOrReplaceTempView("graft_sql_dim_nat")
+    val routed = graft.Sql.sql(spark,
+      """SELECT cohort, user_id, event_id, value FROM (
+        |  SELECT cohort, user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY cohort
+        |                       ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM graft_sql_stream_nat NATURAL JOIN graft_sql_dim_nat)
+        |WHERE rn = 1""".stripMargin)
+    require(routed.isStreaming, "the routed rank-over-natural-join must stream")
+    val sinkDir =
+      java.nio.file.Files.createTempDirectory("graft-sqlnat").toString
     val q = UpsertSink
       .upsertWriter(routed, Seq("cohort"), Seq("value", "event_id"), sinkDir,
         outputMode = "append")

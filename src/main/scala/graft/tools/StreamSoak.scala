@@ -218,7 +218,15 @@ object StreamSoak {
             .orderBy(col("n_events").desc, col("is_final").desc)
           val cols = Seq("user_id", "w_start_us", "n_events", "min_v") ++
             (if (withDistinct) Seq("nd_v") else Nil) :+ "sum_v"
-          realWin(log).filter(col("is_final") >= 1)
+          // is_final=3 rows are RETRACTION markers (r15 identity
+          // contract: a late bridge absorbed this fired identity) — not
+          // live finals. Drop the marked identities entirely: the batch
+          // collapse has no twin for an absorbed session, so counting
+          // them would be a false-positive mismatch.
+          val live = realWin(log).filter(col("is_final").isin(1, 2))
+          val retracted = realWin(log).filter(col("is_final") === 3)
+            .select("user_id", "w_start_us").distinct()
+          live.join(retracted, Seq("user_id", "w_start_us"), "left_anti")
             .withColumn("rxx", row_number().over(w))
             .filter(col("rxx") === 1)
             .select(cols.map(col): _*)
@@ -815,6 +823,74 @@ object StreamSoak {
       drainProgress(q2, "recovery_retract")
       retractCheck("recovery_retract", wall, dirSink,
         s""","stopped_midway":$stopped""")
+    }
+    // ---- r16 (VERDICT r15 #5): recovery legs for the newer stateful
+    //      operators — session early/late-fire (merging-assigner window
+    //      state + the r15 fired-identity contract) and MATCH_RECOGNIZE
+    //      (partial-match buffers) across a kill-and-restart ----
+    if ("recovery_session".startsWith(opPrefix) || opPrefix.isEmpty) {
+      val sinkDir = s"$work/out_recovery_session"
+      val ckpt = s"$work/ckpt_recovery_session"
+      wipe(sinkDir, ckpt)
+      def sessionOp(ds: Dataset[Event]): DataFrame =
+        graft.streaming.WindowAggAny.earlyLateFireSessionAgg(
+          ds.toDF(), Seq("user_id"), "ts", Seq("event_id"),
+          gap = java.time.Duration.ofHours(1), sessionAggs,
+          earlyFire = "100 milliseconds",
+          delay = java.time.Duration.ofSeconds(60))
+      def mk(): StreamingQuery =
+        sessionOp(streamDs(eventsDir)).writeStream
+          .format("parquet").option("path", sinkDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      val t0 = System.nanoTime()
+      val stopped = runInterrupted(mk, nFiles / 2)
+      // restart from the checkpoint: open sessions (merge state, fired
+      // identities, late-bridge markers) must survive; the proc-time
+      // early timers re-register on recovery
+      val q2 = mk(); awaitQuiesced(q2)
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainProgress(q2, "recovery_session")
+      val (onlyS, onlyB, rows) = sessionCheck(withDistinct = true)(
+        spark.read.parquet(sinkDir), sessionOp(batchDs(eventsDir)))
+      summarize("recovery_session", wall, rows, onlyS, onlyB,
+        s""","stopped_midway":$stopped""")
+    }
+    if ("recovery_match".startsWith(opPrefix) || opPrefix.isEmpty) {
+      val sinkDir = s"$work/out_recovery_match"
+      val ckpt = s"$work/ckpt_recovery_match"
+      wipe(sinkDir, ckpt)
+      def matchOp(ds: Dataset[Event]): DataFrame =
+        graft.streaming.MatchRecognizeSql.sql(ds,
+          """SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts, event_id
+            |  MEASURES A.event_id AS view_id, B.event_id AS purchase_id
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN (A B)
+            |  DEFINE A AS event_type = 'view',
+            |         B AS event_type = 'purchase'
+            |)""".stripMargin, delay = "60 seconds")
+      def mk(): StreamingQuery =
+        matchOp(streamDs(eventsDir)).writeStream
+          .format("parquet").option("path", sinkDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      val t0 = System.nanoTime()
+      val stopped = runInterrupted(mk, nFiles / 2)
+      // the NFA's partial-match buffers (BufState: pending rows, PREV
+      // marker, match counter) recover from the state store; a replayed
+      // batch re-finds its matches with the same match ordinals
+      val q2 = mk(); q2.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainProgress(q2, "recovery_match")
+      val got = spark.read.parquet(sinkDir).cache()
+      val want = matchOp(batchDs(eventsDir))
+      summarize("recovery_match", wall, got.count(),
+        got.exceptAll(want).count(), want.exceptAll(got).count(),
+        s""","stopped_midway":$stopped""")
+      got.unpersist()
     }
     out.close()
     spark.stop()

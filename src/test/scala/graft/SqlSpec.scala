@@ -528,8 +528,7 @@ class SqlSpec extends SparkSpec {
   }
 
   test("r15: JOIN ... USING under the streaming rank route keeps its " +
-    "keys (regression: the joinType-blind build cross-joined USING); " +
-    "NATURAL JOIN is rejected loudly") {
+    "keys (regression: the joinType-blind build cross-joined USING)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[RankT3]
@@ -552,22 +551,57 @@ class SqlSpec extends SparkSpec {
       .agg(max("a").as("a"), max_by(col("tag"), col("a")).as("tag"))
       .as[(Long, Int, String)].collect().toSet
     assert(fin == Set((1L, 5, "z")), s"got $fin")
-    val e = intercept[RuntimeException](graft.Sql.sql(spark,
-      """SELECT * FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn
-        |  FROM sql_stream_rank4 NATURAL JOIN sql_using_dim)
-        |WHERE rn = 1""".stripMargin))
-    assert(e.getMessage.contains("NATURAL JOIN"), e.getMessage)
   }
 
-  test("r15: composed-source fail-loud negatives — a window inside a " +
-    "join's derived table, and derived-table column-alias lists") {
+  test("r16: NATURAL JOIN under the streaming rank route resolves the " +
+    "common columns to a USING join (reference accepts NATURAL JOIN " +
+    "via Calcite; was a loud rejection in r15)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RankT3]
+    input.toDF().createOrReplaceTempView("sql_stream_nat")
+    Seq((1, "x"), (5, "z")).toDF("a", "tag")
+      .createOrReplaceTempView("sql_nat_dim")
+    val routed = graft.Sql.sql(spark,
+      """SELECT b, a, tag, rn FROM (
+        |  SELECT b, a, tag,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY a DESC) AS rn
+        |  FROM sql_stream_nat NATURAL JOIN sql_nat_dim)
+        |WHERE rn = 1""".stripMargin)
+    assert(routed.isStreaming)
+    val q = routed.writeStream.format("memory").queryName("sqlnatrank")
+      .outputMode("append").start()
+    input.addData(RankT3(1, 1L, "x"), RankT3(5, 1L, "y"), RankT3(3, 2L, "z"))
+    q.processAllAvailable(); q.stop()
+    // natural join keys on the common column a: only a∈{1,5} survive; a
+    // cross join would keep b=2 and fan rows out
+    val fin = spark.table("sqlnatrank").groupBy("b")
+      .agg(max("a").as("a"), max_by(col("tag"), col("a")).as("tag"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(fin == Set((1L, 5, "z")), s"got $fin")
+    // no common columns: loud, actionable rejection (not a cross join)
+    Seq((1, "x")).toDF("nocol", "tag2")
+      .createOrReplaceTempView("sql_nat_dim2")
+    val e = intercept[IllegalArgumentException](graft.Sql.sql(spark,
+      """SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn
+        |  FROM sql_stream_nat NATURAL JOIN sql_nat_dim2)
+        |WHERE rn = 1""".stripMargin))
+    assert(e.getMessage.contains("common column"), e.getMessage)
+  }
+
+  test("r15/r16: composed-source fail-loud negatives — a windowed " +
+    "derived table whose inner shape no executor serves fails in the " +
+    "recursive route's own parser, and derived-table column-alias lists") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[RankT3]
     input.toDF().createOrReplaceTempView("sql_stream_rank5")
     Seq((1, "x")).toDF("id", "tag").createOrReplaceTempView("sql_dim5")
-    val e1 = intercept[IllegalArgumentException](graft.Sql.sql(spark,
+    // RankT3 carries no timestamp, so the inner OVER (no ORDER BY at
+    // all) is genuinely unplannable — the recursive front-door call must
+    // surface the executor's own loud error, not cross-join or hang
+    val e1 = intercept[Exception](graft.Sql.sql(spark,
       """SELECT * FROM (
         |  SELECT b, a, tag,
         |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn
@@ -575,13 +609,93 @@ class SqlSpec extends SparkSpec {
         |        FROM sql_stream_rank5) t
         |  JOIN sql_dim5 d ON t.a = d.id)
         |WHERE rn = 1""".stripMargin))
-    assert(e1.getMessage.contains("derived table computing a window"),
-      e1.getMessage)
+    assert(e1.getMessage != null && e1.getMessage.nonEmpty)
     val e2 = intercept[IllegalArgumentException](graft.Sql.sql(spark,
       """SELECT * FROM (
         |  SELECT x, y, ROW_NUMBER() OVER (PARTITION BY y ORDER BY x) AS rn
         |  FROM (SELECT a, b FROM sql_stream_rank5) t(x, y))
         |WHERE rn = 1""".stripMargin))
     assert(e2.getMessage.contains("column-alias lists"), e2.getMessage)
+  }
+
+  test("r16: rank over a derived table that itself computes a streaming " +
+    "OVER aggregate — the inner subquery routes recursively to the OVER " +
+    "executor, the outer ROW_NUMBER ranks its output (reference: rank " +
+    "composes over any stream subtree, FlinkStreamRuleSets -> " +
+    "StreamExecRank)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def mts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val input = MemoryStream[OverT1]
+    input.toDF().createOrReplaceTempView("sql_stream_nested")
+    val routed = graft.Sql.sql(spark,
+      """SELECT c, a, s, rn FROM (
+        |  SELECT c, a, s,
+        |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY s DESC, a DESC) AS rn
+        |  FROM (SELECT c, a,
+        |          SUM(b) OVER (PARTITION BY c ORDER BY rowtime, a
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |        FROM sql_stream_nested) t)
+        |WHERE rn = 1""".stripMargin)
+    assert(routed.isStreaming)
+    val q = routed.writeStream.format("memory").queryName("sqlnested")
+      .outputMode("append").start()
+    // x: running sums 10, 15, -5 -> top s=15 at a=2; y: 1, 3 -> top 3 at a=9
+    input.addData(OverT1(1, 10, "x", mts(1)), OverT1(2, 5, "x", mts(2)),
+      OverT1(3, -20, "x", mts(3)), OverT1(8, 1, "y", mts(1)),
+      OverT1(9, 2, "y", mts(2)))
+    q.processAllAvailable()
+    input.addData(OverT1(0, 0, "zz", mts(100))) // advance the watermark
+    q.processAllAvailable()
+    input.addData(OverT1(0, 0, "zz", mts(200)))
+    q.processAllAvailable(); q.stop()
+    // append log: keep-1 emissions improve monotonically, latest-by-(s,a)
+    // per key is the final top-1
+    val fin = spark.table("sqlnested").filter(col("c").isin("x", "y"))
+      .groupBy("c").agg(max(struct(col("s"), col("a"))).as("m"))
+      .select(col("c"), col("m.a"), col("m.s"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(fin == Set(("x", 2L, 15.0), ("y", 9L, 3.0)), s"got $fin")
+  }
+
+  test("r16: rank over a JOIN whose derived table computes a streaming " +
+    "OVER aggregate — the join build plans the windowed subquery " +
+    "recursively through the front door") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def mts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val input = MemoryStream[OverT1]
+    input.toDF().createOrReplaceTempView("sql_stream_nested2")
+    Seq((1L, "lo"), (2L, "hi"), (3L, "lo"), (9L, "hi"))
+      .toDF("id", "tag").createOrReplaceTempView("sql_dim_nested")
+    val routed = graft.Sql.sql(spark,
+      """SELECT c, a, s, tag, rn FROM (
+        |  SELECT c, a, s, tag,
+        |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY s DESC, a DESC) AS rn
+        |  FROM (SELECT c, a,
+        |          SUM(b) OVER (PARTITION BY c ORDER BY rowtime, a
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |        FROM sql_stream_nested2) t
+        |  JOIN sql_dim_nested d ON t.a = d.id)
+        |WHERE rn = 1""".stripMargin)
+    assert(routed.isStreaming)
+    val q = routed.writeStream.format("memory").queryName("sqlnestedj")
+      .outputMode("append").start()
+    input.addData(OverT1(1, 10, "x", mts(1)), OverT1(2, 5, "x", mts(2)),
+      OverT1(9, 2, "y", mts(1)))
+    q.processAllAvailable()
+    input.addData(OverT1(0, 0, "zz", mts(100)))
+    q.processAllAvailable()
+    input.addData(OverT1(0, 0, "zz", mts(200)))
+    q.processAllAvailable(); q.stop()
+    // x: sums 10 (a=1, tag lo), 15 (a=2, tag hi) -> top (15, a=2, hi);
+    // y: single row sum 2 at a=9 tag hi
+    val fin = spark.table("sqlnestedj").filter(col("c").isin("x", "y"))
+      .groupBy("c")
+      .agg(max(struct(col("s"), col("a"), col("tag"))).as("m"))
+      .select(col("c"), col("m.a"), col("m.s"), col("m.tag"))
+      .as[(String, Long, Double, String)].collect().toSet
+    assert(fin == Set(("x", 2L, 15.0, "hi"), ("y", 9L, 2.0, "hi")),
+      s"got $fin")
   }
 }

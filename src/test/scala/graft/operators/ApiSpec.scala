@@ -286,4 +286,24 @@ class ApiSpec extends SparkSpec {
       Dedup.dupClusters(chain, "id_a", "id_b", maxRounds = 16).collect())
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("r16: PPJoin size+positional filters are SOUND — the filtered " +
+    "candidate set is a subset of the r15 prefix candidates and still a " +
+    "superset of every true near-dup pair") {
+    val docs = graft.core.Catalog.load(spark, sf(), "documents")
+    val t = 0.6
+    val hashed = Dedup.hashedShingles(docs).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r15 = pairs(Dedup.prefixCandidates(hashed, t, positional = false))
+    val r16 = pairs(Dedup.prefixCandidates(hashed, t, positional = true))
+    val truePairs = pairs(Dedup.ngramJaccardPairs(docs)
+      .select("id_a", "id_b"))
+    assert(r16.subsetOf(r15),
+      s"positional filter must only REMOVE candidates; added ${r16 -- r15}")
+    assert(truePairs.subsetOf(r16),
+      s"positional filter dropped true pairs: ${truePairs -- r16}")
+    assert(truePairs.nonEmpty, "fixture must contain near-dup pairs")
+    hashed.unpersist()
+  }
 }

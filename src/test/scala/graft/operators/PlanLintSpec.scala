@@ -74,7 +74,13 @@ class PlanLintSpec extends SparkSpec {
     // a 1-row aggregate and head() it: one fixed-size blob (~1 MB CMS,
     // ~10 bits/key Bloom) at any corpus size — the sketch IS the operator
     "q151_heavy_hitters" -> "1-row count-min sketch blob (fixed eps size)",
-    "q152_bloom_decontaminate" -> "1-row Bloom blob (benchmark-sized bits)")
+    "q152_bloom_decontaminate" -> "1-row Bloom blob (benchmark-sized bits)",
+    // r16 watermark-sentinel streams: the helper head()s the 1-row
+    // max(ts) aggregate to stamp the sentinel file — one scalar at any
+    // corpus size (the Flink bounded-input MAX_WATERMARK rendering)
+    "q177_sql_rank_over_windowed_subquery" -> "1-row max(ts) sentinel stamp",
+    "q178_sql_rank_join_windowed_subquery" -> "1-row max(ts) sentinel stamp",
+    "q180_sql_stream_measure_next" -> "1-row max(ts) sentinel stamp")
 
   test("no declared query collects rows to the driver during construction") {
     import org.apache.spark.sql.execution.QueryExecution

@@ -393,9 +393,11 @@ class MatchRecognizeAnySpec extends SparkSpec {
     assert(batchGot == want, s"batch twin disagrees: $batchGot")
   }
 
-  test("r15 NEXT in MEASURES navigates past the match's end in batch; " +
-      "the streaming executor rejects it loudly (successor rows may not " +
-      "exist at emission); ALL ROWS PER MATCH anchors at each output row") {
+  test("r15/r16 NEXT in MEASURES navigates past the match's end in " +
+      "batch; on a STREAM the executor serves it via DELAYED EMISSION — " +
+      "a match is held until its successor rows close, surviving " +
+      "out-of-order arrivals; ALL ROWS PER MATCH anchors at each output " +
+      "row") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
     def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
@@ -415,12 +417,29 @@ class MatchRecognizeAnySpec extends SparkSpec {
       .select("bp", "np").as[(Int, Option[Int])].collect().toSet
     assert(batchGot == Set((3, Option(6)), (4, Option(7)), (2, Option(8))),
       s"got $batchGot")
+    // streaming twin, OUT OF ORDER within the 3-minute delay: the match
+    // (7, 2) at minutes 5-6 closes before its successor (8, minute 7)
+    // arrives — it must be HELD, then emit np=8 once the closing row
+    // (price 999, too big to bind) pushes the watermark past minute 7
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[MrTick]
-    val e = intercept[IllegalArgumentException](
-      MatchRecognizeSql.sqlDf(input.toDF(), qNext))
-    assert(e.getMessage.contains("NEXT in MEASURES is batch-only"),
-      e.getMessage)
+    val query = MatchRecognizeSql.sqlDf(input.toDF(), qNext, "3 minutes")
+      .writeStream.format("memory").queryName("mrmeasnext")
+      .outputMode("append").start()
+    // minute order of arrival: 2, 1, 4, 3, 5, 6 | (wm advance) 7 | close
+    Seq(rows(1), rows(0), rows(3), rows(2), rows(4), rows(5)).foreach { r =>
+      input.addData(r); query.processAllAvailable()
+    }
+    input.addData(rows(6)); query.processAllAvailable()
+    val early = spark.table("mrmeasnext").count()
+    input.addData(MrTick("ACME", 999, 100L, ts(100)))
+    query.processAllAvailable()
+    query.stop()
+    val streamGot = spark.table("mrmeasnext").select("bp", "np")
+      .as[(Int, Option[Int])].collect().toSet
+    assert(streamGot == batchGot, s"stream $streamGot vs batch $batchGot")
+    assert(early < 3,
+      s"the last match must be HELD until its successor closes ($early)")
     // RUNNING anchor: every output row navigates from ITSELF
     val qAll = """SELECT * FROM t MATCH_RECOGNIZE (
                  |  PARTITION BY sym
