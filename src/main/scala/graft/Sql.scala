@@ -53,6 +53,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Sql {
 
   def sql(spark: SparkSession, text: String): DataFrame = {
+    // r16: the reference's PROC-TIME TUMBLE spelling routes to its own
+    // executor (GroupWindowSql.procTumbleRoute; wall-clock window starts
+    // never surface through SQL) before the text pipeline — HOP/SESSION
+    // over proc-time remain tested rejections inside the rewrite
+    graft.streaming.GroupWindowSql.procTumbleRoute(spark, text)
+      .foreach(df => return df)
     // group-window SQL (TUMBLE/HOP/SESSION + auxiliaries) becomes
     // Spark's native window()/session_window() grouping — a pure text
     // rewrite, so the clause composes anywhere in the statement

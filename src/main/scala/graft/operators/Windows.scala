@@ -21,7 +21,7 @@ object Windows {
   def defs: Seq[QueryDef] =
     Seq(q60Tumble, q61Hop, q62Session, q108DynamicSession,
       q145CountTumbleAny, q146CountSlideAny, q149CountTumbleNative,
-      q162SqlTumble, q163SqlHop, q164SqlSession)
+      q162SqlTumble, q163SqlHop, q164SqlSession, q181SqlProcTumble)
 
   /** The BATCH-NATIVE route of the count-tumble shape (r12): ROW_NUMBER
     * chunking + a native hash aggregate with map-side combine — the
@@ -269,6 +269,41 @@ object Windows {
         |FROM events
         |GROUP BY event_type, TUMBLE(ts, INTERVAL '1' HOUR)
         |ORDER BY w_start, event_type""".stripMargin)
+  }
+
+  /** r16: the reference's PROC-TIME TUMBLE spelling through the front
+    * door (stream `WindowAggregateITCase` proc-time cases; the r15
+    * tested rejection for the TUMBLE assigner, now served) —
+    * `GROUP BY TUMBLE(PROCTIME(), INTERVAL '1' HOUR), event_type`
+    * routes to [[graft.streaming.ProcTimeWindows.procTumbleAgg]]. The
+    * BATCH COLLAPSE is the oracle's structural check: one processing
+    * instant means exactly ONE window per key, so the emitted rows are
+    * the plain GROUP BY — hash-matching it pins full row coverage
+    * (every input row in exactly one emitted window) and the one-window
+    * collapse; exact window WIDTH and the streaming fire sequence are
+    * pinned by `ProcTimeWindowsSpec` with an injected clock (wall-clock
+    * starts are not oracle-checkable, so the statement never selects
+    * them — `TUMBLE_START` on proc-time is a loud rejection). */
+  val q181SqlProcTumble: QueryDef = QueryDef("q181_sql_proc_tumble",
+    """SELECT event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  min(value) AS min_value,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    graft.core.Catalog.load(spark, dir, "events")
+      .createOrReplaceTempView("events")
+    val routed = graft.Sql.sql(spark,
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  MIN(value) AS min_value,
+        |  SUM(value) AS sum_value
+        |FROM events
+        |GROUP BY TUMBLE(PROCTIME(), INTERVAL '1' HOUR), event_type""".stripMargin)
+    routed.select(col("event_type"), col("n_events"), col("n_users"),
+        col("min_value"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("event_type"))
   }
 
   /** `HOP(ts, slide, size)` — the reference's slide-first argument order

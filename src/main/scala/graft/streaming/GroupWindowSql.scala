@@ -194,6 +194,129 @@ object GroupWindowSql {
     ids
   }
 
+  /** r16: route the reference's PROC-TIME TUMBLE spelling —
+    * `SELECT keys/aggs FROM t GROUP BY TUMBLE(PROCTIME(), size)[, keys]`
+    * (stream WindowAggregateITCase proc-time cases) — to
+    * [[ProcTimeWindows.procTumbleAgg]], closing the r15 tested
+    * rejection for the TUMBLE assigner. Returns None when the statement
+    * carries no proc-time TUMBLE (the normal rewrite pipeline
+    * continues); a statement that HAS one but deviates from the
+    * one-table grammar fails loudly in this parser. Window auxiliaries
+    * (`TUMBLE_START`/`_END`) stay rejected — they ARE the wall clock.
+    * HOP/SESSION over proc-time remain tested rejections in
+    * [[groupExpr]] (sliding/merging wall-clock assigners have no
+    * checkable collapse). */
+  def procTumbleRoute(spark: org.apache.spark.sql.SparkSession,
+      text: String): Option[org.apache.spark.sql.DataFrame] = {
+    // cheap detection: any TUMBLE( whose first argument is proc-time
+    val hasProcTumble = {
+      var found = false
+      var from = 0
+      var i = indexOfWord(text, "TUMBLE", from)
+      while (i >= 0 && !found) {
+        val open = text.indexOf('(', i + 6)
+        if (open >= 0) {
+          val close = balancedClose(text, open)
+          if (close > open) {
+            val args = splitTopLevel(text.substring(open + 1, close))
+            found = args.nonEmpty && TemporalSql.isProcTime(args(0))
+          }
+        }
+        from = i + 6
+        i = indexOfWord(text, "TUMBLE", from)
+      }
+      found
+    }
+    if (!hasProcTumble) return None
+    import graft.streaming.{MatchRecognizeSql => MR}
+    val p = new MR.P(MR.tokenize(text))
+    p.expect("SELECT")
+    // select items: bare group keys, or COUNT/SUM/MIN/MAX/AVG with a
+    // required alias (deterministic output names for the oracle compare)
+    sealed trait Item
+    case class Key(name: String) extends Item
+    case class Meas(agg: OverAggregates.Agg) extends Item
+    val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
+    def parseItem(): Item = {
+      val t = p.ident()
+      require(!Suffixes.filter(_.nonEmpty)
+          .exists(sfx => t.toUpperCase == s"TUMBLE$sfx"),
+        s"$t on a PROC-TIME window is the wall clock itself — window " +
+          "bounds never surface through SQL (not oracle-checkable); " +
+          "select keys and aggregates only")
+      if (AggFns.contains(t.toUpperCase) && p.accept("(")) {
+        val distinct = p.accept("DISTINCT")
+        val arg =
+          if (p.accept("*")) None
+          else {
+            val a = p.next()
+            if (a == "1") None else Some(a.toLowerCase)
+          }
+        p.expect(")")
+        require(!(arg.isEmpty && t.toUpperCase != "COUNT"),
+          s"${t.toUpperCase}(*) is not an aggregate; name a column")
+        p.expect("AS")
+        Meas(OverAggregates.Agg(t.toUpperCase, arg, p.ident().toLowerCase,
+          distinct))
+      } else Key(t.toLowerCase)
+    }
+    val items = scala.collection.mutable.ArrayBuffer(parseItem())
+    while (p.accept(",")) items += parseItem()
+    p.expect("FROM")
+    val table = p.ident()
+    p.expect("GROUP"); p.expect("BY")
+    var width: Option[java.time.Duration] = None
+    val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+    do {
+      if (p.peekIs("TUMBLE")) {
+        p.next(); p.expect("(")
+        val attr = if (p.accept("PROCTIME")) { p.expect("("); p.expect(")"); "proctime()" }
+          else p.ident()
+        require(TemporalSql.isProcTime(attr),
+          s"this route serves TUMBLE over proc-time; '$attr' is an " +
+            "event-time attribute (the rewrite pipeline plans those)")
+        p.expect(","); p.expect("INTERVAL")
+        val lit = p.next()
+        require(lit.length >= 3 && lit.head == '\'' && lit.last == '\'',
+          s"expected a quoted interval literal, found '$lit'")
+        val n = lit.substring(1, lit.length - 1)
+        val unit = p.ident().toUpperCase
+        val ms = unit match {
+          case "DAY" => 86400000L
+          case "HOUR" => 3600000L
+          case "MINUTE" => 60000L
+          case "SECOND" => 1000L
+          case other => sys.error(
+            s"proc-time TUMBLE size unit must be DAY|HOUR|MINUTE|SECOND, " +
+              s"got $other")
+        }
+        require(width.isEmpty, "more than one TUMBLE in GROUP BY")
+        width = Some(java.time.Duration.ofMillis(
+          (BigDecimal(n) * ms).toLongExact))
+        p.expect(")")
+      } else keys += p.ident().toLowerCase
+    } while (p.accept(","))
+    require(p.peek.isEmpty,
+      s"unexpected trailing tokens from '${p.peek}' — the proc-time " +
+        "TUMBLE route serves a single-table SELECT/GROUP BY statement")
+    val w = width.getOrElse(sys.error("internal: TUMBLE not parsed"))
+    items.collect { case Key(k) => k }.foreach(k =>
+      require(keys.contains(k),
+        s"select item '$k' is not a GROUP BY key"))
+    val aggs = items.collect { case Meas(a) => a }
+    require(aggs.nonEmpty, "no aggregate in the SELECT list")
+    val out = ProcTimeWindows.procTumbleAgg(spark.table(table),
+      keys.toSeq, w, aggs.toSeq)
+    // project the statement's select order; the wall-clock w_start_ms
+    // never surfaces through SQL (not oracle-checkable) — the executor
+    // API exposes it for callers that want it
+    val cols = items.map {
+      case Key(k) => org.apache.spark.sql.functions.col(k)
+      case Meas(a) => org.apache.spark.sql.functions.col(a.alias)
+    }
+    Some(out.select(cols.toSeq: _*))
+  }
+
   /** The Spark grouping expression for one reference group-window call.
     * Proc-time group windows — `TUMBLE/HOP/SESSION(PROCTIME(), …)` or a
     * registered proc-time attribute as the time argument — are a TESTED

@@ -356,10 +356,13 @@ class WindowAggAnySpec extends SparkSpec {
     // sparkWm past the extended horizon (10:08): state drops; a later
     // row for the session is discarded
     input.addData(("z", Timestamp.valueOf("2024-01-01 11:30:00"), 0.0, 0L))
-    Thread.sleep(600)
+    // r16: 600 ms flaked under multi-suite load (the horizon poll had
+    // not dropped the state before the late row arrived and merged);
+    // give the drop a full proc-timer interval budget
+    Thread.sleep(3000)
     val nBefore = fires().size
     input.addData(("a", ts(2), 0.5, 10L))
-    Thread.sleep(800)
+    Thread.sleep(1500)
     assert(fires().size == nBefore,
       s"beyond-horizon row must be discarded: ${fires()}")
     q.stop()
