@@ -35,12 +35,14 @@ object PlanWalk {
     * the plan has executed, so AQE has finalized and metrics are live. */
   final case class Facts(bhj: Int, smj: Int, shj: Int, bnlj: Int, cart: Int,
       skewJoins: Int, shuffles: Int, broadcasts: Int,
-      aqeSkewReads: Int, aqeCoalescedReads: Int, spillBytes: Long) {
+      aqeSkewReads: Int, aqeCoalescedReads: Int, spillBytes: Long,
+      skewedPartitions: Long, skewedSplits: Long) {
     def json: String =
       s""""bhj":$bhj,"smj":$smj,"shj":$shj,"bnlj":$bnlj,"cart":$cart,""" +
       s""""skew_joins":$skewJoins,"shuffles":$shuffles,"broadcasts":$broadcasts,""" +
       s""""aqe_skew_reads":$aqeSkewReads,"aqe_coalesced_reads":$aqeCoalescedReads,""" +
-      s""""spill_bytes":$spillBytes"""
+      s""""spill_bytes":$spillBytes,""" +
+      s""""skewed_partitions":$skewedPartitions,"skewed_splits":$skewedSplits"""
   }
 
   /** [[nodes]] deduplicated by object identity. `nodes` intentionally
@@ -81,6 +83,18 @@ object PlanWalk {
       },
       spillBytes = ns.flatMap(_.metrics.collect {
         case (k, m) if k.toLowerCase.contains("spill") => m.value
-      }).sum)
+      }).sum,
+      // split GRANULARITY, not just the join count: how many reduce
+      // partitions AQE adjudicated skewed, and how many physical splits
+      // it cut them into — the number that must grow with the DATA at a
+      // fixed task count for the skew handling to be scale-honest
+      skewedPartitions = ns.collect {
+        case r: AQEShuffleReadExec if r.hasSkewedPartition =>
+          r.metrics.get("numSkewedPartitions").map(_.value).getOrElse(0L)
+      }.sum,
+      skewedSplits = ns.collect {
+        case r: AQEShuffleReadExec if r.hasSkewedPartition =>
+          r.metrics.get("numSkewedSplits").map(_.value).getOrElse(0L)
+      }.sum)
   }
 }
