@@ -533,17 +533,30 @@ object StatefulBatch {
     * inside the join build, joins the static cohort dim, and the rank
     * executor keys on the dim column. Same sentinel + collapse contract
     * as q177; the sentinel user (-1) is additionally dropped by the
-    * inner join (not in the dim). */
+    * inner join (not in the dim).
+    *
+    * The windowed metric is a running COUNT, deliberately: ranking
+    * ACROSS users on a windowed SUM(double) is engine-float-fragile —
+    * the sf1 tiled fixtures put mathematically-equal running sums (the
+    * same base user in two replicas) in ONE cohort partition, and
+    * whether that is a tie then hangs on summation ORDER (DuckDB's
+    * windowed sum is segment-tree-combined, Spark's is sequential), so
+    * the two engines rank different rows first. COUNT is exact on both
+    * sides, ties are exact ties, and the event_id tie-break decides
+    * identically at every scale; the composition under test (rank over
+    * a joined windowed derived table) is unchanged, and OVER-SUM
+    * semantics keep their own single-partition-safe oracles
+    * (q94/q95/q133-q138, q177). */
   val q178SqlRankJoinWindowedSubquery: QueryDef = QueryDef(
     "q178_sql_rank_join_windowed_subquery",
     """WITH t AS (
       |  SELECT user_id, event_id,
-      |    SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
       |  FROM events),
       |d AS (SELECT DISTINCT user_id AS uid, user_id % 5 AS cohort
       |      FROM events)
-      |SELECT cohort, user_id, event_id, round(s, 4) AS s FROM (
+      |SELECT cohort, user_id, event_id, s FROM (
       |  SELECT d.cohort, t.user_id, t.event_id, t.s,
       |    ROW_NUMBER() OVER (PARTITION BY d.cohort
       |                       ORDER BY t.s DESC, t.event_id DESC) AS rn
@@ -562,7 +575,7 @@ object StatefulBatch {
         |    ROW_NUMBER() OVER (PARTITION BY cohort
         |                       ORDER BY s DESC, event_id DESC) AS rn
         |  FROM (SELECT user_id, event_id,
-        |          SUM(value) OVER (PARTITION BY user_id
+        |          COUNT(*) OVER (PARTITION BY user_id
         |            ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
         |        FROM graft_sql_stream_wm2) t
@@ -578,8 +591,7 @@ object StatefulBatch {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
     UpsertSink.currentState(spark, sinkDir)
-      .select(col("cohort"), col("user_id"), col("event_id"),
-        round(col("s"), 4).as("s"))
+      .select(col("cohort"), col("user_id"), col("event_id"), col("s"))
       .orderBy(col("cohort"))
   }
 
