@@ -121,11 +121,10 @@ object MatchSql {
     // the match log stays distributed at any corpus size
     val sinkDir =
       java.nio.file.Files.createTempDirectory("graft-q180").toString
-    val q = routed.writeStream.format("parquet").option("path", sinkDir)
-      .option("checkpointLocation", s"$sinkDir-ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    graft.streaming.StatefulBatch.runReplay(spark, dir)(
+      routed.writeStream.format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", s"$sinkDir-ckpt")
+        .outputMode("append"))
     spark.read.parquet(sinkDir)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("next_id"), round(col("next_value"), 4).as("next_value"))

@@ -31,6 +31,56 @@ object StatefulBatch {
       q174SqlRankSubqueryJoinStream, q177SqlRankOverWindowedSubquery,
       q178SqlRankJoinWindowedSubquery, q179SqlRankNaturalJoin)
 
+  /** Scale-adaptive parallelism for a bounded stream replay (r16
+    * optimization, guide §2.2/§2.4). A replay's micro-batch volume is
+    * knowable upfront — the file source lists its input — so shuffle
+    * (= state-store) partitions are sized by DATA VOLUME,
+    * ceil(bytes / 4 MB) clamped to [2, session cores], instead of
+    * inheriting the session's core constant. Each stateful operator
+    * pays a per-partition per-batch fixed cost (HDFSBackedStateStore
+    * delta-file commit + load, task launch); at replay scale that
+    * fixed cost dominates: q177 measured 16.0 s at 32 partitions vs
+    * 4.7 s at 2–8 on the same 2 MB input (flat across 2–8, cliff past
+    * 16), with identical results — per-key processing is independent
+    * of partition count. The formula, not the constant, is the
+    * contract: at 100 TB the same sizing saturates the cluster
+    * (bytes/4 MB >> cores and the cores cap binds), exactly like the
+    * reference sizing operator parallelism to the job, not to one
+    * host. Override the divisor via SPARK_GRAFT_STREAM_PARTITION_BYTES.
+    * The session's `spark.sql.shuffle.partitions` is restored on exit
+    * (state partitioning is fixed at each query's first batch from the
+    * setting's value at `start()`, so scoping it to the replay is
+    * exact). */
+  private[graft] def withReplayParallelism[T](
+      spark: org.apache.spark.sql.SparkSession, dir: String)(f: => T): T = {
+    val target = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITION_BYTES",
+      (4L * 1024 * 1024).toString).toLong
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes =
+      if (fs.exists(p)) fs.getContentSummary(p).getLength
+      else 0L
+    val cores = spark.sparkContext.defaultParallelism
+    val parts = math.max(2L, math.min(cores.toLong,
+      (bytes + target - 1) / target)).toInt
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, parts.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
+  /** Start a bounded replay under [[withReplayParallelism]] and drain it
+    * (AvailableNow). State partitioning is captured at `start()`, so the
+    * scope covers exactly the replay's batches — sinks' foreachBatch
+    * merges included. */
+  private[graft] def runReplay(spark: org.apache.spark.sql.SparkSession,
+      dir: String)(w: org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row]): Unit =
+    withReplayParallelism(spark, dir) {
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+
   /** GENERAL-SCHEMA proc-time bounded-RANGE OVER (r13 — the last OVER
     * shape that was Event-typed; reference
     * ProcTimeRangeBoundedPrecedingFunction.java) collapsed to batch: a
@@ -379,11 +429,9 @@ object StatefulBatch {
     require(routed.isStreaming, "the routed rank-over-join must stream")
     val sinkDir =
       java.nio.file.Files.createTempDirectory("graft-sqljoin").toString
-    val q = UpsertSink
+    runReplay(spark, dir)(UpsertSink
       .upsertWriter(routed, Seq("cohort"), Seq("value", "event_id"), sinkDir,
-        outputMode = "append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+        outputMode = "append"))
     UpsertSink.currentState(spark, sinkDir)
       .select(col("cohort"), col("user_id"), col("event_id"), col("value"))
       .orderBy(col("cohort"))
@@ -420,11 +468,9 @@ object StatefulBatch {
     require(routed.isStreaming, "the routed rank-over-derived-table must stream")
     val sinkDir =
       java.nio.file.Files.createTempDirectory("graft-sqlsub").toString
-    val q = UpsertSink
+    runReplay(spark, dir)(UpsertSink
       .upsertWriter(routed, Seq("user_id"), Seq("value", "event_id"), sinkDir,
-        outputMode = "append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+        outputMode = "append"))
     UpsertSink.currentState(spark, sinkDir)
       .select(col("user_id"), col("event_id"), col("value"))
       .orderBy(col("user_id"))
@@ -465,11 +511,9 @@ object StatefulBatch {
     require(routed.isStreaming, "the routed rank-over-subquery-join must stream")
     val sinkDir =
       java.nio.file.Files.createTempDirectory("graft-sqlsubjoin").toString
-    val q = UpsertSink
+    runReplay(spark, dir)(UpsertSink
       .upsertWriter(routed, Seq("cohort"), Seq("value", "event_id"), sinkDir,
-        outputMode = "append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+        outputMode = "append"))
     UpsertSink.currentState(spark, sinkDir)
       .select(col("cohort"), col("user_id"), col("event_id"), col("value"))
       .orderBy(col("cohort"))
@@ -518,11 +562,9 @@ object StatefulBatch {
       "the routed rank-over-windowed-subquery must stream")
     val sinkDir =
       java.nio.file.Files.createTempDirectory("graft-sqlnested").toString
-    val q = UpsertSink
+    runReplay(spark, dir)(UpsertSink
       .upsertWriter(routed, Seq("user_id"), Seq("s", "event_id"), sinkDir,
-        outputMode = "append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+        outputMode = "append"))
     UpsertSink.currentState(spark, sinkDir)
       .select(col("user_id"), col("event_id"), round(col("s"), 4).as("s"))
       .orderBy(col("user_id"))
@@ -585,11 +627,9 @@ object StatefulBatch {
       "the routed rank-over-joined-windowed-subquery must stream")
     val sinkDir =
       java.nio.file.Files.createTempDirectory("graft-sqlnestedj").toString
-    val q = UpsertSink
+    runReplay(spark, dir)(UpsertSink
       .upsertWriter(routed, Seq("cohort"), Seq("s", "event_id"), sinkDir,
-        outputMode = "append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+        outputMode = "append"))
     UpsertSink.currentState(spark, sinkDir)
       .select(col("cohort"), col("user_id"), col("event_id"), col("s"))
       .orderBy(col("cohort"))
@@ -626,11 +666,9 @@ object StatefulBatch {
     require(routed.isStreaming, "the routed rank-over-natural-join must stream")
     val sinkDir =
       java.nio.file.Files.createTempDirectory("graft-sqlnat").toString
-    val q = UpsertSink
+    runReplay(spark, dir)(UpsertSink
       .upsertWriter(routed, Seq("cohort"), Seq("value", "event_id"), sinkDir,
-        outputMode = "append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+        outputMode = "append"))
     UpsertSink.currentState(spark, sinkDir)
       .select(col("cohort"), col("user_id"), col("event_id"), col("value"))
       .orderBy(col("cohort"))
@@ -645,11 +683,9 @@ object StatefulBatch {
       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
     val sinkDir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
     val stream = eventsStream(spark, dir)
-    val q = UpsertSink
+    runReplay(spark, dir)(UpsertSink
       .upsertWriter(stream, Seq("user_id"), Seq("ts", "event_id"), sinkDir,
-        nBuckets = 8)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+        nBuckets = 8))
     UpsertSink.currentState(spark, sinkDir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       .orderBy(col("user_id"))
@@ -685,10 +721,8 @@ object StatefulBatch {
       .withColumn("flag", explode(
         when(col("event_id") % 3 === 0 || col("user_id") % 97 === 0,
           array(lit(1), lit(-1))).otherwise(array(lit(1)))))
-    val q = RetractSink
-      .retractWriter(changelog, Seq("user_id"), "flag", "value", sinkDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    runReplay(spark, dir)(RetractSink
+      .retractWriter(changelog, Seq("user_id"), "flag", "value", sinkDir))
     UpsertSink.currentState(spark, sinkDir)
       .select(col("user_id"), col("cnt"), round(col("total"), 4).as("total"))
       .orderBy(col("user_id"))
