@@ -168,8 +168,23 @@ object Catalog {
     * same names the DuckDB oracle uses. Temp views carry size-only
     * statistics — use [[registerAnalyzed]] on any path where the
     * cost-based optimizer should see row counts. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    invalidateAdapterViews(spark)
     tableNames.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  }
+
+  /** Memoization markers for the TPC-DS / TPC-H adapter-view registrars
+    * (r16 optimization): each literal query used to rebuild its full
+    * adapter view set (24 DataFrame view plans / 4 SQL view parses) per
+    * call inside the timed region. The registrars now skip when their
+    * marker still names the same dir; any call that drops or re-registers
+    * fixture-name temp views (the adapters shadow `customer` etc.) MUST
+    * route through here so a stale skip can never resolve a clobbered
+    * view. */
+  private[graft] val adapterViewMarkers =
+    Seq("graft.views.tpcds.dir", "graft.views.tpch.dir")
+  private[graft] def invalidateAdapterViews(spark: SparkSession): Unit =
+    adapterViewMarkers.foreach(spark.conf.unset)
 
   /** Wide text-payload columns excluded from column-level statistics:
     * NDV/min/max over multi-KB strings is the expensive part of ANALYZE
@@ -228,6 +243,9 @@ object Catalog {
         |       event_type, value, props
         |FROM events__raw""".stripMargin)
     val marker = "graft.analyzed.dir"
+    // both branches drop fixture-name temp views below — adapter view
+    // sets that shadow those names are no longer resolvable afterwards
+    invalidateAdapterViews(spark)
     if (spark.conf.getOption(marker).contains(dir)) {
       // already analyzed this dir — but a temp view registered since (e.g.
       // registerAll in the same session) would shadow the catalog tables

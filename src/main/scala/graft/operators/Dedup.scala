@@ -611,6 +611,20 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("src"),
         least(col("a"), col("b")).as("dst"))
       .distinct().localCheckpoint(true)
+    // One aggregate job yields the round's count AND an order-invariant
+    // set fingerprint (sum of per-edge xxhash64, wrapping). Equal sets
+    // imply equal (count, fp); the convergence candidate is confirmed by
+    // the EXACT exceptAll below, so a fingerprint collision can only cost
+    // one wasted confirmation, never a wrong answer. This replaces the
+    // r15 protocol's two count() jobs + eager exceptAll per round (q49's
+    // wall time at bench scale was dominated by per-round action count,
+    // not data).
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edgesFp = fingerprint(edges)
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -641,10 +655,13 @@ object Dedup {
         .union(withM.select(col("src"), col("m").as("dst")))
         .distinct().localCheckpoint(true)
       // stability: both sides are distinct sets, so equal counts plus
-      // an empty one-sided difference prove set equality
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // an empty one-sided difference prove set equality; the (count,
+      // hash-sum) pre-check skips the exceptAll on rounds that visibly
+      // changed the set
+      val nextFp = fingerprint(next)
+      converged = nextFp == edgesFp && next.exceptAll(edges).isEmpty
       edges = next
+      edgesFp = nextFp
     }
     // stars: every edge points a node at its component min; the roots
     // label themselves

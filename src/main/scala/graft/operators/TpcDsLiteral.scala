@@ -343,6 +343,17 @@ object TpcDsLiteral {
 
   /** Register the TPC-DS-named views over the fixture tables. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
+    // memoized per (session, dir): ~24 adapter view plans are identical
+    // across the 100+ literal queries, and each call used to rebuild them
+    // all inside the bench's timed region (~0.2-0.4 s per query). The
+    // marker is unset by ANY path that drops/re-registers fixture-name
+    // temp views (Catalog.invalidateAdapterViews — these views shadow
+    // `customer`), so a skip can never see a clobbered name.
+    val marker = "graft.views.tpcds.dir"
+    if (spark.conf.getOption(marker).contains(dir)) return
+    // the TPC-H adapter shadows `lineitem`/`customer`/`part`/`orders`;
+    // re-registering ours invalidates theirs (customer collides)
+    spark.conf.unset("graft.views.tpch.dir")
     val lineitem = Catalog.load(spark, dir, "lineitem")
     val orders = Catalog.load(spark, dir, "orders")
     val part = Catalog.load(spark, dir, "part")
@@ -862,6 +873,7 @@ object TpcDsLiteral {
           ((col("p_partkey") / 5).cast(LongType) % 6).cast(IntegerType) + 1)
           .as("i_size"))
       .createOrReplaceTempView("item")
+    spark.conf.set(marker, dir)
   }
 
   /** DuckDB mirror of `channelFact` — same projection battery under the

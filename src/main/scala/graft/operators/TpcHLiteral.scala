@@ -98,12 +98,19 @@ object TpcHLiteral {
     * view definitions always resolve the CATALOG tables — never an older
     * temp view of the same name. */
   private def registerViews(spark: SparkSession, dir: String): Unit = {
-    Catalog.registerAnalyzed(spark, dir)
+    // memoized per (session, dir) like the TPC-DS adapter: the marker is
+    // unset whenever fixture-name temp views are dropped or re-shadowed
+    // (Catalog.invalidateAdapterViews / the TPC-DS registrar), so a skip
+    // always resolves the views registered below
+    val marker = "graft.views.tpch.dir"
+    if (spark.conf.getOption(marker).contains(dir)) return
+    Catalog.registerAnalyzed(spark, dir) // unsets both adapter markers
     val sparkAdd = (d: String, n: String) => s"date_add($d, $n)"
     spark.sql(s"CREATE OR REPLACE TEMP VIEW lineitem AS\n${lineitemView(sparkAdd)}lineitem")
     spark.sql(s"CREATE OR REPLACE TEMP VIEW customer AS\n${customerView}customer")
     spark.sql(s"CREATE OR REPLACE TEMP VIEW part AS\n${partView}part")
     spark.sql(s"CREATE OR REPLACE TEMP VIEW orders AS\n${ordersView}orders")
+    spark.conf.set(marker, dir)
   }
 
   /** DuckDB side: the same three definitions as CTEs over the base
