@@ -612,16 +612,16 @@ object Dedup {
         least(col("a"), col("b")).as("dst"))
       .distinct().localCheckpoint(true)
     // One aggregate job yields the round's count AND an order-invariant
-    // set fingerprint (sum of per-edge xxhash64, wrapping). Equal sets
-    // imply equal (count, fp); the convergence candidate is confirmed by
-    // the EXACT exceptAll below, so a fingerprint collision can only cost
-    // one wasted confirmation, never a wrong answer. This replaces the
-    // r15 protocol's two count() jobs + eager exceptAll per round (q49's
-    // wall time at bench scale was dominated by per-round action count,
-    // not data).
+    // set fingerprint (bit_xor of per-edge xxhash64 — overflow-free under
+    // ANSI). Equal sets imply equal (count, fp); the convergence
+    // candidate is confirmed by the EXACT exceptAll below, so a
+    // fingerprint collision can only cost one wasted confirmation, never
+    // a wrong answer. This replaces the r15 protocol's two count() jobs +
+    // eager exceptAll per round (q49's wall time at bench scale was
+    // dominated by per-round action count, not data).
     def fingerprint(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("src"), col("dst")))).head()
+        bit_xor(xxhash64(col("src"), col("dst")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var edgesFp = fingerprint(edges)
@@ -635,20 +635,24 @@ object Dedup {
           "maxRounds if the component count is astronomically large")
       // large-star: for every u, m(u) = min(N(u) ∪ {u}); emit
       // (v, m(u)) for v ∈ N(u), v > u. Orientation (big, small) is
-      // preserved: m(u) <= u < v.
+      // preserved: m(u) <= u < v. The per-u minimum is a whole-partition
+      // window MIN (r16 opt): the former groupBy + equi-join back paid
+      // TWO exchanges of the neighbor relation per phase where the
+      // window pays one exchange + an in-partition sort — measured
+      // faster at every tested scale on the checkpoint-per-round loop,
+      // and identical row-for-row (same min attached to every (src,
+      // dst)).
+      val uw = Window.partitionBy(col("src"))
       val nbrs = edges.union(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      val mins = nbrs.groupBy(col("src"))
-        .agg(min(col("dst")).as("nmin"))
-        .select(col("src"), least(col("src"), col("nmin")).as("m"))
-      val ls = nbrs.join(mins, Seq("src"))
+      val ls = nbrs
+        .withColumn("m", least(col("src"), min(col("dst")).over(uw)))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .distinct()
       // small-star: per u (src of the oriented edges), m = min
       // neighbor; emit (v, m) for its smaller neighbors plus (u, m)
-      val mins2 = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      val withM = ls.join(mins2, Seq("src"))
+      val withM = ls.withColumn("m", min(col("dst")).over(uw))
       val next = withM
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
