@@ -80,7 +80,11 @@ class PlanLintSpec extends SparkSpec {
     // corpus size (the Flink bounded-input MAX_WATERMARK rendering)
     "q177_sql_rank_over_windowed_subquery" -> "1-row max(ts) sentinel stamp",
     "q178_sql_rank_join_windowed_subquery" -> "1-row max(ts) sentinel stamp",
-    "q180_sql_stream_measure_next" -> "1-row max(ts) sentinel stamp")
+    "q180_sql_stream_measure_next" -> "1-row max(ts) sentinel stamp",
+    // r16 star-contraction convergence: each round reads ONE row holding
+    // (edge count, bit_xor of per-edge xxhash64) — a fixed-size scalar at
+    // any corpus size, same class as the count() the lint already allows
+    "q49_dup_clusters" -> "1-row (count, xxhash) convergence fingerprint")
 
   test("no declared query collects rows to the driver during construction") {
     import org.apache.spark.sql.execution.QueryExecution
