@@ -68,6 +68,16 @@ object GraftFunctions {
     Bridge.column(SortedIntersectSize(Bridge.expression(a),
       Bridge.expression(b)))
 
+  /** MINHASH_SIG96(hs): the 96-permutation MinHash signature of a long
+    * hash array — one linear pass over the array per row, the same
+    * permutation bank as [[graft.operators.Dedup.MinHashSig]] (the
+    * aggregating form). Lets the signature be DERIVED from a per-doc
+    * hash-set relation that the exact-verify join needs anyway, instead
+    * of re-aggregating the exploded shingle stream a second time
+    * ([[MinHashSig96]]). */
+  def minHashSig96(hs: Column): Column =
+    Bridge.column(MinHashSig96(Bridge.expression(hs)))
+
   /** Register SQL names so `spark.sql` queries can call the gap functions
     * by their reference names. All five resolve to the native codegen'd
     * expressions below — no ScalaUDF boxing anywhere on this surface
@@ -217,6 +227,35 @@ object FnKernels {
       else j += 1
     }
     n
+  }
+
+  // The MinHash permutation bank: linear maps mod 2^31-1 over one
+  // xxhash64. MUST stay numerically identical to
+  // graft.operators.Dedup.MinHashSig (the aggregating twin) — the two
+  // forms are interchangeable producers of the same signature.
+  private val MinHashP = 2147483647L // 2^31 - 1
+  private val MinHashA = Array.tabulate(96)(i => (1234567L * (i + 1)) % MinHashP)
+  private val MinHashB = Array.tabulate(96)(i => (987654321L * i) % MinHashP)
+
+  /** 96-permutation MinHash signature of a long hash array: for each
+    * permutation i, min over elements h of ((h mod P) * A(i) + B(i)) mod P.
+    * Operands stay < 2^62, so the Long arithmetic never overflows. */
+  def minHashSig96(hs: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sig = Array.fill(96)(Long.MaxValue)
+    val n = hs.numElements()
+    var j = 0
+    while (j < n) {
+      val hp = (hs.getLong(j) % MinHashP + MinHashP) % MinHashP
+      var i = 0
+      while (i < 96) {
+        val v = (hp * MinHashA(i) + MinHashB(i)) % MinHashP
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 }
 
@@ -400,4 +439,31 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): SortedIntersectSize =
     copy(left = newLeft, right = newRight)
+}
+
+/** 96-permutation MinHash signature of a long hash array as a codegen'd
+  * Catalyst expression (kernel: [[FnKernels.minHashSig96]]) — the
+  * per-row twin of [[graft.operators.Dedup.MinHashSig]]. Exists so the
+  * LSH signature can be computed FROM the per-doc sorted hash-set
+  * relation the exact-Jaccard verify join already aggregates, collapsing
+  * the signature pipeline's second scan+shuffle of the shingle stream. */
+case class MinHashSig96(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(LongType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig96"
+
+  override protected def nullSafeEval(a: Any): Any =
+    FnKernels.minHashSig96(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.FnKernels.minHashSig96($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig96 =
+    copy(child = newChild)
 }

@@ -69,7 +69,14 @@ object Dedup {
     * the higher-order-function lambda is interpreted per element and costs
     * more than the window's shuffle+sort at every tested scale). */
   def shingles(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3): DataFrame = {
+      textCol: String = "text", n: Int = 3): DataFrame =
+    rawShingles(docs, idCol, textCol, n).distinct()
+
+  /** [[shingles]] before its distinct — consumers that aggregate per doc
+    * anyway (collect_set) dedup inside their own aggregation and skip the
+    * distinct's exchange. */
+  private def rawShingles(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     docs
       .select(col(idCol).as("doc_id"),
@@ -77,8 +84,24 @@ object Dedup {
       .withColumn("shingle",
         concat_ws(" ", (0 until n).map(k => lead(col("w"), k).over(w)): _*))
       .filter(size(split(col("shingle"), " ", -1)) === n)
-      .select(col("doc_id"), col("shingle")).distinct()
+      .select(col("doc_id"), col("shingle"))
   }
+
+  /** Per-doc SORTED distinct shingle-hash sets: (doc_id, shset, n) in ONE
+    * pass over the corpus — the n-gram window's exchange already
+    * hash-partitions by doc_id, so the collect_set aggregation adds no
+    * shuffle, and the distinct lives inside the set-union (r16
+    * optimization, guide §2.4: the LSH family used to run the
+    * scan+explode+window pipeline once for its signature aggregate and
+    * AGAIN for the verify sets — both now derive from this one relation,
+    * signatures via the [[graft.functions.MinHashSig96]] per-row kernel). */
+  private def docHashSets(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    rawShingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("shset"))
+      .withColumn("n", size(col("shset")).cast(LongType))
 
   /** n-gram Jaccard near-dup pairs ≥ threshold, exact (shingle equi-join,
     * no cross join). The hashed shingle relation feeds three consumers
@@ -103,21 +126,38 @@ object Dedup {
       bands: Int = Bands,
       shinglePersist: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
-    // By default the shingle relation is NOT cached even though both the
-    // signature path and the verification path consume it: at 100 TB the
-    // shingle expansion does not fit in cluster storage memory, and a
-    // library entry point that leaves blocks pinned in a long-lived session
-    // leaks. Recomputing costs one extra scan+window. Small/medium-scale
-    // callers can opt in via shinglePersist (e.g. MEMORY_AND_DISK) — the
-    // blocks stay pinned until the session GCs them, which is the caller's
-    // trade to make.
+    // One per-doc hash-set relation feeds BOTH the signature path (via the
+    // per-row MinHashSig96 kernel) and the exact verify join — pre-r16 the
+    // two paths each re-ran the scan+explode+window shingle pipeline. By
+    // default the sets relation is NOT cached: ReuseExchange already
+    // shares the shingle exchange between its consumers, and a library
+    // entry point that leaves blocks pinned in a long-lived session leaks.
+    // Small/medium-scale callers can opt in via shinglePersist (e.g.
+    // MEMORY_AND_DISK) — the cached relation is one ~1.6 KB row per doc,
+    // severalfold smaller than the shingle stream the pre-r16 code cached.
     require(bands >= 1 && bands <= NumHashes && NumHashes % bands == 0,
       s"bands must divide the $NumHashes-hash signature, got $bands")
-    val sh0 = shingles(docs, idCol, textCol, n)
-    val sh =
-      if (shinglePersist == org.apache.spark.storage.StorageLevel.NONE) sh0
-      else sh0.persist(shinglePersist)
-    jaccardPairs(sh, threshold, Some(lshCandidates(sh, NumHashes, bands)))
+    val sets0 = docHashSets(docs, idCol, textCol, n)
+    val sets =
+      if (shinglePersist == org.apache.spark.storage.StorageLevel.NONE) sets0
+      else sets0.persist(shinglePersist)
+    val banded = bandedFromSets(sets, NumHashes, bands)
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("bhs").as("ba"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("bhs").as("bb"))
+    val cands = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("band") === firstEqualBand)
+      .select(col("id_a"), col("id_b"))
+    // same broadcast cap as jaccardPairs' verify; the doc count is read
+    // from the raw docs relation (an upper bound on docs with >= 1
+    // shingle — conservative, and far cheaper than re-counting the
+    // aggregated sets)
+    val nDocs = docs.limit(BroadcastSetsMaxDocs + 1).count()
+    verifySets(cands, sets, sets, threshold,
+        broadcastSets = nDocs <= BroadcastSetsMaxDocs)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** DuckDB CTEs producing the same distinct-3-gram-shingle relation. */
@@ -174,21 +214,10 @@ object Dedup {
       val sets = hashed.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("h"))).as("shset"),
           count(lit(1)).as("n"))
-      val sa = sets.select(col("doc_id").as("id_a"), col("shset").as("sa"),
-        col("n").as("na"))
-      val sb = sets.select(col("doc_id").as("id_b"), col("shset").as("sb"),
-        col("n").as("nb"))
       val nDocs = hashed.select(col("doc_id")).distinct()
         .limit(BroadcastSetsMaxDocs + 1).count()
-      val (ja, jb) =
-        if (nDocs <= BroadcastSetsMaxDocs) (broadcast(sa), broadcast(sb))
-        else (sa, sb)
-      c.join(ja, Seq("id_a")).join(jb, Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          jaccard(graft.functions.GraftFunctions
-              .sortedIntersectSize(col("sa"), col("sb")),
-            col("na"), col("nb")).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
+      verifySets(c, sets, sets, threshold,
+          broadcastSets = nDocs <= BroadcastSetsMaxDocs)
         .orderBy(col("id_a"), col("id_b"))
     }
     candidates match {
@@ -212,6 +241,30 @@ object Dedup {
         // algorithm can skip).
         verify(prefixCandidates(hashed, threshold))
     }
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against per-doc
+    * (doc_id, shset, n) relations: each pair joins its two sorted hash
+    * sets (BROADCAST under the caller's cap — id → ~1.6 KB of hashes;
+    * shipping arrays per-pair through a shuffle was measured at ~90 GB on
+    * 29M sf1 candidates) and counts the intersection with the codegen
+    * [[graft.functions.SortedIntersectSize]] merge kernel. */
+  private def verifySets(c: DataFrame, setsA: DataFrame, setsB: DataFrame,
+      threshold: Double, broadcastSets: Boolean,
+      aId: String = "id_a", bId: String = "id_b"): DataFrame = {
+    val jaccard = (i: Column, na: Column, nb: Column) =>
+      i.cast(DoubleType) / (na + nb - i)
+    val sa = setsA.select(col("doc_id").as(aId), col("shset").as("sa"),
+      col("n").as("na"))
+    val sb = setsB.select(col("doc_id").as(bId), col("shset").as("sb"),
+      col("n").as("nb"))
+    val (ja, jb) = if (broadcastSets) (broadcast(sa), broadcast(sb)) else (sa, sb)
+    c.join(ja, Seq(aId)).join(jb, Seq(bId))
+      .select(col(aId), col(bId),
+        jaccard(graft.functions.GraftFunctions
+            .sortedIntersectSize(col("sa"), col("sb")),
+          col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Prefix-filtered candidate pairs over the hashed shingle relation
@@ -291,7 +344,9 @@ object Dedup {
   /** n-gram Jaccard near-dup pairs, exact (shingle equi-join). */
   val q45NgramJaccard: QueryDef = QueryDef("q45_ngram_jaccard", duckJaccardSql) {
     // the fixture corpus is single-node-sized, so the query opts into the
-    // hashed-shingle cache (three consumers, one computation)
+    // hashed-shingle cache (four consumers, one computation; measured
+    // neutral-to-better than NONE at sf0.1, unlike the LSH path where the
+    // r16 sets cache was measured 2.7x slower and removed)
     (spark, dir) => ngramJaccardPairs(Tables(spark, dir).documents,
       shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
@@ -348,43 +403,35 @@ object Dedup {
     * shingle-join fan-out: signature = 96 independent min-hashes, 32 bands
     * of 3, candidates = pairs sharing a band bucket. */
   val q46MinHashLsh: QueryDef = QueryDef("q46_minhash_lsh", duckJaccardSql) {
-    (spark, dir) => minHashLshPairs(Tables(spark, dir).documents,
-      shinglePersist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (spark, dir) => minHashLshPairs(Tables(spark, dir).documents)
   }
 
-  /** Candidate pairs sharing ≥1 LSH band bucket over the MinHash
-    * signatures of a (doc_id, shingle) relation.
+  /** One row per (doc, band) derived from the per-doc hash-set relation:
+    * the doc's full 32-slot band-hash vector plus that band's
+    * (band, bucket) join key — the exploded relation the self-join and
+    * the cross-corpus candidate joins bucket on. Signatures come from the
+    * per-row [[graft.functions.MinHashSig96]] kernel over the set array
+    * (numerically identical to the [[MinHashSig]] aggregator), so the
+    * candidate buckets are unchanged while the shingle stream is
+    * aggregated exactly once.
     *
-    * A pair sharing k band buckets surfaces k times out of the bucket
-    * join (near-dups share most of their 32 bands); instead of a
-    * `distinct()` — a full extra shuffle of the duplicated pair stream,
-    * and map-side dedup cannot collapse the copies because they leave
-    * from DIFFERENT (band, bucket) partitions — each side carries its
-    * 32-slot band-hash vector through the join and a pair is kept only
-    * where the joined band is the FIRST position at which the two
+    * On pair dedup: a pair sharing k band buckets surfaces k times out
+    * of the bucket join (near-dups share most of their 32 bands);
+    * instead of a `distinct()` — a full extra shuffle of the duplicated
+    * pair stream, and map-side dedup cannot collapse the copies because
+    * they leave from DIFFERENT (band, bucket) partitions — each side
+    * carries its band-hash vector through the join and a pair is kept
+    * only where the joined band is the FIRST position at which the two
     * vectors agree (the q48 pigeonhole trick): pure per-row arithmetic,
     * each pair emitted exactly once, no second shuffle. */
-  private def lshCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val banded = bandedSignatures(sh, numHashes, bands)
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("bhs").as("ba"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("bhs").as("bb"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("band") === firstEqualBand)
-      .select(col("id_a"), col("id_b"))
-  }
-
-  /** One row per (doc, band): the doc's full 32-slot band-hash vector
-    * plus that band's (band, bucket) join key — the exploded relation
-    * both the self-join and the cross-corpus candidate joins bucket on. */
-  private def bandedSignatures(sh: DataFrame, numHashes: Int,
+  private def bandedFromSets(sets: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
+    require(numHashes == NumHashes,
+      s"the per-row signature kernel is compiled for $NumHashes hashes")
     val rows = numHashes / bands
-    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
-    hashed.groupBy(col("doc_id"))
-      .agg(udaf(MinHashSig).apply(col("h")).as("sig"))
+    sets
+      .withColumn("sig",
+        graft.functions.GraftFunctions.minHashSig96(col("shset")))
       .withColumn("bhs", array((0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until rows).map(k =>
           element_at(col("sig"), rows * b + k + 1)): _*)): _*))
@@ -704,35 +751,29 @@ object Dedup {
         org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
     require(bands >= 1 && bands <= NumHashes && NumHashes % bands == 0,
       s"bands must divide the $NumHashes-hash signature, got $bands")
-    val jaccard = (i: Column, na: Column, nb: Column) =>
-      i.cast(DoubleType) / (na + nb - i)
-    // each side's shingle relation feeds its signature path AND its
-    // verify-set aggregate — same opt-in cache trade as minHashLshPairs
+    // each side's per-doc hash-set relation feeds its signature path AND
+    // the verify join — one scan+aggregation per side (pre-r16 each side
+    // ran the shingle pipeline twice); same opt-in cache trade as
+    // minHashLshPairs
     def maybePersist(df: DataFrame) =
       if (shinglePersist == org.apache.spark.storage.StorageLevel.NONE) df
       else df.persist(shinglePersist)
-    val shB = maybePersist(shingles(batch, idCol, textCol, n))
-    val shC = maybePersist(shingles(corpus, idCol, textCol, n))
-    val l = bandedSignatures(shB, NumHashes, bands)
+    val setsB = maybePersist(docHashSets(batch, idCol, textCol, n))
+    val setsC = maybePersist(docHashSets(corpus, idCol, textCol, n))
+    val l = bandedFromSets(setsB, NumHashes, bands)
       .select(col("band"), col("bucket"),
         col("doc_id").as("batch_id"), col("bhs").as("ba"))
-    val r = bandedSignatures(shC, NumHashes, bands)
+    val r = bandedFromSets(setsC, NumHashes, bands)
       .select(col("band"), col("bucket"),
         col("doc_id").as("corpus_id"), col("bhs").as("bb"))
     val cands = l.join(r, Seq("band", "bucket"))
       .filter(col("band") === firstEqualBand)
       .select(col("batch_id"), col("corpus_id"))
-    def sets(sh: DataFrame, id: String, set: String, cnt: String) =
-      sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-        .groupBy(col("doc_id").as(id))
-        .agg(collect_list(col("h")).as(set), count(lit(1)).as(cnt))
-    cands
-      .join(sets(shB, "batch_id", "sa", "na"), Seq("batch_id"))
-      .join(sets(shC, "corpus_id", "sb", "nb"), Seq("corpus_id"))
-      .select(col("batch_id"), col("corpus_id"),
-        jaccard(size(array_intersect(col("sa"), col("sb"))).cast(LongType),
-          col("na"), col("nb")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // no broadcast hint here: the sides scale independently (a small
+    // batch against a 100 TB corpus), so the join strategy is left to
+    // the planner's runtime stats
+    verifySets(cands, setsB, setsC, threshold, broadcastSets = false,
+      aId = "batch_id", bId = "corpus_id")
   }
 
   /** Incremental screen over the fixture corpus: documents with

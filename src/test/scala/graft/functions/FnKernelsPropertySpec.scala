@@ -78,6 +78,21 @@ class FnKernelsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("minHashSig96 equals the MinHashSig aggregator fold on arbitrary " +
+    "hash arrays (any element order, incl. negatives and empties)") {
+    val hashGen: Gen[Array[Long]] = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+      .map(_.toArray)
+    val agg = graft.operators.Dedup.MinHashSig
+    check(Prop.forAll(hashGen) { hs =>
+      val got = FnKernels.minHashSig96(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hs))
+        .toLongArray()
+      val expected = hs.foldLeft(agg.zero)(agg.reduce)
+      got.sameElements(expected)
+    })
+  }
+
   test("isDigit/isAlpha/isDecimal agree with regex references") {
     val asciiish = Gen.listOf(Gen.oneOf(
       Gen.numChar, Gen.alphaChar, Gen.oneOf('+', '-', '.', ' ', 'é')))
