@@ -77,10 +77,10 @@ object Corpus {
     * spurious shared n-gram — vanishing at benchmark-set scale). */
   def decontaminate(training: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 8): DataFrame = {
-    val trainSh = Dedup.shingles(training, idCol, textCol, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val benchSh = Dedup.shingles(benchmark, idCol, textCol, n)
-      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    val trainSh = Dedup.hashedShingles(training, idCol, textCol, n)
+      .select(col("doc_id"), col("h").as("sh"))
+    val benchSh = Dedup.hashedShingles(benchmark, idCol, textCol, n)
+      .select(col("h").as("sh")).distinct()
     trainSh.join(benchSh, Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_ngrams"))

@@ -87,20 +87,24 @@ object Dedup {
       .select(col("doc_id"), col("shingle"))
   }
 
-  /** Per-doc SORTED distinct shingle-hash sets: (doc_id, shset, n) in ONE
-    * pass over the corpus — the n-gram window's exchange already
-    * hash-partitions by doc_id, so the collect_set aggregation adds no
-    * shuffle, and the distinct lives inside the set-union (r16
-    * optimization, guide §2.4: the LSH family used to run the
+  /** Per-doc SORTED distinct shingle-hash sets: (doc_id, shset, n),
+    * MAP-ONLY — the [[graft.functions.ShingleHashSet]] kernel hashes each
+    * n-word window in place over the text bytes, so there is no explode
+    * fan-out, no per-doc window sort exchange and no distinct shuffle
+    * (r16 optimization, guide §2.4: the LSH family used to run the
     * scan+explode+window pipeline once for its signature aggregate and
     * AGAIN for the verify sets — both now derive from this one relation,
     * signatures via the [[graft.functions.MinHashSig96]] per-row kernel). */
   private def docHashSets(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
-    rawShingles(docs, idCol, textCol, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("h"))).as("shset"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions
+          .shingleHashSet(col(textCol), n).as("shset"))
+      // docs with no n-gram (short/empty/null text) never appeared in the
+      // old aggregation and must not appear here (an empty set would
+      // bucket-match every other empty set)
+      .filter(size(col("shset")) >= 1)
       .withColumn("n", size(col("shset")).cast(LongType))
 
   /** n-gram Jaccard near-dup pairs ≥ threshold, exact (shingle equi-join,
@@ -113,7 +117,7 @@ object Dedup {
       textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
       shinglePersist: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.NONE): DataFrame =
-    jaccardPairs(shingles(docs, idCol, textCol, n), threshold, None,
+    jaccardPairs(hashedShingles(docs, idCol, textCol, n), threshold, None,
       shinglePersist)
 
   /** MinHash + banded-LSH near-dup pairs ≥ threshold with exact-Jaccard
@@ -190,15 +194,13 @@ object Dedup {
     * restriction, so instead each candidate pair joins the per-doc hashed
     * shingle sets (collected once, `Array[Long]`) and intersects them in
     * place — cost proportional to |candidates|, not shingle co-occurrence. */
-  private def jaccardPairs(sh: DataFrame, threshold: Double,
+  private def jaccardPairs(hashed0: DataFrame, threshold: Double,
       candidates: Option[DataFrame],
       hashedPersist: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
-    val jaccard = (i: Column, na: Column, nb: Column) =>
-      i.cast(DoubleType) / (na + nb - i)
-    val hashed0 = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    // the hashed relation is 8-byte keys, severalfold smaller than the
-    // string shingles — when a persist level is given, cache it (not sh)
+    // hashed0: the distinct (doc_id, h) shingle-hash relation (map-only
+    // via the ShingleHashSet kernel). When a persist level is given,
+    // cache it — 8-byte keys, severalfold smaller than string shingles.
     val hashed =
       if (hashedPersist == org.apache.spark.storage.StorageLevel.NONE) hashed0
       else hashed0.persist(hashedPersist)
@@ -321,12 +323,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** The hashed (doc_id, h) shingle relation the exact path runs on —
-    * exposed for `JaccardCandAudit` so the audit counts the kernel's own
-    * relations, not a reimplementation. */
-  private[graft] def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shingles(docs, "doc_id", "text", n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+  /** The distinct hashed (doc_id, h) shingle relation the exact path
+    * runs on — map-only via the [[graft.functions.ShingleHashSet]]
+    * kernel (no explode/window/distinct shuffle). Exposed for
+    * `JaccardCandAudit` so the audit counts the kernel's own relations,
+    * not a reimplementation. */
+  private[graft] def hashedShingles(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.GraftFunctions
+        .shingleHashSet(col(textCol), n)).as("h"))
 
   private val duckJaccardSql: String =
     s"""WITH $duckShingleCte,

@@ -92,10 +92,10 @@ object Sketches {
       idCol: String = "doc_id", textCol: String = "text", n: Int = 6,
       fpp: Double = 0.01): DataFrame = {
     val spark = training.sparkSession
-    val trainSh = Dedup.shingles(training, idCol, textCol, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val benchSh = Dedup.shingles(benchmark, idCol, textCol, n)
-      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    val trainSh = Dedup.hashedShingles(training, idCol, textCol, n)
+      .select(col("doc_id"), col("h").as("sh"))
+    val benchSh = Dedup.hashedShingles(benchmark, idCol, textCol, n)
+      .select(col("h").as("sh")).distinct()
     // the benchmark side is held-out-set-sized: one exact count is cheap
     // and sizes the filter (expectedNumItems only tunes fpp, never
     // correctness)

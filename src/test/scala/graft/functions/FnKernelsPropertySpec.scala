@@ -93,6 +93,24 @@ class FnKernelsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("shingleHashSet equals hashing the concat_ws-built n-gram strings " +
+    "(multi-space runs, unicode, short/empty texts, n in 1..4)") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val spacyTextGen: Gen[String] = Gen.chooseNum(0, 30).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(wordGen, Gen.const(""), Gen.const(" "))))
+      .map(_.mkString(" "))
+    check(Prop.forAll(spacyTextGen, Gen.chooseNum(1, 4)) { (text, n) =>
+      val words = text.split(" ", -1)
+      val expected = (0 to words.length - n).map { i =>
+        val u = UTF8String.fromString(words.slice(i, i + n).mkString(" "))
+        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      }.distinct.sorted
+      val got = FnKernels.shingleHashSet(UTF8String.fromString(text), n)
+        .toLongArray().toSeq
+      got == expected
+    })
+  }
+
   test("isDigit/isAlpha/isDecimal agree with regex references") {
     val asciiish = Gen.listOf(Gen.oneOf(
       Gen.numChar, Gen.alphaChar, Gen.oneOf('+', '-', '.', ' ', 'é')))
