@@ -131,11 +131,14 @@ object Dedup {
       shinglePersist: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
     // One per-doc hash-set relation feeds BOTH the signature path (via the
-    // per-row MinHashSig96 kernel) and the exact verify join — pre-r16 the
-    // two paths each re-ran the scan+explode+window shingle pipeline. By
-    // default the sets relation is NOT cached: ReuseExchange already
-    // shares the shingle exchange between its consumers, and a library
-    // entry point that leaves blocks pinned in a long-lived session leaks.
+    // per-row MinHashBands96 kernel) and the exact verify join — pre-r16
+    // the two paths each re-ran the scan+explode+window shingle pipeline.
+    // By default the sets relation is NOT cached: the map-only relation
+    // has no exchange to reuse, so its four consumers (two banded legs,
+    // two verify legs) each rescan+rehash the corpus text — measured
+    // CHEAPER than caching at sf0.1 (the r16 sets cache was 2.7x slower),
+    // and a library entry point that leaves blocks pinned in a
+    // long-lived session leaks.
     // Small/medium-scale callers can opt in via shinglePersist (e.g.
     // MEMORY_AND_DISK) — the cached relation is one ~1.6 KB row per doc,
     // severalfold smaller than the shingle stream the pre-r16 code cached.
@@ -434,13 +437,19 @@ object Dedup {
       bands: Int): DataFrame = {
     require(numHashes == NumHashes,
       s"the per-row signature kernel is compiled for $NumHashes hashes")
-    val rows = numHashes / bands
+    // One MinHashBands96 kernel call per row (signature + all band
+    // buckets in a single pass over the hash set). The r16 column
+    // construction — array(xxhash64(lit(b), element_at(sig, ...)...))
+    // over a minHashSig96 projection — was collapsed by CollapseProject
+    // and the generator's inferred size()>0 filter into 96 inlined
+    // element_at(minhash_sig96(shingle_hash_set(text))) copies, i.e. ~96
+    // full signature recomputations per row pushed into the scan filter
+    // (plans/r17/q46_minhash_lsh_before.txt node (2); q46 19.8 s at
+    // 32c). The kernel is bit-identical to the column form
+    // (FnKernelsPropertySpec "minHashBands96").
     sets
-      .withColumn("sig",
-        graft.functions.GraftFunctions.minHashSig96(col("shset")))
-      .withColumn("bhs", array((0 until bands).map(b =>
-        xxhash64(lit(b) +: (0 until rows).map(k =>
-          element_at(col("sig"), rows * b + k + 1)): _*)): _*))
+      .withColumn("bhs",
+        graft.functions.GraftFunctions.minHashBands96(col("shset"), bands))
       .select(col("doc_id"), col("bhs"),
         posexplode(col("bhs")).as(Seq("band", "bucket")))
   }

@@ -93,13 +93,40 @@ class FnKernelsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("minHashBands96 equals Spark's XxHash64 expression over the " +
+    "minHashSig96 band slices, for every divisor band count") {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val hashGen: Gen[Array[Long]] = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+      .map(_.toArray)
+    val bandsGen = Gen.oneOf(1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 96)
+    check(Prop.forAll(hashGen, bandsGen) { (hs, bands) =>
+      val rows = 96 / bands
+      val sig = FnKernels.minHashSig96(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hs))
+        .toLongArray()
+      // independent reference: the exact column construction the kernel
+      // replaced — xxhash64(lit(b), sig slice) via Spark's own expression
+      val expected = (0 until bands).map { b =>
+        XxHash64(Literal(b) +: (0 until rows).map(k =>
+          Literal(sig(b * rows + k))).toSeq, 42L).eval(null)
+          .asInstanceOf[Long]
+      }
+      val got = FnKernels.minHashBands96(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hs), bands)
+        .toLongArray().toSeq
+      got == expected
+    })
+  }
+
   test("shingleHashSet equals hashing the concat_ws-built n-gram strings " +
-    "(multi-space runs, unicode, short/empty texts, n in 1..4)") {
+    "(multi-space runs, unicode, short/empty texts, n in 1..8 — covers " +
+    "the shipped widths 3 (dedup), 6 (sketches), 8 (decontaminate))") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val spacyTextGen: Gen[String] = Gen.chooseNum(0, 30).flatMap(k =>
       Gen.listOfN(k, Gen.oneOf(wordGen, Gen.const(""), Gen.const(" "))))
       .map(_.mkString(" "))
-    check(Prop.forAll(spacyTextGen, Gen.chooseNum(1, 4)) { (text, n) =>
+    check(Prop.forAll(spacyTextGen, Gen.chooseNum(1, 8)) { (text, n) =>
       val words = text.split(" ", -1)
       val expected = (0 to words.length - n).map { i =>
         val u = UTF8String.fromString(words.slice(i, i + n).mkString(" "))
