@@ -85,7 +85,33 @@ object Bench {
     val line = resultJson(timed, sfDir, Some((cSt, cMt)))
     println(line)
     writeFullLine(line, sfDir)
+    println(compactJson(timed, sfDir, Some((cSt, cMt))))
     spark.stop()
+  }
+
+  /** A <2000-char summary printed as the LAST metric line (r16 verdict
+    * #3): the driver's wrapper keeps only the final ~2000 chars of the
+    * bench output, and the 318-entry full line above is wider than that
+    * — its opening brace is truncated away, so `BENCH_r10..r16` all
+    * record `parsed: null` and the driver can compute no totals. This
+    * line restores a parseable record (total, n, failed, canaries, the
+    * committed full-line path). It ADDS a line and changes no
+    * measurement: the full per-query line is still printed first and
+    * persisted under scale/. `queries` is intentionally empty here —
+    * the complete map cannot fit in the wrapper's window; consumers
+    * needing per-query data read `full` (committed every run). */
+  private[graft] def compactJson(timed: Seq[(String, Double, Boolean)],
+      sfDir: String, canary: Option[(Double, Double)]): String = {
+    val total = timed.collect { case (_, v, true) => v }.sum
+    val failed = timed.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val can = canary.map { case (st, mt) =>
+      f""""canary_st":$st%.3f,"canary_mt":$mt%.3f,"""
+    }.getOrElse("")
+    val sfBase = new java.io.File(sfDir).getName
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":{},""" +
+      s""""n":${timed.size},"failed":$failed,$can""" +
+      s""""full":"scale/bench_full_$sfBase.json","sf":"$sfDir"}"""
   }
 
   /** The driver's wrapper truncates the metric line to its last 2000
@@ -201,6 +227,7 @@ object Bench {
     val line = resultJson(timed, sfDir, med, cans)
     println(line)
     writeFullLine(line, sfDir)
+    println(compactJson(timed, sfDir, med))
   }
 
   /** Extract a child's canary fields, if present. */

@@ -31,6 +31,22 @@ class BenchSpec extends AnyFunSuite {
       Seq(("q01_a", 1.25), ("q02_b", -1.0), ("q03_c", 2.25)))
   }
 
+  test("compactJson stays under the driver wrapper's 2000-char window " +
+    "at full-registry size and reports total/failed/canaries") {
+    // the wrapper keeps the LAST 2000 chars of bench output; the compact
+    // trailer line must always fit inside it with room for sbt's epilogue
+    val timed = SparkEntry.queries.keys.toSeq.sorted
+      .map(n => (n, 1.5, true)) :+ ("q999_synthetic_failure", -1.0, false)
+    val line = Bench.compactJson(timed, "/root/testdata/sf0.1",
+      Some((0.9, 3.5)))
+    assert(line.length < 1500, s"compact line too wide: ${line.length}")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""queries":{}"""))
+    assert(line.contains(""""failed":["q999_synthetic_failure"]"""))
+    assert(line.contains(""""canary_st":0.900,"canary_mt":3.500"""))
+    assert(line.contains(""""full":"scale/bench_full_sf0.1.json""""))
+  }
+
   test("blocks of 16 partition the registry with no loss or overlap") {
     val all = Bench.selected("")
     val blocks = all.grouped(16).toSeq
